@@ -1,0 +1,468 @@
+"""Beyond-reference LLM-data-pipeline queries (BASELINE.json north star):
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force cosine top-k), and text analysis (token stats, quality,
+stopword profiling, fingerprinting) over the ``documents`` / ``embeddings``
+tables.
+
+Hash functions are built from md5 hex prefixes so Spark and the DuckDB
+oracle compute bit-identical integers (Spark ``conv(hex,16,10)`` ↔ DuckDB
+``CAST('0x…' AS BIGINT)``); MinHash parameters keep every product under
+2^62 so 64-bit arithmetic never overflows on either engine.
+
+Scale notes: all doc-level operators are embarrassingly parallel scans;
+the pair-forming joins (Jaccard, LSH) shuffle on shingle/bucket keys, never
+cross-join the corpus; the brute-force k-NN broadcasts only the query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+# --- shared constants (drive BOTH the Spark and the oracle side) -----------
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+# (a, b) pairs, a,b < 2^30 → a*h32 + b < 2^62: no 64-bit overflow anywhere.
+MINHASH_PARAMS = [
+    (387420489, 12190087),
+    (962892417, 55555333),
+    (29986577, 271828182),
+    (536870923, 97531),
+]
+LSH_BANDS = [(0, 1), (2, 3)]  # 2 bands × 2 rows over the 4 signatures
+SIMHASH_BITS = 16
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
+
+# --- Spark-side text helpers ----------------------------------------------
+
+def _words(col="text"):
+    return F.split(F.trim(F.col(col)), " ")
+
+def _shingles(col="text"):
+    """Distinct k-word shingles, built with JVM higher-order functions."""
+    w = _words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
+        )
+    )
+
+def _h64(col):
+    """First 15 md5 hex chars as a bigint (< 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+def _h32(col):
+    """First 8 md5 hex chars as a bigint (< 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+# --- DuckDB-side text helpers (SQL fragments) ------------------------------
+
+_SQL_WORDS = "string_split(trim(text), ' ')"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_SQL_WORDS}) - {SHINGLE_K - 2}), "
+    + "i -> "
+    + " || ' ' || ".join(f"{_SQL_WORDS}[i + {j}]" for j in range(SHINGLE_K))
+    + "))"
+)
+
+def _sql_h32(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+def _sql_h64(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting + exact dedup: canonical row per content hash.
+@register(
+    "exact_dedup_docs",
+    """
+    WITH f AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS fingerprint FROM documents
+    ), canon AS (
+      SELECT fingerprint, MIN(doc_id) AS canonical_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM f GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.source, f.fingerprint, c.canonical_doc_id, c.n_copies
+    FROM f JOIN canon c ON f.fingerprint = c.fingerprint
+    WHERE f.doc_id = c.canonical_doc_id
+    """,
+    doc="exact dedup via content-hash groupBy; keeps min doc_id per group",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    canon = docs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        docs.join(canon, "fingerprint")
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .select("doc_id", "source", "fingerprint", "canonical_doc_id", "n_copies")
+    )
+
+# n-gram Jaccard near-dup pairs: shingle-explode → equi-join on shingle →
+# pair-count → |A∩B| / (|A|+|B|−|A∩B|). Never cross-joins the corpus — the
+# join key is the shingle, so shuffle volume is bounded by shingle postings.
+@register(
+    "ngram_jaccard_near_dups",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+    FROM pairs WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-duplicate pairs via shingle-postings join",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("shingles")
+    )
+    sh = docs.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+def _minhash_sql_exprs() -> list[str]:
+    h = _sql_h32("s")
+    return [
+        f"CAST(MIN(({a} * {h} + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+def _minhash_spark_exprs():
+    h = _h32(F.col("s"))
+    return [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_PRIME).cast("long").alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+# MinHash signatures: min over shingles of universal-hash family values.
+@register(
+    "minhash_signatures",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    )
+    SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (4 universal hash fns over 3-gram shingles)",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    return docs.groupBy("doc_id").agg(*_minhash_spark_exprs())
+
+# MinHash-LSH candidate pairs: band the signatures, bucket-join on band
+# value — candidates are docs agreeing on ANY full band. The join key is
+# (band_id, band_hash): at scale this is the classic LSH bucket shuffle,
+# linear in corpus size, no pairwise comparison outside buckets.
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banded bucket join → near-dup candidate pairs",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_shingles()).alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                ":", F.col(f"mh{r0}").cast("string"), F.col(f"mh{r1}").cast("string")
+            ).alias("band_key"),
+        )
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+def _simhash_bitsum_sql() -> list[str]:
+    return [
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    ]
+
+# SimHash: frequency-weighted ±1 vote per bit of each token hash, sign →
+# bit. A single explode + aggregation pass; bit recombination is pure
+# integer arithmetic (identical on both engines).
+@register(
+    "simhash_signatures",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h FROM (
+        SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), bits AS (
+      SELECT doc_id, {', '.join(_simhash_bitsum_sql())}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({' + '.join(f'(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)' for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM bits
+    """,
+    doc=f"SimHash ({SIMHASH_BITS}-bit) document signatures",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_words()).alias("w")
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    bits = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+# Brute-force cosine top-k: the ANN baseline. Query set broadcasts (it is
+# tiny); candidates stream — no corpus×corpus cross join. Dot products use
+# JVM higher-order functions (zip_with/aggregate), not UDFs.
+@register(
+    "embedding_knn_top5",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM (SELECT * FROM e WHERE vec_id < 20) q
+      JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+    doc="brute-force cosine top-k similarity search (ANN baseline)",
+)
+def embedding_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot_self = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = e.withColumn("nrm", F.sqrt(dot_self))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("q_nrm") * F.col("nrm"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+# Text quality scoring: token stats + distinct ratio per doc, pure column
+# arithmetic (no UDF). avg_token_len derived from char counts so both
+# engines compute the identical closed form.
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT) AS n_distinct_tokens,
+             length(trim(text)) AS n_trim_chars
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, n_tokens, n_distinct_tokens,
+           ROUND(n_distinct_tokens * 1.0 / n_tokens, 6) AS distinct_ratio,
+           ROUND((n_trim_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len
+    FROM t
+    """,
+    doc="per-document quality metrics: token counts, distinct ratio, avg token length",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_words())).cast("long").alias("n_distinct_tokens"),
+        F.length(F.trim(F.col("text"))).alias("n_trim_chars"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_distinct_tokens") * 1.0 / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            (F.col("n_trim_chars") - (F.col("n_tokens") - 1)) * 1.0 / F.col("n_tokens"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+# Language-ID heuristic profile: stopword-hit ratio per language label —
+# the n-gram/stopword language-scoring building block, aggregated.
+@register(
+    "lang_stopword_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_SQL_WORDS}, w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           ROUND(SUM(n_stop) * 1.0 / SUM(n_tokens), 6) AS stopword_ratio
+    FROM t GROUP BY lang
+    """,
+    doc="stopword-ratio language profiling (language-ID heuristic input)",
+)
+def lang_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(_words(), lambda w: F.array_contains(stop_arr, w))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_stop").alias("total_stopwords"),
+        F.round(F.sum("n_stop") * 1.0 / F.sum("n_tokens"), 6).alias("stopword_ratio"),
+    )
+
+# Token accounting per source (BPE-ish proxy: whitespace tokens + chars).
+@register(
+    "token_counts_by_source",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(len({_SQL_WORDS})), 6) AS avg_tokens_per_doc
+    FROM documents GROUP BY source
+    """,
+    doc="corpus token accounting per source",
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.size(_words()).cast("long").alias("n_tokens")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target local[N] test runs but every knob is chosen to scale to a
+multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), UTC session timezone (deterministic vs the DuckDB
+oracle — Spark timestamps are session-TZ, DuckDB's are UTC-naive), Arrow
+enabled for the Pandas-UDF paths, and a broadcast threshold sized so the
+dimension tables (region/nation/customer/supplier/part, and the reference's
+``dim_kin_app``) always broadcast instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+def get_spark(
+    app_name: str = "kin-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a real cluster pass ``None`` and submit with ``--master``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Deterministic comparison with UTC-naive oracle engines.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dims are small; broadcast them rather than shuffling the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas_udf / applyInPandas / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ANSI off: the reference dialect (Snowflake) null-pads bad casts in
+        # the '<NA>' sentinel path; we normalize explicitly instead.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,1 @@
+from kin_data_pipeline_spark.sources.catalog import TABLES, load_table, load_tables, register_views  # noqa: F401

@@ -1,0 +1,69 @@
+"""Parquet table catalog over the driver testdata layout.
+
+Mirrors the reference's source surface (SURVEY.md §2.1 S1/S2: raw event
+scans are plain table reads — ``fact_kin_transaction.sql:9``), expressed as
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column pruning
+for free. At 100 TB these reads become partitioned-parquet/Delta scans with
+partition pruning on the date key; the API here is layout-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
+    them outright, so they are read as raw nanosecond longs and rebuilt.
+    Footer-only read; negligible driver cost."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Lazy: no action is triggered.
+
+    TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``) are transparently
+    converted to TimestampType at microsecond precision — the same
+    truncation DuckDB applies, keeping oracle comparisons aligned.
+    """
+    # Pin UTC even on caller-provided sessions: timestamp→date truncation is
+    # session-TZ-dependent and the oracle (DuckDB) is UTC-naive.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries work."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
