@@ -1,0 +1,192 @@
+"""Materialization engine: warehouse catalog + DAG runner.
+
+Re-expresses the reference's lifecycle (SURVEY.md §3):
+- full refresh        = CREATE OR REPLACE TABLE AS   (execute_snowflake_load.py:89-91)
+  → ``overwrite`` write, partitioned by the date column
+- incremental append  = INSERT INTO … WHERE trunc(date) > watermark
+  (incremental_anchor.sql:1-5, execute_snowflake_load.py:82-86,100)
+  → read current max(date_col), filter the freshly-built frame, append
+- zero-copy clone     = CREATE TABLE … CLONE          (13 clone scripts)
+  → catalog-level alias file (no data copied), resolved at read time
+- date-keyed cleanup  = DELETE WHERE date_key >= X    (incremental_cleanup.py:78-88)
+  → partition-directory drop (date-partitioned layout makes this O(partitions))
+
+Storage is date-partitioned parquet (`partitionBy(date_col)`): at 100 TB the
+same layout gives partition pruning on every date-filtered read, and cleanup/
+backfill are partition-granular metadata operations rather than rewrites.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.functions.compat import date_trunc
+from kin_data_pipeline_spark.plans.model import CADENCE_UNITS, Model, topo_sort
+
+class Catalog:
+    """Filesystem-backed table catalog (one directory per table)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, name)
+
+    def _clone_marker(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, f"{name}._clone.json")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name)) or os.path.exists(
+            self._clone_marker(name)
+        )
+
+    def resolve(self, name: str) -> str:
+        """Follow clone aliases to the physical table path."""
+        seen = set()
+        while os.path.exists(self._clone_marker(name)):
+            if name in seen:
+                raise ValueError(f"clone cycle at {name}")
+            seen.add(name)
+            with open(self._clone_marker(name)) as f:
+                name = json.load(f)["clone_of"]
+        return self.path(name)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.resolve(name))
+
+    def write_full(self, name: str, df: DataFrame, date_col: str | None) -> None:
+        self._drop_clone(name)
+        w = df.write.mode("overwrite")
+        if date_col is not None:
+            w = w.partitionBy(date_col)
+        w.parquet(self.path(name))
+
+    def write_append(self, name: str, df: DataFrame, date_col: str | None) -> None:
+        self._drop_clone(name)
+        w = df.write.mode("append")
+        if date_col is not None:
+            w = w.partitionBy(date_col)
+        w.parquet(self.path(name))
+
+    def clone(self, name: str, source: str) -> None:
+        """Zero-copy publication: an alias resolved at read time — the Spark
+        analogue of Snowflake CLONE without duplicating a byte."""
+        if os.path.exists(self.path(name)):
+            shutil.rmtree(self.path(name))
+        with open(self._clone_marker(name), "w") as f:
+            json.dump({"clone_of": source}, f)
+
+    def _drop_clone(self, name: str) -> None:
+        marker = self._clone_marker(name)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    def high_watermark(self, name: str, date_col: str):
+        """max(date_col) of the stored table — the incremental anchor
+        (incremental_anchor.sql:3)."""
+        if not self.exists(name):
+            return None
+        row = self.table(name).agg(F.max(date_col).alias("wm")).collect()[0]
+        return row["wm"]
+
+    def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
+        """Date-keyed cleanup: drop whole date partitions >= cutoff.
+
+        With the date-partitioned layout this never rewrites surviving data
+        (incremental_cleanup.py:82 equivalent).
+        """
+        root = self.resolve(name)
+        if not os.path.exists(root):
+            return 0
+        dropped = 0
+        for entry in os.listdir(root):
+            if not entry.startswith(f"{date_col}="):
+                continue
+            val = entry.split("=", 1)[1]
+            if datetime.date.fromisoformat(val) >= cutoff:
+                shutil.rmtree(os.path.join(root, entry))
+                dropped += 1
+        return dropped
+
+@dataclass
+class BuildContext:
+    spark: SparkSession
+    catalog: Catalog
+    run_date: datetime.date
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+@dataclass
+class RunResult:
+    model: str
+    action: str  # full | incremental | clone | skipped
+    rows_written: int | None = None
+
+class Runner:
+    """Dependency-ordered model materializer.
+
+    ``run_date`` replaces the reference's ``current_date`` (determinism,
+    SURVEY §1.4); the complete-day guard is each builder's responsibility
+    via ``ctx.run_date``.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def run(
+        self,
+        models: Sequence[Model],
+        run_date: datetime.date,
+        build_type: str = "incremental",  # incremental | full_refresh
+    ) -> list[RunResult]:
+        ctx = BuildContext(self.spark, self.catalog, run_date)
+        results: list[RunResult] = []
+        for m in topo_sort(models):
+            if m.clone_of is not None:
+                self.catalog.clone(m.name, m.clone_of)
+                results.append(RunResult(m.name, "clone"))
+                continue
+            df = m.builder(ctx)
+            if build_type == "full_refresh" or not self.catalog.exists(m.name):
+                self.catalog.write_full(m.name, df, m.date_col)
+                results.append(RunResult(m.name, "full"))
+                continue
+            wm = self.catalog.high_watermark(m.name, m.date_col)
+            if wm is not None:
+                unit = CADENCE_UNITS[m.cadence]
+                # incremental_anchor semantics: only rows whose cadence-
+                # truncated date is strictly past the stored watermark.
+                df = df.filter(
+                    date_trunc(unit, F.col(m.date_col)) > F.lit(wm)
+                )
+            self.catalog.write_append(m.name, df, m.date_col)
+            results.append(RunResult(m.name, "incremental"))
+        return results
+
+    def cleanup(
+        self, models: Sequence[Model], cutoff: datetime.date, skip: Sequence[str] = ()
+    ) -> dict[str, int]:
+        """Reprocessing entry point: drop date partitions >= cutoff so the
+        next incremental run refills them (incremental_cleanup.py flow; the
+        reference skips ``multi_create_impacted_accounts`` — callers pass
+        ``skip`` for the same effect)."""
+        out = {}
+        for m in models:
+            if m.name in skip or m.clone_of is not None:
+                continue
+            out[m.name] = self.catalog.delete_where_date_ge(
+                m.name, m.date_col, cutoff
+            )
+        return out

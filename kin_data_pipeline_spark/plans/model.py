@@ -1,0 +1,96 @@
+"""Model registry: the engine's replacement for the reference's
+filename-ordering "DAG" (execute_snowflake_load.py:34,69-71 encodes
+dependencies as mart-list order + alphabetical sort — we make the edges
+explicit and topologically sort).
+
+A model is a named DataFrame builder with a cadence and explicit
+dependencies; the Runner owns watermarking, DAG order, and writes
+(SURVEY.md §3 E1 "Spark engine equivalent").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+CADENCE_UNITS = {"daily": "day", "weekly": "week", "monthly": "month"}
+
+@dataclass(frozen=True)
+class Model:
+    """One materialized table.
+
+    ``builder(ctx)`` receives a build context (``ctx.spark``, ``ctx.table``
+    for upstream reads, ``ctx.run_date``) and returns the model DataFrame.
+    ``clone_of`` models skip the builder entirely — they are catalog-level
+    aliases (the zero-copy CLONE of the reference, S7).
+    """
+
+    name: str
+    builder: Callable[[Any], Any] | None = None
+    cadence: str = "daily"  # daily | weekly | monthly
+    depends_on: Sequence[str] = field(default_factory=tuple)
+    date_col: str = "date_key"
+    clone_of: str | None = None
+
+    def __post_init__(self):
+        if self.cadence not in CADENCE_UNITS:
+            raise ValueError(f"bad cadence {self.cadence!r} for model {self.name}")
+        if (self.builder is None) == (self.clone_of is None):
+            raise ValueError(
+                f"model {self.name}: exactly one of builder/clone_of required"
+            )
+
+def topo_sort(models: Sequence[Model]) -> list[Model]:
+    """Dependency-ordered build list; raises on cycles/unknown deps.
+
+    Deterministic: ready models are emitted in name order (stable across
+    runs, unlike the reference's path-sort which silently reorders when
+    files move between marts).
+    """
+    by_name = {m.name: m for m in models}
+    deps: dict[str, set[str]] = {}
+    for m in models:
+        edges = set(m.depends_on) | ({m.clone_of} if m.clone_of else set())
+        unknown = edges - by_name.keys()
+        # External sources (raw tables) are legal dependencies — only edges
+        # naming another registered model constrain ordering.
+        deps[m.name] = edges - unknown
+    out: list[Model] = []
+    done: set[str] = set()
+    while len(out) < len(models):
+        ready = sorted(
+            n for n, d in deps.items() if n not in done and d <= done
+        )
+        if not ready:
+            cycle = sorted(set(deps) - done)
+            raise ValueError(f"dependency cycle among models: {cycle}")
+        for n in ready:
+            out.append(by_name[n])
+            done.add(n)
+    return out
+
+_REGISTRY: dict[str, Model] = {}
+
+def model(
+    name: str,
+    cadence: str = "daily",
+    depends_on: Sequence[str] = (),
+    date_col: str = "date_key",
+):
+    """Decorator registering a model builder in the global registry."""
+
+    def wrap(fn):
+        _REGISTRY[name] = Model(
+            name=name,
+            builder=fn,
+            cadence=cadence,
+            depends_on=tuple(depends_on),
+            date_col=date_col,
+        )
+        return fn
+
+    return wrap
+
+def registered_models() -> dict[str, Model]:
+    return dict(_REGISTRY)

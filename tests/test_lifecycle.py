@@ -1,0 +1,108 @@
+"""Lifecycle parity tests (SURVEY.md §5 layer 3): incremental == full,
+cleanup+refill idempotence, clone resolution, DAG ordering."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+from kin_data_pipeline_spark.plans.model import Model, topo_sort
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+def _models(sf_dir):
+    def fact_events(ctx):
+        ev = load_table(ctx.spark, sf_dir, "events")
+        return (
+            ev.withColumn("date_key", F.to_date("ts"))
+            # complete-day guard (P3): only closed days before run_date
+            .filter(F.col("date_key") < F.lit(ctx.run_date))
+            .select("date_key", "event_id", "user_id", "event_type", "value")
+        )
+
+    def daily_summary(ctx):
+        return (
+            ctx.table("fact_events")
+            .groupBy("date_key")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            )
+        )
+
+    def weekly_summary(ctx):
+        # Complete-period guard (SURVEY §2.9): a weekly model must only emit
+        # fully-elapsed weeks, else the high-watermark anchor would freeze a
+        # partially-loaded week forever.
+        return (
+            ctx.table("fact_events")
+            .groupBy(F.trunc("date_key", "week").alias("date_key"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.date_add(F.col("date_key"), 7) <= F.lit(ctx.run_date))
+        )
+
+    return [
+        Model("fact_events", fact_events, cadence="daily"),
+        Model("daily_summary", daily_summary, cadence="daily", depends_on=["fact_events"]),
+        Model("weekly_summary", weekly_summary, cadence="weekly", depends_on=["fact_events"]),
+        Model("daily_summary_clone", clone_of="daily_summary"),
+    ]
+
+def _snapshot(catalog, name):
+    df = catalog.table(name)
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+def test_topo_sort_orders_dependencies(sf_dir):
+    models = _models(sf_dir)
+    order = [m.name for m in topo_sort(models)]
+    assert order.index("fact_events") < order.index("daily_summary")
+    assert order.index("daily_summary") < order.index("daily_summary_clone")
+
+def test_topo_sort_detects_cycles():
+    a = Model("a", lambda ctx: None, depends_on=["b"])
+    b = Model("b", lambda ctx: None, depends_on=["a"])
+    with pytest.raises(ValueError, match="cycle"):
+        topo_sort([a, b])
+
+def test_incremental_equals_full_refresh(spark, sf_dir, tmp_path):
+    models = _models(sf_dir)
+    final_date = datetime.date(2024, 1, 31)
+
+    cat_full = Catalog(spark, str(tmp_path / "full"))
+    Runner(spark, cat_full).run(models, final_date, "full_refresh")
+
+    cat_inc = Catalog(spark, str(tmp_path / "inc"))
+    runner = Runner(spark, cat_inc)
+    for d in (datetime.date(2024, 1, 10), datetime.date(2024, 1, 20), final_date):
+        runner.run(models, d, "incremental")
+
+    for name in ("fact_events", "daily_summary", "weekly_summary"):
+        assert _snapshot(cat_inc, name) == _snapshot(cat_full, name), name
+
+def test_cleanup_then_refill_is_idempotent(spark, sf_dir, tmp_path):
+    models = _models(sf_dir)
+    final_date = datetime.date(2024, 1, 31)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    runner.run(models, final_date, "full_refresh")
+    before = {n: _snapshot(cat, n) for n in ("fact_events", "daily_summary")}
+
+    dropped = runner.cleanup(models, datetime.date(2024, 1, 15))
+    assert dropped["fact_events"] > 0
+    assert _snapshot(cat, "fact_events") != before["fact_events"]
+
+    runner.run(models, final_date, "incremental")
+    for name in ("fact_events", "daily_summary"):
+        assert _snapshot(cat, name) == before[name], name
+
+def test_clone_is_zero_copy_alias(spark, sf_dir, tmp_path):
+    models = _models(sf_dir)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    Runner(spark, cat).run(models, datetime.date(2024, 1, 31), "full_refresh")
+    assert _snapshot(cat, "daily_summary_clone") == _snapshot(cat, "daily_summary")
+    import os
+
+    assert not os.path.exists(cat.path("daily_summary_clone"))
