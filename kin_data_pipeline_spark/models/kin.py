@@ -1,0 +1,648 @@
+"""The reference warehouse's model library, re-expressed Spark-first.
+
+Each builder is a pure function ``(spark, sf_dir, run_date) -> DataFrame``
+over the Kin-shaped projections in ``sources/kin_adapter.py``. Reference
+citations sit on each builder (paths relative to
+/root/reference/kin-data-pipeline/load_scripts/).
+
+FP-determinism rules (so DuckDB oracles hash-match): quark/cent integer
+arithmetic end-to-end; Kin/SOL conversion happens once, at the output edge,
+through exact decimal scaling; unavoidable double outputs are single
+division chains + ROUND(x, 6).
+
+Documented deviations from the reference (SURVEY.md §2.11):
+- ``fee`` IS divided by 1e9 here (the reference forgot for transactions).
+- rank windows carry an ``app_id``/wallet tiebreak (the reference's
+  dense_rank is nondeterministic on ties).
+- payout share sums use the algebraic identities Σshare=1, Σpayout=P
+  (the reference sums FP shares; mathematically identical, order-stable).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.operators.rangejoin import trailing_distinct_count
+from kin_data_pipeline_spark.operators.relational import top_k_per_group
+from kin_data_pipeline_spark.sources import kin_adapter as ka
+
+RUN_DATE = datetime.date(2024, 1, 31)
+KRE_DAILY_POOL = 250_000_000.0  # daily_kin_payout.sql:27-29 hardcoded pool
+QUARKS_PER_KIN = 100_000
+AUB_CAP_QUARKS_PER_USER = 100_000 * QUARKS_PER_KIN  # 100k Kin cap, :67-69
+GC_DUST_QUARKS = 500 * QUARKS_PER_KIN  # "effectively empty" threshold
+GC_CUTOFF = datetime.date(2024, 1, 20)  # month-end analog for the GC window
+
+def _kin(col) -> F.Column:
+    """Exact quark→Kin conversion to DECIMAL(38,10)."""
+    return (col.cast("decimal(38,10)") / QUARKS_PER_KIN).cast("decimal(38,10)")
+
+# ---------------------------------------------------------------------------
+# kin_main_warehouse/daily_models/facts/fact_kin_transaction.sql:3-50
+
+def fact_kin_transaction(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    raw = ka.raw_kintransaction(spark, sf_dir).distinct()  # P10 feed dedup (:3-13)
+    f = raw.filter(
+        (F.col("status") == "Ok")  # :50
+        & (F.to_date("date") < F.lit(run_date))  # complete-day guard (:11)
+    )
+    return f.select(
+        F.to_date("date").alias("date_key"),
+        F.timestamp_seconds("timestamp").alias("txn_ts"),
+        "id",
+        "block",
+        F.col("transactionid").alias("transaction_id"),
+        F.col("instructionidx").alias("instruction_idx"),
+        F.coalesce("amount", F.lit(0)).alias("amount_quark"),  # :26
+        _kin(F.coalesce("amount", F.lit(0))).alias("amount_kin"),
+        F.col("fromaccount").alias("from_wallet"),
+        F.col("toaccount").alias("to_wallet"),
+        F.col("fromaccountbalance").alias("from_balance_quark"),
+        F.col("toaccountbalance").alias("to_balance_quark"),
+        # Deviation: reference forgets the 1e9 fee divisor (§2.11); we divide.
+        (F.col("fee").cast("decimal(38,10)") / 1_000_000_000)
+        .cast("decimal(38,10)")
+        .alias("fee_sol"),
+        F.col("feepayer").alias("fee_payer"),
+        F.coalesce("appindex", F.lit(0)).alias("app_id"),  # :39-42
+        F.when(F.col("transactiontype") == "<NA>", F.lit(None))
+        .otherwise(F.col("transactiontype"))
+        .cast("long")
+        .alias("txn_type"),  # sentinel → NULL → int (:44-47)
+    )
+
+# .../facts/fact_kin_creations.sql:3-53
+
+def fact_kin_creations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    raw = ka.raw_kincreateaccount(spark, sf_dir).distinct()
+    f = raw.filter(
+        (F.col("status") == "Ok") & (F.to_date("date") < F.lit(run_date))
+    )
+    return f.select(
+        F.to_date("date").alias("date_key"),
+        F.timestamp_seconds("timestamp").alias("created_ts"),
+        "id",
+        "program_id",
+        "block",
+        "tx_id",
+        "instr_idx",
+        "account_id",
+        "account_owner",
+        F.col("balance").alias("balance_quark"),
+        _kin(F.coalesce("balance", F.lit(0))).alias("balance_kin"),
+        (F.col("fee").cast("decimal(38,10)") / 1_000_000_000)
+        .cast("decimal(38,10)")
+        .alias("fee_sol"),  # :38 divides — kept
+        (F.col("create_fee").cast("decimal(38,10)") / 1_000_000_000)
+        .cast("decimal(38,10)")
+        .alias("create_fee_sol"),
+        "fee_payer",
+        F.coalesce("appindex", F.lit(0)).alias("app_id"),
+        F.when(F.col("transactiontype") == "<NA>", F.lit(None))
+        .otherwise(F.col("transactiontype"))
+        .cast("long")
+        .alias("txn_type"),
+        F.col("version").cast("long").alias("version"),  # ::NUMBER(38,0) (:50)
+    )
+
+# ---------------------------------------------------------------------------
+# metabase_mart/daily_models/reporting/daily_kin_transactions.sql:2-99 —
+# per-type segmented metrics, fused into ONE aggregation pass (A9).
+
+def daily_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    seg = lambda t: F.col("txn_type") == t  # noqa: E731
+
+    def seg_aggs(t: int, prefix: str):
+        return [
+            F.count(F.when(seg(t), F.lit(1))).alias(f"{prefix}_count"),
+            _kin(F.coalesce(F.sum(F.when(seg(t), F.col("amount_quark"))), F.lit(0))).alias(
+                f"{prefix}_volume_kin"
+            ),
+            F.round(
+                F.median(F.when(seg(t), F.col("amount_quark"))) / 100000.0, 6
+            ).alias(f"{prefix}_median_kin"),
+        ]
+
+    return f.groupBy("date_key").agg(
+        *seg_aggs(1, "earn"),
+        *seg_aggs(2, "spend"),
+        *seg_aggs(3, "peer"),
+        F.count(F.when(F.col("txn_type").isNull(), F.lit(1))).alias(
+            "unattributed_count"
+        ),
+        F.count(F.lit(1)).alias("total_count"),
+        _kin(F.sum("amount_quark")).alias("total_volume_kin"),
+        F.countDistinct("from_wallet").alias("active_wallets"),
+    )
+
+# metabase_mart/.../daily_kin_transaction_counts_by_amount.sql:5-13 (P8).
+
+AMOUNT_BUCKET_EDGES_QUARK = [100_000, 1_000_000, 10_000_000, 100_000_000, 1_000_000_000]
+AMOUNT_BUCKET_LABELS = ["0-1", "1-10", "10-100", "100-1000", "1000-10000", "10000+"]
+
+def daily_counts_by_amount(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    expr = F.when(
+        F.col("amount_quark") <= AMOUNT_BUCKET_EDGES_QUARK[0],
+        F.lit(AMOUNT_BUCKET_LABELS[0]),
+    )
+    for i in range(1, len(AMOUNT_BUCKET_EDGES_QUARK)):
+        expr = expr.when(
+            F.col("amount_quark") <= AMOUNT_BUCKET_EDGES_QUARK[i],
+            F.lit(AMOUNT_BUCKET_LABELS[i]),
+        )
+    expr = expr.otherwise(F.lit(AMOUNT_BUCKET_LABELS[-1]))
+    return (
+        f.withColumn("amount_bucket", expr)
+        .groupBy("date_key", "amount_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            _kin(F.sum("amount_quark")).alias("volume_kin"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# kre_mart/daily_models/active_user_and_vf/closing_account_balance_per_day.sql:32-89 —
+# bare-UNION of from/to/created balance observations (U1), OR-join rewritten
+# as an unpivot (J6), last-timestamp balance with max-on-tie (A5).
+
+def closing_balance_observations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    frm = f.select(
+        "date_key",
+        F.col("from_wallet").alias("wallet_id"),
+        F.col("txn_ts").alias("obs_ts"),
+        F.col("from_balance_quark").alias("balance_quark"),
+    ).filter(F.col("balance_quark").isNotNull())
+    to = f.select(
+        "date_key",
+        F.col("to_wallet").alias("wallet_id"),
+        F.col("txn_ts").alias("obs_ts"),
+        F.col("to_balance_quark").alias("balance_quark"),
+    ).filter(F.col("balance_quark").isNotNull())
+    cr = fact_kin_creations(spark, sf_dir, run_date).select(
+        "date_key",
+        F.col("account_id").alias("wallet_id"),
+        F.col("created_ts").alias("obs_ts"),
+        F.col("balance_quark"),
+    ).filter(F.col("balance_quark").isNotNull())
+    return frm.unionByName(to).unionByName(cr).distinct()  # bare UNION (U1)
+
+def closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    obs = closing_balance_observations(spark, sf_dir, run_date)
+    # Latest observation per wallet/day; ties on the timestamp take the max
+    # balance (:54-89) — one lexicographic max(struct) pass, no join-back.
+    return obs.groupBy("date_key", "wallet_id").agg(
+        F.max(F.struct("obs_ts", "balance_quark"))["balance_quark"].alias(
+            "closing_balance_quark"
+        ),
+        _kin(
+            F.max(F.struct("obs_ts", "balance_quark"))["balance_quark"]
+        ).alias("closing_balance_kin"),
+    )
+
+# ---------------------------------------------------------------------------
+# metabase_mart/.../daily_active_accounts_app.sql + monthly/weekly variants —
+# trailing-30d distinct actives per app via the exploded-date-spine rewrite (J4+A2).
+
+def daily_active_accounts_30d(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
+        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    )
+    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
+        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
+    )
+    activity = spenders.unionByName(earners).distinct()  # active_users_raw UNION
+    return trailing_distinct_count(
+        activity,
+        date_col="date_key",
+        distinct_col="wallet_id",
+        days=30,
+        partition_by=["app_id"],
+        out_col="active_accounts_30d",
+        spine=f.select("date_key"),
+    )
+
+# kre_mart/.../daily_active_user_balance_by_app.sql:18-73 — KRE AUB:
+# wallets with ≥3 spend txns in the trailing 30d per app, valued at their
+# most recent observed balance in the window, capped at 100k Kin per user.
+
+def daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    spend = f.filter(F.col("txn_type").isin(2, 3)).select(
+        "date_key",
+        "app_id",
+        F.col("from_wallet").alias("wallet_id"),
+        F.unix_micros("txn_ts").alias("obs_us"),
+        F.coalesce("from_balance_quark", F.lit(0)).alias("balance_quark"),
+    )
+    # Every spend observation is visible to spine days [d, d+29].
+    exploded = spend.withColumn(
+        "spine_day",
+        F.explode(
+            F.sequence(
+                F.col("date_key"),
+                F.date_add(F.col("date_key"), 29),
+                F.expr("interval 1 day"),
+            )
+        ),
+    )
+    spine = f.select("date_key").distinct().select(
+        F.col("date_key").alias("spine_day")
+    )
+    windowed = exploded.join(spine, "spine_day", "inner")
+    per_wallet = windowed.groupBy("spine_day", "app_id", "wallet_id").agg(
+        F.count(F.lit(1)).alias("n_spend_txns"),
+        # most recent balance in the window: lexicographic (ts, balance) —
+        # the timestamp already encodes the day
+        F.max(F.struct("obs_us", "balance_quark"))[
+            "balance_quark"
+        ].alias("last_balance_quark"),
+    )
+    active = per_wallet.filter(F.col("n_spend_txns") >= 3)  # :34 threshold
+    agg = active.groupBy(F.col("spine_day").alias("date_key"), "app_id").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("last_balance_quark").cast("long").alias("aub_quark"),
+    )
+    capped = F.when(
+        F.col("aub_quark") > F.col("active_users") * AUB_CAP_QUARKS_PER_USER,
+        F.col("active_users") * AUB_CAP_QUARKS_PER_USER,
+    ).otherwise(F.col("aub_quark"))
+    return agg.select(
+        "date_key",
+        "app_id",
+        "active_users",
+        "aub_quark",
+        capped.cast("long").alias("capped_aub_quark"),
+        _kin(capped).alias("capped_aub_kin"),
+    )
+
+# ---------------------------------------------------------------------------
+# kre_mart/.../daily_volatility_factor.sql:2-53 — trailing-30d price average
+# and mean absolute deviation. Exact integer-cent formulation:
+#   n, S  = trailing count / sum of daily closing prices (cents)
+#   D     = Σ_window |p_c·n − S|   (integer; computed via the spine explode)
+#   average_price           = S / (100 n)
+#   average_price_deviation = D / (100 n²)
+#   volatility_factor       = D / (n·S)      (dimensionless)
+
+def daily_volatility_factor(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    prices = ka.dim_kin_price(spark, sf_dir).filter(
+        F.col("date_key") < F.lit(run_date)
+    )
+    exploded = prices.select(
+        "price_cents",
+        F.explode(
+            F.sequence(
+                F.col("date_key"),
+                F.date_add(F.col("date_key"), 29),
+                F.expr("interval 1 day"),
+            )
+        ).alias("spine_day"),
+    )
+    spine = prices.select(F.col("date_key").alias("spine_day"))
+    win = exploded.join(spine, "spine_day", "inner")
+    ns = win.groupBy("spine_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").cast("long").alias("s_cents"),
+    )
+    dev = (
+        win.join(ns, "spine_day")
+        .groupBy("spine_day")
+        .agg(
+            F.sum(F.abs(F.col("price_cents") * F.col("n") - F.col("s_cents")))
+            .cast("long")
+            .alias("d_units"),
+            F.min("n").alias("n"),
+            F.min("s_cents").alias("s_cents"),
+        )
+    )
+    return dev.select(
+        F.col("spine_day").alias("date_key"),
+        F.round(F.col("s_cents") / 100.0 / F.col("n"), 6).alias("average_price"),
+        F.round(F.col("d_units") / 100.0 / (F.col("n") * F.col("n")), 6).alias(
+            "average_price_deviation"
+        ),
+        F.round(F.col("d_units") * 1.0 / (F.col("n") * F.col("s_cents")), 6).alias(
+            "volatility_factor"
+        ),
+    )
+
+# ---------------------------------------------------------------------------
+# kre_mart/daily_models/payouts/daily_kin_payout.sql:22-134 — the monopoly
+# cascade, ported clause-by-clause. Shares/payouts are double math (as in
+# the reference) but every input is an exact integer, so the FP ops are
+# identical on both engines. Tiebreak on app_id added to the rank (§2.11).
+
+def daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    aub = daily_active_user_balance_by_app(spark, sf_dir, run_date)
+    vf = daily_volatility_factor(spark, sf_dir, run_date).select(
+        "date_key", "volatility_factor", "average_price"
+    )
+    total = aub.groupBy("date_key").agg(
+        F.sum("capped_aub_quark").cast("long").alias("total_aub_quark")
+    )
+    pre = (
+        aub.join(total, "date_key")
+        .join(vf, "date_key")
+        .select(
+            "date_key",
+            "app_id",
+            (F.col("capped_aub_quark") * 1.0 / F.col("total_aub_quark")).alias(
+                "app_aub_share"
+            ),
+            "volatility_factor",
+            "average_price",
+        )
+        .withColumn(
+            "payout",
+            F.col("app_aub_share")
+            * (KRE_DAILY_POOL * (1.0 - F.col("volatility_factor"))),
+        )
+        .withColumn(
+            "payout_rank",
+            F.dense_rank().over(
+                Window.partitionBy("date_key").orderBy(
+                    F.desc("payout"), F.asc("app_id")
+                )
+            ),
+        )
+    )
+    top = pre.filter(F.col("payout_rank") == 1).select(
+        "date_key", F.col("app_aub_share").alias("s1")
+    )
+    second = pre.filter(F.col("payout_rank") == 2).select(
+        "date_key", F.col("app_aub_share").alias("s2")
+    )
+    # post_monopoly_share_adjustments (:36-71)
+    adj = (
+        top.join(second, "date_key")
+        .withColumn(
+            "s1_adj_initial",
+            F.when(
+                F.col("s1") > 0.5,
+                0.5 + ((F.col("s1") - 0.5) / 0.5) * ((2.0 / 3.0) - (1.0 / 2.0)),
+            ).otherwise(F.col("s1")),
+        )
+        .withColumn(
+            "s2_adj",
+            F.when(
+                F.col("s1_adj_initial") + F.col("s2") > 0.9,
+                (F.col("s2") / (F.col("s1") + F.col("s2"))) * 0.9,
+            ).otherwise(F.col("s2")),
+        )
+        .withColumn(
+            "s1_adj",
+            F.when(
+                F.col("s1_adj_initial")
+                < (
+                    F.col("s1_adj_initial")
+                    / (F.col("s1_adj_initial") + F.col("s2"))
+                )
+                * 0.9,
+                F.col("s1_adj_initial"),
+            ).otherwise(
+                (
+                    F.col("s1_adj_initial")
+                    / (F.col("s1_adj_initial") + F.col("s2"))
+                )
+                * 0.9
+            ),
+        )
+    )
+    # daily_payout_staging (:95-118). Deviation (documented): Σshare = 1 and
+    # Σpayout = pool·(1−vf) are used algebraically instead of re-summing FP.
+    staged = (
+        pre.join(adj, "date_key")
+        .withColumn("single_monopoly_sum", 1.0 - F.col("s1"))
+        .withColumn("double_monopoly_sum", 1.0 - F.col("s1") - F.col("s2"))
+        .withColumn(
+            "post_monopoly_app_share",
+            F.when(
+                (F.col("s2") != F.col("s2_adj")) & (F.col("payout_rank") > 2),
+                (F.col("app_aub_share") / F.col("double_monopoly_sum")) * 0.1,
+            )
+            .when(
+                (F.col("s2") == F.col("s2_adj"))
+                & (F.col("s1_adj") > 0.5)
+                & (F.col("payout_rank") > 1),
+                (F.col("app_aub_share") / F.col("single_monopoly_sum"))
+                * (1.0 - F.col("s1_adj")),
+            )
+            .when(
+                (F.col("payout_rank") == 1)
+                & (F.col("app_aub_share") != F.col("s1_adj")),
+                F.col("s1_adj"),
+            )
+            .otherwise(F.col("app_aub_share")),
+        )
+        .withColumn(
+            "pool_after_vf", KRE_DAILY_POOL * (1.0 - F.col("volatility_factor"))
+        )
+        .withColumn(
+            "post_monopoly_payout",
+            F.col("pool_after_vf") * F.col("post_monopoly_app_share"),
+        )
+    )
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return (
+        staged.join(F.broadcast(app), "app_id", "left")
+        .select(
+            "date_key",
+            "app_id",
+            "app_name",
+            F.round("app_aub_share", 6).alias("pre_monopoly_share"),
+            F.round("payout", 4).alias("pre_monopoly_payout"),
+            F.round("post_monopoly_app_share", 6).alias("post_monopoly_app_share"),
+            F.round("post_monopoly_payout", 4).alias("post_monopoly_payout"),
+            # USD value as an exact integer cross-multiply of the quantized
+            # payout (1e-4) and price (1e-6), published at scale 1e-10 as a
+            # DECIMAL: products of decimal-quantized doubles routinely land
+            # ON rounding boundaries (and >2^53 ints drift by an ulp when
+            # cast to double), so neither ROUND nor a float output is
+            # hash-stable — an exact decimal is.
+            (
+                F.round(F.round(F.col("post_monopoly_payout"), 4) * 10000.0)
+                .cast("decimal(38,0)")
+                * F.round(F.col("average_price") * 1000000.0).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("post_monopoly_payout_usd_e10"),
+            F.col("payout_rank").cast("int").alias("payout_rank"),
+        )
+    )
+
+# kin_data/weekly_models/api/weekly_kre_payout_summary.sql:9-39 — weekly
+# top-10 apps by payout, serialized as a JSON array (W2 + A11). Payouts are
+# carried as integer micro-Kin so the JSON contains only ints/strings.
+
+def weekly_kre_payout_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    payout = daily_kin_payout(spark, sf_dir, run_date)
+    weekly = (
+        payout.withColumn(
+            "payout_micro",
+            F.round(F.col("post_monopoly_payout") * 1_000_000).cast("long"),
+        )
+        .groupBy(F.trunc("date_key", "week").alias("week"), "app_id", "app_name")
+        .agg(F.sum("payout_micro").cast("long").alias("weekly_payout_micro"))
+    )
+    ranked = top_k_per_group(
+        weekly,
+        partition_by=["week"],
+        order_by=[F.desc("weekly_payout_micro"), F.asc("app_id")],
+        k=10,
+        rank_col="payout_rank",
+        dense=False,
+        keep_rank=True,
+    )
+    return ranked.groupBy("week").agg(
+        F.to_json(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "payout_rank", "app_id", "app_name", "weekly_payout_micro"
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["app_id"].alias("id"),
+                    s["app_name"].alias("name"),
+                    s["weekly_payout_micro"].alias("payout_micro"),
+                ),
+            )
+        ).alias("top_apps"),
+        F.count(F.lit(1)).alias("n_apps"),
+    )
+
+# ---------------------------------------------------------------------------
+# metabase_mart/monthly_models/gc/monthly_inactive_wallets.sql analog —
+# wallets whose LATEST balance observation is dust and never recovers
+# (W3 rank=1 + J9 anti join).
+
+def gc_dust_wallets(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    """Wallets whose latest balance AS OF the GC cutoff is dust, excluding
+    any that recover (a non-dust balance) after the cutoff — the reference's
+    month-end NOT-IN shape (:10-12,31)."""
+    bal = closing_account_balance_per_day(spark, sf_dir, run_date)
+    w = Window.partitionBy("wallet_id").orderBy(
+        F.desc("date_key"), F.desc("closing_balance_quark")
+    )
+    latest = (
+        bal.filter(F.col("date_key") <= F.lit(GC_CUTOFF))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("wallet_id", "date_key", "closing_balance_quark")
+    )
+    dust = latest.filter(F.col("closing_balance_quark") < GC_DUST_QUARKS)
+    recovered = (
+        bal.filter(
+            (F.col("date_key") > F.lit(GC_CUTOFF))
+            & (F.col("closing_balance_quark") >= GC_DUST_QUARKS)
+        )
+        .select("wallet_id")
+        .distinct()
+    )
+    joined = dust.join(recovered, "wallet_id", "left_anti")
+    return joined.select(
+        "wallet_id",
+        F.col("date_key").alias("last_seen_date"),
+        "closing_balance_quark",
+    )
+
+# metabase_mart/daily_models/gc/multi_create_impacted_accounts.sql:5-42 —
+# HAVING multi-instruction creates (A7) → Agora-paid (P4) → impacted
+# accounts (J8 semi) → currently-dust accounts (W3 rank=1).
+
+def multi_create_impacted_accounts(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    cr = fact_kin_creations(spark, sf_dir, run_date)
+    multi = (
+        cr.filter(F.col("fee_payer") == ka.AGORA_FEE_PAYER)
+        .groupBy("tx_id")
+        .agg(F.count(F.lit(1)).alias("instruction_count"))
+        .filter(F.col("instruction_count") > 1)  # HAVING (:5-10)
+        .select("tx_id")
+    )
+    impacted = cr.join(multi, "tx_id", "left_semi").select(
+        F.col("account_id").alias("wallet_id")
+    ).distinct()
+    latest = gc_dust_wallets(spark, sf_dir, run_date)
+    return latest.join(impacted, "wallet_id", "left_semi")
+
+# kre_mart/.../average_account_balance_per_day.sql:22-34 — UNION ALL of the
+# from-side and to-side balance streams (U2), then per-day averages.
+
+def average_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    frm = f.select(
+        "date_key", F.col("from_balance_quark").alias("balance_quark")
+    ).filter(F.col("balance_quark").isNotNull())
+    to = f.select(
+        "date_key", F.col("to_balance_quark").alias("balance_quark")
+    ).filter(F.col("balance_quark").isNotNull())
+    both = frm.unionByName(to)  # UNION ALL — keeps duplicates deliberately
+    return both.groupBy("date_key").agg(
+        F.count(F.lit(1)).alias("n_observations"),
+        F.round(
+            F.sum("balance_quark").cast("long") * 1.0
+            / F.count(F.lit(1))
+            / 100000.0,
+            6,
+        ).alias("avg_balance_kin"),
+    )
+
+# metabase_mart/.../daily_market_summary.sql:4-9 analog — price dim joined
+# to daily volume (J1), USD conversion (P2).
+
+def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    price = ka.dim_kin_price(spark, sf_dir).filter(
+        F.col("date_key") < F.lit(run_date)
+    )
+    vol = (
+        fact_kin_transaction(spark, sf_dir, run_date)
+        .groupBy("date_key")
+        .agg(F.sum("amount_quark").cast("long").alias("volume_quark"))
+    )
+    return price.join(vol, "date_key", "inner").select(
+        "date_key",
+        F.round(F.col("price_cents") / 100.0, 6).alias("price_usd"),
+        F.round(F.col("volume_cents") / 100.0, 6).alias("market_volume_usd"),
+        _kin(F.col("volume_quark")).alias("onchain_volume_kin"),
+        F.round(
+            F.col("volume_quark") / 100000.0 * (F.col("price_cents") / 100.0), 4
+        ).alias("onchain_volume_usd"),
+    )
+
+# metabase_mart/.../daily_net_inflation.sql:43-54 — prev-day self-join
+# rewritten as F.lag (J7), inflation/deflation flag (P7/P8).
+
+def daily_net_inflation(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    cr = (
+        fact_kin_creations(spark, sf_dir, run_date)
+        .groupBy("date_key")
+        .agg(F.sum(F.coalesce("balance_quark", F.lit(0))).cast("long").alias("minted_quark"))
+    )
+    w = Window.orderBy("date_key")
+    return cr.select(
+        "date_key",
+        "minted_quark",
+        F.coalesce(F.lag("minted_quark").over(w), F.lit(0)).alias(
+            "prev_minted_quark"
+        ),
+        (F.col("minted_quark") - F.coalesce(F.lag("minted_quark").over(w), F.lit(0)))
+        .alias("net_change_quark"),
+        F.when(
+            F.col("minted_quark")
+            >= F.coalesce(F.lag("minted_quark").over(w), F.lit(0)),
+            F.lit("inflation"),
+        )
+        .otherwise(F.lit("deflation"))
+        .alias("direction"),
+    )

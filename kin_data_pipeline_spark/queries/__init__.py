@@ -18,6 +18,7 @@ from __future__ import annotations
 from kin_data_pipeline_spark.queries.registry import QUERIES, QuerySpec, register  # noqa: F401
 import kin_data_pipeline_spark.queries.relational  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.llmops  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.kin_models  # noqa: F401,E402
 
 def queries():
     return {name: spec.fn for name, spec in QUERIES.items()}

@@ -1,0 +1,452 @@
+"""Kin warehouse model queries: each reference model registered with a full
+DuckDB oracle that recomputes the ENTIRE chain (raw projection → fact →
+mart) in SQL. This is the model-level golden-test layer of SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from kin_data_pipeline_spark.models import kin as M
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.kin_adapter import (
+    DIM_KIN_APP_SQL,
+    DIM_KIN_PRICE_SQL,
+    RAW_KINCREATEACCOUNT_SQL,
+    RAW_KINTRANSACTION_SQL,
+)
+
+RUN = "DATE '2024-01-31'"
+KIN = lambda expr: (  # noqa: E731 — exact quark→Kin DECIMAL(38,10)
+    f"CAST(CAST({expr} AS DECIMAL(38,10)) * CAST(0.00001 AS DECIMAL(6,5)) AS DECIMAL(38,10))"
+)
+
+FACT_TXN_SQL = f"""
+fact_kin_transaction AS (
+  SELECT
+    CAST(date_trunc('day', date) AS DATE) AS date_key,
+    make_timestamp(timestamp * 1000000) AS txn_ts,
+    id, block, transactionid AS transaction_id, instructionidx AS instruction_idx,
+    COALESCE(amount, 0) AS amount_quark,
+    {KIN('COALESCE(amount, 0)')} AS amount_kin,
+    fromaccount AS from_wallet, toaccount AS to_wallet,
+    fromaccountbalance AS from_balance_quark, toaccountbalance AS to_balance_quark,
+    CAST(fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS fee_sol,
+    feepayer AS fee_payer,
+    COALESCE(appindex, 0) AS app_id,
+    CAST(NULLIF(transactiontype, '<NA>') AS BIGINT) AS txn_type
+  FROM (SELECT DISTINCT * FROM raw_kintransaction)
+  WHERE status = 'Ok' AND CAST(date_trunc('day', date) AS DATE) < {RUN}
+)
+"""
+
+FACT_CREATIONS_SQL = f"""
+fact_kin_creations AS (
+  SELECT
+    CAST(date_trunc('day', date) AS DATE) AS date_key,
+    make_timestamp(timestamp * 1000000) AS created_ts,
+    id, program_id, block, tx_id, instr_idx, account_id, account_owner,
+    balance AS balance_quark,
+    {KIN('COALESCE(balance, 0)')} AS balance_kin,
+    CAST(fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS fee_sol,
+    CAST(create_fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS create_fee_sol,
+    fee_payer,
+    COALESCE(appindex, 0) AS app_id,
+    CAST(NULLIF(transactiontype, '<NA>') AS BIGINT) AS txn_type,
+    CAST(version AS BIGINT) AS version
+  FROM (SELECT DISTINCT * FROM raw_kincreateaccount)
+  WHERE status = 'Ok' AND CAST(date_trunc('day', date) AS DATE) < {RUN}
+)
+"""
+
+CLOSING_SQL = """
+closing_obs AS (
+  SELECT DISTINCT * FROM (
+    SELECT date_key, from_wallet AS wallet_id, txn_ts AS obs_ts, from_balance_quark AS balance_quark
+    FROM fact_kin_transaction WHERE from_balance_quark IS NOT NULL
+    UNION ALL
+    SELECT date_key, to_wallet, txn_ts, to_balance_quark
+    FROM fact_kin_transaction WHERE to_balance_quark IS NOT NULL
+    UNION ALL
+    SELECT date_key, account_id, created_ts, balance_quark
+    FROM fact_kin_creations WHERE balance_quark IS NOT NULL
+  )
+),
+closing AS (
+  WITH mx AS (
+    SELECT date_key, wallet_id, MAX(obs_ts) AS mts FROM closing_obs GROUP BY 1, 2
+  )
+  SELECT m.date_key, m.wallet_id, MAX(o.balance_quark) AS closing_balance_quark
+  FROM mx m JOIN closing_obs o
+    ON o.date_key = m.date_key AND o.wallet_id = m.wallet_id AND o.obs_ts = m.mts
+  GROUP BY 1, 2
+)
+"""
+
+AUB_SQL = """
+spend AS (
+  SELECT date_key, app_id, from_wallet AS wallet_id, epoch_us(txn_ts) AS obs_us,
+         COALESCE(from_balance_quark, 0) AS balance_quark
+  FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+),
+aub_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction),
+aub_win AS (
+  SELECT s.spine_day, sp.* FROM aub_spine s
+  JOIN spend sp ON sp.date_key BETWEEN s.spine_day - 29 AND s.spine_day
+),
+aub_per_wallet AS (
+  WITH cnt AS (
+    SELECT spine_day, app_id, wallet_id, CAST(COUNT(*) AS BIGINT) AS n_spend_txns
+    FROM aub_win GROUP BY 1, 2, 3
+  ), m1 AS (
+    SELECT spine_day, app_id, wallet_id, MAX(obs_us) AS mu FROM aub_win GROUP BY 1, 2, 3
+  ), m2 AS (
+    SELECT w.spine_day, w.app_id, w.wallet_id, MAX(w.balance_quark) AS last_balance_quark
+    FROM aub_win w JOIN m1 ON w.spine_day = m1.spine_day AND w.app_id = m1.app_id
+      AND w.wallet_id = m1.wallet_id AND w.obs_us = m1.mu
+    GROUP BY 1, 2, 3
+  )
+  SELECT cnt.*, m2.last_balance_quark FROM cnt
+  JOIN m2 ON cnt.spine_day = m2.spine_day AND cnt.app_id = m2.app_id
+    AND cnt.wallet_id = m2.wallet_id
+),
+aub AS (
+  SELECT spine_day AS date_key, app_id,
+         CAST(COUNT(*) AS BIGINT) AS active_users,
+         CAST(SUM(last_balance_quark) AS BIGINT) AS aub_quark,
+         CAST(CASE WHEN SUM(last_balance_quark) > COUNT(*) * 10000000000
+                   THEN COUNT(*) * 10000000000
+                   ELSE SUM(last_balance_quark) END AS BIGINT) AS capped_aub_quark
+  FROM aub_per_wallet WHERE n_spend_txns >= 3
+  GROUP BY 1, 2
+)
+"""
+
+VF_SQL = f"""
+vf_prices AS (SELECT * FROM dim_kin_price WHERE date_key < {RUN}),
+vf_spine AS (SELECT date_key AS spine_day FROM vf_prices),
+vf_win AS (
+  SELECT s.spine_day, p.price_cents FROM vf_spine s
+  JOIN vf_prices p ON p.date_key BETWEEN s.spine_day - 29 AND s.spine_day
+),
+vf_ns AS (
+  SELECT spine_day, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(price_cents) AS BIGINT) AS s_cents
+  FROM vf_win GROUP BY 1
+),
+vf AS (
+  SELECT w.spine_day AS date_key,
+         ROUND(MIN(ns.s_cents) / 100.0 / MIN(ns.n), 6) AS average_price,
+         ROUND(CAST(SUM(ABS(w.price_cents * ns.n - ns.s_cents)) AS BIGINT) / 100.0
+               / (MIN(ns.n) * MIN(ns.n)), 6) AS average_price_deviation,
+         ROUND(CAST(SUM(ABS(w.price_cents * ns.n - ns.s_cents)) AS BIGINT) * 1.0
+               / (MIN(ns.n) * MIN(ns.s_cents)), 6) AS volatility_factor
+  FROM vf_win w JOIN vf_ns ns ON w.spine_day = ns.spine_day
+  GROUP BY 1
+)
+"""
+
+PAYOUT_SQL = """
+payout_total AS (
+  SELECT date_key, CAST(SUM(capped_aub_quark) AS BIGINT) AS total_aub_quark
+  FROM aub GROUP BY 1
+),
+payout_pre0 AS (
+  SELECT a.date_key, a.app_id,
+         a.capped_aub_quark * 1.0 / t.total_aub_quark AS app_aub_share,
+         v.volatility_factor, v.average_price,
+         (a.capped_aub_quark * 1.0 / t.total_aub_quark)
+           * (250000000.0 * (1.0 - v.volatility_factor)) AS payout
+  FROM aub a
+  JOIN payout_total t ON a.date_key = t.date_key
+  JOIN vf v ON a.date_key = v.date_key
+),
+payout_pre AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY date_key ORDER BY payout DESC, app_id ASC) AS payout_rank
+  FROM payout_pre0
+),
+payout_adj AS (
+  SELECT t.date_key, t.s1, sec.s2,
+         CASE WHEN t.s1 > 0.5
+              THEN 0.5 + ((t.s1 - 0.5) / 0.5) * ((2.0 / 3.0) - (1.0 / 2.0))
+              ELSE t.s1 END AS s1_adj_initial,
+         CASE WHEN s1_adj_initial + sec.s2 > 0.9
+              THEN (sec.s2 / (t.s1 + sec.s2)) * 0.9
+              ELSE sec.s2 END AS s2_adj,
+         CASE WHEN s1_adj_initial < (s1_adj_initial / (s1_adj_initial + sec.s2)) * 0.9
+              THEN s1_adj_initial
+              ELSE (s1_adj_initial / (s1_adj_initial + sec.s2)) * 0.9 END AS s1_adj
+  FROM (SELECT date_key, app_aub_share AS s1 FROM payout_pre WHERE payout_rank = 1) t
+  JOIN (SELECT date_key, app_aub_share AS s2 FROM payout_pre WHERE payout_rank = 2) sec
+    ON t.date_key = sec.date_key
+),
+payout_staged AS (
+  SELECT p.*, a.s1, a.s2, a.s2_adj, a.s1_adj,
+         1.0 - a.s1 AS single_monopoly_sum,
+         1.0 - a.s1 - a.s2 AS double_monopoly_sum,
+         CASE WHEN a.s2 != a.s2_adj AND p.payout_rank > 2
+              THEN (p.app_aub_share / (1.0 - a.s1 - a.s2)) * 0.1
+              WHEN a.s2 = a.s2_adj AND a.s1_adj > 0.5 AND p.payout_rank > 1
+              THEN (p.app_aub_share / (1.0 - a.s1)) * (1.0 - a.s1_adj)
+              WHEN p.payout_rank = 1 AND p.app_aub_share != a.s1_adj
+              THEN a.s1_adj
+              ELSE p.app_aub_share END AS post_monopoly_app_share,
+         250000000.0 * (1.0 - p.volatility_factor) AS pool_after_vf,
+         (250000000.0 * (1.0 - p.volatility_factor)) * (
+           CASE WHEN a.s2 != a.s2_adj AND p.payout_rank > 2
+                THEN (p.app_aub_share / (1.0 - a.s1 - a.s2)) * 0.1
+                WHEN a.s2 = a.s2_adj AND a.s1_adj > 0.5 AND p.payout_rank > 1
+                THEN (p.app_aub_share / (1.0 - a.s1)) * (1.0 - a.s1_adj)
+                WHEN p.payout_rank = 1 AND p.app_aub_share != a.s1_adj
+                THEN a.s1_adj
+                ELSE p.app_aub_share END) AS post_monopoly_payout
+  FROM payout_pre p JOIN payout_adj a ON p.date_key = a.date_key
+),
+payout AS (
+  SELECT s.date_key, s.app_id, dka.name AS app_name,
+         ROUND(s.app_aub_share, 6) AS pre_monopoly_share,
+         ROUND(s.payout, 4) AS pre_monopoly_payout,
+         ROUND(s.post_monopoly_app_share, 6) AS post_monopoly_app_share,
+         ROUND(s.post_monopoly_payout, 4) AS post_monopoly_payout,
+         CAST(CAST(round(ROUND(s.post_monopoly_payout, 4) * 10000.0) AS HUGEINT)
+              * CAST(round(s.average_price * 1000000.0) AS HUGEINT)
+              AS DECIMAL(38,0)) AS post_monopoly_payout_usd_e10,
+         CAST(s.payout_rank AS INT) AS payout_rank
+  FROM payout_staged s LEFT JOIN dim_kin_app dka ON s.app_id = dka.id
+)
+"""
+
+GC_SQL = """
+gc_latest AS (
+  SELECT wallet_id, date_key, closing_balance_quark FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY wallet_id ORDER BY date_key DESC, closing_balance_quark DESC
+    ) AS rn FROM closing WHERE date_key <= DATE '2024-01-20'
+  ) WHERE rn = 1
+),
+gc AS (
+  SELECT d.wallet_id, d.date_key AS last_seen_date, d.closing_balance_quark
+  FROM (SELECT * FROM gc_latest WHERE closing_balance_quark < 50000000) d
+  WHERE d.wallet_id NOT IN (
+    SELECT DISTINCT wallet_id FROM closing
+    WHERE date_key > DATE '2024-01-20' AND closing_balance_quark >= 50000000
+  )
+)
+"""
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(c.strip().strip(",") for c in ctes)
+
+_BASE = (RAW_KINTRANSACTION_SQL, RAW_KINCREATEACCOUNT_SQL, DIM_KIN_APP_SQL, DIM_KIN_PRICE_SQL)
+
+def _q(fn):
+    """Adapt a models.kin builder to the (spark, sf_dir) query signature."""
+    return lambda spark, sf_dir: fn(spark, sf_dir, M.RUN_DATE)
+
+# ---------------------------------------------------------------------------
+
+register(
+    "kin_fact_transactions",
+    _with(*_BASE, FACT_TXN_SQL) + "\nSELECT * FROM fact_kin_transaction",
+    doc="fact build: feed dedup, sentinel→NULL, quark→Kin decimals, complete-day guard",
+)(_q(M.fact_kin_transaction))
+
+register(
+    "kin_fact_creations",
+    _with(*_BASE, FACT_CREATIONS_SQL) + "\nSELECT * FROM fact_kin_creations",
+    doc="creations fact: dedup + casts + lamport→SOL fees",
+)(_q(M.fact_kin_creations))
+
+register(
+    "kin_daily_transactions",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+SELECT date_key,
+  CAST(COUNT(CASE WHEN txn_type = 1 THEN 1 END) AS BIGINT) AS earn_count,
+  {kin_earn} AS earn_volume_kin,
+  ROUND(MEDIAN(CASE WHEN txn_type = 1 THEN amount_quark END) / 100000.0, 6) AS earn_median_kin,
+  CAST(COUNT(CASE WHEN txn_type = 2 THEN 1 END) AS BIGINT) AS spend_count,
+  {kin_spend} AS spend_volume_kin,
+  ROUND(MEDIAN(CASE WHEN txn_type = 2 THEN amount_quark END) / 100000.0, 6) AS spend_median_kin,
+  CAST(COUNT(CASE WHEN txn_type = 3 THEN 1 END) AS BIGINT) AS peer_count,
+  {kin_peer} AS peer_volume_kin,
+  ROUND(MEDIAN(CASE WHEN txn_type = 3 THEN amount_quark END) / 100000.0, 6) AS peer_median_kin,
+  CAST(COUNT(CASE WHEN txn_type IS NULL THEN 1 END) AS BIGINT) AS unattributed_count,
+  CAST(COUNT(*) AS BIGINT) AS total_count,
+  {kin_total} AS total_volume_kin,
+  CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
+FROM fact_kin_transaction GROUP BY date_key
+""".format(
+        kin_earn=KIN("COALESCE(SUM(CASE WHEN txn_type = 1 THEN amount_quark END), 0)"),
+        kin_spend=KIN("COALESCE(SUM(CASE WHEN txn_type = 2 THEN amount_quark END), 0)"),
+        kin_peer=KIN("COALESCE(SUM(CASE WHEN txn_type = 3 THEN amount_quark END), 0)"),
+        kin_total=KIN("SUM(amount_quark)"),
+    ),
+    doc="per-type segmented daily metrics incl. exact medians (A9+A4 fusion)",
+)(_q(M.daily_kin_transactions))
+
+register(
+    "kin_daily_counts_by_amount",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+SELECT date_key,
+  CASE WHEN amount_quark <= 100000 THEN '0-1'
+       WHEN amount_quark <= 1000000 THEN '1-10'
+       WHEN amount_quark <= 10000000 THEN '10-100'
+       WHEN amount_quark <= 100000000 THEN '100-1000'
+       WHEN amount_quark <= 1000000000 THEN '1000-10000'
+       ELSE '10000+' END AS amount_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_txns,
+  {KIN('SUM(amount_quark)')} AS volume_kin
+FROM fact_kin_transaction GROUP BY 1, 2
+""",
+    doc="amount-histogram bucketing on the fact (P8)",
+)(_q(M.daily_counts_by_amount))
+
+register(
+    "kin_closing_balance_per_day",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL)
+    + f"""
+SELECT date_key, wallet_id, closing_balance_quark,
+       {KIN('closing_balance_quark')} AS closing_balance_kin
+FROM closing
+""",
+    doc="bare-UNION balance streams + last-ts/max-on-tie closing balance (U1/J6/A5)",
+)(_q(M.closing_account_balance_per_day))
+
+register(
+    "kin_daily_active_accounts_30d",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+, activity AS (
+  SELECT date_key, app_id, from_wallet AS wallet_id FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+  UNION
+  SELECT date_key, app_id, to_wallet FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+), act_spine AS (SELECT DISTINCT date_key FROM fact_kin_transaction)
+SELECT s.date_key, a.app_id, CAST(COUNT(DISTINCT a.wallet_id) AS BIGINT) AS active_accounts_30d
+FROM act_spine s JOIN activity a ON a.date_key BETWEEN s.date_key - 29 AND s.date_key
+GROUP BY 1, 2
+""",
+    doc="trailing-30d distinct actives per app (J4+A2 exploded spine)",
+)(_q(M.daily_active_accounts_30d))
+
+register(
+    "kin_daily_aub_by_app",
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL)
+    + f"""
+SELECT date_key, app_id, active_users, aub_quark, capped_aub_quark,
+       {KIN('capped_aub_quark')} AS capped_aub_kin
+FROM aub
+""",
+    doc="KRE active-user balance: ≥3 spend txns in 30d, as-of balances, 100k-Kin cap",
+)(_q(M.daily_active_user_balance_by_app))
+
+register(
+    "kin_daily_volatility_factor",
+    _with(*_BASE, VF_SQL) + "\nSELECT * FROM vf",
+    doc="trailing-30d price volatility in exact integer cents (J4+A6)",
+)(_q(M.daily_volatility_factor))
+
+register(
+    "kin_daily_payout",
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    + "\nSELECT * FROM payout",
+    doc="KRE payout monopoly cascade: rank + share caps + redistribution (W1/J7)",
+)(_q(M.daily_kin_payout))
+
+register(
+    "kin_weekly_payout_summary",
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    + """
+, weekly AS (
+  SELECT CAST(date_trunc('week', date_key) AS DATE) AS week, app_id, app_name,
+         CAST(SUM(CAST(round(post_monopoly_payout * 1000000) AS BIGINT)) AS BIGINT) AS weekly_payout_micro
+  FROM payout GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY week ORDER BY weekly_payout_micro DESC, app_id ASC) AS rn
+  FROM weekly
+)
+SELECT week,
+       '[' || string_agg(
+         CAST(json_object('id', app_id, 'name', app_name, 'payout_micro', weekly_payout_micro) AS VARCHAR),
+         ',' ORDER BY rn) || ']' AS top_apps,
+       CAST(COUNT(*) AS BIGINT) AS n_apps
+FROM ranked WHERE rn <= 10 GROUP BY week
+""",
+    doc="weekly top-10 payout apps as a JSON array (W2+A11)",
+)(_q(M.weekly_kre_payout_summary))
+
+register(
+    "kin_gc_dust_wallets",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, GC_SQL)
+    + "\nSELECT * FROM gc",
+    doc="GC: wallets whose latest balance is dust and never recovers (W3+J9)",
+)(_q(M.gc_dust_wallets))
+
+register(
+    "kin_multi_create_impacted",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, GC_SQL)
+    + """
+, multi AS (
+  SELECT tx_id FROM fact_kin_creations
+  WHERE fee_payer = 'AgoraFeePayer11111'
+  GROUP BY tx_id HAVING COUNT(*) > 1
+), impacted AS (
+  SELECT DISTINCT account_id AS wallet_id FROM fact_kin_creations
+  WHERE tx_id IN (SELECT tx_id FROM multi)
+)
+SELECT g.* FROM gc g WHERE g.wallet_id IN (SELECT wallet_id FROM impacted)
+""",
+    doc="multi-create GC chain: HAVING (A7) + semi joins (J8) + rank=1 (W3)",
+)(_q(M.multi_create_impacted_accounts))
+
+register(
+    "kin_average_balance_per_day",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+, both_sides AS (
+  SELECT date_key, from_balance_quark AS balance_quark FROM fact_kin_transaction WHERE from_balance_quark IS NOT NULL
+  UNION ALL
+  SELECT date_key, to_balance_quark FROM fact_kin_transaction WHERE to_balance_quark IS NOT NULL
+)
+SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_observations,
+       ROUND(CAST(SUM(balance_quark) AS BIGINT) * 1.0 / COUNT(*) / 100000.0, 6) AS avg_balance_kin
+FROM both_sides GROUP BY date_key
+""",
+    doc="UNION ALL from/to balance averages (U2)",
+)(_q(M.average_account_balance_per_day))
+
+register(
+    "kin_daily_market_summary",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+, vol AS (
+  SELECT date_key, CAST(SUM(amount_quark) AS BIGINT) AS volume_quark
+  FROM fact_kin_transaction GROUP BY 1
+)
+SELECT p.date_key,
+       ROUND(p.price_cents / 100.0, 6) AS price_usd,
+       ROUND(p.volume_cents / 100.0, 6) AS market_volume_usd,
+       {KIN('v.volume_quark')} AS onchain_volume_kin,
+       ROUND(v.volume_quark / 100000.0 * (p.price_cents / 100.0), 4) AS onchain_volume_usd
+FROM (SELECT * FROM dim_kin_price WHERE date_key < {RUN}) p
+JOIN vol v ON p.date_key = v.date_key
+""",
+    doc="market dim ⨝ on-chain volume, USD conversion (J1/P2)",
+)(_q(M.daily_market_summary))
+
+register(
+    "kin_daily_net_inflation",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + """
+, minted AS (
+  SELECT date_key, CAST(SUM(COALESCE(balance_quark, 0)) AS BIGINT) AS minted_quark
+  FROM fact_kin_creations GROUP BY 1
+)
+SELECT date_key, minted_quark,
+       COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0) AS prev_minted_quark,
+       minted_quark - COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0) AS net_change_quark,
+       CASE WHEN minted_quark >= COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0)
+            THEN 'inflation' ELSE 'deflation' END AS direction
+FROM minted
+""",
+    doc="prev-day lag + inflation flag (J7 rewrite)",
+)(_q(M.daily_net_inflation))
