@@ -1,0 +1,168 @@
+"""Deduplication operator library (the queries in ``queries/llmops.py`` are
+oracle-checked instances of these). Four tiers, all shuffle-bounded:
+
+1. exact            — hash groupBy on a content fingerprint
+2. n-gram Jaccard   — shingle-postings join (never corpus×corpus)
+3. MinHash + LSH    — banded signature bucket join, linear in corpus size
+4. SimHash          — frequency-weighted bit votes; Hamming-bucket join
+
+At 100 TB: every pair-forming join keys on shingle/band/bucket values, so
+skew is governed by posting-list sizes — ``stopword_shingle_cap`` drops
+degenerate postings (a shingle shared by half the corpus creates a
+quadratic bucket; capping it bounds the worst key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.trim(c))
+    return F.md5(c)
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content fingerprint."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles via JVM higher-order functions (no UDF)."""
+    w = F.split(F.trim(F.col(col) if isinstance(col, str) else col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        )
+    )
+
+def shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    stopword_shingle_cap: int | None = None,
+) -> DataFrame:
+    """(doc, shingle) postings with per-doc shingle counts.
+
+    ``stopword_shingle_cap`` drops shingles whose posting list exceeds the
+    cap — the skew guard for pair-forming joins at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("sh")
+    )
+    post = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    if stopword_shingle_cap is not None:
+        freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        post = post.join(
+            freq.filter(F.col("df") <= stopword_shingle_cap).select("s"),
+            "s",
+            "left_semi",
+        )
+    return post
+
+def jaccard_pairs(
+    postings: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard over the postings join."""
+    a, b = postings.alias("a"), postings.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.withColumn("jaccard", jac).filter(jac >= threshold)
+
+def minhash_signatures(
+    postings: DataFrame, params: list[tuple[int, int]], prime: int = 2147483647
+) -> DataFrame:
+    """MinHash signature per doc from (a·h + b) mod p universal hashes.
+
+    h is the first 8 md5 hex chars of the shingle (< 2^32); with a,b < 2^30
+    every product stays under 2^62 — no 64-bit overflow.
+    """
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    return postings.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % prime).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+def lsh_candidates(signatures: DataFrame, bands: list[tuple[int, ...]]) -> DataFrame:
+    """Banded LSH: docs agreeing on ANY full band become candidate pairs.
+    The join key is (band_id, band_key) — the classic linear-shuffle LSH."""
+    frames = []
+    for bi, rows in enumerate(bands):
+        frames.append(
+            signatures.select(
+                "doc_id",
+                F.lit(bi).alias("band_id"),
+                F.concat_ws(
+                    ":", *[F.col(f"mh{r}").cast("string") for r in rows]
+                ).alias("band_key"),
+            )
+        )
+    all_bands = frames[0]
+    for fr in frames[1:]:
+        all_bands = all_bands.unionByName(fr)
+    a, b = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Frequency-weighted SimHash signatures (±1 votes per token-hash bit)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w"),
+    )
+    h = F.conv(F.substring(F.md5("w"), 1, max(4, bits // 4)), 16, 10).cast("long")
+    votes = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+def dedup_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (single-pass
+    canonicalization; for transitive clusters run to fixpoint or accept the
+    standard one-round approximation used by large-scale pipelines)."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -39,13 +39,20 @@ SIMHASH_BITS = 16
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
 
 # --- Spark-side text helpers ----------------------------------------------
+# `words` is materialized as a real column BEFORE any higher-order function
+# touches it: expressions inside transform/filter lambdas are re-evaluated
+# per element, so an inline split(text) would tokenize each row O(len(words))
+# times instead of once.
 
 def _words(col="text"):
     return F.split(F.trim(F.col(col)), " ")
 
-def _shingles(col="text"):
-    """Distinct k-word shingles, built with JVM higher-order functions."""
-    w = _words(col)
+def _with_words(df, col="text"):
+    return df.withColumn("words", _words(col))
+
+def _shingles_of_words(words_col="words"):
+    """Distinct k-word shingles over a materialized words array."""
+    w = F.col(words_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
@@ -134,8 +141,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-duplicate pairs via shingle-postings join",
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("shingles")
+    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles_of_words().alias("shingles")
     )
     sh = docs.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
@@ -191,8 +198,8 @@ def _minhash_spark_exprs():
     doc="MinHash signatures (4 universal hash fns over 3-gram shingles)",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_shingles()).alias("s")
+    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(_shingles_of_words()).alias("s")
     )
     return docs.groupBy("doc_id").agg(*_minhash_spark_exprs())
 
@@ -224,8 +231,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH banded bucket join → near-dup candidate pairs",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_shingles()).alias("s")
+    sh = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(_shingles_of_words()).alias("s")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
     band_frames = [
@@ -280,8 +287,8 @@ def _simhash_bitsum_sql() -> list[str]:
     doc=f"SimHash ({SIMHASH_BITS}-bit) document signatures",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(_words()).alias("w")
+    tok = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("words").alias("w")
     )
     h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
     bits = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
@@ -382,13 +389,13 @@ def embedding_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="per-document quality metrics: token counts, distinct ratio, avg token length",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
-        F.size(_words()).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(_words())).cast("long").alias("n_distinct_tokens"),
+        F.size("words").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct_tokens"),
         F.length(F.trim(F.col("text"))).alias("n_trim_chars"),
     )
     return d.select(
@@ -428,11 +435,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    t = load_table(spark, sf_dir, "documents").select(
+    t = _with_words(load_table(spark, sf_dir, "documents")).select(
         "lang",
-        F.size(_words()).cast("long").alias("n_tokens"),
+        F.size("words").cast("long").alias("n_tokens"),
         F.size(
-            F.filter(_words(), lambda w: F.array_contains(stop_arr, w))
+            F.filter("words", lambda w: F.array_contains(stop_arr, w))
         )
         .cast("long")
         .alias("n_stop"),
@@ -457,8 +464,8 @@ def lang_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus token accounting per source",
 )
 def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", "n_chars", F.size(_words()).cast("long").alias("n_tokens")
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "source", "n_chars", F.size("words").cast("long").alias("n_tokens")
     )
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1,0 +1,5 @@
+from kin_data_pipeline_spark.streaming.rollup import (  # noqa: F401
+    daily_rollup_stream,
+    sessionize_stream,
+    stream_events_from_parquet,
+)

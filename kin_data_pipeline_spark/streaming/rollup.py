@@ -1,0 +1,101 @@
+"""Structured Streaming operators — a strict superset of the reference's
+batch cadence (SURVEY.md §2.9: the reference emits only closed days and
+reprocesses late data by delete+refill; a 1-day watermark + tumbling daily
+window is the streaming-native equivalent of that complete-day guard).
+
+All builders return unstarted streaming DataFrames; callers pick the sink
+(`writeStream` with a checkpoint dir in production, `memory` sink in tests).
+At scale these run with the same partitioning discipline as the batch path:
+aggregations shuffle on (window, key), state is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def stream_events_from_parquet(
+    spark: SparkSession, sf_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over the testdata events layout.
+
+    ``maxFilesPerTrigger=1`` gives deterministic micro-batches in tests;
+    production would point at an arriving-files directory or Kafka.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    # The file source wants a directory of arriving files; expose the single
+    # testdata file through a symlinked staging dir (production points at a
+    # real landing directory or Kafka instead).
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(path, os.path.join(staging, "events.parquet"))
+    if schema is None:
+        # Schema must be declared for streaming reads; derive it from the
+        # footer (events.ts is TIMESTAMP(NANOS) → read as long, rebuilt below).
+        arrow = pq.read_schema(path)
+        fields = []
+        for f in arrow:
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                fields.append(f"`{f.name}` LONG")
+            elif t in ("int64",):
+                fields.append(f"`{f.name}` LONG")
+            elif t == "double":
+                fields.append(f"`{f.name}` DOUBLE")
+            else:
+                fields.append(f"`{f.name}` STRING")
+        schema = ", ".join(fields)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day windowed aggregation with late-data watermark — the
+    streaming form of the reference's complete-day batch rollup
+    (fact_kin_transaction.sql:11 + daily models)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date_key"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Session-window aggregation (gap-based) per user — the stateful
+    streaming operator family the reference lacks entirely; included as part
+    of the beyond-reference surface."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

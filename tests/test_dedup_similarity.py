@@ -1,0 +1,76 @@
+"""Dedup + similarity operator library tests: LSH candidate recall vs the
+exact Jaccard pairs, and LSH top-k recall vs brute-force cosine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.operators.dedup import (
+    dedup_near_duplicates,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_postings,
+    simhash,
+)
+from kin_data_pipeline_spark.operators.similarity import cosine_topk, lsh_topk
+from kin_data_pipeline_spark.queries.llmops import LSH_BANDS, MINHASH_PARAMS
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+def test_exact_dedup_keeps_lowest_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    out = exact_dedup(doubled, "text", "doc_id")
+    assert out.count() == docs.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    post = shingle_postings(docs, "doc_id", "text", k=3)
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(post, threshold=0.8).collect()
+    }
+    sigs = minhash_signatures(post, MINHASH_PARAMS)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(sigs, LSH_BANDS).collect()
+    }
+    assert true_pairs, "fixture should contain near-duplicate documents"
+    recall = len(true_pairs & cands) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"
+
+def test_dedup_near_duplicates_drops_one_side(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    post = shingle_postings(docs, "doc_id", "text", k=3)
+    pairs = jaccard_pairs(post, threshold=0.8)
+    kept = dedup_near_duplicates(docs, "doc_id", pairs)
+    dropped = docs.count() - kept.count()
+    assert dropped == pairs.select("doc_b").distinct().count()
+
+def test_simhash_close_for_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    post = shingle_postings(docs, "doc_id", "text", k=3)
+    pair = jaccard_pairs(post, threshold=0.9).first()
+    if pair is None:
+        return  # no ultra-near dups at this SF
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    a, b = sigs[pair["doc_a"]], sigs[pair["doc_b"]]
+    hamming = bin(a ^ b).count("1")
+    assert hamming <= 4, f"near-dup pair has Hamming distance {hamming}"
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, n_planes=3, multiprobe=True)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # sign-LSH on near-orthogonal random vectors is a coarse filter; the
+    # bar here is structural (buckets + multiprobe wired correctly), not SOTA
+    assert recall >= 0.3, f"LSH top-k recall {recall:.2f}"
+    assert all(r["rnk"] <= 5 for r in approx.collect())

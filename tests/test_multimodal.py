@@ -1,0 +1,50 @@
+"""Multimodal plumbing: schema, Arrow batching, deterministic fake decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.operators.multimodal import (
+    attach_media_columns,
+    decode_media,
+    require_codec,
+    resize_plan,
+)
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+def test_attach_and_decode_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "doc_id", "text")
+    assert media.schema["content"].dataType.typeName() == "binary"
+
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    assert all(16 <= r["width"] <= 255 and 16 <= r["height"] <= 255 for r in rows)
+
+    # Determinism: same payload bytes → same decode output.
+    again = {r["media_id"]: r["feature_hash"] for r in decode_media(media).collect()}
+    first = {r["media_id"]: r["feature_hash"] for r in rows}
+    assert again == first
+
+def test_resize_plan_preserves_aspect(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    planned = resize_plan(decode_media(attach_media_columns(docs, "doc_id", "text")), 64)
+    for r in planned.collect():
+        assert max(r["target_width"], r["target_height"]) <= 64
+        if max(r["width"], r["height"]) <= 64:
+            assert (r["target_width"], r["target_height"]) == (r["width"], r["height"])
+
+def test_missing_codec_raises_stub_error():
+    with pytest.raises(NotImplementedError, match="not installed"):
+        require_codec("definitely_not_a_real_codec_lib")
+
+def test_media_checksum_matches_sql_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_media_columns(docs, "doc_id", "text")
+    joined = media.alias("m").join(
+        docs.select("doc_id", F.md5("text").alias("expect")).alias("d"),
+        F.col("m.media_id") == F.col("d.doc_id"),
+    )
+    assert joined.filter(F.col("checksum") != F.col("expect")).count() == 0

@@ -1,0 +1,54 @@
+"""Structured Streaming parity: the streaming daily rollup must converge to
+the batch answer once all files are processed (SURVEY.md §2.9 superset)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.sources.catalog import load_table
+from kin_data_pipeline_spark.streaming import (
+    daily_rollup_stream,
+    sessionize_stream,
+    stream_events_from_parquet,
+)
+
+def _run_to_completion(stream_df, spark, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+def test_streaming_daily_rollup_matches_batch(spark, sf_dir):
+    stream = stream_events_from_parquet(spark, sf_dir)
+    got = _run_to_completion(daily_rollup_stream(stream), spark, "daily_rollup")
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date_key"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    got_rows = {
+        (r["date_key"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r["date_key"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got_rows == batch_rows
+
+def test_streaming_sessionization_runs(spark, sf_dir):
+    stream = stream_events_from_parquet(spark, sf_dir)
+    got = _run_to_completion(sessionize_stream(stream), spark, "sessions")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
