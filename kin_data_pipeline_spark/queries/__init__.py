@@ -19,6 +19,7 @@ from kin_data_pipeline_spark.queries.registry import QUERIES, QuerySpec, registe
 import kin_data_pipeline_spark.queries.relational  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.llmops  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.kin_models  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.extended  # noqa: F401,E402
 
 def queries():
     return {name: spec.fn for name, spec in QUERIES.items()}

@@ -1,0 +1,216 @@
+"""Extended operator coverage beyond the reference's inventory: pivot,
+rollup/grouping sets, batch sessionization, the classic TPC-H Q3 shape, and
+approximate distinct counting (rows-only check — HLL sketches are
+engine-specific by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PNAMES = ["urgent", "high", "medium", "not_specified", "low"]
+
+# Pivot: wide per-month priority counts. Spark's .pivot() compiles to the
+# same single-pass conditional aggregation the oracle spells out.
+@register(
+    "monthly_priority_pivot",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           {cols}
+    FROM orders GROUP BY 1
+    """.format(
+        cols=",\n           ".join(
+            f"CAST(COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS BIGINT) AS n_{n}"
+            for p, n in zip(PRIORITIES, _PNAMES)
+        )
+    ),
+    doc="pivot to wide per-priority counts (single-pass conditional agg)",
+)
+def monthly_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted
+    for p, n in zip(PRIORITIES, _PNAMES):
+        renamed = renamed.withColumnRenamed(p, f"n_{n}")
+    # pivot yields NULL for empty cells; the CASE-count oracle yields 0
+    return renamed.select(
+        "month", *[F.coalesce(f"n_{n}", F.lit(0)).alias(f"n_{n}") for n in _PNAMES]
+    )
+
+# Rollup / grouping sets with explicit grouping indicators.
+@register(
+    "revenue_rollup_region_nation",
+    """
+    SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="rollup hierarchy totals with grouping indicators (A10 superset)",
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+            F.grouping("r_name").alias("g_r"),
+            F.grouping("n_name").alias("g_n"),
+        )
+        .select(
+            F.when(F.col("g_r") == 1, F.lit("ALL")).otherwise(F.col("r_name")).alias("region"),
+            F.when(F.col("g_n") == 1, F.lit("ALL")).otherwise(F.col("n_name")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+# Batch sessionization: lag-gap flags + running sum = session ids — the
+# batch twin of streaming session_window (both in the engine).
+@register(
+    "user_sessions_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="sessionization via lag-gap + running sum (batch twin of session_window)",
+)
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("session_value"),
+    )
+
+# TPC-H Q3 shape: selective multi-join + agg + rank (the classic OLAP plan:
+# two broadcastable filters on either side of the big fact).
+@register(
+    "shipping_priority_q3",
+    """
+    WITH agg AS (
+      SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND CAST(date_trunc('day', o.o_orderdate) AS DATE) < DATE '1998-03-15'
+        AND CAST(date_trunc('day', l.l_shipdate) AS DATE) > DATE '1998-03-15'
+      GROUP BY 1, 2, 3
+    )
+    SELECT * FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS INT) AS rnk
+      FROM agg
+    ) WHERE rnk <= 10
+    """,
+    doc="TPC-H Q3 shape: selective joins + agg + global top-k",
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        li.filter(F.to_date("l_shipdate") > F.lit("1998-03-15"))
+        .join(
+            o.filter(F.to_date("o_orderdate") < F.lit("1998-03-15")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+# Approximate distinct (HLL++): sketches are engine-specific, so this is a
+# rows-only check (oracle omitted by design — the exact twin is
+# daily_active_users).
+@register(
+    "approx_daily_active_users",
+    None,
+    doc="approx_count_distinct daily actives — the at-scale opt-in variant of A2",
+)
+def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_active"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -103,18 +103,20 @@ def _sql_h64(expr: str) -> str:
     doc="exact dedup via content-hash groupBy; keeps min doc_id per group",
 )
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle: window over the fingerprint partition yields both the
+    # canonical (min doc_id) row and the group size — no groupBy+join-back.
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "fingerprint", F.md5(F.lower(F.trim(F.col("text"))))
     )
-    canon = docs.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    w = Window.partitionBy("fingerprint")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
     )
-    return (
-        docs.join(canon, "fingerprint")
-        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
-        .select("doc_id", "source", "fingerprint", "canonical_doc_id", "n_copies")
-    )
+    return ranked.filter(F.col("doc_id") == F.col("canonical_doc_id"))
 
 # n-gram Jaccard near-dup pairs: shingle-explode → equi-join on shingle →
 # pair-count → |A∩B| / (|A|+|B|−|A∩B|). Never cross-joins the corpus — the
@@ -144,23 +146,26 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _shingles_of_words().alias("shingles")
     )
-    sh = docs.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    # Shuffle hygiene for the pair join: postings carry only
+    # (doc_id, xxhash64(shingle)) — a fixed-width join key instead of the
+    # shingle string, and no per-doc stats riding through the 1M+ pair rows.
+    # Doc shingle counts re-attach afterwards via two broadcast joins.
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("sh")
     )
+    stats = docs.select("doc_id", F.size("shingles").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(F.broadcast(stats.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))), "doc_a")
+        .join(F.broadcast(stats.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))), "doc_b")
     )
     jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
