@@ -704,3 +704,127 @@ def daily_net_inflation(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> 
         .otherwise(F.lit("deflation"))
         .alias("direction"),
     )
+
+# ---------------------------------------------------------------------------
+# Phase-2 model family (SURVEY §7): creates, rollups, curated export,
+# summaries, block counts — the "easy 60%" of the mart surface.
+
+# metabase_mart/.../creates family — daily creations by app & program (A1+J2).
+
+def daily_kin_creations_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    cr = fact_kin_creations(spark, sf_dir, run_date)
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return (
+        cr.groupBy("date_key", "app_id", "program_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_creations"),
+            F.sum(F.coalesce("balance_quark", F.lit(0)))
+            .cast("long")
+            .alias("funded_quark"),
+            F.countDistinct("account_id").alias("n_accounts"),
+        )
+        .join(F.broadcast(app), "app_id", "left")
+    )
+
+# metabase_mart/weekly_models/reporting/weekly_kin_transactions.sql:4 and
+# monthly twin — cadence rollups from the fact (complete periods only).
+
+def _period_kin_transactions(spark, sf_dir, run_date, unit: str, period_days) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    out = (
+        f.groupBy(F.trunc("date_key", unit).alias("period"))
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.sum("amount_quark").cast("long").alias("total_volume_quark"),
+            _kin(F.sum("amount_quark")).alias("total_volume_kin"),
+            F.countDistinct("from_wallet").alias("active_wallets"),
+        )
+    )
+    return out
+
+def weekly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _period_kin_transactions(spark, sf_dir, run_date, "week", 7)
+
+def monthly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _period_kin_transactions(spark, sf_dir, run_date, "month", None)
+
+# data_studio_mart/.../kin_transactions_curated.sql:4-23 — pure rename
+# projection (P1). Deviation §2.11 fixed: the reference selects a
+# `tx_status` column the fact never produces; here the fact's filter
+# guarantees status='Ok', exposed as a literal.
+
+def kin_transactions_curated(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    return f.select(
+        F.col("date_key").alias("transaction_date"),
+        F.col("id").alias("event_id"),
+        F.col("transaction_id").alias("tx_hash"),
+        F.col("amount_kin").alias("kin_amount"),
+        F.col("from_wallet").alias("sender"),
+        F.col("to_wallet").alias("receiver"),
+        F.col("app_id").alias("application_id"),
+        F.col("txn_type").alias("transaction_type"),
+        F.lit("Ok").alias("tx_status"),
+    )
+
+# kin_data/daily_models/api/daily_kin_blocks.sql:2-13 — count(distinct block).
+
+def daily_kin_blocks(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    return f.groupBy("date_key").agg(
+        F.countDistinct("block").alias("n_blocks"),
+        F.count(F.lit(1)).alias("n_txns"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.countDistinct("block"), 6
+        ).alias("txns_per_block"),
+    )
+
+# metabase_mart/.../app_transaction_summary_from_account_by_day.sql:2-13 —
+# finest-grain mart (date, app, wallet).
+
+def app_txn_summary_from_account_daily(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    return f.groupBy(
+        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum("amount_quark").cast("long").alias("volume_quark"),
+        _kin(F.sum("amount_quark")).alias("volume_kin"),
+    )
+
+# kre_mart/.../daily_kre_summary.sql:2-83 analog — ecosystem-day rollup
+# joining the KRE marts (J1 date-key alignment of derived series).
+
+def daily_kre_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    aub = daily_active_user_balance_by_app(spark, sf_dir, run_date)
+    vf = daily_volatility_factor(spark, sf_dir, run_date)
+    eco = aub.groupBy("date_key").agg(
+        F.countDistinct("app_id").alias("n_apps"),
+        F.sum("active_users").cast("long").alias("total_active_users"),
+        F.sum("capped_aub_quark").cast("long").alias("total_capped_aub_quark"),
+    )
+    return eco.join(
+        vf.select("date_key", "average_price", "volatility_factor"), "date_key", "inner"
+    ).select(
+        "date_key",
+        "n_apps",
+        "total_active_users",
+        "total_capped_aub_quark",
+        _kin(F.col("total_capped_aub_quark")).alias("total_capped_aub_kin"),
+        "average_price",
+        "volatility_factor",
+    )
+
+# metabase_mart/.../daily_account_create_fee_payers analog — creation cost
+# accounting per fee payer (A1 + decimal SOL fees).
+
+def daily_create_fee_payers(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    cr = fact_kin_creations(spark, sf_dir, run_date)
+    return cr.groupBy("date_key", "fee_payer").agg(
+        F.count(F.lit(1)).alias("n_creations"),
+        F.sum(F.col("fee_sol") + F.col("create_fee_sol"))
+        .cast("decimal(38,10)")
+        .alias("total_sol_paid"),
+    )

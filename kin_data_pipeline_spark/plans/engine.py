@@ -159,6 +159,10 @@ class Runner:
                 results.append(RunResult(m.name, "clone"))
                 continue
             df = m.builder(ctx)
+            if m.order_by:
+                # O1 clustering order; within-partition sort only (a global
+                # orderBy would add an exchange for purely cosmetic order)
+                df = df.sortWithinPartitions(*m.order_by)
             if build_type == "full_refresh" or not self.catalog.exists(m.name):
                 self.catalog.write_full(m.name, df, m.date_col)
                 results.append(RunResult(m.name, "full"))

@@ -32,6 +32,9 @@ class Model:
     depends_on: Sequence[str] = field(default_factory=tuple)
     date_col: str = "date_key"
     clone_of: str | None = None
+    # O1: the reference ORDER BYs on materialization (37 sites) — cosmetic
+    # clustering of stored tables. Optional here; costs a sort before write.
+    order_by: Sequence[str] = field(default_factory=tuple)
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:

@@ -450,3 +450,120 @@ FROM minted
 """,
     doc="prev-day lag + inflation flag (J7 rewrite)",
 )(_q(M.daily_net_inflation))
+
+# ---------------------------------------------------------------------------
+# Phase-2 model family (SURVEY §7): creates, cadence rollups, curated
+# projection, block counts, fine-grain summaries, KRE ecosystem rollup.
+
+register(
+    "kin_daily_creations_by_app",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + """
+SELECT c.date_key, c.app_id, c.program_id,
+       CAST(COUNT(*) AS BIGINT) AS n_creations,
+       CAST(SUM(COALESCE(c.balance_quark, 0)) AS BIGINT) AS funded_quark,
+       CAST(COUNT(DISTINCT c.account_id) AS BIGINT) AS n_accounts,
+       ANY_VALUE(dka.name) AS app_name
+FROM fact_kin_creations c LEFT JOIN dim_kin_app dka ON c.app_id = dka.id
+GROUP BY 1, 2, 3
+""",
+    doc="creates family: daily creations by app/program + dim enrichment (A1+J2)",
+)(_q(M.daily_kin_creations_by_app))
+
+register(
+    "kin_weekly_transactions",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+SELECT CAST(date_trunc('week', date_key) AS DATE) AS period,
+       CAST(COUNT(*) AS BIGINT) AS total_count,
+       CAST(SUM(amount_quark) AS BIGINT) AS total_volume_quark,
+       {KIN('SUM(amount_quark)')} AS total_volume_kin,
+       CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
+FROM fact_kin_transaction GROUP BY 1
+""",
+    doc="weekly cadence rollup (Monday weeks)",
+)(_q(M.weekly_kin_transactions))
+
+register(
+    "kin_monthly_transactions",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+SELECT CAST(date_trunc('month', date_key) AS DATE) AS period,
+       CAST(COUNT(*) AS BIGINT) AS total_count,
+       CAST(SUM(amount_quark) AS BIGINT) AS total_volume_quark,
+       {KIN('SUM(amount_quark)')} AS total_volume_kin,
+       CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
+FROM fact_kin_transaction GROUP BY 1
+""",
+    doc="monthly cadence rollup",
+)(_q(M.monthly_kin_transactions))
+
+register(
+    "kin_transactions_curated",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+SELECT date_key AS transaction_date, id AS event_id, transaction_id AS tx_hash,
+       amount_kin AS kin_amount, from_wallet AS sender, to_wallet AS receiver,
+       app_id AS application_id, txn_type AS transaction_type,
+       'Ok' AS tx_status
+FROM fact_kin_transaction
+""",
+    doc="curated rename projection (P1; fixes the reference's phantom tx_status column)",
+)(_q(M.kin_transactions_curated))
+
+register(
+    "kin_daily_blocks",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+SELECT date_key,
+       CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_txns,
+       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT block), 6) AS txns_per_block
+FROM fact_kin_transaction GROUP BY 1
+""",
+    doc="count(distinct block) per day (A2, daily_kin_blocks.sql:5)",
+)(_q(M.daily_kin_blocks))
+
+register(
+    "kin_app_txn_summary_from_account_daily",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+SELECT date_key, app_id, from_wallet AS wallet_id,
+       CAST(COUNT(*) AS BIGINT) AS n_txns,
+       CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(amount_quark)')} AS volume_kin
+FROM fact_kin_transaction GROUP BY 1, 2, 3
+""",
+    doc="finest-grain (date, app, wallet) mart (A1 multi-key)",
+)(_q(M.app_txn_summary_from_account_daily))
+
+register(
+    "kin_daily_kre_summary",
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL)
+    + f"""
+, eco AS (
+  SELECT date_key,
+         CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_apps,
+         CAST(SUM(active_users) AS BIGINT) AS total_active_users,
+         CAST(SUM(capped_aub_quark) AS BIGINT) AS total_capped_aub_quark
+  FROM aub GROUP BY 1
+)
+SELECT e.date_key, e.n_apps, e.total_active_users, e.total_capped_aub_quark,
+       {KIN('e.total_capped_aub_quark')} AS total_capped_aub_kin,
+       v.average_price, v.volatility_factor
+FROM eco e JOIN vf v ON e.date_key = v.date_key
+""",
+    doc="KRE ecosystem-day rollup joining AUB + volatility marts (J1)",
+)(_q(M.daily_kre_summary))
+
+register(
+    "kin_daily_create_fee_payers",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + """
+SELECT date_key, fee_payer,
+       CAST(COUNT(*) AS BIGINT) AS n_creations,
+       CAST(SUM(fee_sol + create_fee_sol) AS DECIMAL(38,10)) AS total_sol_paid
+FROM fact_kin_creations GROUP BY 1, 2
+""",
+    doc="creation cost accounting per fee payer (A1 + decimal SOL fees)",
+)(_q(M.daily_create_fee_payers))
