@@ -99,6 +99,37 @@ class Catalog:
         row = self.table(name).agg(F.max(date_col).alias("wm")).collect()[0]
         return row["wm"]
 
+    def upsert_by_key(
+        self, name: str, df: DataFrame, key_cols: list[str], date_col: str | None
+    ) -> None:
+        """MERGE-style upsert without Delta: new rows replace existing rows
+        sharing the key (anti-join survivors + incoming, rewritten).
+
+        This is the S6 improvement SURVEY §4 notes for the reference's
+        duplicate-id ingestion defect (§2.11: DISTINCT * lets duplicate ids
+        with differing payloads survive). At 100 TB this rewrite should be
+        scoped per date partition (replaceWhere-style) — pass a pre-filtered
+        frame and the affected partitions only.
+        """
+        if not self.exists(name):
+            self.write_full(name, df, date_col)
+            return
+        existing = self.table(name)
+        survivors = existing.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.select(*df.columns).unionByName(df)
+        # Materialize before overwrite: the plan reads the directory being
+        # replaced, so write to a staging path first, then swap.
+        staging = self.path(f"{name}.__staging")
+        w = merged.write.mode("overwrite")
+        if date_col is not None:
+            w = w.partitionBy(date_col)
+        w.parquet(staging)
+        final = self.path(name)
+        shutil.rmtree(final)
+        os.rename(staging, final)
+
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
         """Date-keyed cleanup: drop whole date partitions >= cutoff.
 

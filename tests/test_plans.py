@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the properties that keep these queries fast at
+100 TB must hold in the compiled plan, not just in intent — filter/column
+pushdown into the parquet scan, broadcast joins for dims, and no cartesian
+products anywhere in the registered inventory."""
+
+from __future__ import annotations
+
+import pytest
+
+from kin_data_pipeline_spark.queries import QUERIES
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+def test_date_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1][:300]
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "daily_order_revenue")
+    # only the two needed columns should be read
+    read = plan.split("ReadSchema:", 1)[1][:200]
+    assert "o_orderdate" in read and "o_totalprice" in read
+    assert "o_orderpriority" not in read and "o_custkey" not in read
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for q in ("revenue_by_region", "top_customers_per_nation"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, f"{q} fell back to sort-merge"
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    offenders = []
+    for name in sorted(QUERIES):
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+def test_segmented_agg_is_single_pass(spark, sf_dir):
+    # A9 fusion: one aggregate over events, not four joined subqueries
+    plan = _plan(spark, sf_dir, "daily_event_segments")
+    assert plan.count("Scan parquet") == 1
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = QUERIES["pricing_summary"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
