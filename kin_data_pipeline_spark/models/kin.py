@@ -828,3 +828,64 @@ def daily_create_fee_payers(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
         .cast("decimal(38,10)")
         .alias("total_sol_paid"),
     )
+
+# kre_mart/.../daily_churn_volume.sql:45-48 — wallets with no activity in
+# the following N days; volume they take with them (J5 forward window).
+
+CHURN_HORIZON_DAYS = 7
+
+def daily_churn_volume(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    wd = (
+        f.groupBy("date_key", F.col("from_wallet").alias("wallet_id"))
+        .agg(F.sum("amount_quark").cast("long").alias("day_volume_quark"))
+    )
+    w = Window.partitionBy("wallet_id").orderBy(F.col("date_key").asc())
+    flagged = wd.withColumn("next_day", F.lead("date_key").over(w))
+    churned = flagged.filter(
+        (
+            F.col("next_day").isNull()
+            | (F.datediff("next_day", "date_key") > CHURN_HORIZON_DAYS)
+        )
+        # censor rows whose horizon has not elapsed before run_date
+        & (F.date_add("date_key", CHURN_HORIZON_DAYS) < F.lit(run_date))
+    )
+    return churned.groupBy("date_key").agg(
+        F.count(F.lit(1)).alias("churned_wallets"),
+        F.sum("day_volume_quark").cast("long").alias("churned_volume_quark"),
+        _kin(F.sum("day_volume_quark")).alias("churned_volume_kin"),
+    )
+
+# metabase_mart/.../app_transaction_summary_to_account_by_day.sql — the
+# to-account twin of the from-account mart.
+
+def app_txn_summary_to_account_daily(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    return f.groupBy(
+        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum("amount_quark").cast("long").alias("volume_quark"),
+        _kin(F.sum("amount_quark")).alias("volume_kin"),
+    )
+
+# metabase_mart/.../daily_active_accounts_ecosystem analog — trailing-30d
+# distinct actives without the app split.
+
+def daily_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
+        "date_key", F.col("from_wallet").alias("wallet_id")
+    )
+    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
+        "date_key", F.col("to_wallet").alias("wallet_id")
+    )
+    activity = spenders.unionByName(earners).distinct()
+    return trailing_distinct_count(
+        activity,
+        date_col="date_key",
+        distinct_col="wallet_id",
+        days=30,
+        out_col="active_accounts_30d",
+        spine=f.select("date_key"),
+    )

@@ -567,3 +567,56 @@ FROM fact_kin_creations GROUP BY 1, 2
 """,
     doc="creation cost accounting per fee payer (A1 + decimal SOL fees)",
 )(_q(M.daily_create_fee_payers))
+
+register(
+    "kin_daily_churn_volume",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+, wallet_days AS (
+  SELECT date_key, from_wallet AS wallet_id,
+         CAST(SUM(amount_quark) AS BIGINT) AS day_volume_quark
+  FROM fact_kin_transaction GROUP BY 1, 2
+), flagged AS (
+  SELECT *, LEAD(date_key) OVER (PARTITION BY wallet_id ORDER BY date_key) AS next_day
+  FROM wallet_days
+)
+SELECT date_key,
+       CAST(COUNT(*) AS BIGINT) AS churned_wallets,
+       CAST(SUM(day_volume_quark) AS BIGINT) AS churned_volume_quark,
+       {KIN('SUM(day_volume_quark)')} AS churned_volume_kin
+FROM flagged
+WHERE (next_day IS NULL OR next_day - date_key > 7)
+  AND date_key + 7 < {RUN}
+GROUP BY 1
+""",
+    doc="forward-window churn volume (J5 lead rewrite, censored horizon)",
+)(_q(M.daily_churn_volume))
+
+register(
+    "kin_app_txn_summary_to_account_daily",
+    _with(*_BASE, FACT_TXN_SQL)
+    + f"""
+SELECT date_key, app_id, to_wallet AS wallet_id,
+       CAST(COUNT(*) AS BIGINT) AS n_txns,
+       CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(amount_quark)')} AS volume_kin
+FROM fact_kin_transaction GROUP BY 1, 2, 3
+""",
+    doc="to-account twin of the fine-grain mart",
+)(_q(M.app_txn_summary_to_account_daily))
+
+register(
+    "kin_daily_active_accounts_ecosystem",
+    _with(*_BASE, FACT_TXN_SQL)
+    + """
+, eco_activity AS (
+  SELECT date_key, from_wallet AS wallet_id FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+  UNION
+  SELECT date_key, to_wallet FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+), eco_spine AS (SELECT DISTINCT date_key FROM fact_kin_transaction)
+SELECT s.date_key, CAST(COUNT(DISTINCT a.wallet_id) AS BIGINT) AS active_accounts_30d
+FROM eco_spine s JOIN eco_activity a ON a.date_key BETWEEN s.date_key - 29 AND s.date_key
+GROUP BY 1
+""",
+    doc="ecosystem-level trailing-30d actives (J4+A2 without app split)",
+)(_q(M.daily_active_accounts_ecosystem))
