@@ -478,3 +478,65 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
     )
+
+# LSH-bucketed ANN — the scale path for similarity search, oracle-checked:
+# the deterministic hyperplanes are generated once in Python and injected
+# into BOTH engines as literals, so bucket assignment (and therefore the
+# candidate set and final ranking) is identical. Multi-probe flips one sign
+# bit at a time to recover recall. At 100 TB the join key is the bucket id:
+# a linear shuffle, never a cross join.
+
+from kin_data_pipeline_spark.operators.similarity import _hyperplanes  # noqa: E402
+
+_ANN_PLANES = _hyperplanes(dim=64, n_planes=3, seed=7)
+_ANN_K = 5
+
+def _sql_bucket(vec: str) -> str:
+    terms = []
+    for i, plane in enumerate(_ANN_PLANES):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+@register(
+    "embedding_lsh_ann_top5",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+             UNNEST([bucket, {', '.join(f'xor(bucket, {1 << i})' for i in range(len(_ANN_PLANES)))}]) AS bucket
+      FROM e WHERE vec_id < 20
+    ), sims AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.q_emb, c.emb) / (q.q_nrm * c.nrm) AS sim
+      FROM q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= {_ANN_K}
+    """,
+    doc="LSH-bucketed approximate nearest neighbors with multiprobe (the ANN scale path)",
+)
+def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = lsh_topk(
+        emb, queries, k=_ANN_K, n_planes=len(_ANN_PLANES), dim=64,
+        multiprobe=True, seed=7,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("sim", 4).alias("cosine_sim"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
