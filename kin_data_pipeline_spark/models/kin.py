@@ -889,3 +889,94 @@ def daily_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=R
         out_col="active_accounts_30d",
         spine=f.select("date_key"),
     )
+
+# metabase_mart/daily_models/reporting/daily_summary_by_app.sql analog —
+# the wide reporting join: txn metrics ⨝ creations ⨝ payout ⨝ dim ⨝ price
+# (J1/J2 + P2 USD conversion). USD value is an exact integer cross-multiply
+# (quark × cents = 1e-7 USD units) published as DECIMAL(38,0).
+
+def daily_summary_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    txn = f.groupBy("date_key", "app_id").agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum("amount_quark").cast("long").alias("volume_quark"),
+        F.countDistinct("from_wallet").alias("n_spenders"),
+    )
+    cr = (
+        fact_kin_creations(spark, sf_dir, run_date)
+        .groupBy("date_key", "app_id")
+        .agg(F.count(F.lit(1)).alias("n_creations"))
+    )
+    pay = daily_kin_payout(spark, sf_dir, run_date).select(
+        "date_key", "app_id", "post_monopoly_payout", "payout_rank"
+    )
+    price = ka.dim_kin_price(spark, sf_dir).select("date_key", "price_cents")
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return (
+        txn.join(cr, ["date_key", "app_id"], "left")
+        .join(pay, ["date_key", "app_id"], "left")
+        .join(price, "date_key", "left")
+        .join(F.broadcast(app), "app_id", "left")
+        .select(
+            "date_key",
+            "app_id",
+            "app_name",
+            "n_txns",
+            "volume_quark",
+            _kin(F.col("volume_quark")).alias("volume_kin"),
+            F.coalesce("n_creations", F.lit(0)).alias("n_creations"),
+            "n_spenders",
+            "post_monopoly_payout",
+            "payout_rank",
+            (
+                F.col("volume_quark").cast("decimal(38,0)")
+                * F.col("price_cents").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("volume_usd_e7"),
+        )
+    )
+
+# metabase_mart/daily_models/reporting/daily_summary_ecosystem.sql analog.
+
+def daily_summary_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    txn = f.groupBy("date_key").agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.sum("amount_quark").cast("long").alias("volume_quark"),
+        F.countDistinct("from_wallet").alias("n_spenders"),
+        F.countDistinct("app_id").alias("n_active_apps"),
+    )
+    cr = (
+        fact_kin_creations(spark, sf_dir, run_date)
+        .groupBy("date_key")
+        .agg(F.count(F.lit(1)).alias("n_creations"))
+    )
+    vf = daily_volatility_factor(spark, sf_dir, run_date).select(
+        "date_key", "average_price", "volatility_factor"
+    )
+    price = ka.dim_kin_price(spark, sf_dir).select("date_key", "price_cents")
+    return (
+        txn.join(cr, "date_key", "left")
+        .join(vf, "date_key", "inner")  # inner: days without prices drop (ref behavior)
+        .join(price, "date_key", "left")
+        .select(
+            "date_key",
+            "n_txns",
+            "volume_quark",
+            _kin(F.col("volume_quark")).alias("volume_kin"),
+            F.coalesce("n_creations", F.lit(0)).alias("n_creations"),
+            "n_spenders",
+            "n_active_apps",
+            "average_price",
+            "volatility_factor",
+            (
+                F.col("volume_quark").cast("decimal(38,0)")
+                * F.col("price_cents").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("volume_usd_e7"),
+        )
+    )

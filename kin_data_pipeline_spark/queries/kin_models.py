@@ -620,3 +620,59 @@ GROUP BY 1
 """,
     doc="ecosystem-level trailing-30d actives (J4+A2 without app split)",
 )(_q(M.daily_active_accounts_ecosystem))
+
+register(
+    "kin_daily_summary_by_app",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    + f"""
+, sum_txn AS (
+  SELECT date_key, app_id, CAST(COUNT(*) AS BIGINT) AS n_txns,
+         CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
+         CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS n_spenders
+  FROM fact_kin_transaction GROUP BY 1, 2
+), sum_cr AS (
+  SELECT date_key, app_id, CAST(COUNT(*) AS BIGINT) AS n_creations
+  FROM fact_kin_creations GROUP BY 1, 2
+)
+SELECT t.date_key, t.app_id, dka.name AS app_name, t.n_txns, t.volume_quark,
+       {KIN('t.volume_quark')} AS volume_kin,
+       COALESCE(c.n_creations, 0) AS n_creations,
+       t.n_spenders,
+       p.post_monopoly_payout, p.payout_rank,
+       CAST(CAST(t.volume_quark AS HUGEINT) * pr.price_cents AS DECIMAL(38,0)) AS volume_usd_e7
+FROM sum_txn t
+LEFT JOIN sum_cr c ON t.date_key = c.date_key AND t.app_id = c.app_id
+LEFT JOIN payout p ON t.date_key = p.date_key AND t.app_id = p.app_id
+LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
+LEFT JOIN dim_kin_app dka ON t.app_id = dka.id
+""",
+    doc="wide per-app reporting join: txns ⨝ creations ⨝ payout ⨝ dims (J1/J2/P2)",
+)(_q(M.daily_summary_by_app))
+
+register(
+    "kin_daily_summary_ecosystem",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, VF_SQL)
+    + f"""
+, eco_txn AS (
+  SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_txns,
+         CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
+         CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS n_spenders,
+         CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_active_apps
+  FROM fact_kin_transaction GROUP BY 1
+), eco_cr AS (
+  SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_creations
+  FROM fact_kin_creations GROUP BY 1
+)
+SELECT t.date_key, t.n_txns, t.volume_quark,
+       {KIN('t.volume_quark')} AS volume_kin,
+       COALESCE(c.n_creations, 0) AS n_creations,
+       t.n_spenders, t.n_active_apps,
+       v.average_price, v.volatility_factor,
+       CAST(CAST(t.volume_quark AS HUGEINT) * pr.price_cents AS DECIMAL(38,0)) AS volume_usd_e7
+FROM eco_txn t
+LEFT JOIN eco_cr c ON t.date_key = c.date_key
+JOIN vf v ON t.date_key = v.date_key
+LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
+""",
+    doc="ecosystem-day reporting rollup (J1 inner price-day semantics kept)",
+)(_q(M.daily_summary_ecosystem))
