@@ -430,6 +430,11 @@ def _daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
                 )
             ),
         )
+        # `pre` feeds the rank-1/rank-2 extracts AND the staging join (the
+        # reference's triple self-join, :66-70,114-117) — cache it so the
+        # plan references one materialization instead of re-expanding the
+        # whole AUB chain four times.
+        .cache()
     )
     top = pre.filter(F.col("payout_rank") == 1).select(
         "date_key", F.col("app_aub_share").alias("s1")
