@@ -540,3 +540,140 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sim", 4).alias("cosine_sim"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+# Vocabulary statistics: document frequency per term — the exact-integer
+# substrate of TF-IDF (logs are deliberately excluded: libm vs JVM ln can
+# differ in the last ulp, so scoring stays engine-exact by shipping counts).
+@register(
+    "term_document_frequency",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), occ AS (
+      SELECT w, n FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT doc_id, UNNEST({_SQL_WORDS}) AS w FROM documents
+        ) GROUP BY w
+      )
+    ), df AS (
+      SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tok GROUP BY w
+    )
+    SELECT term, doc_freq, occ.n AS total_occurrences,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term ASC) AS rnk FROM df
+    ) d JOIN occ ON d.term = occ.w
+    WHERE rnk <= 20
+    """,
+    doc="top-20 terms by document frequency (exact-integer TF-IDF substrate)",
+)
+def term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode("words").alias("w"))
+    df_counts = (
+        tok.distinct()
+        .groupBy(F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    occ = tok.groupBy(F.col("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("total_occurrences")
+    )
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    ranked = (
+        df_counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .join(occ, "term")
+    )
+    return ranked.select("term", "doc_freq", "total_occurrences", "rnk")
+
+# Language-ID heuristic vs labels: classify by stopword ratio, report the
+# confusion counts (the evaluation harness for any languid model).
+LANGID_STOP_RATIO = 0.15
+
+@register(
+    "language_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN len(list_filter({_SQL_WORDS},
+                        w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) * 1.0
+                       / len({_SQL_WORDS}) >= {LANGID_STOP_RATIO}
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM documents
+    )
+    SELECT lang AS labeled_lang, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="stopword-ratio language classifier vs labels (languid eval harness)",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    docs = _with_words(load_table(spark, sf_dir, "documents"))
+    ratio = F.size(
+        F.filter("words", lambda w: F.array_contains(stop_arr, w))
+    ) * 1.0 / F.size("words")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(ratio >= LANGID_STOP_RATIO, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted"),
+    )
+    return scored.groupBy("labeled_lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+# Behavioral funnel: signup → first subsequent purchase per user, conversion
+# lag in whole seconds (exact ints), daily cohort counts.
+@register(
+    "signup_purchase_funnel",
+    """
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), first_purchase AS (
+      SELECT s.user_id, MIN(e.ts) AS purchase_ts
+      FROM first_signup s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id
+    )
+    SELECT CAST(date_trunc('day', s.signup_ts) AS DATE) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+           CAST(MIN(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                    - CAST(floor(epoch(s.signup_ts)) AS BIGINT)) AS BIGINT) AS min_lag_s,
+           CAST(MAX(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+                    - CAST(floor(epoch(s.signup_ts)) AS BIGINT)) AS BIGINT) AS max_lag_s
+    FROM first_signup s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+    GROUP BY 1
+    """,
+    doc="signup→purchase conversion funnel per cohort day (behavioral analysis)",
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        first_signup.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    joined = first_signup.join(first_purchase, "user_id", "left")
+    lag_s = F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+    return joined.groupBy(
+        F.to_date("signup_ts").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("purchase_ts").alias("n_converted"),
+        F.min(lag_s).alias("min_lag_s"),
+        F.max(lag_s).alias("max_lag_s"),
+    )
