@@ -985,3 +985,50 @@ def daily_summary_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
             .alias("volume_usd_e7"),
         )
     )
+
+# metabase_mart/weekly_models/.../weekly_active_accounts_app.sql:19-20 and
+# monthly twin — period-grain distinct actives per app (the reference's
+# 7-/30-day trailing joins collapse to within-period distinct counts at
+# period grain).
+
+def _period_active_accounts(spark, sf_dir, run_date, unit: str) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
+        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    )
+    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
+        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
+    )
+    activity = spenders.unionByName(earners).distinct()
+    return activity.groupBy(
+        F.trunc("date_key", unit).alias("period"), "app_id"
+    ).agg(F.countDistinct("wallet_id").alias("active_accounts"))
+
+def weekly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _period_active_accounts(spark, sf_dir, run_date, "week")
+
+def monthly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _period_active_accounts(spark, sf_dir, run_date, "month")
+
+# kre_mart/weekly_models/payouts/kre_weekly_payout.sql:4,21-25 — weekly
+# payout per app (micro-Kin ints) with rank; feeds the JSON summary.
+
+def kre_weekly_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    payout = daily_kin_payout(spark, sf_dir, run_date)
+    weekly = (
+        payout.withColumn(
+            "payout_micro",
+            F.round(F.col("post_monopoly_payout") * 1_000_000).cast("long"),
+        )
+        .groupBy(F.trunc("date_key", "week").alias("week"), "app_id", "app_name")
+        .agg(
+            F.sum("payout_micro").cast("long").alias("weekly_payout_micro"),
+            F.count(F.lit(1)).alias("n_payout_days"),
+        )
+    )
+    w = Window.partitionBy("week").orderBy(
+        F.desc("weekly_payout_micro"), F.asc("app_id")
+    )
+    return weekly.withColumn(
+        "weekly_rank", F.row_number().over(w).cast("int")
+    )

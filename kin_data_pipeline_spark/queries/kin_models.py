@@ -676,3 +676,44 @@ LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
 """,
     doc="ecosystem-day reporting rollup (J1 inner price-day semantics kept)",
 )(_q(M.daily_summary_ecosystem))
+
+_PERIOD_ACTIVES_SQL = """
+, p_activity AS (
+  SELECT date_key, app_id, from_wallet AS wallet_id FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+  UNION
+  SELECT date_key, app_id, to_wallet FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+)
+SELECT CAST(date_trunc('{unit}', date_key) AS DATE) AS period, app_id,
+       CAST(COUNT(DISTINCT wallet_id) AS BIGINT) AS active_accounts
+FROM p_activity GROUP BY 1, 2
+"""
+
+register(
+    "kin_weekly_active_accounts_app",
+    _with(*_BASE, FACT_TXN_SQL) + _PERIOD_ACTIVES_SQL.format(unit="week"),
+    doc="weekly distinct actives per app (cadence family of J4+A2)",
+)(_q(M.weekly_active_accounts_app))
+
+register(
+    "kin_monthly_active_accounts_app",
+    _with(*_BASE, FACT_TXN_SQL) + _PERIOD_ACTIVES_SQL.format(unit="month"),
+    doc="monthly distinct actives per app",
+)(_q(M.monthly_active_accounts_app))
+
+register(
+    "kin_kre_weekly_payout",
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    + """
+, kw AS (
+  SELECT CAST(date_trunc('week', date_key) AS DATE) AS week, app_id, app_name,
+         CAST(SUM(CAST(round(post_monopoly_payout * 1000000) AS BIGINT)) AS BIGINT) AS weekly_payout_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_payout_days
+  FROM payout GROUP BY 1, 2, 3
+)
+SELECT *, CAST(ROW_NUMBER() OVER (
+  PARTITION BY week ORDER BY weekly_payout_micro DESC, app_id ASC
+) AS INT) AS weekly_rank
+FROM kw
+""",
+    doc="weekly KRE payout per app with rank (kre_weekly_payout.sql)",
+)(_q(M.kre_weekly_payout))
