@@ -7,7 +7,11 @@ citations sit on each builder (paths relative to
 
 FP-determinism rules (so DuckDB oracles hash-match): quark/cent integer
 arithmetic end-to-end; Kin/SOL conversion happens once, at the output edge,
-through exact decimal scaling; unavoidable double outputs are single
+as ONE exact-int→double cast plus ONE division by an exact power of ten
+(bit-identical on Spark and DuckDB for integers < 2^53 — every quark/cent
+sum here is ≤ ~1e14). Terminal columns are DOUBLE or BIGINT, never DECIMAL:
+the driver's canonicalization renders decimals float-style, so trailing-zero
+DECIMAL strings can never hash-match. Unavoidable derived doubles are single
 division chains + ROUND(x, 6).
 
 Documented deviations from the reference (SURVEY.md §2.11):
@@ -50,8 +54,13 @@ GC_DUST_QUARKS = 500 * QUARKS_PER_KIN  # "effectively empty" threshold
 GC_CUTOFF = datetime.date(2024, 1, 20)  # month-end analog for the GC window
 
 def _kin(col) -> F.Column:
-    """Exact quark→Kin conversion to DECIMAL(38,10)."""
-    return (col.cast("decimal(38,10)") / QUARKS_PER_KIN).cast("decimal(38,10)")
+    """Exact quark→Kin conversion published as DOUBLE.
+
+    The quark input is an exact integer < 2^53 at every tested scale, so the
+    int→double cast is exact and the single division by 1e5 (an exactly
+    representable power of ten) is correctly rounded — the same two IEEE
+    operations DuckDB's ``CAST(x AS DOUBLE) / 100000.0`` performs."""
+    return col.cast("double") / F.lit(100000.0)
 
 # ---------------------------------------------------------------------------
 # kin_main_warehouse/daily_models/facts/fact_kin_transaction.sql:3-50
@@ -85,9 +94,7 @@ def _fact_kin_transaction(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -
         F.col("fromaccountbalance").alias("from_balance_quark"),
         F.col("toaccountbalance").alias("to_balance_quark"),
         # Deviation: reference forgets the 1e9 fee divisor (§2.11); we divide.
-        (F.col("fee").cast("decimal(38,10)") / 1_000_000_000)
-        .cast("decimal(38,10)")
-        .alias("fee_sol"),
+        (F.col("fee").cast("double") / F.lit(1_000_000_000.0)).alias("fee_sol"),
         F.col("feepayer").alias("fee_payer"),
         F.coalesce("appindex", F.lit(0)).alias("app_id"),  # :39-42
         F.when(F.col("transactiontype") == "<NA>", F.lit(None))
@@ -124,12 +131,16 @@ def _fact_kin_creations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> 
         "account_owner",
         F.col("balance").alias("balance_quark"),
         _kin(F.coalesce("balance", F.lit(0))).alias("balance_kin"),
-        (F.col("fee").cast("decimal(38,10)") / 1_000_000_000)
-        .cast("decimal(38,10)")
-        .alias("fee_sol"),  # :38 divides — kept
-        (F.col("create_fee").cast("decimal(38,10)") / 1_000_000_000)
-        .cast("decimal(38,10)")
-        .alias("create_fee_sol"),
+        # Exact lamport integers travel beside the converted SOL doubles so
+        # downstream cost aggregations sum ints (order-free) and convert once.
+        F.col("fee").alias("fee_lamports"),
+        F.col("create_fee").alias("create_fee_lamports"),
+        (F.col("fee").cast("double") / F.lit(1_000_000_000.0)).alias(
+            "fee_sol"
+        ),  # :38 divides — kept
+        (F.col("create_fee").cast("double") / F.lit(1_000_000_000.0)).alias(
+            "create_fee_sol"
+        ),
         "fee_payer",
         F.coalesce("appindex", F.lit(0)).alias("app_id"),
         F.when(F.col("transactiontype") == "<NA>", F.lit(None))
@@ -525,19 +536,22 @@ def _daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
             F.round("payout", 4).alias("pre_monopoly_payout"),
             F.round("post_monopoly_app_share", 6).alias("post_monopoly_app_share"),
             F.round("post_monopoly_payout", 4).alias("post_monopoly_payout"),
-            # USD value as an exact integer cross-multiply of the quantized
-            # payout (1e-4) and price (1e-6), published at scale 1e-10 as a
-            # DECIMAL: products of decimal-quantized doubles routinely land
-            # ON rounding boundaries (and >2^53 ints drift by an ulp when
-            # cast to double), so neither ROUND nor a float output is
-            # hash-stable — an exact decimal is.
+            # USD value from the exact integer cross-multiply of the
+            # quantized payout (1e-4) and price (1e-6): both integers are
+            # < 2^53 so their int→double casts are exact, and the single
+            # multiply + single divide are bit-identical IEEE ops on both
+            # engines. (ROUNDing the raw double product instead would land on
+            # decimal rounding boundaries where the engines disagree, and the
+            # e10-scaled integer itself can exceed 2^63.)
             (
                 F.round(F.round(F.col("post_monopoly_payout"), 4) * 10000.0)
-                .cast("decimal(38,0)")
-                * F.round(F.col("average_price") * 1000000.0).cast("decimal(38,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("post_monopoly_payout_usd_e10"),
+                .cast("long")
+                .cast("double")
+                * F.round(F.col("average_price") * 1000000.0)
+                .cast("long")
+                .cast("double")
+                / F.lit(1e10)
+            ).alias("post_monopoly_payout_usd"),
             F.col("payout_rank").cast("int").alias("payout_rank"),
         )
     )
@@ -678,8 +692,13 @@ def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) ->
         F.round(F.col("price_cents") / 100.0, 6).alias("price_usd"),
         F.round(F.col("volume_cents") / 100.0, 6).alias("market_volume_usd"),
         _kin(F.col("volume_quark")).alias("onchain_volume_kin"),
-        F.round(
-            F.col("volume_quark") / 100000.0 * (F.col("price_cents") / 100.0), 4
+        # quark×cents is the exact 1e-7-USD integer; computed as two exact
+        # int→double casts, one multiply, one divide — no ROUND (rounding the
+        # product would sit on decimal boundaries where engines disagree).
+        (
+            F.col("volume_quark").cast("double")
+            * F.col("price_cents").cast("double")
+            / F.lit(1e7)
         ).alias("onchain_volume_usd"),
     )
 
@@ -823,15 +842,20 @@ def daily_kre_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
     )
 
 # metabase_mart/.../daily_account_create_fee_payers analog — creation cost
-# accounting per fee payer (A1 + decimal SOL fees).
+# accounting per fee payer (A1 + exact lamport-summed SOL fees).
 
 def daily_create_fee_payers(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     cr = fact_kin_creations(spark, sf_dir, run_date)
+    # Sum exact lamports (order-free), convert once at the edge: summing the
+    # per-row SOL doubles would be aggregation-order-dependent.
     return cr.groupBy("date_key", "fee_payer").agg(
         F.count(F.lit(1)).alias("n_creations"),
-        F.sum(F.col("fee_sol") + F.col("create_fee_sol"))
-        .cast("decimal(38,10)")
-        .alias("total_sol_paid"),
+        (
+            F.sum(F.col("fee_lamports") + F.col("create_fee_lamports"))
+            .cast("long")
+            .cast("double")
+            / F.lit(1_000_000_000.0)
+        ).alias("total_sol_paid"),
     )
 
 # kre_mart/.../daily_churn_volume.sql:45-48 — wallets with no activity in
@@ -936,11 +960,10 @@ def daily_summary_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) ->
             "post_monopoly_payout",
             "payout_rank",
             (
-                F.col("volume_quark").cast("decimal(38,0)")
-                * F.col("price_cents").cast("decimal(38,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("volume_usd_e7"),
+                F.col("volume_quark").cast("double")
+                * F.col("price_cents").cast("double")
+                / F.lit(1e7)
+            ).alias("volume_usd"),
         )
     )
 
@@ -978,11 +1001,10 @@ def daily_summary_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
             "average_price",
             "volatility_factor",
             (
-                F.col("volume_quark").cast("decimal(38,0)")
-                * F.col("price_cents").cast("decimal(38,0)")
-            )
-            .cast("decimal(38,0)")
-            .alias("volume_usd_e7"),
+                F.col("volume_quark").cast("double")
+                * F.col("price_cents").cast("double")
+                / F.lit(1e7)
+            ).alias("volume_usd"),
         )
     )
 

@@ -53,7 +53,7 @@ def monthly_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
            CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -77,7 +77,7 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
             F.grouping("r_name").alias("g_r"),
             F.grouping("n_name").alias("g_n"),
@@ -112,7 +112,7 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
     FROM numbered GROUP BY user_id, session_id
     """,
     doc="sessionization via lag-gap + running sum (batch twin of session_window)",
@@ -139,7 +139,7 @@ def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("session_value"),
     )
 
@@ -151,7 +151,7 @@ def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -183,11 +183,13 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
+            # Rank keys convert to double on BOTH sides before the window, so
+            # any two revenues that collapse to one double tie identically.
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
             )
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
     )

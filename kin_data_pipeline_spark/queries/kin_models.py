@@ -15,9 +15,10 @@ from kin_data_pipeline_spark.sources.kin_adapter import (
 )
 
 RUN = "DATE '2024-01-31'"
-KIN = lambda expr: (  # noqa: E731 — exact quark→Kin DECIMAL(38,10)
-    f"CAST(CAST({expr} AS DECIMAL(38,10)) * CAST(0.00001 AS DECIMAL(6,5)) AS DECIMAL(38,10))"
-)
+# Exact quark→Kin as DOUBLE: one exact int→double cast + one division by an
+# exact power of ten — bit-identical to Spark's `col.cast(double) / 1e5` for
+# quark integers < 2^53 (terminal DECIMALs would hash-fail the driver canon).
+KIN = lambda expr: f"(CAST({expr} AS DOUBLE) / 100000.0)"  # noqa: E731
 
 FACT_TXN_SQL = f"""
 fact_kin_transaction AS (
@@ -29,7 +30,7 @@ fact_kin_transaction AS (
     {KIN('COALESCE(amount, 0)')} AS amount_kin,
     fromaccount AS from_wallet, toaccount AS to_wallet,
     fromaccountbalance AS from_balance_quark, toaccountbalance AS to_balance_quark,
-    CAST(fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS fee_sol,
+    (CAST(fee AS DOUBLE) / 1000000000.0) AS fee_sol,
     feepayer AS fee_payer,
     COALESCE(appindex, 0) AS app_id,
     CAST(NULLIF(transactiontype, '<NA>') AS BIGINT) AS txn_type
@@ -46,8 +47,10 @@ fact_kin_creations AS (
     id, program_id, block, tx_id, instr_idx, account_id, account_owner,
     balance AS balance_quark,
     {KIN('COALESCE(balance, 0)')} AS balance_kin,
-    CAST(fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS fee_sol,
-    CAST(create_fee * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(38,10)) AS create_fee_sol,
+    fee AS fee_lamports,
+    create_fee AS create_fee_lamports,
+    (CAST(fee AS DOUBLE) / 1000000000.0) AS fee_sol,
+    (CAST(create_fee AS DOUBLE) / 1000000000.0) AS create_fee_sol,
     fee_payer,
     COALESCE(appindex, 0) AS app_id,
     CAST(NULLIF(transactiontype, '<NA>') AS BIGINT) AS txn_type,
@@ -206,9 +209,9 @@ payout AS (
          ROUND(s.payout, 4) AS pre_monopoly_payout,
          ROUND(s.post_monopoly_app_share, 6) AS post_monopoly_app_share,
          ROUND(s.post_monopoly_payout, 4) AS post_monopoly_payout,
-         CAST(CAST(round(ROUND(s.post_monopoly_payout, 4) * 10000.0) AS HUGEINT)
-              * CAST(round(s.average_price * 1000000.0) AS HUGEINT)
-              AS DECIMAL(38,0)) AS post_monopoly_payout_usd_e10,
+         CAST(CAST(round(ROUND(s.post_monopoly_payout, 4) * 10000.0) AS BIGINT) AS DOUBLE)
+              * CAST(CAST(round(s.average_price * 1000000.0) AS BIGINT) AS DOUBLE)
+              / 1e10 AS post_monopoly_payout_usd,
          CAST(s.payout_rank AS INT) AS payout_rank
   FROM payout_staged s LEFT JOIN dim_kin_app dka ON s.app_id = dka.id
 )
@@ -426,7 +429,7 @@ SELECT p.date_key,
        ROUND(p.price_cents / 100.0, 6) AS price_usd,
        ROUND(p.volume_cents / 100.0, 6) AS market_volume_usd,
        {KIN('v.volume_quark')} AS onchain_volume_kin,
-       ROUND(v.volume_quark / 100000.0 * (p.price_cents / 100.0), 4) AS onchain_volume_usd
+       CAST(v.volume_quark AS DOUBLE) * CAST(p.price_cents AS DOUBLE) / 1e7 AS onchain_volume_usd
 FROM (SELECT * FROM dim_kin_price WHERE date_key < {RUN}) p
 JOIN vol v ON p.date_key = v.date_key
 """,
@@ -562,7 +565,8 @@ register(
     + """
 SELECT date_key, fee_payer,
        CAST(COUNT(*) AS BIGINT) AS n_creations,
-       CAST(SUM(fee_sol + create_fee_sol) AS DECIMAL(38,10)) AS total_sol_paid
+       CAST(CAST(SUM(fee_lamports + create_fee_lamports) AS BIGINT) AS DOUBLE)
+         / 1000000000.0 AS total_sol_paid
 FROM fact_kin_creations GROUP BY 1, 2
 """,
     doc="creation cost accounting per fee payer (A1 + decimal SOL fees)",
@@ -639,7 +643,7 @@ SELECT t.date_key, t.app_id, dka.name AS app_name, t.n_txns, t.volume_quark,
        COALESCE(c.n_creations, 0) AS n_creations,
        t.n_spenders,
        p.post_monopoly_payout, p.payout_rank,
-       CAST(CAST(t.volume_quark AS HUGEINT) * pr.price_cents AS DECIMAL(38,0)) AS volume_usd_e7
+       CAST(t.volume_quark AS DOUBLE) * CAST(pr.price_cents AS DOUBLE) / 1e7 AS volume_usd
 FROM sum_txn t
 LEFT JOIN sum_cr c ON t.date_key = c.date_key AND t.app_id = c.app_id
 LEFT JOIN payout p ON t.date_key = p.date_key AND t.app_id = p.app_id
@@ -668,7 +672,7 @@ SELECT t.date_key, t.n_txns, t.volume_quark,
        COALESCE(c.n_creations, 0) AS n_creations,
        t.n_spenders, t.n_active_apps,
        v.average_price, v.volatility_factor,
-       CAST(CAST(t.volume_quark AS HUGEINT) * pr.price_cents AS DECIMAL(38,0)) AS volume_usd_e7
+       CAST(t.volume_quark AS DOUBLE) * CAST(pr.price_cents AS DOUBLE) / 1e7 AS volume_usd
 FROM eco_txn t
 LEFT JOIN eco_cr c ON t.date_key = c.date_key
 JOIN vf v ON t.date_key = v.date_key

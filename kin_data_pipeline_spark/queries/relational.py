@@ -5,8 +5,12 @@ re-expressed Spark-first, with a DuckDB oracle. Reference citations sit on
 each query (paths relative to /root/reference/kin-data-pipeline/).
 
 Determinism conventions (so the value-hash matches the oracle):
-- money/value sums go through DECIMAL(18,2) → exact & aggregation-order-free;
-  final sums are cast to DECIMAL(38,2) to pin one schema on both sides
+- money/value sums go through DECIMAL(18,2) internally → exact &
+  aggregation-order-free — but the FINAL projected column is cast to DOUBLE
+  on BOTH sides: the driver canonicalizes results float-style, so a DECIMAL
+  terminal ('100523.00' vs '100523.0') can never hash-match. Decimal→double
+  is correctly rounded on both engines for unscaled values < 2^53, which
+  every sum here satisfies by orders of magnitude.
 - day grain is DATE on both sides
 - unavoidable double outputs are ROUND(x, 6)
 - every computed column is aliased identically in Spark and SQL
@@ -43,6 +47,12 @@ DEC = "decimal(18,2)"
 DECW = "decimal(38,2)"
 
 def _dec_sum(col, alias):
+    """Exact decimal aggregation, published as DOUBLE (terminal column)."""
+    return F.sum(F.col(col).cast(DEC)).cast("double").alias(alias)
+
+def _dec_sum_internal(col, alias):
+    """Exact decimal aggregation kept DECIMAL for further exact math
+    (window sums, rank keys); cast the final projection to double."""
     return F.sum(F.col(col).cast(DEC)).cast(DECW).alias(alias)
 
 # ---------------------------------------------------------------------------
@@ -52,9 +62,9 @@ def _dec_sum(col, alias):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -80,7 +90,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
             )
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.round(
                 F.sum(F.col("l_quantity").cast(DEC)).cast("double")
@@ -97,7 +107,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
     doc="daily-grain rollup (A1, date_trunc day)",
@@ -115,7 +125,7 @@ def daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
     doc="weekly rollup; pins Monday week-start compatibility (§1.4)",
@@ -133,7 +143,7 @@ def weekly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
     doc="monthly rollup (A1)",
@@ -192,7 +202,7 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_per_nation",
     """
     WITH rev AS (
-      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY o_custkey
     )
     SELECT * FROM (
@@ -261,7 +271,7 @@ def purchase_or_click_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entity_role_activity",
     """
     SELECT role, entity_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM (
       SELECT 'part' AS role, l_partkey AS entity_id, l_quantity FROM lineitem
       UNION ALL
@@ -287,7 +297,7 @@ def entity_role_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name, n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -315,7 +325,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS purchase_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
     ), a AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
@@ -343,7 +353,7 @@ def user_day_purchase_vs_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
     GROUP BY l_returnflag
@@ -382,7 +392,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_item_orders",
     """
     SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
     """,
     doc="group-having filter (A7)",
@@ -406,7 +416,7 @@ def multi_item_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice <= 200000 THEN '100k-200k'
                 ELSE '200k+' END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
     doc="CASE-expression histogram bucketing (P8)",
@@ -432,7 +442,7 @@ def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_event_segments",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
            CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
            CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
            CAST(COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS BIGINT) AS n_signup_users
@@ -445,7 +455,7 @@ def daily_event_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_type = lambda t: F.col("event_type") == t  # noqa: E731
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.when(is_type("purchase"), F.col("value").cast(DEC)))
-        .cast(DECW)
+        .cast("double")
         .alias("purchase_value"),
         F.count(F.when(is_type("click"), F.lit(1))).alias("n_clicks"),
         F.count(F.when(is_type("error"), F.lit(1))).alias("n_errors"),
@@ -503,17 +513,20 @@ def returnflag_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT day, revenue,
            LAG(revenue) OVER (ORDER BY day) AS prev_revenue,
-           CAST(revenue - LAG(revenue) OVER (ORDER BY day) AS DECIMAL(38,2)) AS revenue_diff
+           revenue - LAG(revenue) OVER (ORDER BY day) AS revenue_diff
     FROM d
     """,
     doc="prev-day self-join rewritten as lag window (J7)",
 )
 def day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # revenue is a double terminal (exact decimal sum, one correctly-rounded
+    # conversion); lag copies it and the diff is a single IEEE subtraction —
+    # bit-identical on both engines.
     d = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
@@ -524,7 +537,7 @@ def day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "revenue",
         F.lag("revenue").over(w).alias("prev_revenue"),
-        (F.col("revenue") - F.lag("revenue").over(w)).cast(DECW).alias("revenue_diff"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_diff"),
     )
 
 # J4 → RANGE window frame: trailing sum over a sliding day window
@@ -537,20 +550,23 @@ def day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT day, revenue,
+    SELECT day, CAST(revenue AS DOUBLE) AS revenue,
            CAST(SUM(revenue) OVER (
              ORDER BY datediff('day', DATE '1970-01-01', day)
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,2)) AS trailing_7d_revenue
+           ) AS DOUBLE) AS trailing_7d_revenue
     FROM d
     """,
     doc="trailing range join rewritten as RANGE window frame (J4)",
 )
 def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The window SUM runs over DECIMAL (window-frame summation order differs
+    # between engines, so double accumulation would drift); only the final
+    # projections convert to double.
     d = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(_dec_sum("o_totalprice", "revenue"))
+        .agg(_dec_sum_internal("o_totalprice", "revenue"))
     )
     out = trailing_window_agg(
         d,
@@ -558,7 +574,11 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"trailing_7d_revenue": F.sum("revenue")},
         days=7,
     )
-    return out.withColumn("trailing_7d_revenue", F.col("trailing_7d_revenue").cast(DECW))
+    return out.select(
+        "day",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("trailing_7d_revenue").cast("double").alias("trailing_7d_revenue"),
+    )
 
 # J4 + A2: trailing COUNT(DISTINCT) — exploded date-spine rewrite
 # (daily_active_accounts_app.sql / monthly_active_accounts_app.sql:19-20).

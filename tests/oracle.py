@@ -22,8 +22,12 @@ def _canon(v) -> str:
     if isinstance(v, float) and math.isnan(v):
         return "<null>"
     if isinstance(v, Decimal):
-        s = f"{v:f}"
-        return s.rstrip("0").rstrip(".") if "." in s else s
+        # Deliberately NOT normalized: the driver's canonicalization renders
+        # decimals float-style, so a trailing-zero Decimal ('100523.00') can
+        # never hash-match ('100523.0'). Keeping the raw form here makes any
+        # DECIMAL output column fail locally too (registered queries must
+        # publish DOUBLE/BIGINT terminals; see test_no_decimal_outputs).
+        return f"{v:f}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -56,8 +60,19 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
     finally:
         con.close()
 
+def assert_no_decimal_terminals(sdf) -> None:
+    """Registered queries must publish DOUBLE/BIGINT terminals, never
+    DECIMAL: the driver's canonicalization renders decimals float-style, so
+    trailing-zero decimal strings ('100523.00') hash-mismatch ('100523.0')
+    even when the values are byte-identical."""
+    from pyspark.sql.types import DecimalType
+
+    bad = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"DECIMAL terminal column(s) {bad} would fail the driver canon"
+
 def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
     sdf = fn(spark, sf_dir)
+    assert_no_decimal_terminals(sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     o_cols, o_rows = run_oracle(sf_dir, oracle)
