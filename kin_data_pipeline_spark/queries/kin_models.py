@@ -10,6 +10,7 @@ from kin_data_pipeline_spark.queries.registry import register
 from kin_data_pipeline_spark.sources.kin_adapter import (
     DIM_KIN_APP_SQL,
     DIM_KIN_PRICE_SQL,
+    DIM_SOLANA_PRICE_SQL,
     RAW_KINCREATEACCOUNT_SQL,
     RAW_KINTRANSACTION_SQL,
 )
@@ -44,7 +45,8 @@ fact_kin_creations AS (
   SELECT
     CAST(date_trunc('day', date) AS DATE) AS date_key,
     make_timestamp(timestamp * 1000000) AS created_ts,
-    id, program_id, block, tx_id, instr_idx, account_id, account_owner,
+    id, program_id, block, tx_id, instr_idx, memo, account_id, account_owner,
+    close_account_authority, mint, source_transfer,
     balance AS balance_quark,
     {KIN('COALESCE(balance, 0)')} AS balance_kin,
     fee AS fee_lamports,
@@ -238,7 +240,13 @@ gc AS (
 def _with(*ctes: str) -> str:
     return "WITH " + ",\n".join(c.strip().strip(",") for c in ctes)
 
-_BASE = (RAW_KINTRANSACTION_SQL, RAW_KINCREATEACCOUNT_SQL, DIM_KIN_APP_SQL, DIM_KIN_PRICE_SQL)
+_BASE = (
+    RAW_KINTRANSACTION_SQL,
+    RAW_KINCREATEACCOUNT_SQL,
+    DIM_KIN_APP_SQL,
+    DIM_KIN_PRICE_SQL,
+    DIM_SOLANA_PRICE_SQL,
+)
 
 def _q(fn):
     """Adapt a models.kin builder to the (spark, sf_dir) query signature."""
@@ -721,3 +729,204 @@ FROM kw
 """,
     doc="weekly KRE payout per app with rank (kre_weekly_payout.sql)",
 )(_q(M.kre_weekly_payout))
+
+# ---------------------------------------------------------------------------
+# Round-2 model family (VERDICT r1 missing-models list): balance buckets,
+# faithful GC, ecosystem cadence actives, period account summaries, creates
+# segmentations, API cost summaries.
+
+register(
+    "kin_account_balance_buckets",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL)
+    + """
+, abb_accounts AS (
+  SELECT date_key, app_id, from_wallet AS account_id FROM fact_kin_transaction
+  UNION
+  SELECT date_key, app_id, to_wallet FROM fact_kin_transaction
+), abb AS (
+  SELECT a.date_key, a.app_id, c.closing_balance_quark AS bq
+  FROM abb_accounts a
+  JOIN closing c ON a.date_key = c.date_key AND a.account_id = c.wallet_id
+)
+SELECT date_key, app_id,
+  CAST(CASE WHEN bq < 0 THEN 0
+            WHEN bq < 100000 THEN 1
+            WHEN bq < 1000000 THEN 2
+            WHEN bq < 100000000 THEN 3
+            WHEN bq < 1000000000 THEN 4
+            WHEN bq < 100000000000 THEN 5
+            WHEN bq < 1000000000000 THEN 6
+            WHEN bq < 10000000000000 THEN 7
+            ELSE 8 END AS INT) AS account_balance_range_bucket_id,
+  CASE WHEN bq < 0 THEN 'Unknown'
+       WHEN bq < 100000 THEN '0 - 1'
+       WHEN bq < 1000000 THEN '1 - 10'
+       WHEN bq < 100000000 THEN '10 - 1,000'
+       WHEN bq < 1000000000 THEN '1,000 - 10,000'
+       WHEN bq < 100000000000 THEN '10,000 - 1,000,000'
+       WHEN bq < 1000000000000 THEN '1,000,000 - 10,000,000'
+       WHEN bq < 10000000000000 THEN '10,000,000 - 100,000,000'
+       ELSE '100,000,000+' END AS account_balance_range_bucket,
+  CAST(COUNT(*) AS BIGINT) AS balance_range_count
+FROM abb GROUP BY 1, 2, 3, 4
+""",
+    doc="balance-histogram mart: from/to UNION ⨝ closing balance → 9-bucket CASE (U1/J1/P8)",
+)(_q(M.account_balance_buckets_app))
+
+register(
+    "kin_monthly_inactive_wallets",
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL)
+    + """
+, gci_zero AS (
+  SELECT date_key, wallet_id FROM closing
+  WHERE closing_balance_quark <= 0
+    AND date_key >= DATE '2024-01-01' AND date_key < DATE '2024-02-01'
+), gci_last AS (
+  SELECT wallet_id, MAX(date_key) AS max_date FROM gci_zero GROUP BY 1
+), gci_recovered AS (
+  SELECT DISTINCT z.wallet_id
+  FROM gci_last z JOIN closing c ON z.wallet_id = c.wallet_id
+  WHERE c.date_key > z.max_date AND c.closing_balance_quark > 0
+)
+SELECT CAST(date_trunc('month', z.max_date) + INTERVAL 1 MONTH AS DATE) AS date_key,
+       z.wallet_id
+FROM gci_last z
+WHERE z.wallet_id NOT IN (SELECT wallet_id FROM gci_recovered)
+""",
+    doc="faithful GC: last zero-balance in the GC month, never recovered (NOT-IN → anti join, §1.4)",
+)(_q(M.monthly_inactive_wallets))
+
+_ECO_CADENCE_SQL = """
+, eco3_obs AS (
+  SELECT DISTINCT date_key, wallet_id, role FROM (
+    SELECT date_key, from_wallet AS wallet_id, 's' AS role
+    FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+    UNION ALL
+    SELECT date_key, to_wallet, 'e' FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+  )
+), eco3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
+SELECT s.spine_day AS date_key,
+       CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 'e' THEN o.wallet_id END) AS BIGINT) AS active_earners
+FROM eco3_spine s JOIN eco3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
+GROUP BY 1
+"""
+
+register(
+    "kin_weekly_active_accounts_ecosystem",
+    _with(*_BASE, FACT_TXN_SQL) + _ECO_CADENCE_SQL.format(back=6),
+    doc="trailing-7d ecosystem actives with spender/earner split (J4+A2 spine)",
+)(_q(M.weekly_active_accounts_ecosystem))
+
+register(
+    "kin_monthly_active_accounts_ecosystem",
+    _with(*_BASE, FACT_TXN_SQL) + _ECO_CADENCE_SQL.format(back=29),
+    doc="trailing-30d ecosystem actives with spender/earner split",
+)(_q(M.monthly_active_accounts_ecosystem))
+
+_PERIOD_SUMMARY_SQL = """
+, ps AS (
+  SELECT CAST(date_trunc('{unit}', date_key) AS DATE) AS period, app_id,
+         {wallet} AS wallet_id,
+         CAST(COUNT(*) AS BIGINT) AS transaction_count,
+         CAST(SUM(amount_quark) AS BIGINT) AS volume_quark
+  FROM fact_kin_transaction
+  WHERE date_key < DATE '{before}'
+  GROUP BY 1, 2, 3
+)
+SELECT ps.period, ps.app_id, ps.wallet_id, ps.transaction_count, ps.volume_quark,
+       {kin} AS volume_kin, dka.name AS app_name
+FROM ps LEFT JOIN dim_kin_app dka ON ps.app_id = dka.id
+"""
+
+def _period_summary_sql(unit: str, wallet: str, before: str) -> str:
+    return _PERIOD_SUMMARY_SQL.format(
+        unit=unit, wallet=wallet, before=before, kin=KIN("ps.volume_quark")
+    )
+
+register(
+    "kin_app_txn_summary_from_account_weekly",
+    _with(*_BASE, FACT_TXN_SQL)
+    + _period_summary_sql("week", "from_wallet", "2024-01-29"),
+    doc="weekly rollup of the from-account fine-grain mart (complete weeks)",
+)(_q(M.weekly_app_txn_summary_from_account))
+
+register(
+    "kin_app_txn_summary_from_account_monthly",
+    _with(*_BASE, FACT_TXN_SQL)
+    + _period_summary_sql("month", "from_wallet", "2024-02-01"),
+    doc="monthly rollup of the from-account fine-grain mart",
+)(_q(M.monthly_app_txn_summary_from_account))
+
+register(
+    "kin_app_txn_summary_to_account_weekly",
+    _with(*_BASE, FACT_TXN_SQL)
+    + _period_summary_sql("week", "to_wallet", "2024-01-29"),
+    doc="weekly rollup of the to-account fine-grain mart",
+)(_q(M.weekly_app_txn_summary_to_account))
+
+register(
+    "kin_app_txn_summary_to_account_monthly",
+    _with(*_BASE, FACT_TXN_SQL)
+    + _period_summary_sql("month", "to_wallet", "2024-02-01"),
+    doc="monthly rollup of the to-account fine-grain mart",
+)(_q(M.monthly_app_txn_summary_to_account))
+
+_CREATES_GROUPED_SQL = """
+SELECT c.date_key, c.app_id, c.{group_col} AS {out_name},
+       CAST(COUNT(*) AS BIGINT) AS daily_transactions,
+       CAST(SUM(COALESCE(c.balance_quark, 0)) AS BIGINT) AS daily_opening_balance_quark,
+       {kin} AS daily_opening_balance_kin,
+       ANY_VALUE(dka.name) AS app_name
+FROM fact_kin_creations c LEFT JOIN dim_kin_app dka ON c.app_id = dka.id
+GROUP BY 1, 2, 3
+"""
+
+register(
+    "kin_daily_account_creates_by_type",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + _CREATES_GROUPED_SQL.format(
+        group_col="txn_type",
+        out_name="transaction_type",
+        kin=KIN("SUM(COALESCE(c.balance_quark, 0))"),
+    ),
+    doc="creates segmented by transaction type (daily_account_creates_by_type.sql:1-26)",
+)(_q(M.daily_account_creates_by_type))
+
+register(
+    "kin_daily_account_creates_by_close_authority",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + _CREATES_GROUPED_SQL.format(
+        group_col="close_account_authority",
+        out_name="close_authority",
+        kin=KIN("SUM(COALESCE(c.balance_quark, 0))"),
+    ),
+    doc="creates segmented by close authority (…_by_close_authority.sql:1-26)",
+)(_q(M.daily_account_creates_by_close_authority))
+
+_API_SUMMARY_SQL = """
+, api_creates AS (
+  SELECT date_key{app_sel}, CAST(COUNT(*) AS BIGINT) AS accounts_created,
+         CAST(SUM(fee_lamports + create_fee_lamports) AS BIGINT) AS cost_lamports
+  FROM fact_kin_creations GROUP BY {groups}
+)
+SELECT c.date_key{app_out}, c.accounts_created,
+       CAST(c.cost_lamports AS DOUBLE) / 1000000000.0 AS sol_cost,
+       CAST(c.cost_lamports AS DOUBLE) * CAST(s.sol_price_cents AS DOUBLE) / 1e11 AS usd_cost
+FROM api_creates c JOIN dim_solana_price s ON c.date_key = s.date_key
+"""
+
+register(
+    "kin_daily_account_summary_by_app",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + _API_SUMMARY_SQL.format(app_sel=", app_id", groups="1, 2", app_out=", c.app_id"),
+    doc="API mart: accounts created + SOL/USD cost per app-day (⨝ dim_solana_price)",
+)(_q(M.daily_account_summary_by_app))
+
+register(
+    "kin_daily_account_summary_ecosystem",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + _API_SUMMARY_SQL.format(app_sel="", groups="1", app_out=""),
+    doc="API mart: ecosystem-day accounts created + SOL/USD cost",
+)(_q(M.daily_account_summary_ecosystem))

@@ -54,6 +54,7 @@ def raw_kintransaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("w"), ((F.col("user_id") * 7 + F.col("k")) % 40).cast("string")
         ).alias("toaccount"),
         F.when(F.col("k") % 13 == 0, F.lit(None))
+        .when(F.col("k") % 17 == 0, F.lit(0).cast("long"))  # emptied wallets
         .otherwise(
             (F.col("value").cast("decimal(18,2)") * 100000).cast("long")
             * ((F.col("k") % 5) + 1)
@@ -102,6 +103,7 @@ raw_kintransaction AS (
       'w' || CAST(user_id AS VARCHAR) AS fromaccount,
       'w' || CAST((user_id * 7 + k) % 40 AS VARCHAR) AS toaccount,
       CASE WHEN k % 13 = 0 THEN NULL
+           WHEN k % 17 = 0 THEN 0
            ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100000 AS BIGINT) * ((k % 5) + 1)
       END AS fromaccountbalance,
       CAST(CAST(value AS DECIMAL(18,2)) * 100000 AS BIGINT) * ((k % 7) + 1) AS toaccountbalance,
@@ -143,6 +145,17 @@ def raw_kincreateaccount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("w"), ((F.col("user_id") * 3 + F.col("k")) % 40).cast("string")
         ).alias("account_id"),
         F.concat(F.lit("o"), F.col("user_id").cast("string")).alias("account_owner"),
+        F.concat(F.lit("m"), (F.col("k") % 4).cast("string")).alias("memo"),
+        # close authority is optional on-chain (fact_kin_creations.sql:31)
+        F.when(F.col("k") % 6 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("auth"), (F.col("k") % 4).cast("string")))
+        .alias("close_account_authority"),
+        F.lit("kinmint1").alias("mint"),
+        F.when(F.col("k") % 2 == 0, F.lit(None))
+        .otherwise(
+            F.concat(F.lit("tx"), F.expr("event_id div 3").cast("string"))
+        )
+        .alias("source_transfer"),
         (
             (F.col("value").cast("decimal(18,2)") * 100000).cast("long")
             * ((F.col("k") % 3) + 1)
@@ -184,6 +197,12 @@ raw_kincreateaccount AS (
       CAST(event_id % 4 AS INT) AS instr_idx,
       'w' || CAST((user_id * 3 + k) % 40 AS VARCHAR) AS account_id,
       'o' || CAST(user_id AS VARCHAR) AS account_owner,
+      'm' || CAST(k % 4 AS VARCHAR) AS memo,
+      CASE WHEN k % 6 = 0 THEN NULL
+           ELSE 'auth' || CAST(k % 4 AS VARCHAR) END AS close_account_authority,
+      'kinmint1' AS mint,
+      CASE WHEN k % 2 = 0 THEN NULL
+           ELSE 'tx' || CAST(event_id // 3 AS VARCHAR) END AS source_transfer,
       CAST(CAST(value AS DECIMAL(18,2)) * 100000 AS BIGINT) * ((k % 3) + 1) AS balance,
       (k % 2) * 5000 AS fee,
       2039280 AS create_fee,
@@ -249,6 +268,28 @@ dim_kin_price AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS date_key,
          MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS price_cents,
          CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS volume_cents
+  FROM events GROUP BY 1
+)
+"""
+
+# ---------------------------------------------------------------------------
+# dim_solana_price: daily SOL market series in integer cents (the reference's
+# second price feed, kin_data/daily_models/api/daily_account_summary_by_app.sql
+# joins dim_solana_price). MIN (vs the Kin dim's MAX) keeps the two series
+# distinct while staying deterministic.
+
+def dim_solana_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date_key")).agg(
+        F.min((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "sol_price_cents"
+        )
+    )
+
+DIM_SOLANA_PRICE_SQL = """
+dim_solana_price AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS date_key,
+         MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sol_price_cents
   FROM events GROUP BY 1
 )
 """
