@@ -1,17 +1,24 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count-style action (collect on aggregated
-results) so the full plan runs; session build time is excluded from
-per-query numbers but a warmup query absorbs JVM/codegen startup.
+The JSON line is guaranteed to be the ONLY stdout output: file descriptor 1
+is pointed at stderr for the whole run (JVM/Spark banners bypass Python's
+sys.stdout, so a dup2 at the fd level is the reliable way) and restored just
+before the final print.
+
+Each query is executed with a count action so the full plan runs; a warmup
+scan absorbs JVM/codegen startup. Queries run in registry order — the kin
+fact builders lead, warming the session frame cache exactly as the driver's
+correctness pass does.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 def main() -> None:
@@ -19,7 +26,13 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
 
-    from kin_data_pipeline_spark.queries import QUERIES
+    # Route every stray stdout write (Spark banners, Ivy, JVM warnings) to
+    # stderr at the fd level; keep the real stdout for the single JSON line.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
+    from kin_data_pipeline_spark.queries import queries
     from kin_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="kin-pipeline-bench", master=f"local[{cpus}]")
@@ -31,26 +44,28 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
+    for name, fn in queries().items():
         t0 = time.monotonic()
-        df = spec.fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         assert n >= 0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
     spark.stop()
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    os.close(real_stdout)
+    print(payload)
 
 if __name__ == "__main__":
     main()

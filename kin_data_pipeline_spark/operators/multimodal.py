@@ -60,9 +60,12 @@ def require_codec(name: str):
             "decode steps are stubbed (see fake_decode_batch)"
         ) from exc
 
-def attach_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def attach_media_columns(
+    df: DataFrame, id_col: str, payload_col: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Wrap an arbitrary source column as an opaque media payload with
-    typed metadata — the ingestion edge of the multimodal pipeline."""
+    typed metadata — the ingestion edge of the multimodal pipeline.
+    ``carry_cols`` ride along untouched (source/partition labels)."""
     content = F.encode(F.col(payload_col), "utf-8")
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -70,6 +73,7 @@ def attach_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFr
         F.lit("application/octet-stream").alias("mime"),
         F.length(content).cast("long").alias("n_bytes"),
         F.md5(F.col(payload_col)).alias("checksum"),
+        *carry_cols,
     )
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, int]:

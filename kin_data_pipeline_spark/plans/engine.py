@@ -114,7 +114,7 @@ class Catalog:
         if not self.exists(name):
             self.write_full(name, df, date_col)
             return
-        existing = self.table(name)
+        existing = self.table(name)  # resolves clone aliases → source data
         survivors = existing.join(
             df.select(*key_cols).distinct(), key_cols, "left_anti"
         )
@@ -126,8 +126,13 @@ class Catalog:
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(staging)
+        # Upserting into a clone materializes it copy-on-write (Snowflake
+        # clone semantics): drop the alias so it stops shadowing the new
+        # physical table, and tolerate the missing directory of a
+        # marker-only clone.
+        self._drop_clone(name)
         final = self.path(name)
-        shutil.rmtree(final)
+        shutil.rmtree(final, ignore_errors=True)
         os.rename(staging, final)
 
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
@@ -135,7 +140,17 @@ class Catalog:
 
         With the date-partitioned layout this never rewrites surviving data
         (incremental_cleanup.py:82 equivalent).
+
+        Refuses clone aliases: resolving one here would delete the SOURCE
+        table's partitions, but the modeled semantic (Snowflake CLONE) is
+        copy-on-write — mutating a clone must never touch its source.
         """
+        if os.path.exists(self._clone_marker(name)):
+            raise ValueError(
+                f"'{name}' is a zero-copy clone; deleting through it would "
+                "mutate the clone's source. Materialize it first "
+                "(upsert_by_key/write_full) or delete from the source table."
+            )
         root = self.resolve(name)
         if not os.path.exists(root):
             return 0

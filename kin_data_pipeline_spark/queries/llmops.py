@@ -677,3 +677,99 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(lag_s).alias("min_lag_s"),
         F.max(lag_s).alias("max_lag_s"),
     )
+
+# n-gram Jaccard with the document-frequency cap — the 100 TB form of the
+# postings join: a stopword-ish shingle shared by a large fraction of the
+# corpus creates a quadratic bucket in the pair join, so postings whose
+# document frequency exceeds the cap are dropped BEFORE pairing (per-doc
+# shingle totals keep the uncapped count, so dropped shingles can only
+# lower a pair's score — high-overlap near-dups survive). Uses the
+# operator-library implementation (operators/dedup.py shingle_postings +
+# jaccard_pairs) so the registered plan is the capped library path.
+
+JACCARD_DF_CAP = 50
+
+@register(
+    "ngram_jaccard_capped",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    capped AS (
+      SELECT sh.* FROM sh JOIN keep ON sh.s = keep.s
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+    FROM pairs WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    doc=f"Jaccard near-dups with df<={JACCARD_DF_CAP} shingle cap (the skew-bounded scale path)",
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs, shingle_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = shingle_postings(
+        docs, "doc_id", "text", k=SHINGLE_K, stopword_shingle_cap=JACCARD_DF_CAP
+    )
+    pairs = jaccard_pairs(postings, threshold=JACCARD_THRESHOLD)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias(
+            "jaccard"
+        ),
+    )
+
+# Multimodal metadata accounting: byte/checksum stats over the opaque-media
+# ingestion edge (operators/multimodal.attach_media_columns). Deterministic
+# without any codec — this is the plumbing the decode stubs sit behind, and
+# the oracle pins the byte-length and checksum semantics (UTF-8 bytes, md5).
+
+@register(
+    "media_metadata_stats",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             'application/octet-stream' AS mime,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS checksum,
+             source
+      FROM documents
+    )
+    SELECT source, mime,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT checksum) AS BIGINT) AS n_unique_payloads,
+           ROUND(SUM(n_bytes) * 1.0 / COUNT(*), 6) AS avg_bytes
+    FROM m GROUP BY source, mime
+    """,
+    doc="multimodal ingestion metadata: byte/checksum stats per source (codec-free surface)",
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import attach_media_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "doc_id", "text", carry_cols=("source",))
+    return media.groupBy("source", "mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.countDistinct("checksum").alias("n_unique_payloads"),
+        F.round(F.sum("n_bytes") * 1.0 / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    )

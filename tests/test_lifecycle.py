@@ -106,3 +106,39 @@ def test_clone_is_zero_copy_alias(spark, sf_dir, tmp_path):
     import os
 
     assert not os.path.exists(cat.path("daily_summary_clone"))
+
+def test_upsert_into_clone_materializes_copy_on_write(spark, sf_dir, tmp_path):
+    """Upserting through a clone name must materialize the clone (marker
+    dropped, physical table written) and leave the SOURCE untouched."""
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    catalog.write_full("src", base, date_col=None)
+    catalog.clone("dst", "src")
+    patch = spark.createDataFrame([(1, 999), (7, 700)], ["k", "v"])
+    catalog.upsert_by_key("dst", patch, key_cols=["k"], date_col=None)
+    # marker gone, physical table present
+    import os
+
+    assert not os.path.exists(catalog._clone_marker("dst"))
+    got = {r["k"]: r["v"] for r in catalog.table("dst").collect()}
+    assert got[1] == 999 and got[7] == 700 and got[0] == 0
+    # source unchanged (copy-on-write)
+    src = {r["k"]: r["v"] for r in catalog.table("src").collect()}
+    assert src[1] == 10 and 7 not in src
+
+def test_delete_through_clone_refuses(spark, sf_dir, tmp_path):
+    """delete_where_date_ge through a clone alias would destroy the source's
+    partitions — the catalog must refuse (Snowflake CLONE is copy-on-write)."""
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 1, 5), 2)],
+        ["date_key", "v"],
+    )
+    catalog.write_full("src", df, date_col="date_key")
+    catalog.clone("dst", "src")
+    with pytest.raises(ValueError, match="clone"):
+        catalog.delete_where_date_ge("dst", "date_key", datetime.date(2024, 1, 3))
+    # source intact
+    assert catalog.table("src").count() == 2
