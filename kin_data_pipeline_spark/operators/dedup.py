@@ -90,6 +90,74 @@ def jaccard_pairs(
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return pairs.withColumn("jaccard", jac).filter(jac >= threshold)
 
+def jaccard_pairs_grouped(
+    postings: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int = 50,
+    prefilter_skew: bool = False,
+) -> DataFrame:
+    """Near-dup pairs via grouped posting lists — the 100 TB scale path.
+
+    Instead of a postings self-join (which evaluates the whole postings
+    chain once per join side — shingle derivation dominates that cost),
+    traverse postings ONCE: group each shingle's posting list with its
+    document frequency in a single map-side-combined aggregation, drop
+    lists longer than ``df_cap`` (the stopword/skew guard — identical
+    semantics to ``shingle_postings(stopword_shingle_cap=df_cap)`` feeding
+    ``jaccard_pairs``), and expand the ≤ cap·(cap−1)/2 within-list pairs
+    with JVM higher-order functions. Two shuffles total (shingle groupBy,
+    pair-count groupBy), both spill-capable.
+
+    ``prefilter_skew=True`` adds a count-only pass + semi-join that drops
+    degenerate shingles BEFORE any posting list is buffered — use it for
+    adversarial corpora where a single shingle's posting list (df ≫ cap)
+    would be too large even as a spilled aggregation buffer. It costs one
+    extra traversal of the postings chain, so leave it off when the input
+    is natural text whose worst df fits in an executor's spill budget.
+    """
+    if prefilter_skew:
+        freq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(
+            freq.filter(F.col("df") <= df_cap).select("s"), "s", "left_semi"
+        )
+    lists = (
+        postings.groupBy("s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
+            ).alias("docs"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter(F.col("df") <= df_cap)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_sh"].alias("na"),
+                        y["n_sh"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    pairs = (
+        lists.select(pair)
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("p.na").alias("na"),
+            F.first("p.nb").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.withColumn("jaccard", jac).filter(jac >= threshold)
+
 def minhash_signatures(
     postings: DataFrame, params: list[tuple[int, int]], prime: int = 2147483647
 ) -> DataFrame:

@@ -717,13 +717,16 @@ JACCARD_DF_CAP = 50
     doc=f"Jaccard near-dups with df<={JACCARD_DF_CAP} shingle cap (the skew-bounded scale path)",
 )
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs, shingle_postings
+    from kin_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_grouped,
+        shingle_postings,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    postings = shingle_postings(
-        docs, "doc_id", "text", k=SHINGLE_K, stopword_shingle_cap=JACCARD_DF_CAP
+    postings = shingle_postings(docs, "doc_id", "text", k=SHINGLE_K)
+    pairs = jaccard_pairs_grouped(
+        postings, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP
     )
-    pairs = jaccard_pairs(postings, threshold=JACCARD_THRESHOLD)
     return pairs.select(
         "doc_a",
         "doc_b",
