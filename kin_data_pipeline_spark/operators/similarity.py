@@ -83,6 +83,80 @@ def _bucket_expr(vec_col, planes: list[list[float]]):
         bucket = bucket + bit
     return bucket
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    n_planes: int = 6,
+    seed: int = 42,
+    broadcast_embeddings: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH.
+
+    The all-pairs dedup analog of ``lsh_topk``: every vector hashes to one
+    bucket per band (independent hyperplane sets, seed+band), candidate
+    pairs are the within-bucket pairs of any band (equi-join on
+    ``(band, bucket)`` — linear shuffle, never a cross join). Candidates
+    carry only the two ids through the bucket join and are deduped BEFORE
+    the exact-cosine verify, so each unique pair pays for exactly one dot
+    product regardless of how many bands it collides in; embeddings are
+    re-attached by id afterwards.
+
+    Scale notes: per-band bucket occupancy is ~N/2^n_planes, so raise
+    ``n_planes`` with corpus size to keep the within-bucket pair expansion
+    bounded; ``n_bands`` buys recall linearly at the cost of one extra
+    bucket copy per band. ``broadcast_embeddings`` suits corpora whose
+    (id, vector) table fits the broadcast budget; at 100 TB set it False
+    and the re-attach becomes a linear shuffle join on id.
+    """
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(
+                    F.col("emb"), _hyperplanes(_dim_of(df, vec_col), n_planes, seed + b)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = e.withColumn("bb", F.explode(bands)).select(
+        "vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vid").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    if broadcast_embeddings:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    sims = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

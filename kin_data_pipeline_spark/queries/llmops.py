@@ -542,6 +542,66 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # Vocabulary statistics: document frequency per term — the exact-integer
+# Embedding-cosine near-duplicate pairs — the all-pairs dedup tier over the
+# embedding column (complements exact/jaccard/minhash/simhash). Banded
+# sign-LSH candidates (equi-join on (band, bucket), never a cross join) with
+# an exact-cosine verify; the per-band hyperplanes are injected into BOTH
+# engines as literals so the candidate set is identical.
+
+_NDUP_BANDS = 4
+_NDUP_PLANES = 6
+_NDUP_SEED = 42
+_NDUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal (max pairwise
+# cosine ≈ 0.51 at sf0.01) — the threshold is the operator's parameter, set
+# where this corpus has actual near-neighbors.
+
+def _sql_band_bucket(vec: str, band: int) -> str:
+    planes = _hyperplanes(dim=64, n_planes=_NDUP_PLANES, seed=_NDUP_SEED + band)
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+@register(
+    "embedding_cosine_near_dups",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), b AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, emb, nrm, {band} AS band, "
+        f"{_sql_band_bucket('emb', band)} AS bucket FROM e"
+        for band in range(_NDUP_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+             list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS sim
+      FROM b a JOIN b c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 4) AS cosine_sim
+    FROM cand WHERE sim >= {_NDUP_THRESHOLD}
+    """,
+    doc="embedding-cosine near-dup pairs via banded sign-LSH + exact verify (dedup tier 5)",
+)
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(
+        emb,
+        threshold=_NDUP_THRESHOLD,
+        n_bands=_NDUP_BANDS,
+        n_planes=_NDUP_PLANES,
+        seed=_NDUP_SEED,
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 4).alias("cosine_sim"))
+
 # substrate of TF-IDF (logs are deliberately excluded: libm vs JVM ln can
 # differ in the last ulp, so scoring stays engine-exact by shipping counts).
 @register(
