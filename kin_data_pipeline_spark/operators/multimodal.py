@@ -111,6 +111,32 @@ def decode_media(df: DataFrame) -> DataFrame:
     """
     return df.mapInPandas(fake_decode_batch, schema=DECODED_SCHEMA)
 
+def frame_sample_plan(
+    df: DataFrame, n_frames_col: str = "n_frames", sample_count: int = 8
+) -> DataFrame:
+    """Video frame-sampling plan: pick ``sample_count`` evenly-spaced frame
+    indices per clip from its frame count — pure JVM array math
+    (``sequence``/``transform``), one row per clip with the index array.
+    The byte-level frame extraction consuming this plan is part of the
+    stubbed codec step (``require_codec('av')`` on a production image).
+
+    Clips shorter than ``sample_count`` keep every frame exactly once.
+    """
+    n = F.col(n_frames_col)
+    take = F.least(n, F.lit(sample_count))
+    # floor(i * n / take) for i in [0, take) — the standard uniform stride.
+    idx = F.transform(
+        F.sequence(F.lit(0), take - 1),
+        lambda i: F.floor(i * n / take).cast("int"),
+    )
+    return df.select(
+        "*",
+        take.cast("int").alias("n_sampled"),
+        F.when(n > 0, idx).otherwise(F.array().cast("array<int>")).alias(
+            "frame_indices"
+        ),
+    )
+
 def resize_plan(df: DataFrame, max_side: int) -> DataFrame:
     """Pure-metadata resize planning (aspect-preserving target dims) — stays
     JVM-side; the byte-level resample is part of the stubbed codec step."""

@@ -1,5 +1,6 @@
 from kin_data_pipeline_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
+    running_balance_stream,
     sessionize_stream,
     stream_events_from_parquet,
 )

@@ -78,6 +78,46 @@ def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
         )
     )
 
+def running_balance_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running balance + event count, carried in explicit GroupState across
+    micro-batches (the arbitrary-stateful tier beyond watermarked windows —
+    what ``sum`` can't express once the update rule stops being algebraic).
+
+    Emits one row per key per micro-batch in ``update`` mode. State is one
+    (double, long) pair per key — bounded by key cardinality, not stream
+    length; at 100 TB the state store shards with the shuffle partitioning
+    on ``key_col``.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} LONG, balance DOUBLE, n_events LONG"
+    state_schema = "balance DOUBLE, n_events LONG"
+
+    def update(key, pdfs, state: GroupState):
+        bal, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            bal += float(pdf[value_col].sum())
+            n += len(pdf)
+        state.update((bal, n))
+        yield pd.DataFrame({key_col: [key[0]], "balance": [bal], "n_events": [n]})
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

@@ -48,3 +48,22 @@ def test_media_checksum_matches_sql_md5(spark, sf_dir):
         F.col("m.media_id") == F.col("d.doc_id"),
     )
     assert joined.filter(F.col("checksum") != F.col("expect")).count() == 0
+
+def test_frame_sample_plan_uniform_stride(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents").limit(64)
+    clips = decode_media(attach_media_columns(docs, "doc_id", "text")).select(
+        "media_id", (F.col("feature_hash") % 200).cast("int").alias("n_frames")
+    )
+    planned = frame_sample_plan(clips, sample_count=8)
+    for r in planned.collect():
+        n, take, idx = r["n_frames"], r["n_sampled"], r["frame_indices"]
+        assert take == min(n, 8)
+        assert len(idx) == take
+        assert len(set(idx)) == take  # no repeated frames
+        assert all(0 <= i < n for i in idx)
+        if n >= 8:
+            assert idx[0] == 0 and idx[-1] == (7 * n) // 8
+        else:
+            assert idx == list(range(n))

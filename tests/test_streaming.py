@@ -52,3 +52,31 @@ def test_streaming_sessionization_runs(spark, sf_dir):
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+def test_running_balance_stream_matches_batch(spark, sf_dir):
+    from kin_data_pipeline_spark.streaming import running_balance_stream
+
+    stream = stream_events_from_parquet(spark, sf_dir)
+    q = (
+        running_balance_stream(stream)
+        .writeStream.format("memory")
+        .queryName("running_balance")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per key per micro-batch; the LAST row per
+    # key is the final state — with a single source file there is one batch.
+    got = {
+        r["user_id"]: (round(r["balance"], 6), r["n_events"])
+        for r in spark.sql("SELECT * FROM running_balance").collect()
+    }
+    batch = {
+        r["user_id"]: (round(r["total"], 6), r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
