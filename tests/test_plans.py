@@ -54,3 +54,14 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
     assert "WholeStageCodegen" in buf.getvalue()
+
+def test_capped_jaccard_single_postings_pass(spark, sf_dir):
+    # The grouped pair expansion must not re-derive the postings chain per
+    # join side: exactly one documents scan in the whole plan.
+    plan = _plan(spark, sf_dir, "ngram_jaccard_capped")
+    assert plan.count("Scan parquet") == 1
+
+def test_embedding_near_dup_broadcast_reattach(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_cosine_near_dups")
+    assert "BroadcastHashJoin" in plan  # embedding re-attach after pair dedup
+    assert "CartesianProduct" not in plan
