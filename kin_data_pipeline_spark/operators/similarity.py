@@ -157,6 +157,85 @@ def lsh_near_dup_pairs(
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     return len(df.select(vec_col).first()[0])
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    centroid_stride: int = 31,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cell probing.
+
+    Centroids are sampled deterministically from the corpus itself
+    (``id % centroid_stride == 0`` — no training step, engine-reproducible).
+    Every vector joins its nearest centroid's inverted list (one N×K
+    broadcast pass — linear in N since K ≪ N); each query probes its
+    ``nprobe`` nearest cells and scores only those lists exactly.
+
+    The scale shape: assignment is a broadcast nested-loop over the tiny
+    centroid set, the probe is an equi-join on centroid id, and cell
+    occupancy (~N/K) bounds every per-key expansion. Raise
+    ``centroid_stride``'s inverse (more centroids) as N grows — K ≈ √N
+    keeps assignment and probing balanced.
+    """
+    e = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    cent = e.filter(F.col("vid") % centroid_stride == 0).select(
+        F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_to_cent)
+        .withColumn("rn", F.row_number().over(rank_w))
+    )
+    assign = scored.filter(F.col("rn") == 1).select("vid", "cid")
+    qe = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    probes = (
+        qe.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_to_cent)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), "cid")
+    )
+    inv = e.join(assign, "vid").select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "cid",
+    )
+    q_side = probes.join(
+        qe.select(
+            F.col("vid").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        ),
+        "query_id",
+    )
+    sims = (
+        inv.join(F.broadcast(q_side), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

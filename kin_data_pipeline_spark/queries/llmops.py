@@ -542,6 +542,75 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # Vocabulary statistics: document frequency per term — the exact-integer
+# IVF (inverted-file) ANN — the second scale path for similarity search,
+# complementing sign-LSH. Centroids are sampled deterministically from the
+# corpus (vec_id % stride == 0), so BOTH engines derive the identical cell
+# structure from the data with no injected literals; assignment and probing
+# rank by exact cosine with (sim DESC, cid ASC) tiebreaks.
+
+_IVF_STRIDE = 31
+_IVF_NPROBE = 2
+_IVF_K = 5
+
+@register(
+    "embedding_ivf_ann_top5",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
+      WHERE vec_id % {_IVF_STRIDE} = 0
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c WHERE e.vec_id < 20
+      ) WHERE rn <= {_IVF_NPROBE}
+    ), sims AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) AS sim
+      FROM probes p
+      JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= {_IVF_K}
+    """,
+    doc="IVF-cell ANN with deterministic sampled centroids (second ANN scale path)",
+)
+def embedding_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(
+        emb, queries, k=_IVF_K, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("sim", 4).alias("cosine_sim"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
 # Embedding-cosine near-duplicate pairs — the all-pairs dedup tier over the
 # embedding column (complements exact/jaccard/minhash/simhash). Banded
 # sign-LSH candidates (equi-join on (band, bucket), never a cross join) with
