@@ -542,6 +542,96 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # Vocabulary statistics: document frequency per term — the exact-integer
+# BPE-ish regex tokenization — the second token-accounting tier beyond
+# whitespace splitting: letter runs / digit runs / single non-alnum marks,
+# the shape a byte-pair pre-tokenizer sees. Same class-based pattern compiles
+# identically under Java regex and DuckDB's RE2.
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+@register(
+    "regex_token_stats",
+    f"""
+    WITH t AS (
+      SELECT source, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+      FROM documents
+    ), c AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num
+      FROM t
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_alpha) AS BIGINT) AS total_alpha,
+           CAST(SUM(n_num) AS BIGINT) AS total_numeric,
+           CAST(SUM(n_toks - n_alpha - n_num) AS BIGINT) AS total_punct,
+           ROUND(SUM(n_toks) * 1.0 / COUNT(*), 6) AS avg_tokens_per_doc
+    FROM c GROUP BY source
+    """,
+    doc="BPE-ish regex token accounting per source (pre-tokenizer tier)",
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)).alias("toks"),
+    )
+    c = d.select(
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[A-Za-z]"))).cast("long").alias("n_alpha"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[0-9]"))).cast("long").alias("n_num"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_alpha").alias("total_alpha"),
+        F.sum("n_num").alias("total_numeric"),
+        F.sum(F.col("n_toks") - F.col("n_alpha") - F.col("n_num")).alias("total_punct"),
+        F.round(F.sum("n_toks") * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens_per_doc"),
+    )
+
+# Rolling-hash document fingerprinting: order-sensitive polynomial hash over
+# the word stream (h = h·31 + h32(word) mod 2^31−1) — exact-dedup's
+# order-aware sibling; all integer math, engine-identical (products stay
+# < 2^63, md5→int parity per the h32 path).
+
+@register(
+    "rolling_hash_fingerprints",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_SQL_WORDS},
+                   w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, rolling_hash FROM f
+    """,
+    doc="order-sensitive polynomial rolling-hash fingerprint per document",
+)
+def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_words(load_table(spark, sf_dir, "documents"))
+    h32 = F.transform(
+        F.col("words"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    rh = F.aggregate(
+        h32,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 2147483647,
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size("words").cast("long").alias("n_tokens"),
+        rh.alias("rolling_hash"),
+    )
+
 # IVF (inverted-file) ANN — the second scale path for similarity search,
 # complementing sign-LSH. Centroids are sampled deterministically from the
 # corpus (vec_id % stride == 0), so BOTH engines derive the identical cell
