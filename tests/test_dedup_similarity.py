@@ -74,3 +74,32 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     # bar here is structural (buckets + multiprobe wired correctly), not SOTA
     assert recall >= 0.3, f"LSH top-k recall {recall:.2f}"
     assert all(r["rnk"] <= 5 for r in approx.collect())
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, centroid_stride=31, nprobe=2)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF top-k recall {recall:.2f}"
+    assert all(r["rnk"] <= 5 for r in approx.collect())
+
+def test_lsh_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    found = lsh_near_dup_pairs(emb, threshold=0.4, n_bands=4, n_planes=6)
+    rows = found.collect()
+    assert len(rows) > 0
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["sim"] >= 0.4 for r in rows)
+    # no pair reported twice despite multi-band collisions
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
