@@ -41,7 +41,8 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     from kin_data_pipeline_spark.sources.catalog import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    for tbl in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, tbl).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries().items():
