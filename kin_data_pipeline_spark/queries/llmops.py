@@ -542,6 +542,89 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # Vocabulary statistics: document frequency per term — the exact-integer
+# End-to-end corpus curation — the composed pipeline a training-data engine
+# exists to run: quality gate → exact dedup → capped near-dup drop → corpus
+# accounting. Every stage is one of the registered operators; the oracle
+# replays the identical composition in SQL. At 100 TB each stage is linear:
+# the quality gate is a scan-level filter, exact dedup a fingerprint window,
+# near-dup the single-pass grouped-postings expansion, the drop a left-anti.
+
+_CURATE_MIN_TOKENS = 25
+_CURATE_MIN_DISTINCT = 0.35
+
+@register(
+    "curated_corpus_stats",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             len(list_distinct({_SQL_WORDS})) * 1.0 / len({_SQL_WORDS}) AS dr,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ), kept_q AS (
+      SELECT * FROM q
+      WHERE n_tokens >= {_CURATE_MIN_TOKENS} AND dr >= {_CURATE_MIN_DISTINCT}
+    ), exact AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept_q
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM exact
+      ), UNNEST(shingles) AS t(s)
+    ), keep_sh AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {{cap}}
+    ), capped AS (
+      SELECT sh.* FROM sh JOIN keep_sh ON sh.s = keep_sh.s
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), drops AS (
+      SELECT DISTINCT db FROM pairs
+      WHERE nc * 1.0 / (na + nb - nc) >= {{thr}}
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM exact
+    WHERE doc_id NOT IN (SELECT db FROM drops)
+    GROUP BY lang, source
+    """.replace("{cap}", "50").replace("{thr}", "0.5"),
+    doc="composed curation pipeline: quality gate + exact dedup + near-dup drop → corpus stats",
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import (
+        fingerprint,
+        jaccard_pairs_grouped,
+        shingle_postings,
+    )
+
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size("words").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("words")) * 1.0 / F.size("words")).alias("dr"),
+        fingerprint("text").alias("fp"),
+    )
+    kept_q = d.filter(
+        (F.col("n_tokens") >= _CURATE_MIN_TOKENS)
+        & (F.col("dr") >= _CURATE_MIN_DISTINCT)
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    exact = kept_q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    postings = shingle_postings(exact, "doc_id", "text", k=SHINGLE_K)
+    pairs = jaccard_pairs_grouped(postings, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = exact.join(drops, "doc_id", "left_anti")
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
 # BPE-ish regex tokenization — the second token-accounting tier beyond
 # whitespace splitting: letter runs / digit runs / single non-alnum marks,
 # the shape a byte-pair pre-tokenizer sees. Same class-based pattern compiles
