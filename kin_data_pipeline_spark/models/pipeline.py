@@ -2,14 +2,18 @@
 plans engine (the reference's daily pipeline, sf_daily_pipeline.yaml:1-17,
 with explicit dependencies instead of filename ordering).
 
-``build_kin_models(sf_dir)`` returns the Model list; run with::
+``build_kin_models(sf_dir)`` returns the FULL reference model surface (every
+mart `models/kin.py` implements) as Model entries; run with::
 
     runner.run(build_kin_models(sf_dir), run_date, "incremental")
 
-Derived marts read their upstreams from the catalog (not by recomputing the
-chain), so the DAG materializes each table exactly once per run — the
-engine-level equivalent of the reference's mart ordering, plus clone
-publication (S7) and the rename-only export layer (E3/P1).
+The reference injects the same watermark-append template into every model
+(execute_snowflake_load.py:82-100, unit from the cadence directory), so the
+Runner's uniform `date_trunc(unit, date_col) > watermark` append mirrors it
+exactly; clone publication (S7) and the rename-only Postgres export layer
+(E3/P1, postgres_replication/dailyAccountSummaryApp.sql) ride on top. Model
+builders share the session frame cache, so the DAG materializes each chain
+once per (run_date, sf_dir) even though marts self-compute their lineage.
 """
 
 from __future__ import annotations
@@ -19,78 +23,113 @@ from pyspark.sql import functions as F
 from kin_data_pipeline_spark.models import kin as K
 from kin_data_pipeline_spark.plans.model import Model
 
+FACT_T = "fact_kin_transaction"
+FACT_C = "fact_kin_creations"
+
 def build_kin_models(sf_dir: str) -> list[Model]:
-    def fact_transactions(ctx):
-        return K.fact_kin_transaction(ctx.spark, sf_dir, ctx.run_date)
+    def _k(name: str, cadence: str = "daily", date_col: str = "date_key",
+           deps: tuple[str, ...] = (FACT_T,)) -> Model:
+        fn = getattr(K, name)
 
-    def fact_creations(ctx):
-        return K.fact_kin_creations(ctx.spark, sf_dir, ctx.run_date)
+        def builder(ctx, fn=fn):
+            return fn(ctx.spark, sf_dir, ctx.run_date)
 
-    def daily_transactions(ctx):
-        f = ctx.table("fact_kin_transaction")
-        seg = lambda t: F.col("txn_type") == t  # noqa: E731
-        return f.groupBy("date_key").agg(
-            F.count(F.when(seg(1), 1)).alias("earn_count"),
-            F.count(F.when(seg(2), 1)).alias("spend_count"),
-            F.count(F.when(seg(3), 1)).alias("peer_count"),
-            F.count(F.lit(1)).alias("total_count"),
-            F.sum("amount_quark").cast("long").alias("total_volume_quark"),
-            F.countDistinct("from_wallet").alias("active_wallets"),
-        )
+        return Model(name, builder, cadence=cadence, depends_on=list(deps),
+                     date_col=date_col)
 
-    def weekly_transactions(ctx):
-        d = ctx.table("daily_kin_transactions")
-        return (
-            d.groupBy(F.trunc("date_key", "week").alias("date_key"))
-            .agg(
-                F.sum("total_count").cast("long").alias("total_count"),
-                F.sum("total_volume_quark").cast("long").alias("total_volume_quark"),
-            )
-            # complete-week guard: watermark semantics freeze partial weeks
-            .filter(F.date_add(F.col("date_key"), 7) <= F.lit(ctx.run_date))
-        )
-
-    def closing_balance(ctx):
-        return K.closing_account_balance_per_day(ctx.spark, sf_dir, ctx.run_date)
-
-    def export_daily_summary(ctx):
-        # Postgres-replication layer: pure rename projection (E3, P1)
-        return ctx.table("daily_kin_transactions").select(
+    def export_daily_account_summary_app(ctx):
+        # Postgres-replication layer: pure rename projection to the API's
+        # camelCase convention (E3/P1, dailyAccountSummaryApp.sql:1-9).
+        return ctx.table("daily_account_summary_by_app").select(
             F.col("date_key").alias("date"),
-            F.col("total_count").alias("transaction_count"),
-            F.col("total_volume_quark").alias("volume_quark"),
-            F.col("active_wallets").alias("active_wallet_count"),
+            F.col("app_id").alias("index"),
+            F.col("accounts_created").alias("accountsCreated"),
+            F.col("sol_cost").alias("solCost"),
+            F.col("usd_cost").alias("usdCost"),
         )
 
     return [
-        Model("fact_kin_transaction", fact_transactions, cadence="daily"),
-        Model("fact_kin_creations", fact_creations, cadence="daily"),
+        # --- facts (kin_main_warehouse) ---
+        _k(FACT_T, deps=()),
+        _k(FACT_C, deps=()),
+        # --- summary_stats / transactions marts ---
+        _k("daily_kin_transactions"),
+        _k("daily_counts_by_amount"),
+        _k("daily_kin_blocks"),
+        _k("daily_net_inflation"),
+        _k("daily_market_summary"),
+        _k("kin_transactions_curated", date_col="transaction_date"),
+        _k("weekly_kin_transactions", cadence="weekly", date_col="period",
+           deps=(FACT_T,)),
+        _k("monthly_kin_transactions", cadence="monthly", date_col="period",
+           deps=(FACT_T,)),
+        # --- balances chain (kre_mart active_user_and_vf) ---
+        _k("closing_account_balance_per_day", deps=(FACT_T, FACT_C)),
+        _k("average_account_balance_per_day",
+           deps=("closing_account_balance_per_day",)),
+        _k("account_balance_buckets_app",
+           deps=("closing_account_balance_per_day",)),
+        _k("daily_active_user_balance_by_app",
+           deps=("closing_account_balance_per_day",)),
+        _k("daily_volatility_factor",
+           deps=("daily_active_user_balance_by_app",)),
+        # --- payout chain (kre_mart payouts) ---
+        _k("daily_kin_payout",
+           deps=("daily_active_user_balance_by_app", "daily_volatility_factor")),
+        _k("kre_weekly_payout", cadence="weekly", date_col="week",
+           deps=("daily_kin_payout",)),
+        _k("weekly_kre_payout_summary", cadence="weekly", date_col="week",
+           deps=("daily_kin_payout",)),
+        _k("daily_kre_summary", deps=("daily_kin_payout",)),
+        # --- active accounts cadence matrix ---
+        _k("daily_active_accounts_30d"),
+        _k("daily_active_accounts_ecosystem"),
+        _k("weekly_active_accounts_app", cadence="weekly", date_col="period"),
+        _k("monthly_active_accounts_app", cadence="monthly", date_col="period"),
+        # ecosystem weekly/monthly are daily-grain trailing windows
+        # (reference keeps them under daily_models/…/active_accounts).
+        _k("weekly_active_accounts_ecosystem"),
+        _k("monthly_active_accounts_ecosystem"),
+        # --- account transaction summaries ---
+        _k("app_txn_summary_from_account_daily"),
+        _k("app_txn_summary_to_account_daily"),
+        _k("weekly_app_txn_summary_from_account", cadence="weekly",
+           date_col="period"),
+        _k("monthly_app_txn_summary_from_account", cadence="monthly",
+           date_col="period"),
+        _k("weekly_app_txn_summary_to_account", cadence="weekly",
+           date_col="period"),
+        _k("monthly_app_txn_summary_to_account", cadence="monthly",
+           date_col="period"),
+        # --- creates family ---
+        _k("daily_kin_creations_by_app", deps=(FACT_C,)),
+        _k("daily_create_fee_payers", deps=(FACT_C,)),
+        _k("daily_account_creates_by_type", deps=(FACT_C,)),
+        _k("daily_account_creates_by_close_authority", deps=(FACT_C,)),
+        # --- garbage collection / churn ---
+        _k("daily_churn_volume"),
+        _k("multi_create_impacted_accounts", date_col="last_seen_date",
+           deps=(FACT_C,)),
+        _k("gc_dust_wallets", cadence="monthly", date_col="last_seen_date",
+           deps=("closing_account_balance_per_day",)),
+        _k("monthly_inactive_wallets", cadence="monthly",
+           deps=("closing_account_balance_per_day", FACT_T, FACT_C)),
+        # --- API serving marts (kin_data) ---
+        _k("daily_account_summary_by_app", deps=(FACT_C,)),
+        _k("daily_account_summary_ecosystem", deps=(FACT_C,)),
+        _k("daily_summary_by_app",
+           deps=(FACT_T, "daily_active_user_balance_by_app")),
+        _k("daily_summary_ecosystem",
+           deps=(FACT_T, "daily_active_user_balance_by_app")),
+        # --- clones (S7) + Postgres export (E3) ---
+        Model("daily_kin_transactions_clone",
+              clone_of="daily_kin_transactions"),
+        Model("daily_kin_payout_clone", clone_of="daily_kin_payout"),
         Model(
-            "daily_kin_transactions",
-            daily_transactions,
+            "export_daily_account_summary_app",
+            export_daily_account_summary_app,
             cadence="daily",
-            depends_on=["fact_kin_transaction"],
-        ),
-        Model(
-            "weekly_kin_transactions",
-            weekly_transactions,
-            cadence="weekly",
-            depends_on=["daily_kin_transactions"],
-        ),
-        Model(
-            "closing_account_balance_per_day",
-            closing_balance,
-            cadence="daily",
-        ),
-        Model(
-            "daily_kin_transactions_clone",
-            clone_of="daily_kin_transactions",
-        ),
-        Model(
-            "export_daily_summary",
-            export_daily_summary,
-            cadence="daily",
-            depends_on=["daily_kin_transactions"],
+            depends_on=["daily_account_summary_by_app"],
             date_col="date",
         ),
     ]

@@ -61,8 +61,31 @@ class Catalog:
                 name = json.load(f)["clone_of"]
         return self.path(name)
 
+    def _schema_sidecar(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, f"{name}._schema.json")
+
+    def _save_schema(self, name: str, df: DataFrame) -> None:
+        with open(self._schema_sidecar(name), "w") as f:
+            f.write(df.schema.json())
+
     def table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.resolve(name))
+        """Read a table, preferring the stored schema sidecar.
+
+        The explicit schema makes empty tables readable (a partitioned write
+        of zero rows leaves no parquet files to infer from — legal for
+        cadence marts whose complete-period guard drops everything) and
+        skips footer-sampling inference on wide tables at scale.
+        """
+        path = self.resolve(name)
+        phys = os.path.basename(path)
+        sidecar = self._schema_sidecar(phys)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(f.read()))
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.parquet(path)
 
     def write_full(self, name: str, df: DataFrame, date_col: str | None) -> None:
         self._drop_clone(name)
@@ -70,6 +93,7 @@ class Catalog:
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
+        self._save_schema(name, df)
 
     def write_append(self, name: str, df: DataFrame, date_col: str | None) -> None:
         self._drop_clone(name)
@@ -77,6 +101,7 @@ class Catalog:
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
+        self._save_schema(name, df)
 
     def clone(self, name: str, source: str) -> None:
         """Zero-copy publication: an alias resolved at read time — the Spark
@@ -134,6 +159,7 @@ class Catalog:
         final = self.path(name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(staging, final)
+        self._save_schema(name, merged)
 
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
         """Date-keyed cleanup: drop whole date partitions >= cutoff.
