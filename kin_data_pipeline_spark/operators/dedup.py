@@ -93,7 +93,7 @@ def jaccard_pairs(
 def jaccard_pairs_grouped(
     postings: DataFrame,
     threshold: float = 0.8,
-    df_cap: int = 50,
+    df_cap: int | None = 50,
     prefilter_skew: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via grouped posting lists — the 100 TB scale path.
@@ -114,22 +114,26 @@ def jaccard_pairs_grouped(
     would be too large even as a spilled aggregation buffer. It costs one
     extra traversal of the postings chain, so leave it off when the input
     is natural text whose worst df fits in an executor's spill budget.
+
+    ``df_cap=None`` disables the cap: every co-occurring pair is formed —
+    the EXACT all-pairs semantics of ``jaccard_pairs``, still in a single
+    postings traversal. Only safe when the worst posting list fits an
+    aggregation buffer (spillable, but the pair expansion is quadratic in
+    the hottest shingle) — at open-web scale always pass a cap.
     """
-    if prefilter_skew:
+    if prefilter_skew and df_cap is not None:
         freq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         postings = postings.join(
             freq.filter(F.col("df") <= df_cap).select("s"), "s", "left_semi"
         )
-    lists = (
-        postings.groupBy("s")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
-            ).alias("docs"),
-            F.count(F.lit(1)).alias("df"),
-        )
-        .filter(F.col("df") <= df_cap)
+    lists = postings.groupBy("s").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
+        ).alias("docs"),
+        F.count(F.lit(1)).alias("df"),
     )
+    if df_cap is not None:
+        lists = lists.filter(F.col("df") <= df_cap)
     pair = F.explode(
         F.flatten(
             F.transform(

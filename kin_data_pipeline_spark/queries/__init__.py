@@ -20,6 +20,7 @@ import kin_data_pipeline_spark.queries.relational  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.llmops  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.kin_models  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.extended  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
 # so ordering is a coverage decision. Window layout:

