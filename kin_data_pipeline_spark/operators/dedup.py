@@ -126,12 +126,30 @@ def jaccard_pairs_grouped(
         postings = postings.join(
             freq.filter(F.col("df") <= df_cap).select("s"), "s", "left_semi"
         )
-    lists = postings.groupBy("s").agg(
+    return jaccard_pairs_from_lists(
+        grouped_posting_lists(postings), threshold=threshold, df_cap=df_cap
+    )
+
+def grouped_posting_lists(postings: DataFrame) -> DataFrame:
+    """One grouped posting list per shingle, with its document frequency.
+
+    This is the shared substrate of every grouped Jaccard variant: build
+    (or cache) it once, then expand pairs at any ``df_cap``/threshold —
+    the cap filter is applied on the ``df`` column downstream, so a single
+    materialization serves both the exact and the skew-capped forms.
+    """
+    return postings.groupBy("s").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
         ).alias("docs"),
         F.count(F.lit(1)).alias("df"),
     )
+
+def jaccard_pairs_from_lists(
+    lists: DataFrame, threshold: float = 0.8, df_cap: int | None = 50
+) -> DataFrame:
+    """Pair expansion over ``grouped_posting_lists`` output (see
+    ``jaccard_pairs_grouped`` for semantics and the scale contract)."""
     if df_cap is not None:
         lists = lists.filter(F.col("df") <= df_cap)
     pair = F.explode(

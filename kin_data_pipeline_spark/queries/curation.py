@@ -21,6 +21,7 @@ from kin_data_pipeline_spark.queries.llmops import (
     STOPWORDS,
     _shingles_of_words,
     _with_words,
+    shingled_documents,
 )
 from kin_data_pipeline_spark.queries.registry import register
 from kin_data_pipeline_spark.sources.catalog import load_table
@@ -63,9 +64,7 @@ _CONTAM_DEN = 5
     doc="benchmark decontamination: corpus docs sharing shingles with the held-out set",
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", _shingles_of_words().alias("shingles")
-    )
+    docs = shingled_documents(spark, sf_dir)
     bench = (
         docs.filter(F.col("source") == _BENCH_SOURCE)
         .select(F.explode("shingles").alias("s"))

@@ -60,6 +60,49 @@ def _shingles_of_words(words_col="words"):
         )
     )
 
+# --- session-scoped text substrates ---------------------------------------
+# Six registered queries re-derive the same k-shingle substrate (two Jaccard
+# variants, two MinHash stages, decontamination). Like the kin model chain's
+# `_FRAME_CACHE`, cache the shared frames once per (application, sf_dir) —
+# the session-cache analogue of materializing the postings table once in a
+# production pipeline run. Keyed by application id so a fresh session never
+# sees frames from a stopped one.
+_SUBSTRATE_CACHE: dict[tuple, DataFrame] = {}
+
+def _cached_substrate(spark, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _SUBSTRATE_CACHE:
+        _SUBSTRATE_CACHE[key] = build().cache()
+    return _SUBSTRATE_CACHE[key]
+
+def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingles) with the k=3 shingle arrays materialized."""
+    return _cached_substrate(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "source", _shingles_of_words().alias("shingles")
+        ),
+    )
+
+def _shingle_postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_documents(spark, sf_dir)
+    return sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+
+def shingle_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped posting lists (s, docs, df) — shared by both Jaccard tiers."""
+    from kin_data_pipeline_spark.operators.dedup import grouped_posting_lists
+
+    return _cached_substrate(
+        spark,
+        sf_dir,
+        "posting_lists",
+        lambda: grouped_posting_lists(_shingle_postings_cached(spark, sf_dir)),
+    )
+
 def _h64(col):
     """First 15 md5 hex chars as a bigint (< 2^60)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -146,16 +189,13 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact all-pairs Jaccard via the single-pass grouped-postings expansion
     # (df_cap=None): one shingle-derivation scan instead of the postings
     # self-join's two (the self-join re-evaluates the derivation chain per
-    # side), same pair set. The capped variant (`ngram_jaccard_capped`) is
-    # the skew-bounded form to use at open-web scale.
-    from kin_data_pipeline_spark.operators.dedup import (
-        jaccard_pairs_grouped,
-        shingle_postings,
-    )
+    # side), same pair set. The posting-list substrate is session-cached and
+    # shared with `ngram_jaccard_capped` — the skew-bounded form to use at
+    # open-web scale.
+    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
 
-    docs = load_table(spark, sf_dir, "documents")
-    postings = shingle_postings(docs, "doc_id", "text", k=SHINGLE_K)
-    pairs = jaccard_pairs_grouped(postings, threshold=JACCARD_THRESHOLD, df_cap=None)
+    lists = shingle_posting_lists(spark, sf_dir)
+    pairs = jaccard_pairs_from_lists(lists, threshold=JACCARD_THRESHOLD, df_cap=None)
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -195,10 +235,10 @@ def _minhash_spark_exprs():
     doc="MinHash signatures (4 universal hash fns over 3-gram shingles)",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode(_shingles_of_words()).alias("s")
+    sh = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
     )
-    return docs.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    return sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
 
 # MinHash-LSH candidate pairs: band the signatures, bucket-join on band
 # value — candidates are docs agreeing on ANY full band. The join key is
@@ -228,8 +268,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH banded bucket join → near-dup candidate pairs",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _with_words(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode(_shingles_of_words()).alias("s")
+    sh = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
     band_frames = [
@@ -1020,15 +1060,11 @@ JACCARD_DF_CAP = 50
     doc=f"Jaccard near-dups with df<={JACCARD_DF_CAP} shingle cap (the skew-bounded scale path)",
 )
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import (
-        jaccard_pairs_grouped,
-        shingle_postings,
-    )
+    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
 
-    docs = load_table(spark, sf_dir, "documents")
-    postings = shingle_postings(docs, "doc_id", "text", k=SHINGLE_K)
-    pairs = jaccard_pairs_grouped(
-        postings, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP
+    lists = shingle_posting_lists(spark, sf_dir)
+    pairs = jaccard_pairs_from_lists(
+        lists, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP
     )
     return pairs.select(
         "doc_a",
