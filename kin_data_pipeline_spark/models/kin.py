@@ -902,26 +902,12 @@ def app_txn_summary_to_account_daily(spark: SparkSession, sf_dir: str, run_date=
         _kin(F.sum("amount_quark")).alias("volume_kin"),
     )
 
-# metabase_mart/.../daily_active_accounts_ecosystem analog — trailing-30d
-# distinct actives without the app split.
+# metabase_mart/.../active_accounts/daily/daily_active_accounts_ecosystem.sql
+# — per-day users/spenders/earners distinct counts (the faithful 3-column
+# shape; see _active_accounts_breakdown for the family template).
 
 def daily_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    f = fact_kin_transaction(spark, sf_dir, run_date)
-    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key", F.col("from_wallet").alias("wallet_id")
-    )
-    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
-        "date_key", F.col("to_wallet").alias("wallet_id")
-    )
-    activity = spenders.unionByName(earners).distinct()
-    return trailing_distinct_count(
-        activity,
-        date_col="date_key",
-        distinct_col="wallet_id",
-        days=30,
-        out_col="active_accounts_30d",
-        spine=f.select("date_key"),
-    )
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=1, by_app=False)
 
 # metabase_mart/daily_models/reporting/daily_summary_by_app.sql analog —
 # the wide reporting join: txn metrics ⨝ creations ⨝ payout ⨝ dim ⨝ price
@@ -1017,24 +1003,14 @@ def daily_summary_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
 # 7-/30-day trailing joins collapse to within-period distinct counts at
 # period grain).
 
-def _period_active_accounts(spark, sf_dir, run_date, unit: str) -> DataFrame:
-    f = fact_kin_transaction(spark, sf_dir, run_date)
-    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
-    )
-    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
-        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
-    )
-    activity = spenders.unionByName(earners).distinct()
-    return activity.groupBy(
-        F.trunc("date_key", unit).alias("period"), "app_id"
-    ).agg(F.countDistinct("wallet_id").alias("active_accounts"))
-
 def weekly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _period_active_accounts(spark, sf_dir, run_date, "week")
+    # weekly_active_accounts_app.sql: trailing-7d window per date_key anchor
+    # (dateadd -6), NOT a calendar-week rollup.
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=7, by_app=True)
 
 def monthly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _period_active_accounts(spark, sf_dir, run_date, "month")
+    # monthly_active_accounts_app.sql: trailing-30d window (dateadd -29).
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=30, by_app=True)
 
 # kre_mart/weekly_models/payouts/kre_weekly_payout.sql:4,21-25 — weekly
 # payout per app (micro-Kin ints) with rank; feeds the JSON summary.
@@ -1147,30 +1123,42 @@ def monthly_inactive_wallets(spark: SparkSession, sf_dir: str, run_date=RUN_DATE
 # separate spender/earner/user counts (the reference's three raw CTEs fused
 # into one role-tagged stream + one conditional count-distinct pass).
 
-def _trailing_active_accounts_ecosystem(spark, sf_dir, run_date, days: int) -> DataFrame:
+def _active_accounts_breakdown(
+    spark, sf_dir, run_date, days: int, by_app: bool
+) -> DataFrame:
+    """users/spenders/earners distinct counts — the whole reference
+    active_accounts family (metabase_mart/daily_models/reporting/
+    active_accounts/{daily,weekly,monthly}/…_{app,ecosystem}.sql) is this
+    one template: spenders = from_account of type 2,3; earners = to_account
+    of type 1,3; users = their union; window is 1 (daily), trailing 7
+    (weekly, dateadd -6) or trailing 30 (monthly, dateadd -29) days
+    evaluated per date_key anchor. Rewritten J4+A2-style: dedup to
+    (date, key, wallet, role) grain, explode each observation over the
+    spine days it stays visible for, then ONE aggregation with three
+    conditional distinct counts — no per-anchor range join."""
     f = fact_kin_transaction(spark, sf_dir, run_date)
+    keys = ["app_id"] if by_app else []
     spend = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key", F.col("from_wallet").alias("wallet_id"), F.lit("s").alias("role")
+        "date_key", *keys, F.col("from_wallet").alias("wallet_id"),
+        F.lit("s").alias("role"),
     )
     earn = f.filter(F.col("txn_type").isin(1, 3)).select(
-        "date_key", F.col("to_wallet").alias("wallet_id"), F.lit("e").alias("role")
+        "date_key", *keys, F.col("to_wallet").alias("wallet_id"),
+        F.lit("e").alias("role"),
     )
     obs = spend.unionByName(earn).distinct()
-    exploded = obs.withColumn(
-        "spine_day",
-        F.explode(
-            F.sequence(
-                F.col("date_key"),
-                F.date_add(F.col("date_key"), days - 1),
-                F.expr("interval 1 day"),
-            )
-        ),
-    )
-    spine = f.select("date_key").distinct().select(
-        F.col("date_key").alias("spine_day")
-    )
-    win = exploded.join(spine, "spine_day", "inner")
-    return win.groupBy(F.col("spine_day").alias("date_key")).agg(
+    if days > 1:
+        obs = obs.withColumn(
+            "date_key",
+            F.explode(
+                F.sequence(
+                    F.col("date_key"),
+                    F.date_add(F.col("date_key"), days - 1),
+                    F.expr("interval 1 day"),
+                )
+            ),
+        )
+    grouped = obs.groupBy("date_key", *keys).agg(
         F.countDistinct("wallet_id").alias("active_users"),
         F.countDistinct(F.when(F.col("role") == "s", F.col("wallet_id"))).alias(
             "active_spenders"
@@ -1179,12 +1167,20 @@ def _trailing_active_accounts_ecosystem(spark, sf_dir, run_date, days: int) -> D
             "active_earners"
         ),
     )
+    if days > 1:
+        # only real reporting days (the reference's date_anchor CTE)
+        spine = f.select("date_key").distinct()
+        grouped = grouped.join(spine, "date_key", "inner")
+    return grouped
+
+def daily_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=1, by_app=True)
 
 def weekly_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _trailing_active_accounts_ecosystem(spark, sf_dir, run_date, days=7)
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=7, by_app=False)
 
 def monthly_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _trailing_active_accounts_ecosystem(spark, sf_dir, run_date, days=30)
+    return _active_accounts_breakdown(spark, sf_dir, run_date, days=30, by_app=False)
 
 # metabase_mart/{weekly,monthly}_models/reporting/accounts/
 # app_transaction_summary_{from,to}_account_by_{week,month}.sql — cadence

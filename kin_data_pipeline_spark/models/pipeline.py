@@ -82,12 +82,14 @@ def build_kin_models(sf_dir: str) -> list[Model]:
            deps=("daily_kin_payout",)),
         _k("daily_kre_summary", deps=("daily_kin_payout",)),
         # --- active accounts cadence matrix ---
+        # the whole family is daily-grain: weekly/monthly are trailing
+        # 7/30-day windows per date_key anchor (reference keeps them under
+        # daily_models/…/active_accounts), not calendar rollups.
         _k("daily_active_accounts_30d"),
+        _k("daily_active_accounts_app"),
         _k("daily_active_accounts_ecosystem"),
-        _k("weekly_active_accounts_app", cadence="weekly", date_col="period"),
-        _k("monthly_active_accounts_app", cadence="monthly", date_col="period"),
-        # ecosystem weekly/monthly are daily-grain trailing windows
-        # (reference keeps them under daily_models/…/active_accounts).
+        _k("weekly_active_accounts_app"),
+        _k("monthly_active_accounts_app"),
         _k("weekly_active_accounts_ecosystem"),
         _k("monthly_active_accounts_ecosystem"),
         # --- account transaction summaries ---

@@ -617,21 +617,47 @@ FROM fact_kin_transaction GROUP BY 1, 2, 3
     doc="to-account twin of the fine-grain mart",
 )(_q(M.app_txn_summary_to_account_daily))
 
+# The reference active_accounts family (metabase_mart/daily_models/
+# reporting/active_accounts/{daily,weekly,monthly}/…_{app,ecosystem}.sql)
+# is one template: 3 distinct counts (users/spenders/earners) over a
+# 1/7/30-day trailing window per date_key anchor, with or without app_id.
+_ACTIVES_OBS_SQL = """
+, act3_obs AS (
+  SELECT DISTINCT date_key, app_id, wallet_id, role FROM (
+    SELECT date_key, app_id, from_wallet AS wallet_id, 's' AS role
+    FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+    UNION ALL
+    SELECT date_key, app_id, to_wallet, 'e' FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+  )
+), act3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
+"""
+
+def _actives_sql(back: int, by_app: bool) -> str:
+    app_sel = "o.app_id, " if by_app else ""
+    group = "1, 2" if by_app else "1"
+    return (
+        _ACTIVES_OBS_SQL
+        + f"""
+SELECT s.spine_day AS date_key, {app_sel}
+       CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 'e' THEN o.wallet_id END) AS BIGINT) AS active_earners
+FROM act3_spine s JOIN act3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
+GROUP BY {group}
+"""
+    )
+
 register(
     "kin_daily_active_accounts_ecosystem",
-    _with(*_BASE, FACT_TXN_SQL)
-    + """
-, eco_activity AS (
-  SELECT date_key, from_wallet AS wallet_id FROM fact_kin_transaction WHERE txn_type IN (2, 3)
-  UNION
-  SELECT date_key, to_wallet FROM fact_kin_transaction WHERE txn_type IN (1, 3)
-), eco_spine AS (SELECT DISTINCT date_key FROM fact_kin_transaction)
-SELECT s.date_key, CAST(COUNT(DISTINCT a.wallet_id) AS BIGINT) AS active_accounts_30d
-FROM eco_spine s JOIN eco_activity a ON a.date_key BETWEEN s.date_key - 29 AND s.date_key
-GROUP BY 1
-""",
-    doc="ecosystem-level trailing-30d actives (J4+A2 without app split)",
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=0, by_app=False),
+    doc="per-day users/spenders/earners ecosystem counts (daily_active_accounts_ecosystem.sql)",
 )(_q(M.daily_active_accounts_ecosystem))
+
+register(
+    "kin_daily_active_accounts_app",
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=0, by_app=True),
+    doc="per-day users/spenders/earners per app (daily_active_accounts_app.sql)",
+)(_q(M.daily_active_accounts_app))
 
 register(
     "kin_daily_summary_by_app",
@@ -689,27 +715,16 @@ LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
     doc="ecosystem-day reporting rollup (J1 inner price-day semantics kept)",
 )(_q(M.daily_summary_ecosystem))
 
-_PERIOD_ACTIVES_SQL = """
-, p_activity AS (
-  SELECT date_key, app_id, from_wallet AS wallet_id FROM fact_kin_transaction WHERE txn_type IN (2, 3)
-  UNION
-  SELECT date_key, app_id, to_wallet FROM fact_kin_transaction WHERE txn_type IN (1, 3)
-)
-SELECT CAST(date_trunc('{unit}', date_key) AS DATE) AS period, app_id,
-       CAST(COUNT(DISTINCT wallet_id) AS BIGINT) AS active_accounts
-FROM p_activity GROUP BY 1, 2
-"""
-
 register(
     "kin_weekly_active_accounts_app",
-    _with(*_BASE, FACT_TXN_SQL) + _PERIOD_ACTIVES_SQL.format(unit="week"),
-    doc="weekly distinct actives per app (cadence family of J4+A2)",
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=6, by_app=True),
+    doc="trailing-7d users/spenders/earners per app (weekly_active_accounts_app.sql dateadd -6)",
 )(_q(M.weekly_active_accounts_app))
 
 register(
     "kin_monthly_active_accounts_app",
-    _with(*_BASE, FACT_TXN_SQL) + _PERIOD_ACTIVES_SQL.format(unit="month"),
-    doc="monthly distinct actives per app",
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=29, by_app=True),
+    doc="trailing-30d users/spenders/earners per app (monthly_active_accounts_app.sql dateadd -29)",
 )(_q(M.monthly_active_accounts_app))
 
 register(
@@ -796,32 +811,15 @@ WHERE z.wallet_id NOT IN (SELECT wallet_id FROM gci_recovered)
     doc="faithful GC: last zero-balance in the GC month, never recovered (NOT-IN → anti join, §1.4)",
 )(_q(M.monthly_inactive_wallets))
 
-_ECO_CADENCE_SQL = """
-, eco3_obs AS (
-  SELECT DISTINCT date_key, wallet_id, role FROM (
-    SELECT date_key, from_wallet AS wallet_id, 's' AS role
-    FROM fact_kin_transaction WHERE txn_type IN (2, 3)
-    UNION ALL
-    SELECT date_key, to_wallet, 'e' FROM fact_kin_transaction WHERE txn_type IN (1, 3)
-  )
-), eco3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
-SELECT s.spine_day AS date_key,
-       CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
-       CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
-       CAST(COUNT(DISTINCT CASE WHEN o.role = 'e' THEN o.wallet_id END) AS BIGINT) AS active_earners
-FROM eco3_spine s JOIN eco3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
-GROUP BY 1
-"""
-
 register(
     "kin_weekly_active_accounts_ecosystem",
-    _with(*_BASE, FACT_TXN_SQL) + _ECO_CADENCE_SQL.format(back=6),
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=6, by_app=False),
     doc="trailing-7d ecosystem actives with spender/earner split (J4+A2 spine)",
 )(_q(M.weekly_active_accounts_ecosystem))
 
 register(
     "kin_monthly_active_accounts_ecosystem",
-    _with(*_BASE, FACT_TXN_SQL) + _ECO_CADENCE_SQL.format(back=29),
+    _with(*_BASE, FACT_TXN_SQL) + _actives_sql(back=29, by_app=False),
     doc="trailing-30d ecosystem actives with spender/earner split",
 )(_q(M.monthly_active_accounts_ecosystem))
 
