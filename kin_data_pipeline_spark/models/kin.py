@@ -155,35 +155,47 @@ def _fact_kin_creations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> 
     )
 
 # ---------------------------------------------------------------------------
-# metabase_mart/daily_models/reporting/daily_kin_transactions.sql:2-99 —
-# per-type segmented metrics, fused into ONE aggregation pass (A9).
+# metabase_mart/daily_models/reporting/daily_kin_transactions.sql:1-99 —
+# per-(date, app) mart: totals + per-type count/amount/average/median + the
+# hardcoded 0.00001-SOL-per-txn fee sum (:11), app_name from dim_kin_app
+# (:93-99). The reference's four CTE scans + three self-joins fuse into ONE
+# conditional aggregation pass (A9+A4) and a broadcast dim join; amounts are
+# in Kin (fact amount = quark/1e5, fact_kin_transaction.sql:26).
 
 def daily_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
     seg = lambda t: F.col("txn_type") == t  # noqa: E731
 
     def seg_aggs(t: int, prefix: str):
+        cnt = F.count(F.when(seg(t), F.lit(1)))
+        quark = F.coalesce(F.sum(F.when(seg(t), F.col("amount_quark"))), F.lit(0))
         return [
-            F.count(F.when(seg(t), F.lit(1))).alias(f"{prefix}_count"),
-            _kin(F.coalesce(F.sum(F.when(seg(t), F.col("amount_quark"))), F.lit(0))).alias(
-                f"{prefix}_volume_kin"
-            ),
-            F.round(
-                F.median(F.when(seg(t), F.col("amount_quark"))) / 100000.0, 6
-            ).alias(f"{prefix}_median_kin"),
+            cnt.alias(f"{prefix}_transactions"),
+            _kin(quark).alias(f"{prefix}_amounts"),
+            # avg in Kin: exact int sum / exact int (count × 1e5) — ONE
+            # correctly-rounded division, identical on both engines.
+            F.when(cnt == 0, F.lit(0.0))
+            .otherwise(quark.cast("double") / (cnt * 100000).cast("double"))
+            .alias(f"{prefix}_average"),
+            F.coalesce(
+                F.round(F.median(F.when(seg(t), F.col("amount_quark"))) / 100000.0, 6),
+                F.lit(0.0),
+            ).alias(f"{prefix}_median"),
         ]
 
-    return f.groupBy("date_key").agg(
-        *seg_aggs(1, "earn"),
-        *seg_aggs(2, "spend"),
-        *seg_aggs(3, "peer"),
-        F.count(F.when(F.col("txn_type").isNull(), F.lit(1))).alias(
-            "unattributed_count"
-        ),
-        F.count(F.lit(1)).alias("total_count"),
-        _kin(F.sum("amount_quark")).alias("total_volume_kin"),
-        F.countDistinct("from_wallet").alias("active_wallets"),
+    mart = f.groupBy("date_key", "app_id").agg(
+        # 0.00001 SOL per txn (reference :11) = count / 1e5, one division
+        (F.count(F.lit(1)).cast("double") / F.lit(100000.0)).alias("daily_fee_sum"),
+        F.count(F.lit(1)).alias("daily_total_transactions"),
+        _kin(F.sum("amount_quark")).alias("daily_total_amounts"),
+        *seg_aggs(1, "daily_earn"),
+        *seg_aggs(2, "daily_spend"),
+        *seg_aggs(3, "daily_peer"),
     )
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return mart.join(F.broadcast(app), "app_id", "left")
 
 # metabase_mart/.../daily_kin_transaction_counts_by_amount.sql:5-13 (P8).
 
@@ -914,87 +926,154 @@ def daily_active_accounts_ecosystem(spark: SparkSession, sf_dir: str, run_date=R
 # (J1/J2 + P2 USD conversion). USD value is an exact integer cross-multiply
 # (quark × cents = 1e-7 USD units) published as DECIMAL(38,0).
 
+def _price_frames(spark, sf_dir):
+    """USD-per-unit price series as doubles (cents / 100, one division)."""
+    kp = ka.dim_kin_price(spark, sf_dir).select(
+        "date_key", (F.col("price_cents").cast("double") / 100.0).alias("kin_price")
+    )
+    sp = ka.dim_solana_price(spark, sf_dir).select(
+        "date_key",
+        (F.col("sol_price_cents").cast("double") / 100.0).alias("sol_price"),
+    )
+    return kp, sp
+
 def daily_summary_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    f = fact_kin_transaction(spark, sf_dir, run_date)
-    txn = f.groupBy("date_key", "app_id").agg(
-        F.count(F.lit(1)).alias("n_txns"),
-        F.sum("amount_quark").cast("long").alias("volume_quark"),
-        F.countDistinct("from_wallet").alias("n_spenders"),
+    """kin_data/daily_models/api/daily_summary_by_app.sql:1-75 — the API
+    serving mart: daily_kin_transactions metrics priced in USD, joined to
+    the daily and monthly active_accounts_app breakdowns. Price joins are
+    INNER (reference :72-73); actives joins are LEFT with 0 fill."""
+    txns = daily_kin_transactions(spark, sf_dir, run_date)
+
+    def _actives(df, prefix, keys):
+        return df.select(
+            *keys,
+            F.col("active_users").alias(f"{prefix}_active_users"),
+            F.col("active_earners").alias(f"{prefix}_active_earners"),
+            F.col("active_spenders").alias(f"{prefix}_active_spenders"),
+        )
+
+    keys = ["date_key", "app_id"]
+    du = _actives(daily_active_accounts_app(spark, sf_dir, run_date), "daily", keys)
+    mu = _actives(
+        monthly_active_accounts_app(spark, sf_dir, run_date), "monthly", keys
     )
-    cr = (
-        fact_kin_creations(spark, sf_dir, run_date)
-        .groupBy("date_key", "app_id")
-        .agg(F.count(F.lit(1)).alias("n_creations"))
-    )
-    pay = daily_kin_payout(spark, sf_dir, run_date).select(
-        "date_key", "app_id", "post_monopoly_payout", "payout_rank"
-    )
-    price = ka.dim_kin_price(spark, sf_dir).select("date_key", "price_cents")
-    app = ka.dim_kin_app(spark, sf_dir).select(
-        F.col("id").alias("app_id"), F.col("name").alias("app_name")
-    )
+    kp, sp = _price_frames(spark, sf_dir)
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
     return (
-        txn.join(cr, ["date_key", "app_id"], "left")
-        .join(pay, ["date_key", "app_id"], "left")
-        .join(price, "date_key", "left")
-        .join(F.broadcast(app), "app_id", "left")
+        txns.join(du, keys, "left")
+        .join(mu, keys, "left")
+        .join(kp, "date_key", "inner")
+        .join(sp, "date_key", "inner")
         .select(
             "date_key",
             "app_id",
-            "app_name",
-            "n_txns",
-            "volume_quark",
-            _kin(F.col("volume_quark")).alias("volume_kin"),
-            F.coalesce("n_creations", F.lit(0)).alias("n_creations"),
-            "n_spenders",
-            "post_monopoly_payout",
-            "payout_rank",
-            (
-                F.col("volume_quark").cast("double")
-                * F.col("price_cents").cast("double")
-                / F.lit(1e7)
-            ).alias("volume_usd"),
+            F.coalesce(F.col("app_name"), F.col("app_id").cast("string")).alias(
+                "app_name"
+            ),
+            F.col("daily_fee_sum").alias("transaction_fees_sol"),
+            (F.col("daily_fee_sum") * F.col("sol_price")).alias(
+                "transaction_fees_usd"
+            ),
+            F.col("daily_total_transactions").alias("transaction_count"),
+            F.col("daily_total_amounts").alias("transaction_amount_kin"),
+            (F.col("daily_total_amounts") * F.col("kin_price")).alias(
+                "transaction_amount_usd"
+            ),
+            F.col("daily_earn_transactions").alias("earn_count"),
+            F.col("daily_earn_amounts").alias("earn_amount_kin"),
+            (F.col("daily_earn_amounts") * F.col("kin_price")).alias(
+                "earn_amount_usd"
+            ),
+            F.col("daily_spend_transactions").alias("spend_count"),
+            F.col("daily_spend_amounts").alias("spend_amount_kin"),
+            (F.col("daily_spend_amounts") * F.col("kin_price")).alias(
+                "spend_amount_usd"
+            ),
+            F.col("daily_peer_transactions").alias("peer_count"),
+            F.col("daily_peer_amounts").alias("peer_amount_kin"),
+            (F.col("daily_peer_amounts") * F.col("kin_price")).alias(
+                "peer_amount_usd"
+            ),
+            *[zero(f"daily_active_{k}") for k in ("users", "earners", "spenders")],
+            *[zero(f"monthly_active_{k}") for k in ("users", "earners", "spenders")],
         )
     )
 
-# metabase_mart/daily_models/reporting/daily_summary_ecosystem.sql analog.
+# kin_data/daily_models/api/daily_summary_ecosystem.sql:1-70 — the
+# ecosystem API mart. The reference SUMs the per-app mart's exact decimal
+# columns per day; rather than summing the published doubles (order-
+# dependent), re-aggregate the fact's exact quark integers per day — the
+# identical values the reference's decimal arithmetic yields — then price
+# in USD. `transactions_fee_usd` keeps the reference's misspelled name
+# (:43). Price joins INNER (:67-68), actives LEFT with 0 fill.
 
 def daily_summary_ecosystem(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
+    seg = lambda t: F.col("txn_type") == t  # noqa: E731
+
+    def seg_aggs(t: int, prefix: str):
+        return [
+            F.count(F.when(seg(t), F.lit(1))).alias(f"{prefix}_count"),
+            _kin(
+                F.coalesce(F.sum(F.when(seg(t), F.col("amount_quark"))), F.lit(0))
+            ).alias(f"{prefix}_amount_kin"),
+        ]
+
     txn = f.groupBy("date_key").agg(
-        F.count(F.lit(1)).alias("n_txns"),
-        F.sum("amount_quark").cast("long").alias("volume_quark"),
-        F.countDistinct("from_wallet").alias("n_spenders"),
-        F.countDistinct("app_id").alias("n_active_apps"),
+        F.countDistinct("app_id").alias("app_count"),
+        (F.count(F.lit(1)).cast("double") / F.lit(100000.0)).alias(
+            "transaction_fees_sol"
+        ),
+        F.count(F.lit(1)).alias("transaction_count"),
+        _kin(F.sum("amount_quark")).alias("transaction_amount_kin"),
+        *seg_aggs(1, "earn"),
+        *seg_aggs(2, "spend"),
+        *seg_aggs(3, "peer"),
     )
-    cr = (
-        fact_kin_creations(spark, sf_dir, run_date)
-        .groupBy("date_key")
-        .agg(F.count(F.lit(1)).alias("n_creations"))
+
+    def _actives(df, prefix):
+        return df.select(
+            "date_key",
+            F.col("active_users").alias(f"{prefix}_active_users"),
+            F.col("active_earners").alias(f"{prefix}_active_earners"),
+            F.col("active_spenders").alias(f"{prefix}_active_spenders"),
+        )
+
+    du = _actives(daily_active_accounts_ecosystem(spark, sf_dir, run_date), "daily")
+    mu = _actives(
+        monthly_active_accounts_ecosystem(spark, sf_dir, run_date), "monthly"
     )
-    vf = daily_volatility_factor(spark, sf_dir, run_date).select(
-        "date_key", "average_price", "volatility_factor"
+    kp, sp = _price_frames(spark, sf_dir)
+    usd = lambda c: (F.col(c) * F.col("kin_price")).alias(  # noqa: E731
+        c.replace("_amount_kin", "_amount_usd")
     )
-    price = ka.dim_kin_price(spark, sf_dir).select("date_key", "price_cents")
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)  # noqa: E731
     return (
-        txn.join(cr, "date_key", "left")
-        .join(vf, "date_key", "inner")  # inner: days without prices drop (ref behavior)
-        .join(price, "date_key", "left")
+        txn.join(du, "date_key", "left")
+        .join(mu, "date_key", "left")
+        .join(kp, "date_key", "inner")
+        .join(sp, "date_key", "inner")
         .select(
             "date_key",
-            "n_txns",
-            "volume_quark",
-            _kin(F.col("volume_quark")).alias("volume_kin"),
-            F.coalesce("n_creations", F.lit(0)).alias("n_creations"),
-            "n_spenders",
-            "n_active_apps",
-            "average_price",
-            "volatility_factor",
-            (
-                F.col("volume_quark").cast("double")
-                * F.col("price_cents").cast("double")
-                / F.lit(1e7)
-            ).alias("volume_usd"),
+            "app_count",
+            "transaction_fees_sol",
+            (F.col("transaction_fees_sol") * F.col("sol_price")).alias(
+                "transactions_fee_usd"
+            ),
+            "transaction_count",
+            "transaction_amount_kin",
+            usd("transaction_amount_kin"),
+            "earn_count",
+            "earn_amount_kin",
+            usd("earn_amount_kin"),
+            "spend_count",
+            "spend_amount_kin",
+            usd("spend_amount_kin"),
+            "peer_count",
+            "peer_amount_kin",
+            usd("peer_amount_kin"),
+            *[zero(f"daily_active_{k}") for k in ("users", "earners", "spenders")],
+            *[zero(f"monthly_active_{k}") for k in ("users", "earners", "spenders")],
         )
     )
 

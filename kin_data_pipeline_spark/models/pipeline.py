@@ -120,9 +120,11 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         _k("daily_account_summary_by_app", deps=(FACT_C,)),
         _k("daily_account_summary_ecosystem", deps=(FACT_C,)),
         _k("daily_summary_by_app",
-           deps=(FACT_T, "daily_active_user_balance_by_app")),
+           deps=("daily_kin_transactions", "daily_active_accounts_app",
+                 "monthly_active_accounts_app")),
         _k("daily_summary_ecosystem",
-           deps=(FACT_T, "daily_active_user_balance_by_app")),
+           deps=("daily_kin_transactions", "daily_active_accounts_ecosystem",
+                 "monthly_active_accounts_ecosystem")),
         # --- clones (S7) + Postgres export (E3) ---
         Model("daily_kin_transactions_clone",
               clone_of="daily_kin_transactions"),

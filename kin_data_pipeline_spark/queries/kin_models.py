@@ -266,32 +266,38 @@ register(
     doc="creations fact: dedup + casts + lamport→SOL fees",
 )(_q(M.fact_kin_creations))
 
+def _seg_mart_sql(t: int, p: str) -> str:
+    cnt = f"COUNT(CASE WHEN txn_type = {t} THEN 1 END)"
+    quark = f"COALESCE(SUM(CASE WHEN txn_type = {t} THEN amount_quark END), 0)"
+    return f"""    CAST({cnt} AS BIGINT) AS {p}_transactions,
+    {KIN(quark)} AS {p}_amounts,
+    CASE WHEN {cnt} = 0 THEN 0.0
+         ELSE CAST({quark} AS DOUBLE) / CAST({cnt} * 100000 AS DOUBLE) END AS {p}_average,
+    COALESCE(ROUND(MEDIAN(CASE WHEN txn_type = {t} THEN amount_quark END) / 100000.0, 6), 0.0) AS {p}_median"""
+
+# metabase_mart daily_kin_transactions.sql mart: per-(date, app) totals +
+# per-type count/amount/average/median + the 0.00001-SOL fee sum (:11).
+DAILY_TXN_MART_SQL = f"""
+daily_txn_mart AS (
+  SELECT date_key, app_id,
+    CAST(COUNT(*) AS DOUBLE) / 100000.0 AS daily_fee_sum,
+    CAST(COUNT(*) AS BIGINT) AS daily_total_transactions,
+    {KIN('SUM(amount_quark)')} AS daily_total_amounts,
+{_seg_mart_sql(1, 'daily_earn')},
+{_seg_mart_sql(2, 'daily_spend')},
+{_seg_mart_sql(3, 'daily_peer')}
+  FROM fact_kin_transaction GROUP BY 1, 2
+)
+"""
+
 register(
     "kin_daily_transactions",
-    _with(*_BASE, FACT_TXN_SQL)
+    _with(*_BASE, FACT_TXN_SQL, DAILY_TXN_MART_SQL)
     + """
-SELECT date_key,
-  CAST(COUNT(CASE WHEN txn_type = 1 THEN 1 END) AS BIGINT) AS earn_count,
-  {kin_earn} AS earn_volume_kin,
-  ROUND(MEDIAN(CASE WHEN txn_type = 1 THEN amount_quark END) / 100000.0, 6) AS earn_median_kin,
-  CAST(COUNT(CASE WHEN txn_type = 2 THEN 1 END) AS BIGINT) AS spend_count,
-  {kin_spend} AS spend_volume_kin,
-  ROUND(MEDIAN(CASE WHEN txn_type = 2 THEN amount_quark END) / 100000.0, 6) AS spend_median_kin,
-  CAST(COUNT(CASE WHEN txn_type = 3 THEN 1 END) AS BIGINT) AS peer_count,
-  {kin_peer} AS peer_volume_kin,
-  ROUND(MEDIAN(CASE WHEN txn_type = 3 THEN amount_quark END) / 100000.0, 6) AS peer_median_kin,
-  CAST(COUNT(CASE WHEN txn_type IS NULL THEN 1 END) AS BIGINT) AS unattributed_count,
-  CAST(COUNT(*) AS BIGINT) AS total_count,
-  {kin_total} AS total_volume_kin,
-  CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
-FROM fact_kin_transaction GROUP BY date_key
-""".format(
-        kin_earn=KIN("COALESCE(SUM(CASE WHEN txn_type = 1 THEN amount_quark END), 0)"),
-        kin_spend=KIN("COALESCE(SUM(CASE WHEN txn_type = 2 THEN amount_quark END), 0)"),
-        kin_peer=KIN("COALESCE(SUM(CASE WHEN txn_type = 3 THEN amount_quark END), 0)"),
-        kin_total=KIN("SUM(amount_quark)"),
-    ),
-    doc="per-type segmented daily metrics incl. exact medians (A9+A4 fusion)",
+SELECT m.*, dka.name AS app_name
+FROM daily_txn_mart m LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
+""",
+    doc="per-(date, app) mart: totals, per-type metrics, fee sum (A9+A4 fusion of daily_kin_transactions.sql)",
 )(_q(M.daily_kin_transactions))
 
 register(
@@ -632,12 +638,12 @@ _ACTIVES_OBS_SQL = """
 ), act3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
 """
 
-def _actives_sql(back: int, by_app: bool) -> str:
+def _actives_select(back: int, by_app: bool) -> str:
+    """Bare SELECT over the act3_obs/act3_spine CTEs — embeddable either as
+    a standalone query tail or as a CTE body inside the summary marts."""
     app_sel = "o.app_id, " if by_app else ""
     group = "1, 2" if by_app else "1"
-    return (
-        _ACTIVES_OBS_SQL
-        + f"""
+    return f"""
 SELECT s.spine_day AS date_key, {app_sel}
        CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
        CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
@@ -645,7 +651,9 @@ SELECT s.spine_day AS date_key, {app_sel}
 FROM act3_spine s JOIN act3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
 GROUP BY {group}
 """
-    )
+
+def _actives_sql(back: int, by_app: bool) -> str:
+    return _ACTIVES_OBS_SQL + _actives_select(back, by_app)
 
 register(
     "kin_daily_active_accounts_ecosystem",
@@ -659,60 +667,88 @@ register(
     doc="per-day users/spenders/earners per app (daily_active_accounts_app.sql)",
 )(_q(M.daily_active_accounts_app))
 
+# USD-per-unit price CTEs shared by the API summary marts (cents / 100,
+# one correctly-rounded division on both engines).
+_PRICE_CTES_SQL = """
+, px AS (SELECT date_key, CAST(price_cents AS DOUBLE) / 100.0 AS kin_price FROM dim_kin_price)
+, sx AS (SELECT date_key, CAST(sol_price_cents AS DOUBLE) / 100.0 AS sol_price FROM dim_solana_price)
+"""
+
+def _usd_cols_sql() -> str:
+    cols = ["m.daily_fee_sum AS transaction_fees_sol",
+            "m.daily_fee_sum * sx.sol_price AS {fee_usd}",
+            "m.daily_total_transactions AS transaction_count",
+            "m.daily_total_amounts AS transaction_amount_kin",
+            "m.daily_total_amounts * px.kin_price AS transaction_amount_usd"]
+    for p in ("earn", "spend", "peer"):
+        cols += [
+            f"m.daily_{p}_transactions AS {p}_count",
+            f"m.daily_{p}_amounts AS {p}_amount_kin",
+            f"m.daily_{p}_amounts * px.kin_price AS {p}_amount_usd",
+        ]
+    return ",\n       ".join(cols)
+
+_ACTIVES_OUT_SQL = """
+       COALESCE(du.active_users, 0) AS daily_active_users,
+       COALESCE(du.active_earners, 0) AS daily_active_earners,
+       COALESCE(du.active_spenders, 0) AS daily_active_spenders,
+       COALESCE(mu.active_users, 0) AS monthly_active_users,
+       COALESCE(mu.active_earners, 0) AS monthly_active_earners,
+       COALESCE(mu.active_spenders, 0) AS monthly_active_spenders"""
+
 register(
     "kin_daily_summary_by_app",
-    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    _with(*_BASE, FACT_TXN_SQL, DAILY_TXN_MART_SQL)
+    + _ACTIVES_OBS_SQL
+    + f", du AS ({_actives_select(0, True)}), mu AS ({_actives_select(29, True)})"
+    + _PRICE_CTES_SQL
     + f"""
-, sum_txn AS (
-  SELECT date_key, app_id, CAST(COUNT(*) AS BIGINT) AS n_txns,
-         CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
-         CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS n_spenders
-  FROM fact_kin_transaction GROUP BY 1, 2
-), sum_cr AS (
-  SELECT date_key, app_id, CAST(COUNT(*) AS BIGINT) AS n_creations
-  FROM fact_kin_creations GROUP BY 1, 2
-)
-SELECT t.date_key, t.app_id, dka.name AS app_name, t.n_txns, t.volume_quark,
-       {KIN('t.volume_quark')} AS volume_kin,
-       COALESCE(c.n_creations, 0) AS n_creations,
-       t.n_spenders,
-       p.post_monopoly_payout, p.payout_rank,
-       CAST(t.volume_quark AS DOUBLE) * CAST(pr.price_cents AS DOUBLE) / 1e7 AS volume_usd
-FROM sum_txn t
-LEFT JOIN sum_cr c ON t.date_key = c.date_key AND t.app_id = c.app_id
-LEFT JOIN payout p ON t.date_key = p.date_key AND t.app_id = p.app_id
-LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
-LEFT JOIN dim_kin_app dka ON t.app_id = dka.id
+SELECT m.date_key, m.app_id,
+       COALESCE(dka.name, CAST(m.app_id AS VARCHAR)) AS app_name,
+       {_usd_cols_sql().format(fee_usd='transaction_fees_usd')},
+{_ACTIVES_OUT_SQL}
+FROM daily_txn_mart m
+LEFT JOIN du ON m.date_key = du.date_key AND m.app_id = du.app_id
+LEFT JOIN mu ON m.date_key = mu.date_key AND m.app_id = mu.app_id
+JOIN px ON m.date_key = px.date_key
+JOIN sx ON m.date_key = sx.date_key
+LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
 """,
-    doc="wide per-app reporting join: txns ⨝ creations ⨝ payout ⨝ dims (J1/J2/P2)",
+    doc="API mart: priced txn metrics ⨝ daily+monthly actives ⨝ dims (daily_summary_by_app.sql:1-75)",
 )(_q(M.daily_summary_by_app))
 
 register(
     "kin_daily_summary_ecosystem",
-    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, VF_SQL)
+    _with(*_BASE, FACT_TXN_SQL)
     + f"""
-, eco_txn AS (
-  SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_txns,
-         CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
-         CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS n_spenders,
-         CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_active_apps
+, daily_txn_mart AS (
+  SELECT date_key, 0 AS app_id,
+    CAST(COUNT(DISTINCT app_id) AS BIGINT) AS app_count,
+    CAST(COUNT(*) AS DOUBLE) / 100000.0 AS daily_fee_sum,
+    CAST(COUNT(*) AS BIGINT) AS daily_total_transactions,
+    {KIN('SUM(amount_quark)')} AS daily_total_amounts,
+    CAST(COUNT(CASE WHEN txn_type = 1 THEN 1 END) AS BIGINT) AS daily_earn_transactions,
+    {KIN('COALESCE(SUM(CASE WHEN txn_type = 1 THEN amount_quark END), 0)')} AS daily_earn_amounts,
+    CAST(COUNT(CASE WHEN txn_type = 2 THEN 1 END) AS BIGINT) AS daily_spend_transactions,
+    {KIN('COALESCE(SUM(CASE WHEN txn_type = 2 THEN amount_quark END), 0)')} AS daily_spend_amounts,
+    CAST(COUNT(CASE WHEN txn_type = 3 THEN 1 END) AS BIGINT) AS daily_peer_transactions,
+    {KIN('COALESCE(SUM(CASE WHEN txn_type = 3 THEN amount_quark END), 0)')} AS daily_peer_amounts
   FROM fact_kin_transaction GROUP BY 1
-), eco_cr AS (
-  SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_creations
-  FROM fact_kin_creations GROUP BY 1
-)
-SELECT t.date_key, t.n_txns, t.volume_quark,
-       {KIN('t.volume_quark')} AS volume_kin,
-       COALESCE(c.n_creations, 0) AS n_creations,
-       t.n_spenders, t.n_active_apps,
-       v.average_price, v.volatility_factor,
-       CAST(t.volume_quark AS DOUBLE) * CAST(pr.price_cents AS DOUBLE) / 1e7 AS volume_usd
-FROM eco_txn t
-LEFT JOIN eco_cr c ON t.date_key = c.date_key
-JOIN vf v ON t.date_key = v.date_key
-LEFT JOIN dim_kin_price pr ON t.date_key = pr.date_key
+)"""
+    + _ACTIVES_OBS_SQL
+    + f", du AS ({_actives_select(0, False)}), mu AS ({_actives_select(29, False)})"
+    + _PRICE_CTES_SQL
+    + f"""
+SELECT m.date_key, m.app_count,
+       {_usd_cols_sql().format(fee_usd='transactions_fee_usd')},
+{_ACTIVES_OUT_SQL}
+FROM daily_txn_mart m
+LEFT JOIN du ON m.date_key = du.date_key
+LEFT JOIN mu ON m.date_key = mu.date_key
+JOIN px ON m.date_key = px.date_key
+JOIN sx ON m.date_key = sx.date_key
 """,
-    doc="ecosystem-day reporting rollup (J1 inner price-day semantics kept)",
+    doc="ecosystem API mart; exact quark re-agg = the reference's decimal per-app sums (daily_summary_ecosystem.sql:1-70, incl. the transactions_fee_usd name quirk)",
 )(_q(M.daily_summary_ecosystem))
 
 register(
