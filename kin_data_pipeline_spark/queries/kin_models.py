@@ -252,6 +252,38 @@ def _q(fn):
     """Adapt a models.kin builder to the (spark, sf_dir) query signature."""
     return lambda spark, sf_dir: fn(spark, sf_dir, M.RUN_DATE)
 
+# The reference active_accounts family (metabase_mart/daily_models/
+# reporting/active_accounts/{daily,weekly,monthly}/…_{app,ecosystem}.sql)
+# is one template: 3 distinct counts (users/spenders/earners) over a
+# 1/7/30-day trailing window per date_key anchor, with or without app_id.
+_ACTIVES_OBS_SQL = """
+, act3_obs AS (
+  SELECT DISTINCT date_key, app_id, wallet_id, role FROM (
+    SELECT date_key, app_id, from_wallet AS wallet_id, 's' AS role
+    FROM fact_kin_transaction WHERE txn_type IN (2, 3)
+    UNION ALL
+    SELECT date_key, app_id, to_wallet, 'e' FROM fact_kin_transaction WHERE txn_type IN (1, 3)
+  )
+), act3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
+"""
+
+def _actives_select(back: int, by_app: bool) -> str:
+    """Bare SELECT over the act3_obs/act3_spine CTEs — embeddable either as
+    a standalone query tail or as a CTE body inside the summary marts."""
+    app_sel = "o.app_id, " if by_app else ""
+    group = "1, 2" if by_app else "1"
+    return f"""
+SELECT s.spine_day AS date_key, {app_sel}
+       CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
+       CAST(COUNT(DISTINCT CASE WHEN o.role = 'e' THEN o.wallet_id END) AS BIGINT) AS active_earners
+FROM act3_spine s JOIN act3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
+GROUP BY {group}
+"""
+
+def _actives_sql(back: int, by_app: bool) -> str:
+    return _ACTIVES_OBS_SQL + _actives_select(back, by_app)
+
 # ---------------------------------------------------------------------------
 
 register(
@@ -369,26 +401,53 @@ register(
     doc="KRE payout monopoly cascade: rank + share caps + redistribution (W1/J7)",
 )(_q(M.daily_kin_payout))
 
+# kre_weekly_payout.sql:2-28 window: Monday anchors present in the payout
+# dates, summing [anchor-8, anchor-2] (prev-week Sunday..Saturday). Each
+# payout day maps to exactly one anchor; Kin as 1e-4-quanta ints, USD as
+# half-up integer cents from the overflow-proof HUGEINT product.
+KRE_WEEKLY_BASE_SQL = f"""
+kw_anchored AS (
+  SELECT CASE WHEN p.date_key = CAST(date_trunc('week', p.date_key) AS DATE) + 6
+              THEN CAST(date_trunc('week', p.date_key) AS DATE) + 14
+              ELSE CAST(date_trunc('week', p.date_key) AS DATE) + 7 END AS date_key,
+         p.app_id,
+         CAST(round(p.post_monopoly_payout * 10000) AS BIGINT) AS payout_quanta,
+         CAST(round(v.average_price * 10000) AS BIGINT) AS price_e4
+  FROM payout p JOIN vf v ON p.date_key = v.date_key
+),
+kw_weeks AS (
+  SELECT DISTINCT CAST(date_trunc('week', date_key) AS DATE) AS date_key FROM payout
+  WHERE CAST(date_trunc('week', date_key) AS DATE) < CAST(date_trunc('week', {RUN}) AS DATE)
+),
+kwb AS (
+  SELECT a.date_key, a.app_id,
+         CAST(SUM(a.payout_quanta) AS BIGINT) AS kin_quanta,
+         CAST(SUM((CAST(a.payout_quanta AS HUGEINT) * a.price_e4 + 500000) // 1000000) AS BIGINT) AS usd_cents
+  FROM kw_anchored a JOIN kw_weeks w ON a.date_key = w.date_key
+  GROUP BY 1, 2
+)
+"""
+
 register(
     "kin_weekly_payout_summary",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
     + """
-, weekly AS (
-  SELECT CAST(date_trunc('week', date_key) AS DATE) AS week, app_id, app_name,
-         CAST(SUM(CAST(round(post_monopoly_payout * 1000000) AS BIGINT)) AS BIGINT) AS weekly_payout_micro
-  FROM payout GROUP BY 1, 2, 3
-), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY week ORDER BY weekly_payout_micro DESC, app_id ASC) AS rn
-  FROM weekly
+, kw_ranked AS (
+  SELECT k.*, dka.name AS app_name,
+         DENSE_RANK() OVER (PARTITION BY k.date_key ORDER BY k.kin_quanta DESC) AS payout_rank
+  FROM kwb k LEFT JOIN dim_kin_app dka ON k.app_id = dka.id
 )
-SELECT week,
+SELECT date_key,
+       CAST(CAST(SUM(kin_quanta) AS BIGINT) AS DOUBLE) / 10000.0 AS kin_payout,
+       CAST(CAST(SUM(usd_cents) AS BIGINT) AS DOUBLE) / 100.0 AS usd_payout,
        '[' || string_agg(
-         CAST(json_object('id', app_id, 'name', app_name, 'payout_micro', weekly_payout_micro) AS VARCHAR),
-         ',' ORDER BY rn) || ']' AS top_apps,
-       CAST(COUNT(*) AS BIGINT) AS n_apps
-FROM ranked WHERE rn <= 10 GROUP BY week
+         CASE WHEN payout_rank <= 10 THEN CAST(json_object(
+           'id', app_id, 'name', app_name,
+           'kinPayoutMicro', kin_quanta * 100, 'usdPayoutCents', usd_cents) AS VARCHAR) END,
+         ',' ORDER BY payout_rank, app_id) || ']' AS top_app_list
+FROM kw_ranked GROUP BY 1
 """,
-    doc="weekly top-10 payout apps as a JSON array (W2+A11)",
+    doc="weekly payout totals + dense-ranked top-10 JSON (weekly_kre_payout_summary.sql:1-41)",
 )(_q(M.weekly_kre_payout_summary))
 
 register(
@@ -433,21 +492,16 @@ FROM both_sides GROUP BY date_key
 
 register(
     "kin_daily_market_summary",
-    _with(*_BASE, FACT_TXN_SQL)
+    _with(*_BASE)
     + f"""
-, vol AS (
-  SELECT date_key, CAST(SUM(amount_quark) AS BIGINT) AS volume_quark
-  FROM fact_kin_transaction GROUP BY 1
-)
-SELECT p.date_key,
-       ROUND(p.price_cents / 100.0, 6) AS price_usd,
-       ROUND(p.volume_cents / 100.0, 6) AS market_volume_usd,
-       {KIN('v.volume_quark')} AS onchain_volume_kin,
-       CAST(v.volume_quark AS DOUBLE) * CAST(p.price_cents AS DOUBLE) / 1e7 AS onchain_volume_usd
-FROM (SELECT * FROM dim_kin_price WHERE date_key < {RUN}) p
-JOIN vol v ON p.date_key = v.date_key
+SELECT date_key,
+       CAST(price_cents AS DOUBLE) / 100.0 AS kin_price,
+       CAST(market_cap_cents AS DOUBLE) / 100.0 AS kin_market_cap,
+       CAST(volume_cents AS DOUBLE) / 100.0 AS kin_trade_volume,
+       CAST(market_cap_cents AS DOUBLE) / CAST(price_cents AS DOUBLE) AS kin_circulating_supply
+FROM dim_kin_price WHERE date_key < {RUN}
 """,
-    doc="market dim ⨝ on-chain volume, USD conversion (J1/P2)",
+    doc="market dim projection: price/cap/volume/supply (daily_market_summary.sql:1-19)",
 )(_q(M.daily_market_summary))
 
 register(
@@ -556,21 +610,47 @@ FROM fact_kin_transaction GROUP BY 1, 2, 3
 
 register(
     "kin_daily_kre_summary",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL)
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, DAILY_TXN_MART_SQL)
+    + _ACTIVES_OBS_SQL
+    + f", kre_mu AS ({_actives_select(29, False)})"
     + f"""
-, eco AS (
+, kre_txn AS (
+  SELECT date_key, CAST(COUNT(DISTINCT app_id) AS BIGINT) AS active_apps,
+         CAST(SUM(daily_total_transactions) AS BIGINT) AS transaction_count
+  FROM daily_txn_mart GROUP BY 1
+),
+kre_aub AS (
   SELECT date_key,
-         CAST(COUNT(DISTINCT app_id) AS BIGINT) AS n_apps,
-         CAST(SUM(active_users) AS BIGINT) AS total_active_users,
-         CAST(SUM(capped_aub_quark) AS BIGINT) AS total_capped_aub_quark
+         CAST(SUM(aub_quark) AS BIGINT) AS aub_quark,
+         CAST(SUM(capped_aub_quark) AS BIGINT) AS capped_aub_quark,
+         CAST(SUM(active_users) AS BIGINT) AS active_users
   FROM aub GROUP BY 1
+),
+kre_pay AS (
+  SELECT p.date_key,
+         CAST(SUM(CAST(round(p.post_monopoly_payout * 10000) AS BIGINT)) AS BIGINT) AS kin_quanta,
+         CAST(SUM((CAST(CAST(round(p.post_monopoly_payout * 10000) AS BIGINT) AS HUGEINT)
+                   * CAST(round(v.average_price * 10000) AS BIGINT) + 500000) // 1000000) AS BIGINT) AS usd_cents
+  FROM payout p JOIN vf v ON p.date_key = v.date_key GROUP BY 1
 )
-SELECT e.date_key, e.n_apps, e.total_active_users, e.total_capped_aub_quark,
-       {KIN('e.total_capped_aub_quark')} AS total_capped_aub_kin,
-       v.average_price, v.volatility_factor
-FROM eco e JOIN vf v ON e.date_key = v.date_key
+SELECT t.date_key, t.active_apps,
+       {KIN('a.aub_quark')} AS active_user_balance,
+       {KIN('a.capped_aub_quark')} AS active_capped_user_balance,
+       a.active_users,
+       v.volatility_factor,
+       CAST(p.kin_quanta AS DOUBLE) / 10000.0 AS kin_payout,
+       CAST(p.usd_cents AS DOUBLE) / 100.0 AS usd_payout,
+       t.transaction_count,
+       mu.active_earners AS monthly_active_earners,
+       mu.active_spenders AS monthly_active_spenders,
+       mu.active_users AS monthly_active_users
+FROM kre_txn t
+JOIN kre_aub a ON t.date_key = a.date_key
+JOIN vf v ON t.date_key = v.date_key
+JOIN kre_pay p ON t.date_key = p.date_key
+JOIN kre_mu mu ON t.date_key = mu.date_key
 """,
-    doc="KRE ecosystem-day rollup joining AUB + volatility marts (J1)",
+    doc="KRE API mart: actives/AUB/VF/payout/monthly-actives inner-join chain (daily_kre_summary.sql:1-84; payout aggregated to eco grain, §2.11)",
 )(_q(M.daily_kre_summary))
 
 register(
@@ -622,38 +702,6 @@ FROM fact_kin_transaction GROUP BY 1, 2, 3
 """,
     doc="to-account twin of the fine-grain mart",
 )(_q(M.app_txn_summary_to_account_daily))
-
-# The reference active_accounts family (metabase_mart/daily_models/
-# reporting/active_accounts/{daily,weekly,monthly}/…_{app,ecosystem}.sql)
-# is one template: 3 distinct counts (users/spenders/earners) over a
-# 1/7/30-day trailing window per date_key anchor, with or without app_id.
-_ACTIVES_OBS_SQL = """
-, act3_obs AS (
-  SELECT DISTINCT date_key, app_id, wallet_id, role FROM (
-    SELECT date_key, app_id, from_wallet AS wallet_id, 's' AS role
-    FROM fact_kin_transaction WHERE txn_type IN (2, 3)
-    UNION ALL
-    SELECT date_key, app_id, to_wallet, 'e' FROM fact_kin_transaction WHERE txn_type IN (1, 3)
-  )
-), act3_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction)
-"""
-
-def _actives_select(back: int, by_app: bool) -> str:
-    """Bare SELECT over the act3_obs/act3_spine CTEs — embeddable either as
-    a standalone query tail or as a CTE body inside the summary marts."""
-    app_sel = "o.app_id, " if by_app else ""
-    group = "1, 2" if by_app else "1"
-    return f"""
-SELECT s.spine_day AS date_key, {app_sel}
-       CAST(COUNT(DISTINCT o.wallet_id) AS BIGINT) AS active_users,
-       CAST(COUNT(DISTINCT CASE WHEN o.role = 's' THEN o.wallet_id END) AS BIGINT) AS active_spenders,
-       CAST(COUNT(DISTINCT CASE WHEN o.role = 'e' THEN o.wallet_id END) AS BIGINT) AS active_earners
-FROM act3_spine s JOIN act3_obs o ON o.date_key BETWEEN s.spine_day - {back} AND s.spine_day
-GROUP BY {group}
-"""
-
-def _actives_sql(back: int, by_app: bool) -> str:
-    return _ACTIVES_OBS_SQL + _actives_select(back, by_app)
 
 register(
     "kin_daily_active_accounts_ecosystem",
@@ -765,20 +813,18 @@ register(
 
 register(
     "kin_kre_weekly_payout",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
     + """
-, kw AS (
-  SELECT CAST(date_trunc('week', date_key) AS DATE) AS week, app_id, app_name,
-         CAST(SUM(CAST(round(post_monopoly_payout * 1000000) AS BIGINT)) AS BIGINT) AS weekly_payout_micro,
-         CAST(COUNT(*) AS BIGINT) AS n_payout_days
-  FROM payout GROUP BY 1, 2, 3
-)
-SELECT *, CAST(ROW_NUMBER() OVER (
-  PARTITION BY week ORDER BY weekly_payout_micro DESC, app_id ASC
-) AS INT) AS weekly_rank
-FROM kw
+SELECT k.date_key, k.app_id,
+       CAST(k.kin_quanta AS DOUBLE) / 10000.0 AS weekly_kin_payout,
+       CAST(k.usd_cents AS DOUBLE) / 100.0 AS weekly_usd_payout,
+       k.date_key AS run_date,
+       k.date_key - 8 AS from_date,
+       k.date_key - 2 AS to_date,
+       dka.name AS app_name, dka.public_wallet AS wallet
+FROM kwb k LEFT JOIN dim_kin_app dka ON k.app_id = dka.id
 """,
-    doc="weekly KRE payout per app with rank (kre_weekly_payout.sql)",
+    doc="previous-week payout window per app with run/from/to + wallet (kre_weekly_payout.sql:1-39)",
 )(_q(M.kre_weekly_payout))
 
 # ---------------------------------------------------------------------------

@@ -254,20 +254,23 @@ dim_kin_app AS (
 
 def dim_kin_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return ev.groupBy(F.to_date("ts").alias("date_key")).agg(
-        F.max((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
-            "price_cents"
-        ),
-        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
-        .cast("long")
-        .alias("volume_cents"),
+        F.max(cents).alias("price_cents"),
+        F.sum(cents).cast("long").alias("volume_cents"),
+        # market_caps analog (the reference dim carries CoinGecko
+        # prices/market_caps/total_volumes, external_endpoint_data_seed.py):
+        # cap = price × synthetic supply (the day's event count), so
+        # cap / price recovers an exact integer circulating supply.
+        (F.max(cents) * F.count(F.lit(1))).cast("long").alias("market_cap_cents"),
     )
 
 DIM_KIN_PRICE_SQL = """
 dim_kin_price AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS date_key,
          MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS price_cents,
-         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS volume_cents
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS volume_cents,
+         CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) * COUNT(*) AS BIGINT) AS market_cap_cents
   FROM events GROUP BY 1
 )
 """
