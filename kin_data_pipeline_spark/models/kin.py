@@ -32,21 +32,17 @@ from pyspark.sql import functions as F
 from kin_data_pipeline_spark.operators.rangejoin import trailing_distinct_count
 from kin_data_pipeline_spark.operators.relational import top_k_per_group
 from kin_data_pipeline_spark.sources import kin_adapter as ka
+from kin_data_pipeline_spark.sources.catalog import frame_cached
 
 RUN_DATE = datetime.date(2024, 1, 31)
 
-# Session-scoped frame cache: the standalone query entries each rebuild the
-# model chain from raw; sharing the fact/AUB/VF frames across queries turns
-# ~10 rebuilds into 1 (same effect the materialized warehouse has in
-# production). Keyed by Spark application id so a fresh session never sees
-# stale frames.
-_FRAME_CACHE: dict[tuple, "DataFrame"] = {}
+# Session-scoped frame cache (sources/catalog.py::frame_cached): the
+# standalone query entries each rebuild the model chain from raw; sharing
+# the fact/AUB/VF/actives frames across queries turns ~10 rebuilds into 1
+# (same effect the materialized warehouse has in production).
 
 def _cached(spark: SparkSession, name: str, sf_dir: str, run_date, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, name, sf_dir, str(run_date))
-    if key not in _FRAME_CACHE:
-        _FRAME_CACHE[key] = build().cache()
-    return _FRAME_CACHE[key]
+    return frame_cached(spark, name, sf_dir, str(run_date), build=build)
 KRE_DAILY_POOL = 250_000_000.0  # daily_kin_payout.sql:27-29 hardcoded pool
 QUARKS_PER_KIN = 100_000
 AUB_CAP_QUARKS_PER_USER = 100_000 * QUARKS_PER_KIN  # 100k Kin cap, :67-69
@@ -163,6 +159,17 @@ def _fact_kin_creations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> 
 # in Kin (fact amount = quark/1e5, fact_kin_transaction.sql:26).
 
 def daily_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    # Cached: this mart is the substrate of the weekly/monthly rollups, the
+    # API summary marts, and the KRE summary — one aggregation per session.
+    return _cached(
+        spark,
+        "daily_kin_transactions",
+        sf_dir,
+        run_date,
+        lambda: _daily_kin_transactions(spark, sf_dir, run_date),
+    )
+
+def _daily_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
     seg = lambda t: F.col("txn_type") == t  # noqa: E731
 
@@ -278,13 +285,13 @@ def _closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=
 
 def daily_active_accounts_30d(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    spenders = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    # active_users_raw UNION, shared with the active_accounts family; the
+    # role column collapses under a second (small-frame) distinct.
+    activity = (
+        _actives_obs(spark, sf_dir, run_date, by_app=True)
+        .drop("role")
+        .distinct()
     )
-    earners = f.filter(F.col("txn_type").isin(1, 3)).select(
-        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
-    )
-    activity = spenders.unionByName(earners).distinct()  # active_users_raw UNION
     return trailing_distinct_count(
         activity,
         date_col="date_key",
@@ -368,6 +375,17 @@ def _daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date
 #   volatility_factor       = D / (n·S)      (dimensionless)
 
 def daily_volatility_factor(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    # Cached: joined by the payout chain, both weekly KRE models, and the
+    # KRE summary; day-grain output, negligible memory.
+    return _cached(
+        spark,
+        "daily_volatility_factor",
+        sf_dir,
+        run_date,
+        lambda: _daily_volatility_factor(spark, sf_dir, run_date),
+    )
+
+def _daily_volatility_factor(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     prices = ka.dim_kin_price(spark, sf_dir).filter(
         F.col("date_key") < F.lit(run_date)
     )
@@ -1156,6 +1174,16 @@ def monthly_active_accounts_app(spark: SparkSession, sf_dir: str, run_date=RUN_D
 # payout per app (micro-Kin ints) with rank; feeds the JSON summary.
 
 def _kre_weekly_payout_base(spark, sf_dir, run_date) -> DataFrame:
+    # Cached: shared by kre_weekly_payout and weekly_kre_payout_summary.
+    return _cached(
+        spark,
+        "kre_weekly_payout_base",
+        sf_dir,
+        run_date,
+        lambda: _build_kre_weekly_payout_base(spark, sf_dir, run_date),
+    )
+
+def _build_kre_weekly_payout_base(spark, sf_dir, run_date) -> DataFrame:
     """Exact-integer weekly payout window shared by ``kre_weekly_payout``
     and ``weekly_kre_payout_summary``.
 
@@ -1323,6 +1351,44 @@ def monthly_inactive_wallets(spark: SparkSession, sf_dir: str, run_date=RUN_DATE
 # separate spender/earner/user counts (the reference's three raw CTEs fused
 # into one role-tagged stream + one conditional count-distinct pass).
 
+def _actives_obs(spark, sf_dir, run_date, by_app: bool) -> DataFrame:
+    """Deduped activity observations (date_key[, app_id], wallet_id, role):
+    spenders = from_account of type 2,3; earners = to_account of type 1,3.
+
+    Cached at app grain — the substrate of all six active_accounts cadence
+    models, both API summary marts, and the KRE summary. The ecosystem
+    variant is a second distinct over the (much smaller) app-grain frame,
+    cached separately, so the fact-wide union+distinct shuffle happens once
+    per session rather than once per model."""
+    app_obs = _cached(
+        spark,
+        "actives_obs_app",
+        sf_dir,
+        run_date,
+        lambda: _build_actives_obs(spark, sf_dir, run_date),
+    )
+    if by_app:
+        return app_obs
+    return _cached(
+        spark,
+        "actives_obs_eco",
+        sf_dir,
+        run_date,
+        lambda: app_obs.drop("app_id").distinct(),
+    )
+
+def _build_actives_obs(spark, sf_dir, run_date) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    spend = f.filter(F.col("txn_type").isin(2, 3)).select(
+        "date_key", "app_id", F.col("from_wallet").alias("wallet_id"),
+        F.lit("s").alias("role"),
+    )
+    earn = f.filter(F.col("txn_type").isin(1, 3)).select(
+        "date_key", "app_id", F.col("to_wallet").alias("wallet_id"),
+        F.lit("e").alias("role"),
+    )
+    return spend.unionByName(earn).distinct()
+
 def _active_accounts_breakdown(
     spark, sf_dir, run_date, days: int, by_app: bool
 ) -> DataFrame:
@@ -1336,17 +1402,9 @@ def _active_accounts_breakdown(
     (date, key, wallet, role) grain, explode each observation over the
     spine days it stays visible for, then ONE aggregation with three
     conditional distinct counts — no per-anchor range join."""
-    f = fact_kin_transaction(spark, sf_dir, run_date)
     keys = ["app_id"] if by_app else []
-    spend = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key", *keys, F.col("from_wallet").alias("wallet_id"),
-        F.lit("s").alias("role"),
-    )
-    earn = f.filter(F.col("txn_type").isin(1, 3)).select(
-        "date_key", *keys, F.col("to_wallet").alias("wallet_id"),
-        F.lit("e").alias("role"),
-    )
-    obs = spend.unionByName(earn).distinct()
+    obs = _actives_obs(spark, sf_dir, run_date, by_app)
+    f = fact_kin_transaction(spark, sf_dir, run_date)
     if days > 1:
         obs = obs.withColumn(
             "date_key",

@@ -60,6 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
+# ---------------------------------------------------------------------------
+# Session-scoped frame cache.
+#
+# In production each of these frames is a materialized warehouse table the
+# DAG runner (plans/engine.py) writes once per run; when the models are
+# instead evaluated ad hoc (driver correctness pass, bench, notebooks) the
+# shared substrates — fact scans, price dims, activity observations — would
+# be recomputed by every downstream query. `.cache()` + this registry give
+# the ad-hoc path the same reuse the warehouse gives the scheduled path.
+# Keyed by Spark application id so a fresh session never sees stale frames.
+
+_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+def frame_cached(spark: SparkSession, name: str, *key, build) -> DataFrame:
+    """Build-once, cache, and reuse a DataFrame within one Spark app."""
+    k = (spark.sparkContext.applicationId, name, *key)
+    if k not in _FRAME_CACHE:
+        _FRAME_CACHE[k] = build().cache()
+    return _FRAME_CACHE[k]
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

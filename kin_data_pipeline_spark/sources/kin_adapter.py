@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kin_data_pipeline_spark.sources.catalog import load_table
+from kin_data_pipeline_spark.sources.catalog import frame_cached, load_table
 
 AGORA_FEE_PAYER = "AgoraFeePayer11111"
 QUARKS_PER_KIN = 100_000
@@ -226,6 +226,11 @@ raw_kincreateaccount AS (
 # dim_kin_app: app registry (REST-seed analog, external_endpoint_data_seed.py:144-149).
 
 def dim_kin_app(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_cached(
+        spark, "dim_kin_app", sf_dir, build=lambda: _dim_kin_app(spark, sf_dir)
+    )
+
+def _dim_kin_app(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.select(
         F.col("n_nationkey").cast("int").alias("id"),
@@ -253,6 +258,13 @@ dim_kin_app AS (
 # downstream aggregate exact.
 
 def dim_kin_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cached: a full-events aggregation feeding volatility/market/summary
+    # marts — one scan per session instead of one per downstream model.
+    return frame_cached(
+        spark, "dim_kin_price", sf_dir, build=lambda: _dim_kin_price(spark, sf_dir)
+    )
+
+def _dim_kin_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     return ev.groupBy(F.to_date("ts").alias("date_key")).agg(
@@ -282,6 +294,14 @@ dim_kin_price AS (
 # distinct while staying deterministic.
 
 def dim_solana_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_cached(
+        spark,
+        "dim_solana_price",
+        sf_dir,
+        build=lambda: _dim_solana_price(spark, sf_dir),
+    )
+
+def _dim_solana_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.to_date("ts").alias("date_key")).agg(
         F.min((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
