@@ -767,7 +767,10 @@ def daily_net_inflation(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> 
 # Phase-2 model family (SURVEY §7): creates, rollups, curated export,
 # summaries, block counts — the "easy 60%" of the mart surface.
 
-# metabase_mart/.../creates family — daily creations by app & program (A1+J2).
+# metabase_mart/daily_models/reporting/creates/daily_account_creates_by_app
+# .sql:1-30 — per-(date, app) creations: count, opening-balance sum, and the
+# transaction/creation fee sums (A1+J2). Balances ride as exact quark longs
+# beside the Kin doubles; fees sum exact lamports and convert once.
 
 def daily_kin_creations_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     cr = fact_kin_creations(spark, sf_dir, run_date)
@@ -775,16 +778,30 @@ def daily_kin_creations_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DA
         F.col("id").alias("app_id"), F.col("name").alias("app_name")
     )
     return (
-        cr.groupBy("date_key", "app_id", "program_id")
+        cr.groupBy("date_key", "app_id")
         .agg(
-            F.count(F.lit(1)).alias("n_creations"),
+            F.count(F.lit(1)).alias("daily_transactions"),
             F.sum(F.coalesce("balance_quark", F.lit(0)))
             .cast("long")
-            .alias("funded_quark"),
-            F.countDistinct("account_id").alias("n_accounts"),
+            .alias("daily_opening_balance_quark"),
+            _kin(F.sum(F.coalesce("balance_quark", F.lit(0)))).alias(
+                "daily_opening_balance_kin"
+            ),
+            (F.sum("fee_lamports").cast("double") / F.lit(1e9)).alias(
+                "daily_transaction_fee_sum"
+            ),
+            (F.sum("create_fee_lamports").cast("double") / F.lit(1e9)).alias(
+                "daily_creation_fee_sum"
+            ),
         )
         .join(F.broadcast(app), "app_id", "left")
     )
+
+# …/creates/daily_account_creates_by_program.sql:1-26 — the (date, app,
+# program) grain twin: count + opening-balance sum, app dim enrichment.
+
+def daily_account_creates_by_program(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _daily_creates_grouped(spark, sf_dir, run_date, "program_id", "program_id")
 
 # metabase_mart/weekly_models/reporting/weekly_kin_transactions.sql:4 and
 # monthly twin — cadence rollups from the fact (complete periods only).

@@ -176,6 +176,7 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         _k("daily_create_fee_payers", deps=(FACT_C,)),
         _k("daily_account_creates_by_type", deps=(FACT_C,)),
         _k("daily_account_creates_by_close_authority", deps=(FACT_C,)),
+        _k("daily_account_creates_by_program", deps=(FACT_C,)),
         # --- garbage collection / churn ---
         _k("daily_churn_volume"),
         _k("multi_create_impacted_accounts", date_col="last_seen_date",

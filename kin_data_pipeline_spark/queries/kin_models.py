@@ -529,16 +529,18 @@ FROM minted
 register(
     "kin_daily_creations_by_app",
     _with(*_BASE, FACT_CREATIONS_SQL)
-    + """
-SELECT c.date_key, c.app_id, c.program_id,
-       CAST(COUNT(*) AS BIGINT) AS n_creations,
-       CAST(SUM(COALESCE(c.balance_quark, 0)) AS BIGINT) AS funded_quark,
-       CAST(COUNT(DISTINCT c.account_id) AS BIGINT) AS n_accounts,
+    + f"""
+SELECT c.date_key, c.app_id,
+       CAST(COUNT(*) AS BIGINT) AS daily_transactions,
+       CAST(SUM(COALESCE(c.balance_quark, 0)) AS BIGINT) AS daily_opening_balance_quark,
+       {KIN('SUM(COALESCE(c.balance_quark, 0))')} AS daily_opening_balance_kin,
+       CAST(CAST(SUM(c.fee_lamports) AS BIGINT) AS DOUBLE) / 1e9 AS daily_transaction_fee_sum,
+       CAST(CAST(SUM(c.create_fee_lamports) AS BIGINT) AS DOUBLE) / 1e9 AS daily_creation_fee_sum,
        ANY_VALUE(dka.name) AS app_name
 FROM fact_kin_creations c LEFT JOIN dim_kin_app dka ON c.app_id = dka.id
-GROUP BY 1, 2, 3
+GROUP BY 1, 2
 """,
-    doc="creates family: daily creations by app/program + dim enrichment (A1+J2)",
+    doc="per-app daily creations: count/balance/fee sums (daily_account_creates_by_app.sql:1-30)",
 )(_q(M.daily_kin_creations_by_app))
 
 register(
@@ -984,6 +986,17 @@ register(
     ),
     doc="creates segmented by close authority (…_by_close_authority.sql:1-26)",
 )(_q(M.daily_account_creates_by_close_authority))
+
+register(
+    "kin_daily_account_creates_by_program",
+    _with(*_BASE, FACT_CREATIONS_SQL)
+    + _CREATES_GROUPED_SQL.format(
+        group_col="program_id",
+        out_name="program_id",
+        kin=KIN("SUM(COALESCE(c.balance_quark, 0))"),
+    ),
+    doc="creates at (date, app, program) grain (daily_account_creates_by_program.sql:1-26)",
+)(_q(M.daily_account_creates_by_program))
 
 _API_SUMMARY_SQL = """
 , api_creates AS (
