@@ -256,3 +256,64 @@ def dedup_near_duplicates(
     standard one-round approximation used by large-scale pipelines)."""
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: min-label propagation to fixpoint.
+
+    Pair generation (Jaccard/LSH/cosine) emits edges; the dedup *decision*
+    needs the transitive closure — A~B and B~C put all three in one cluster
+    even if A and C never pair. Returns ``(node, cluster_id)`` with
+    ``cluster_id`` = the minimum node id reachable, for every node incident
+    to an edge.
+
+    Each round is one linear shuffle (edge join + min-groupBy) and
+    convergence takes O(component diameter) rounds — near-dup components
+    are shallow (dup clusters are quasi-cliques), so 3–5 rounds in
+    practice. ``localCheckpoint`` truncates the iterative lineage so the
+    plan does not re-expand per round. At extreme scale the same two
+    primitives (join, min-agg) implement the large-star/small-star
+    alternation, which bounds rounds by O(log n) independent of diameter.
+
+    The per-round convergence probe is a count on a 1-row-early-exit
+    anti-condition — the aggregated-probe exception to the no-driver-loop
+    rule (same class as the engine's high-watermark read).
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "cluster_id")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

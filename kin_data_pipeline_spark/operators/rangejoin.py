@@ -45,6 +45,11 @@ def trailing_window_agg(
     aggregate to daily grain (map-side partial agg) so the window frame
     slides over one row per day — the frame scan is O(days) per row.
     ``aggs`` maps output name → aggregate over the *daily* columns.
+
+    INVARIANT: with empty ``partition_by`` the window sorts on a single
+    partition, which is correct ONLY for day-grain series (≤ a few thousand
+    rows at any horizon). For per-entity grains (wallet, app) pass the
+    entity in ``partition_by`` so the sort distributes.
     """
     day_num = F.datediff(F.col(date_col), F.lit("1970-01-01"))
     w = (

@@ -1075,6 +1075,70 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# Transitive dedup clusters: pair generation alone under-deduplicates (A~B,
+# B~C must merge even when A,C never pair). Min-label propagation over the
+# capped-Jaccard edge set; the oracle computes the same closure with a
+# recursive CTE. Iterative & non-SQL-shaped on the Spark side, yet still
+# hash-checkable because the fixpoint is unique.
+
+_CAPPED_PAIRS_CTES = f"""
+sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {{shingles}} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    capped AS (
+      SELECT sh.* FROM sh JOIN keep ON sh.s = keep.s
+    ),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    good AS (
+      SELECT doc_a, doc_b FROM pr
+      WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_CAPPED_PAIRS_CTES.format(shingles=_SQL_SHINGLES)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM good
+      UNION ALL
+      SELECT doc_b, doc_a FROM good
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS m FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="transitive near-dup clusters via min-label propagation (connected components)",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_capped(spark, sf_dir)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
 # Multimodal metadata accounting: byte/checksum stats over the opaque-media
 # ingestion edge (operators/multimodal.attach_media_columns). Deterministic
 # without any codec — this is the plumbing the decode stubs sit behind, and

@@ -103,3 +103,29 @@ def test_lsh_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
     # no pair reported twice despite multi-band collisions
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+def test_connected_components_transitive_closure(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (1~3 never paired), isolated pair 10-11, and a pair whose
+    # lower id arrives on the right side (20,5) — closure must merge the
+    # chain, keep the pair separate, and pick the global min as the label.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 5)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (5, 5), (20, 5)}
+
+def test_connected_components_long_chain_converges(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.dedup import connected_components
+
+    n = 12  # diameter > the 3-5 typical rounds; still must reach fixpoint
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(edges)
+    assert labels.select("cluster_id").distinct().count() == 1
+    assert labels.count() == n + 1
