@@ -258,3 +258,60 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").cast("long").alias("max_bigram_count"),
         F.round(F.max("cnt") * 1.0 / F.col("n_bigrams"), 6).alias("repetition_ratio"),
     )
+
+# ---------------------------------------------------------------------------
+# The dedup DECISION applied to the corpus: one canonical document per
+# transitive near-dup cluster (min doc_id), every unclustered document kept.
+# This is the keep-list a curation pipeline materializes after pair
+# generation + clustering; per-source survivor counts summarize the effect.
+from kin_data_pipeline_spark.queries.llmops import _CAPPED_PAIRS_CTES
+
+@register(
+    "dedup_survivor_stats",
+    f"""
+    WITH RECURSIVE {_CAPPED_PAIRS_CTES.format(shingles=_SQL_SHINGLES)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM good
+      UNION ALL
+      SELECT doc_b, doc_a FROM good
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS m FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 6) AS keep_ratio
+    FROM kept GROUP BY source
+    """,
+    doc="per-source corpus survivors after transitive near-dup dedup (keep min doc_id per cluster)",
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import near_dup_clusters
+
+    labels = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = docs.join(F.broadcast(labels), "doc_id", "left").withColumn(
+        "keep",
+        F.when(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_dropped"),
+        F.round(F.sum("keep") * 1.0 / F.count(F.lit(1)), 6).alias("keep_ratio"),
+    )

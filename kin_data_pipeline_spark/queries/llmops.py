@@ -1130,8 +1130,17 @@ sh AS (
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.operators.dedup import connected_components
 
-    pairs = ngram_jaccard_capped(spark, sf_dir)
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    # The propagation loop materializes per round (localCheckpoint), so the
+    # label frame is cached like the other substrates — the survivor-stats
+    # query reuses it instead of re-running the iterations.
+    labels = _cached_substrate(
+        spark,
+        sf_dir,
+        "near_dup_labels",
+        lambda: connected_components(
+            ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
+        ),
+    )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
