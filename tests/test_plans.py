@@ -57,9 +57,15 @@ def test_whole_stage_codegen_active(spark, sf_dir):
 
 def test_capped_jaccard_single_postings_pass(spark, sf_dir):
     # The grouped pair expansion must not re-derive the postings chain per
-    # join side: exactly one documents scan in the whole plan.
+    # join side: at most one documents scan in the whole plan (zero when an
+    # earlier query in the session already materialized the cached shingle
+    # substrate — then the plan reads InMemoryTableScan instead).
     plan = _plan(spark, sf_dir, "ngram_jaccard_capped")
-    assert plan.count("Scan parquet") == 1
+    # Everything under InMemoryRelation is the cached substrate's display-
+    # only build plan; only scans above it actually execute in this query.
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Scan parquet") <= 1
+    assert live.count("Scan parquet") + live.count("InMemoryTableScan") >= 1
 
 def test_embedding_near_dup_broadcast_reattach(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_cosine_near_dups")
