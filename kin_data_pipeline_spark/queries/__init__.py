@@ -26,12 +26,14 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 # so ordering is a coverage decision. Window layout:
 #   1..45  every kin_* model-chain query (fact builders lead, warming the
 #          session frame cache for the whole chain)
-#   46..50 queries new or previously hash-failing this round (capped-jaccard
-#          skew guard, transitive dedup clusters, multimodal metadata, and
-#          decimal-terminal representatives (multi-agg, window-sum); the
-#          other decimal shapes are covered in-window by the kin chain
-#          (lag-diff: kin_daily_net_inflation, rank-key:
-#          kin_weekly_payout_summary, unpivot: kin_closing_balance_per_day)
+#   46..50 queries new or previously unverified by the driver: capped-
+#          jaccard skew guard, transitive dedup clusters, multimodal
+#          metadata, the streaming rollup (§2.9's only hash-checkable
+#          form), and the trailing-window decimal-sum representative; the
+#          other round-1 decimal shapes are covered in-window by the kin
+#          chain (multi-agg: kin_daily_transactions, lag-diff:
+#          kin_daily_net_inflation, rank-key: kin_weekly_payout_summary,
+#          unpivot: kin_closing_balance_per_day)
 # Everything after slot 50 passed verification in round 1 and is re-checked
 # continuously by the local parity suite (tests/test_oracle_parity.py), which
 # applies the identical comparison at sf0.001/sf0.01.
@@ -39,7 +41,7 @@ _WINDOW_TAIL = [
     "ngram_jaccard_capped",
     "near_dup_clusters",
     "media_metadata_stats",
-    "pricing_summary",
+    "streaming_daily_rollup",
     "trailing_7d_revenue",
 ]
 

@@ -216,3 +216,50 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+# Structured Streaming, driver-checkable (§2.9): the watermarked tumbling
+# daily rollup run to completion (availableNow trigger, complete-mode memory
+# sink) converges to the batch groupBy — so the streaming path gets a real
+# hash-checked correctness row, not just a local convergence test. The
+# deterministic columns are published (the approx_users HLL sketch column is
+# engine-specific and stays out of the comparison).
+@register(
+    "streaming_daily_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS date_key, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="watermarked tumbling daily rollup, streamed to completion (converges to the batch answer)",
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import (
+        daily_rollup_stream,
+        stream_events_from_parquet,
+    )
+
+    # The driver's vanilla session: pin UTC so the day window matches the
+    # UTC-naive oracle, and make the run idempotent within a session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_daily_rollup_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = daily_rollup_stream(stream_events_from_parquet(spark, sf_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise RuntimeError("streaming_daily_rollup did not finish in 300s")
+    return spark.table(sink).select(
+        "date_key",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
