@@ -1418,21 +1418,34 @@ def _active_accounts_breakdown(
     evaluated per date_key anchor. Rewritten J4+A2-style: dedup to
     (date, key, wallet, role) grain, explode each observation over the
     spine days it stays visible for, then ONE aggregation with three
-    conditional distinct counts — no per-anchor range join."""
+    conditional distinct counts — no per-anchor range join.
+
+    The exploded frame is cached once per window length at app grain and
+    aggregated at either grain from there: COUNT(DISTINCT wallet) at
+    ecosystem grain is unaffected by the per-app duplication, so the app
+    and ecosystem cadence twins (plus the summary marts) share one explode
+    instead of two."""
     keys = ["app_id"] if by_app else []
-    obs = _actives_obs(spark, sf_dir, run_date, by_app)
     f = fact_kin_transaction(spark, sf_dir, run_date)
     if days > 1:
-        obs = obs.withColumn(
-            "date_key",
-            F.explode(
-                F.sequence(
-                    F.col("date_key"),
-                    F.date_add(F.col("date_key"), days - 1),
-                    F.expr("interval 1 day"),
-                )
+        obs = _cached(
+            spark,
+            f"actives_exploded_{days}d",
+            sf_dir,
+            run_date,
+            lambda: _actives_obs(spark, sf_dir, run_date, by_app=True).withColumn(
+                "date_key",
+                F.explode(
+                    F.sequence(
+                        F.col("date_key"),
+                        F.date_add(F.col("date_key"), days - 1),
+                        F.expr("interval 1 day"),
+                    )
+                ),
             ),
         )
+    else:
+        obs = _actives_obs(spark, sf_dir, run_date, by_app)
     grouped = obs.groupBy("date_key", *keys).agg(
         F.countDistinct("wallet_id").alias("active_users"),
         F.countDistinct(F.when(F.col("role") == "s", F.col("wallet_id"))).alias(
