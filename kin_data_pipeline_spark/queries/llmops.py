@@ -35,7 +35,7 @@ MINHASH_PARAMS = [
     (536870923, 97531),
 ]
 LSH_BANDS = [(0, 1), (2, 3)]  # 2 bands × 2 rows over the 4 signatures
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32  # 16-bit sigs birthday-collide past ~1k docs
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on"]
 
 # --- Spark-side text helpers ----------------------------------------------
@@ -310,7 +310,7 @@ def _simhash_bitsum_sql() -> list[str]:
     "simhash_signatures",
     f"""
     WITH tok AS (
-      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h FROM (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM (
         SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
       ), UNNEST(ws) AS t(w)
     ), bits AS (
@@ -327,7 +327,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.explode("words").alias("w")
     )
-    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     bits = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
             F.sum(
@@ -1187,4 +1187,90 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("max_bytes"),
         F.countDistinct("checksum").alias("n_unique_payloads"),
         F.round(F.sum("n_bytes") * 1.0 / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    )
+
+# SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into
+# two 16-bit buckets (a pair within Hamming distance 1 must agree on at
+# least one band by pigeonhole), equi-join on (band, value) — linear
+# shuffle, never corpus×corpus — then verify by exact popcount(xor).
+# All integer arithmetic, bit-identical on both engines. Wider bands keep
+# bucket occupancy ~N/2^16 — the recall/occupancy dial the docstring of
+# lsh_candidates describes; at larger Hamming budgets raise SIMHASH_BITS
+# rather than shrinking bands (4-bit bands put ~N/16 docs per bucket,
+# which is quadratic in practice).
+
+_SIMHASH_BAND_BITS = 16
+_SIMHASH_N_BANDS = SIMHASH_BITS // _SIMHASH_BAND_BITS
+_SIMHASH_HAM_MAX = 1
+
+@register(
+    "simhash_near_dups",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM (
+        SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), bits AS (
+      SELECT doc_id, {', '.join(_simhash_bitsum_sql())}
+      FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             CAST({' + '.join(f'(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)' for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+      FROM bits
+    ), banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {_SIMHASH_BAND_BITS})) & {(1 << _SIMHASH_BAND_BITS) - 1} AS bval
+      FROM sig, UNNEST(range(0, {_SIMHASH_N_BANDS})) AS t(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming_dist
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SIMHASH_HAM_MAX}
+    """,
+    doc=f"SimHash near-dup pairs: banded bucket join + Hamming<={_SIMHASH_HAM_MAX} verify",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(spark, sf_dir)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    banded = sig.withColumn(
+        "bb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(mask)
+                        .alias("bval"),
+                    )
+                    for b in range(_SIMHASH_N_BANDS)
+                ]
+            )
+        ),
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band", "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band", "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        cand.withColumn("hamming_dist", ham.cast("int"))
+        .filter(F.col("hamming_dist") <= _SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming_dist")
     )
