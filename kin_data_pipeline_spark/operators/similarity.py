@@ -92,24 +92,33 @@ def lsh_near_dup_pairs(
     n_planes: int = 6,
     seed: int = 42,
     broadcast_embeddings: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH.
 
     The all-pairs dedup analog of ``lsh_topk``: every vector hashes to one
     bucket per band (independent hyperplane sets, seed+band), candidate
-    pairs are the within-bucket pairs of any band (equi-join on
-    ``(band, bucket)`` — linear shuffle, never a cross join). Candidates
-    carry only the two ids through the bucket join and are deduped BEFORE
-    the exact-cosine verify, so each unique pair pays for exactly one dot
-    product regardless of how many bands it collides in; embeddings are
-    re-attached by id afterwards.
+    pairs are the within-bucket pairs of any band. Pair forming is a
+    grouped bucket-list expansion — one groupBy on ``(band, bucket)`` and
+    a higher-order-function pair blowup per list — NOT a bucketed
+    self-join: the self-join form evaluates the whole hyperplane-hashing
+    chain (n_bands·n_planes dot products per row) once per join side,
+    doubling the dominant cost, while the grouped form traverses it once.
+    Candidates carry only the two ids out of the expansion and are deduped
+    BEFORE the exact-cosine verify, so each unique pair pays for exactly
+    one dot product regardless of how many bands it collides in;
+    embeddings are re-attached by id afterwards.
 
     Scale notes: per-band bucket occupancy is ~N/2^n_planes, so raise
     ``n_planes`` with corpus size to keep the within-bucket pair expansion
     bounded; ``n_bands`` buys recall linearly at the cost of one extra
-    bucket copy per band. ``broadcast_embeddings`` suits corpora whose
-    (id, vector) table fits the broadcast budget; at 100 TB set it False
-    and the re-attach becomes a linear shuffle join on id.
+    bucket copy per band. ``bucket_cap`` drops buckets holding more than
+    that many vectors before any list is buffered (the skew guard for
+    adversarial corpora — mirrors ``jaccard_pairs_grouped(df_cap=...)``);
+    the aggregation buffer itself is spillable. ``broadcast_embeddings``
+    suits corpora whose (id, vector) table fits the broadcast budget; at
+    100 TB set it False and the re-attach becomes a linear shuffle join
+    on id.
     """
     e = with_norm(df, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
@@ -128,17 +137,24 @@ def lsh_near_dup_pairs(
     bucketed = e.withColumn("bb", F.explode(bands)).select(
         "vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .distinct()
+    lists = bucketed.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("vid")).alias("vids"),
+        F.count(F.lit(1)).alias("occ"),
     )
+    if bucket_cap is not None:
+        lists = lists.filter(F.col("occ") <= bucket_cap)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("vids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("vids"), i + 2, F.size(F.col("vids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    cand = lists.select(pair).select("p.id_a", "p.id_b").distinct()
     ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vid").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
     if broadcast_embeddings:

@@ -832,7 +832,12 @@ def embedding_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines as literals so the candidate set is identical.
 
 _NDUP_BANDS = 4
-_NDUP_PLANES = 6
+# 8 planes → per-band bucket occupancy ~N/256 (≈20 at the 5k-vector test
+# corpus), keeping the within-bucket pair blowup ~4× smaller than 6 planes
+# while true near-dups (sim ≳ 0.9, per-plane agreement ≳ 0.93) still collide
+# in ≥1 of 4 bands w.p. ≈ 0.97. The operator docstring's occupancy rule
+# (raise n_planes with corpus size) applied at this N.
+_NDUP_PLANES = 8
 _NDUP_SEED = 42
 _NDUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal (max pairwise
 # cosine ≈ 0.51 at sf0.01) — the threshold is the operator's parameter, set
