@@ -1279,3 +1279,117 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming_dist") <= _SIMHASH_HAM_MAX)
         .select("doc_a", "doc_b", "hamming_dist")
     )
+
+# Embedding-space quality evaluation: label agreement among each sampled
+# vector's exact top-k cosine neighbors. The standard label-noise /
+# embedding-eval metric for a labeled corpus — a high-agreement space means
+# nearest neighbors share labels. Query set is a deterministic 1-in-50
+# sample (the broadcastable side of the brute-force scan, same shape as
+# embedding_knn_top5); counts are integers and the rate is one int/int
+# division, so parity is exact.
+
+_EVAL_K = 5
+_EVAL_SAMPLE_MOD = 50
+
+@register(
+    "knn_label_agreement",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id % {_EVAL_SAMPLE_MOD} = 0
+    ), sims AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.vec_id AS neighbor_id, c.label AS c_label,
+             list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ), top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        FROM sims
+      ) WHERE rnk <= {_EVAL_K}
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             AS agree_rate
+    FROM top GROUP BY q_label
+    """,
+    doc="kNN label-agreement eval over the embedding space (label-noise metric)",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    sample = emb.filter(F.col("vec_id") % _EVAL_SAMPLE_MOD == 0)
+    top = cosine_topk(emb, sample, k=_EVAL_K)
+    lab_q = F.broadcast(labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    ))
+    lab_c = F.broadcast(labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("c_label")
+    ))
+    hit = F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0)
+    return (
+        top.join(lab_q, "query_id")
+        .join(lab_c, "neighbor_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(hit).cast("long").alias("n_matches"),
+            (F.sum(hit) * F.lit(1.0) / F.count(F.lit(1))).alias("agree_rate"),
+        )
+    )
+
+# Corpus length profile: exact discrete percentiles (p50/p90/p99) of document
+# length per source via rank selection — no interpolation, so both engines
+# pick the identical element (ints end to end). The multi-quantile
+# completion of A4's single exact median.
+@register(
+    "doc_length_percentiles",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99_chars
+    FROM r GROUP BY source
+    """,
+    doc="exact rank-selected length percentiles per source (corpus profiling)",
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("n_chars"))
+        ).cast("long")
+
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick(0.50).alias("p50_chars"),
+        pick(0.90).alias("p90_chars"),
+        pick(0.99).alias("p99_chars"),
+    )
