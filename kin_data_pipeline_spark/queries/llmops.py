@@ -1259,18 +1259,34 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "band", "bval",
+    # Grouped bucket-list expansion, not a (band, bval) self-join: the join
+    # form evaluates the full signature chain (tokenize + md5 + 32 bit-vote
+    # sums per doc) once per side, doubling the dominant cost. One groupBy
+    # buffers each bucket's (doc_id, simhash) list — occupancy ~N/2^16 per
+    # band keeps the blowup linear — and the signatures ride along, so no
+    # re-attach join is needed before the Hamming verify.
+    lists = banded.groupBy("band", "bval").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("docs")
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "band", "bval",
-    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["simhash"].alias("sig_a"),
+                        y["simhash"].alias("sig_b"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
     cand = (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        lists.select(pair)
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .distinct()
     )
     ham = F.expr("bit_count(sig_a ^ sig_b)")
