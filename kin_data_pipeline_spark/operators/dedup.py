@@ -198,7 +198,13 @@ def minhash_signatures(
 
 def lsh_candidates(signatures: DataFrame, bands: list[tuple[int, ...]]) -> DataFrame:
     """Banded LSH: docs agreeing on ANY full band become candidate pairs.
-    The join key is (band_id, band_key) — the classic linear-shuffle LSH."""
+
+    Pair forming is a grouped bucket-list expansion keyed on
+    ``(band_id, band_key)`` — the classic linear-shuffle LSH, but with one
+    groupBy instead of a bucketed self-join, so the signature chain above
+    is traversed once by construction (the join form re-evaluates it per
+    side unless ReuseExchange happens to fire). Bucket occupancy is
+    bounded by the band width, exactly as in the join form."""
     frames = []
     for bi, rows in enumerate(bands):
         frames.append(
@@ -213,17 +219,21 @@ def lsh_candidates(signatures: DataFrame, bands: list[tuple[int, ...]]) -> DataF
     all_bands = frames[0]
     for fr in frames[1:]:
         all_bands = all_bands.unionByName(fr)
-    a, b = all_bands.alias("a"), all_bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    lists = all_bands.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    return lists.select(pair).select("p.doc_a", "p.doc_b").distinct()
 
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
