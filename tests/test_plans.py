@@ -71,3 +71,17 @@ def test_embedding_near_dup_broadcast_reattach(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_cosine_near_dups")
     assert "BroadcastHashJoin" in plan  # embedding re-attach after pair dedup
     assert "CartesianProduct" not in plan
+
+def test_grouped_pair_formers_single_chain_traversal(spark, sf_dir):
+    # Every banded pair-former (simhash, minhash-LSH, embedding sign-LSH)
+    # forms candidates via grouped bucket-list expansion, so the expensive
+    # chain above it (tokenize/signature/hyperplane hashing) appears ONCE:
+    # no join of two copies of the same source scan before the verify step.
+    for name, source in (
+        ("simhash_near_dups", "documents"),
+        ("minhash_lsh_candidates", "documents"),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        live = plan.split("InMemoryRelation")[0]
+        n_scans = live.count("Scan parquet")
+        assert n_scans <= 1, f"{name}: {n_scans} live scans of {source}"
