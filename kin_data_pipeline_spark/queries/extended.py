@@ -263,3 +263,61 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+# The arbitrary-stateful streaming tier (applyInPandasWithState), driver-
+# checkable: the per-key running balance accumulates PRE-QUANTIZED integer
+# cents (JVM-side decimal cast, so per-value rounding parity with the oracle
+# is the same CAST both engines already agree on), making the converged
+# state exact and order-independent — a hash row for §2.9's custom-state
+# operator, not just a local convergence test. In update mode a key emits
+# one row per micro-batch it appears in; the converged answer is the
+# emission with the highest n_events (cumulative, strictly increasing).
+@register(
+    "streaming_running_balance",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS balance_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="stateful running balance (applyInPandasWithState), streamed to completion on exact cents",
+)
+def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import (
+        running_balance_stream,
+        stream_events_from_parquet,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_running_balance_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    events = stream_events_from_parquet(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    stream = running_balance_stream(
+        events, key_col="user_id", value_col="cents", value_type="LONG"
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise RuntimeError("streaming_running_balance did not finish in 300s")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("balance").alias("balance_cents"),
+            "n_events",
+        )
+    )

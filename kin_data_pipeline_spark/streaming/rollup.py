@@ -82,6 +82,7 @@ def running_balance_stream(
     events: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
+    value_type: str = "DOUBLE",
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running balance + event count, carried in explicit GroupState across
@@ -89,20 +90,24 @@ def running_balance_stream(
     what ``sum`` can't express once the update rule stops being algebraic).
 
     Emits one row per key per micro-batch in ``update`` mode. State is one
-    (double, long) pair per key — bounded by key cardinality, not stream
+    (value, long) pair per key — bounded by key cardinality, not stream
     length; at 100 TB the state store shards with the shuffle partitioning
-    on ``key_col``.
+    on ``key_col``. Pass ``value_type="LONG"`` with a pre-quantized integer
+    value column (e.g. cents) for an exactly-summed, order-independent
+    balance — the form whose converged result is oracle-comparable.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} LONG, balance DOUBLE, n_events LONG"
-    state_schema = "balance DOUBLE, n_events LONG"
+    integral = value_type.upper() in ("LONG", "BIGINT", "INT", "INTEGER")
+    out_schema = f"{key_col} LONG, balance {value_type}, n_events LONG"
+    state_schema = f"balance {value_type}, n_events LONG"
 
     def update(key, pdfs, state: GroupState):
-        bal, n = state.get if state.exists else (0.0, 0)
+        bal, n = state.get if state.exists else (0 if integral else 0.0, 0)
         for pdf in pdfs:
-            bal += float(pdf[value_col].sum())
+            s = pdf[value_col].sum()
+            bal += int(s) if integral else float(s)
             n += len(pdf)
         state.update((bal, n))
         yield pd.DataFrame({key_col: [key[0]], "balance": [bal], "n_events": [n]})
