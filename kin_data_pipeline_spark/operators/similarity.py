@@ -78,7 +78,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def _bucket_expr(vec_col, planes: list[list[float]]):
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
+        # F.lit(plane) builds the folded array Literal directly — one plan
+        # node per plane instead of dim CreateArray children the analyzer
+        # and optimizer would walk before folding (measurable driver-side
+        # planning time at bands x planes x dim literals).
+        arr = F.lit(plane)
         bit = F.when(_dot(vec_col, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
