@@ -27,19 +27,32 @@ TABLES = (
     "embeddings",
 )
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
-    them outright, so they are read as raw nanosecond longs and rebuilt.
-    Footer-only read; negligible driver cost."""
+def _timestamp_cols(path: str) -> tuple[list[str], list[str]]:
+    """Classify parquet timestamp columns from the footer (footer-only read;
+    negligible driver cost). Returns (nanos_cols, naive_cols):
+
+    - ``nanos_cols``: TIMESTAMP(NANOS) — Spark's reader rejects them
+      outright, so they are read as raw nanosecond longs and rebuilt.
+    - ``naive_cols``: no-timezone timestamps Spark would surface as
+      TIMESTAMP_NTZ, which breaks LTZ-only operations (epoch casts) and
+      varies with the producer. Both classes are normalized to TimestampType
+      so the engine's public timestamp semantics don't depend on how the
+      upstream writer happened to encode the column."""
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
     schema = pq.read_schema(path)
-    return [
+    nanos = [
         f.name
         for f in schema
         if pt.is_timestamp(f.type) and f.type.unit == "ns"
     ]
+    naive = [
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type) and f.type.unit != "ns" and f.type.tz is None
+    ]
+    return nanos, naive
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Lazy: no action is triggered.
@@ -52,12 +65,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session-TZ-dependent and the oracle (DuckDB) is UTC-naive.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_timestamp_cols(path)
+    ns_cols, ntz_cols = _timestamp_cols(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        # NTZ→LTZ under the pinned UTC session: identical wall-clock values,
+        # but the column supports the full TimestampType surface.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 # ---------------------------------------------------------------------------

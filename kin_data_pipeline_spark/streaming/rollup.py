@@ -33,15 +33,24 @@ def stream_events_from_parquet(
     # real landing directory or Kafka instead).
     staging = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(path, os.path.join(staging, "events.parquet"))
+    # Map timestamp columns by their physical unit from the footer: micros is
+    # Spark's native TimestampType; nanos (no Spark streaming equivalent) is
+    # read as raw LONG and rebuilt; millis/seconds likewise via the exact
+    # integer constructors. Assuming one unit breaks silently when the
+    # producer changes resolution (every row lands in one window).
+    rebuild: dict[str, str] = {}
     if schema is None:
-        # Schema must be declared for streaming reads; derive it from the
-        # footer (events.ts is TIMESTAMP(NANOS) → read as long, rebuilt below).
         arrow = pq.read_schema(path)
         fields = []
         for f in arrow:
             t = str(f.type)
             if t.startswith("timestamp"):
-                fields.append(f"`{f.name}` LONG")
+                unit = f.type.unit
+                if unit == "us":
+                    fields.append(f"`{f.name}` TIMESTAMP")
+                else:
+                    fields.append(f"`{f.name}` LONG")
+                    rebuild[f.name] = unit
             elif t in ("int64",):
                 fields.append(f"`{f.name}` LONG")
             elif t == "double":
@@ -49,13 +58,22 @@ def stream_events_from_parquet(
             else:
                 fields.append(f"`{f.name}` STRING")
         schema = ", ".join(fields)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if "ns" in rebuild.values():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for name, unit in rebuild.items():
+        if unit == "ns":
+            expr = F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        elif unit == "ms":
+            expr = F.timestamp_millis(F.col(name))
+        else:  # "s"
+            expr = F.timestamp_seconds(F.col(name))
+        df = df.withColumn(name, expr)
+    return df
 
 def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Tumbling 1-day windowed aggregation with late-data watermark — the
