@@ -315,3 +315,160 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_dropped"),
         F.round(F.sum("keep") * 1.0 / F.count(F.lit(1)), 6).alias("keep_ratio"),
     )
+
+# ---------------------------------------------------------------------------
+# Regex redaction statistics — the scrubbing pass (PII/digit-run removal) a
+# training pipeline runs before tokenization. Patterns are restricted to
+# syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB);
+# counting + redacted-length math is exact integers. The documents corpus is
+# digit-free word salad, so the registered instance scrubs ``events.props``
+# (JSON payloads, digit-rich) — the operator applies to any string column.
+# One scan, partial-aggregated groupBy: embarrassingly parallel at 100 TB.
+_REDACT_PATTERNS = {
+    # digit runs of >=3 (ids, phone fragments, zip codes)
+    "digit_run": r"\d{3,}",
+    # quoted JSON string values (would carry free-text PII in real feeds)
+    "quoted_value": r'"[A-Za-z][A-Za-z0-9_]*"\s*:\s*"[^"]*"',
+}
+
+def redaction_stats(
+    df: DataFrame, text_col: str, patterns: dict[str, str], group_col: str
+) -> DataFrame:
+    """Per-group counts of pattern matches and characters a global
+    ``regexp_replace`` would remove. Reusable over any string column."""
+    out = df.select(group_col, text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"__n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        ).withColumn(
+            f"__c_{name}",
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), pat, "")),
+        )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name in patterns:
+        aggs.append(F.sum(f"__n_{name}").cast("long").alias(f"n_{name}"))
+        aggs.append(F.sum(f"__c_{name}").cast("long").alias(f"chars_{name}"))
+        aggs.append(
+            F.sum((F.col(f"__n_{name}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"rows_with_{name}")
+        )
+    return out.groupBy(group_col).agg(*aggs)
+
+@register(
+    "redaction_stats_props",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(len(regexp_extract_all(props, '{_REDACT_PATTERNS["digit_run"]}'))) AS BIGINT) AS n_digit_run,
+           CAST(SUM(length(props) - length(regexp_replace(props, '{_REDACT_PATTERNS["digit_run"]}', '', 'g'))) AS BIGINT) AS chars_digit_run,
+           CAST(SUM(CASE WHEN regexp_matches(props, '{_REDACT_PATTERNS["digit_run"]}') THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_digit_run,
+           CAST(SUM(len(regexp_extract_all(props, '{_REDACT_PATTERNS["quoted_value"].replace("'", "''")}'))) AS BIGINT) AS n_quoted_value,
+           CAST(SUM(length(props) - length(regexp_replace(props, '{_REDACT_PATTERNS["quoted_value"].replace("'", "''")}', '', 'g'))) AS BIGINT) AS chars_quoted_value,
+           CAST(SUM(CASE WHEN regexp_matches(props, '{_REDACT_PATTERNS["quoted_value"].replace("'", "''")}') THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_quoted_value
+    FROM events GROUP BY event_type
+    """,
+    doc="regex scrubbing stats (digit runs, quoted JSON values) over events.props, per event type",
+)
+def redaction_stats_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return redaction_stats(ev, "props", _REDACT_PATTERNS, "event_type")
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing — the GPT-style training-prep step:
+# documents are concatenated in a deterministic order and sliced into
+# fixed-budget chunks; each document's chunk span follows from its start
+# offset (a windowed prefix sum). Packing is PER SOURCE, so the window is
+# partitioned — the 100 TB form shards the cumsum instead of forcing a
+# global single-partition sort (the per-source window is the same shape the
+# kin daily models use; see operators/rangejoin.py's grain note).
+_PACK_BUDGET = 512  # tokens per chunk
+
+@register(
+    "sequence_packing_index",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS first_chunk,
+           CAST(GREATEST(start_offset, start_offset + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS last_chunk,
+           CAST(GREATEST(start_offset, start_offset + n_tokens - 1) // {_PACK_BUDGET}
+                - start_offset // {_PACK_BUDGET} + 1 AS BIGINT) AS n_chunks
+    FROM o
+    """,
+    doc="concat-and-chunk packing index (512-token chunks, per-source concat order)",
+)
+def sequence_packing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _with_words(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "source", F.size("words").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    b = F.lit(_PACK_BUDGET)
+    last_tok = F.greatest(
+        F.col("start_offset"), F.col("start_offset") + F.col("n_tokens") - 1
+    )
+    return o.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / b).alias("first_chunk"),
+        F.floor(last_tok / b).alias("last_chunk"),
+        (F.floor(last_tok / b) - F.floor(F.col("start_offset") / b) + 1).alias(
+            "n_chunks"
+        ),
+    )
+
+# ---------------------------------------------------------------------------
+# Per-source frequency cap — bound any one source's share of the corpus
+# (domain caps in web-scale pipelines). The keep-set must be deterministic
+# and engine-independent, so ranking order is md5(doc_id) — stable across
+# engines, uncorrelated with document content. rank <= cap is a windowed
+# top-k per group: shuffles once on source, no global sort.
+_SOURCE_CAP = 50
+
+@register(
+    "source_cap_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_SOURCE_CAP}
+    """,
+    doc=f"deterministic per-source frequency cap (keep {_SOURCE_CAP} docs/source by md5 order)",
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+    )

@@ -68,3 +68,51 @@ def test_raw_adapters_inject_duplicates_and_sentinels(spark, sf_dir):
     cr = raw_kincreateaccount(spark, sf_dir)
     per_tx = cr.groupBy("tx_id").count().filter(F.col("count") > 1)
     assert per_tx.count() > 0  # multi-instruction creates exist
+
+def test_timestamp_columns_normalized_to_ltz(spark, sf_dir):
+    """Canary for producer-side timestamp drift: the r1→r2 testdata
+    regeneration silently switched events.ts from TIMESTAMP(NANOS) to
+    no-timezone micros, which (a) collapsed the streaming source's windows
+    to one day and (b) surfaced TIMESTAMP_NTZ in batch reads, breaking
+    epoch casts. Pin the contract instead of the encoding: whatever the
+    parquet footer says, every timestamp column loads as TimestampType
+    (LTZ) and spans the corpus's real day range."""
+    from pyspark.sql.types import TimestampType
+
+    from kin_data_pipeline_spark.sources.catalog import TABLES, load_table
+
+    for tbl in TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        for f in df.schema.fields:
+            if "timestamp" in f.dataType.simpleString():
+                assert isinstance(f.dataType, TimestampType), (
+                    f"{tbl}.{f.name} is {f.dataType.simpleString()}, want LTZ timestamp"
+                )
+    ev = load_table(spark, sf_dir, "events")
+    n_days = ev.select(F.to_date("ts")).distinct().count()
+    assert n_days >= 28, f"events.ts spans {n_days} days — unit misread collapses this"
+    # epoch cast (the op NTZ forbids) stays available to sessionization
+    assert ev.select(F.col("ts").cast("long")).first()[0] > 1_600_000_000
+
+def test_streaming_source_agrees_with_batch_on_days(spark, sf_dir):
+    """The streaming reader must see the same event-time distribution as the
+    batch reader regardless of the parquet timestamp encoding."""
+    from kin_data_pipeline_spark.sources.catalog import load_table
+    from kin_data_pipeline_spark.streaming import stream_events_from_parquet
+
+    batch_days = (
+        load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("d")).distinct()
+    )
+    stream = stream_events_from_parquet(spark, sf_dir)
+    q = (
+        stream.select(F.to_date("ts").alias("d"))
+        .writeStream.format("memory")
+        .queryName("__ts_canary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r["d"] for r in spark.table("__ts_canary").select("d").distinct().collect()}
+    want = {r["d"] for r in batch_days.collect()}
+    assert got == want
