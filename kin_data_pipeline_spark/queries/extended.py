@@ -357,3 +357,83 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+# Session-window streaming (§2.9 tier 3): gap-based sessions emitted in
+# APPEND mode, so a session row appears only once its watermark has passed —
+# the session analog of the reference's complete-day guard (only closed
+# sessions ship). Run to completion, the emitted set is exactly the sessions
+# whose end (last event + gap) is <= the corpus's final watermark; the
+# trailing still-open sessions stay in state, and the oracle applies the
+# same horizon. Boundary semantics follow Spark's end-exclusive merge: a
+# gap of exactly 30 minutes starts a NEW session (>= in the oracle's lag
+# test, vs the batch twin's > — distinguishable only on an exact-boundary
+# corpus; both registered forms are deterministic).
+@register(
+    "streaming_user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) AS last_event_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, last_event_ts, n_events, session_value
+    FROM sess
+    WHERE last_event_ts + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)
+    """,
+    doc="gap-session windows streamed in append mode: only watermark-closed sessions emit",
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import (
+        sessionize_stream,
+        stream_events_from_parquet,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_user_sessions_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = sessionize_stream(
+        stream_events_from_parquet(spark, sf_dir),
+        gap="30 minutes",
+        watermark="0 seconds",
+    )
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
+        query.stop()
+        raise RuntimeError("streaming_user_sessions did not finish in 300s")
+    gap = F.expr("INTERVAL 30 MINUTE")
+    return spark.table(sink).select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") - gap).alias("last_event_ts"),
+        "n_events",
+        F.col("session_value").cast("double").alias("session_value"),
+    )
