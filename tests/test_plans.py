@@ -85,3 +85,29 @@ def test_grouped_pair_formers_single_chain_traversal(spark, sf_dir):
         live = plan.split("InMemoryRelation")[0]
         n_scans = live.count("Scan parquet")
         assert n_scans <= 1, f"{name}: {n_scans} live scans of {source}"
+
+def test_packing_prefix_sum_shards_by_source(spark, sf_dir):
+    # Concat-and-chunk packing must not force a global single-partition
+    # sort: the prefix sum shards on source (one hash exchange, no range
+    # partitioning / SinglePartition anywhere).
+    plan = _plan(spark, sf_dir, "sequence_packing_index")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan and "rangepartitioning" not in plan
+
+def test_source_cap_uses_group_limit_pushdown(spark, sf_dir):
+    # rank<=cap compiles to WindowGroupLimit partial+final: each map task
+    # pre-trims to the cap before the shuffle, so the exchange carries at
+    # most cap rows per (source, task), not the corpus.
+    plan = _plan(spark, sf_dir, "source_cap_sample")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "SinglePartition" not in plan
+
+def test_redaction_stats_partial_aggregates(spark, sf_dir):
+    # Scrubbing stats: regex work happens once per row map-side; only
+    # per-group partial sums cross the exchange, and the scan reads just
+    # (group, text) columns.
+    plan = _plan(spark, sf_dir, "redaction_stats_props")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    read = plan.split("ReadSchema:", 1)[1][:200]
+    assert "props" in read and "value" not in read
