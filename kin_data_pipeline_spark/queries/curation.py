@@ -16,9 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.queries.llmops import (
+    LSH_BANDS,
     _SQL_SHINGLES,
     _SQL_WORDS,
     STOPWORDS,
+    _minhash_sql_exprs,
     _shingles_of_words,
     _with_words,
     shingled_documents,
@@ -471,4 +473,89 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _SOURCE_CAP)
+    )
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the production shape at 100 TB: data arrives in
+# batches, and each batch is checked against the EXISTING corpus without
+# re-clustering anything. Corpus MinHash signatures are a precomputed,
+# incrementally-maintained table (here: the session-cached signature frame);
+# only the arriving batch is hashed fresh. The probe is a banded bucket
+# join with the small batch side broadcast — cost is linear in batch size
+# plus one corpus-signature scan, never corpus × corpus. Batch membership
+# is a deterministic modulo so both engines pick the same split.
+_BATCH_MOD = 7  # doc_id % 7 == 0 plays the arriving batch (~14%)
+
+@register(
+    "incremental_dedup_check",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+      )}
+    ), hits AS (
+      SELECT a.doc_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_collisions
+      FROM bands a JOIN bands c
+        ON a.band_id = c.band_id AND a.band_key = c.band_key
+       AND a.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+      GROUP BY a.doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(h.n_collisions, 0) AS n_collisions,
+           CAST(COALESCE(h.n_collisions, 0) > 0 AS INT) AS is_dup
+    FROM sig s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % 7 = 0
+    """,
+    doc="arriving-batch near-dup probe against corpus LSH bands (no re-cluster)",
+)
+def incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import (
+        LSH_BANDS,
+        _minhash_spark_exprs,
+        shingled_documents,
+    )
+
+    sh = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                ":", F.col(f"mh{r0}").cast("string"), F.col(f"mh{r1}").cast("string")
+            ).alias("band_key"),
+        )
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    batch = bands.filter(F.col("doc_id") % _BATCH_MOD == 0)
+    corpus = bands.filter(F.col("doc_id") % _BATCH_MOD != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_key"
+    )
+    hits = (
+        F.broadcast(batch)
+        .join(corpus, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_doc").cast("long").alias("n_collisions"))
+    )
+    all_batch = sig.filter(F.col("doc_id") % _BATCH_MOD == 0).select("doc_id")
+    return (
+        all_batch.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+            (F.coalesce("n_collisions", F.lit(0)) > 0).cast("int").alias("is_dup"),
+        )
     )

@@ -56,3 +56,76 @@ def test_fact_complete_day_guard(spark, sf_dir):
 def test_fact_dedup_idempotent(spark, sf_dir):
     f = M.fact_kin_transaction(spark, sf_dir)
     assert f.count() == f.distinct().count()
+
+def test_packing_covers_corpus_without_overlap(spark, sf_dir):
+    """Concat-and-chunk invariants: per source, offsets tile exactly (each
+    doc starts where the previous ended), chunk spans are consistent with
+    the budget, and total chunks cover total tokens."""
+    from kin_data_pipeline_spark.queries.curation import (
+        _PACK_BUDGET,
+        sequence_packing_index,
+    )
+
+    idx = sequence_packing_index(spark, sf_dir).cache()
+    # start offsets tile: sum of tokens before doc == its start_offset
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tiled = idx.withColumn(
+        "prev_end", F.lag(F.col("start_offset") + F.col("n_tokens")).over(w)
+    )
+    holes = tiled.filter(
+        F.col("prev_end").isNotNull() & (F.col("prev_end") != F.col("start_offset"))
+    )
+    assert holes.count() == 0
+    # chunk span arithmetic: n_chunks matches first/last, and a doc spans at
+    # most ceil(n_tokens/budget)+1 chunks (straddle adds one)
+    bad = idx.filter(
+        (F.col("n_chunks") != F.col("last_chunk") - F.col("first_chunk") + 1)
+        | (F.col("n_chunks") > F.ceil(F.col("n_tokens") / F.lit(_PACK_BUDGET)) + 1)
+    )
+    assert bad.count() == 0
+    # per-source totals: last doc's end offset == sum of tokens
+    last = idx.groupBy("source").agg(
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+        F.sum("n_tokens").alias("total"),
+    )
+    assert last.filter(F.col("end") != F.col("total")).count() == 0
+
+def test_source_cap_bounds_and_determinism(spark, sf_dir):
+    from kin_data_pipeline_spark.queries.curation import _SOURCE_CAP, source_cap_sample
+
+    a = source_cap_sample(spark, sf_dir)
+    per_source = a.groupBy("source").count()
+    assert per_source.filter(F.col("count") > _SOURCE_CAP).count() == 0
+    # deterministic: two evaluations pick the identical keep-set
+    b = source_cap_sample(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+def test_incremental_dedup_agrees_with_full_lsh(spark, sf_dir):
+    """The batch probe must flag exactly the batch docs that the full-corpus
+    LSH candidate set pairs with a non-batch doc (probe ≡ restriction of the
+    batch-vs-corpus slice of the full candidate set)."""
+    from kin_data_pipeline_spark.queries.curation import (
+        _BATCH_MOD,
+        incremental_dedup_check,
+    )
+    from kin_data_pipeline_spark.queries.llmops import minhash_lsh_candidates
+
+    probe = incremental_dedup_check(spark, sf_dir)
+    full = minhash_lsh_candidates(spark, sf_dir)
+    cross = full.filter(
+        ((F.col("doc_a") % _BATCH_MOD == 0) & (F.col("doc_b") % _BATCH_MOD != 0))
+        | ((F.col("doc_a") % _BATCH_MOD != 0) & (F.col("doc_b") % _BATCH_MOD == 0))
+    )
+    flagged_full = (
+        cross.select(
+            F.when(F.col("doc_a") % _BATCH_MOD == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    flagged_probe = probe.filter(F.col("is_dup") == 1).select("doc_id")
+    assert flagged_probe.exceptAll(flagged_full).count() == 0
+    assert flagged_full.exceptAll(flagged_probe).count() == 0
