@@ -1,3 +1,7 @@
+from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401
+    ingest_to_catalog,
+    last_committed_batch,
+)
 from kin_data_pipeline_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
     running_balance_stream,

@@ -15,12 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 def stream_events_from_parquet(
-    spark: SparkSession, sf_dir: str, schema=None
+    spark: SparkSession, sf_dir: str, schema=None, staging: str | None = None
 ) -> DataFrame:
     """File-source stream over the testdata events layout.
 
     ``maxFilesPerTrigger=1`` gives deterministic micro-batches in tests;
     production would point at an arriving-files directory or Kafka.
+    Pass ``staging`` to pin the source directory across restarts — a
+    checkpoint binds the file-source path, so resuming a query requires
+    the same directory it started from.
     """
     import os
     import tempfile
@@ -31,8 +34,12 @@ def stream_events_from_parquet(
     # The file source wants a directory of arriving files; expose the single
     # testdata file through a symlinked staging dir (production points at a
     # real landing directory or Kafka instead).
-    staging = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(path, os.path.join(staging, "events.parquet"))
+    if staging is None:
+        staging = tempfile.mkdtemp(prefix="stream_events_")
+    os.makedirs(staging, exist_ok=True)
+    link = os.path.join(staging, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
     # Map timestamp columns by their physical unit from the footer: micros is
     # Spark's native TimestampType; nanos (no Spark streaming equivalent) is
     # read as raw LONG and rebuilt; millis/seconds likewise via the exact

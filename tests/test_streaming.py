@@ -80,3 +80,44 @@ def test_running_balance_stream_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+def test_streaming_ingest_lands_in_catalog_idempotently(spark, sf_dir, tmp_path):
+    """Streaming ingestion writes the same date-partitioned table the batch
+    loader maintains, converges to the batch read, and replaying the stream
+    (same checkpoint) or re-running a committed batch adds no duplicates."""
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.sources.catalog import load_table
+    from kin_data_pipeline_spark.streaming import (
+        ingest_to_catalog,
+        last_committed_batch,
+        stream_events_from_parquet,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ck = str(tmp_path / "ck")
+    project = lambda df: df.select(  # noqa: E731
+        "event_id", "user_id", "value", F.to_date("ts").alias("date_key")
+    )
+    src = str(tmp_path / "landing")
+    ingest_to_catalog(
+        project(stream_events_from_parquet(spark, sf_dir, staging=src)),
+        cat, "events_ingested", "date_key", "ingest_test", ck,
+    )
+    got = cat.table("events_ingested")
+    want = project(load_table(spark, sf_dir, "events"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert last_committed_batch(cat, "events_ingested") >= 0
+    # date partitioning is physical (partition pruning works at scale)
+    assert (tmp_path / "wh" / "events_ingested").is_dir()
+    parts = [p.name for p in (tmp_path / "wh" / "events_ingested").iterdir()]
+    assert any(p.startswith("date_key=") for p in parts)
+    # replay with the same checkpoint: stream has no new data -> no change;
+    # and a forced re-run of batch 0 is skipped by the commit guard
+    ingest_to_catalog(
+        project(stream_events_from_parquet(spark, sf_dir, staging=src)),
+        cat, "events_ingested", "date_key", "ingest_test", ck,
+    )
+    assert cat.table("events_ingested").count() == want.count()
