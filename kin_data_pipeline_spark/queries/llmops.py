@@ -1409,3 +1409,67 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90).alias("p90_chars"),
         pick(0.99).alias("p99_chars"),
     )
+
+# Video frame-sampling plan, oracle-checked: frame counts derive
+# deterministically from payload bytes (no codec needed), the plan picks
+# evenly-strided indices JVM-side (sequence/transform), and the oracle
+# reproduces the stride arithmetic — pinning the n=0 (empty clip) and
+# n<sample_count (keep-all) edges. The byte-level extraction consuming the
+# plan is the stubbed codec step.
+_FRAME_SAMPLE_K = 8
+_FRAME_MOD = 240  # fake clip length: n_bytes % 240 (includes 0-frame clips)
+
+@register(
+    "frame_sample_plan_stats",
+    f"""
+    WITH clips AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, source,
+             CAST(octet_length(encode(text)) % {_FRAME_MOD} AS BIGINT) AS n_frames
+      FROM documents
+    ), planned AS (
+      SELECT media_id, source, n_frames,
+             CAST(LEAST(n_frames, {_FRAME_SAMPLE_K}) AS BIGINT) AS n_sampled,
+             CASE WHEN n_frames = 0 THEN []
+                  ELSE [CAST(FLOOR(i * n_frames / LEAST(n_frames, {_FRAME_SAMPLE_K})) AS BIGINT)
+                        FOR i IN RANGE(0, CAST(LEAST(n_frames, {_FRAME_SAMPLE_K}) AS BIGINT))]
+             END AS idx
+      FROM clips
+    )
+    SELECT media_id, source, n_frames, n_sampled,
+           CAST(CASE WHEN n_sampled = 0 THEN -1 ELSE idx[1] END AS BIGINT) AS first_idx,
+           CAST(CASE WHEN n_sampled = 0 THEN -1 ELSE idx[-1] END AS BIGINT) AS last_idx,
+           CAST(COALESCE(list_sum(idx), 0) AS BIGINT) AS sum_idx
+    FROM planned
+    """,
+    doc="frame-sampling plan over fake clip lengths: strided index arithmetic, 0/short-clip edges",
+)
+def frame_sample_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        attach_media_columns,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "doc_id", "text", carry_cols=("source",))
+    clips = media.select(
+        "media_id", "source", (F.col("n_bytes") % _FRAME_MOD).alias("n_frames")
+    )
+    planned = frame_sample_plan(clips, "n_frames", _FRAME_SAMPLE_K)
+    idx = F.col("frame_indices")
+    return planned.select(
+        "media_id",
+        "source",
+        "n_frames",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.when(F.col("n_sampled") == 0, F.lit(-1))
+        .otherwise(F.element_at(idx, 1))
+        .cast("long")
+        .alias("first_idx"),
+        F.when(F.col("n_sampled") == 0, F.lit(-1))
+        .otherwise(F.element_at(idx, -1))
+        .cast("long")
+        .alias("last_idx"),
+        F.coalesce(F.aggregate(idx, F.lit(0), lambda a, x: a + x), F.lit(0))
+        .cast("long")
+        .alias("sum_idx"),
+    )
