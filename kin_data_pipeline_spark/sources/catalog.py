@@ -89,13 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Keyed by Spark application id so a fresh session never sees stale frames.
 
 _FRAME_CACHE: dict[tuple, DataFrame] = {}
+_FRAME_CACHE_LOCK = __import__("threading").RLock()
 
 def frame_cached(spark: SparkSession, name: str, *key, build) -> DataFrame:
-    """Build-once, cache, and reuse a DataFrame within one Spark app."""
+    """Build-once, cache, and reuse a DataFrame within one Spark app.
+    Lock-guarded so concurrent DAG materialization (Runner.run_concurrent)
+    never double-builds a shared substrate frame. Reentrant: substrate
+    builders call other cached builders inside their ``build`` closure."""
     k = (spark.sparkContext.applicationId, name, *key)
-    if k not in _FRAME_CACHE:
-        _FRAME_CACHE[k] = build().cache()
-    return _FRAME_CACHE[k]
+    with _FRAME_CACHE_LOCK:
+        if k not in _FRAME_CACHE:
+            _FRAME_CACHE[k] = build().cache()
+        return _FRAME_CACHE[k]
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
