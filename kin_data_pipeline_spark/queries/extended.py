@@ -437,3 +437,77 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("session_value").cast("double").alias("session_value"),
     )
+
+# REST-JSON source surface (S3/S4), driver-checkable: the payloads the
+# reference pulls over HTTP are seeded as deterministic literals, the Spark
+# side runs the real source operators (from_json/explode flatten with
+# quote-trim; ms-epoch merge with the in-progress-day drop), and the oracle
+# states the expected rows explicitly — a golden contract for the flatten
+# semantics rather than a re-derivation.
+_API_RUN_DATE = "2024-01-31"
+_API_APP_PAYLOAD = (
+    '[{"index": 1, "name": "\\"Kik\\"", "status": "live", "public_wallet": "w1"},'
+    ' {"index": 2, "name": "Peerbet", "status": "dead", "public_wallet": "w2"},'
+    ' {"index": 3, "name": "\\"Pause\\"", "status": "paused", "public_wallet": null}]'
+)
+
+@register(
+    "api_dim_seed",
+    f"""
+    SELECT * FROM (VALUES
+      (1, 'Kik',    'live',   'w1',           DATE '{_API_RUN_DATE}', CAST(NULL AS DATE)),
+      (2, 'Peerbet','dead',   'w2',           DATE '{_API_RUN_DATE}', CAST(NULL AS DATE)),
+      (3, 'Pause',  'paused', CAST(NULL AS VARCHAR), DATE '{_API_RUN_DATE}', CAST(NULL AS DATE))
+    ) AS t(id, name, status, public_wallet, created_date, updated_date)
+    """,
+    doc="REST-JSON app registry flatten (S3): quote-trim + date stamping, golden oracle",
+)
+def api_dim_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from kin_data_pipeline_spark.sources.json_api import dim_from_json_payload
+
+    run = datetime.date.fromisoformat(_API_RUN_DATE)
+    dim = dim_from_json_payload(spark, _API_APP_PAYLOAD, run)
+    return dim.select(
+        F.col("id").cast("int").alias("id"),
+        "name",
+        "status",
+        "public_wallet",
+        "created_date",
+        "updated_date",
+    )
+
+# Four daily points + one in-progress day (dropped) — ms epochs at UTC noon.
+_API_TS_RECORDS = [
+    {"timestamp": 1706180400000, "prices": 1.5, "market_caps": 10.0, "total_volumes": 3.0},
+    {"timestamp": 1706266800000, "prices": 2.5, "market_caps": 20.0, "total_volumes": 4.0},
+    {"timestamp": 1706353200000, "prices": 3.5, "market_caps": 30.0, "total_volumes": 5.0},
+    {"timestamp": 1706785200000, "prices": 9.5, "market_caps": 90.0, "total_volumes": 9.0},  # in-progress
+]
+
+@register(
+    "api_timeseries_seed",
+    f"""
+    SELECT timestamp, date_key,
+           CAST(prices AS DOUBLE) AS prices,
+           CAST(market_caps AS DOUBLE) AS market_caps,
+           CAST(total_volumes AS DOUBLE) AS total_volumes
+    FROM (VALUES
+      (1706180400000, DATE '2024-01-24', 1.5, 10.0, 3.0),
+      (1706266800000, DATE '2024-01-25', 2.5, 20.0, 4.0),
+      (1706353200000, DATE '2024-01-26', 3.5, 30.0, 5.0)
+    ) AS t(timestamp, date_key, prices, market_caps, total_volumes)
+    """,
+    doc="API time-series source (S4): ms-epoch, -1 day shift, in-progress day dropped",
+)
+def api_timeseries_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from kin_data_pipeline_spark.sources.json_api import timeseries_from_records
+
+    run = datetime.date.fromisoformat(_API_RUN_DATE)
+    ts = timeseries_from_records(spark, _API_TS_RECORDS, run)
+    return ts.select(
+        "timestamp", "date_key", "prices", "market_caps", "total_volumes"
+    )
