@@ -161,6 +161,47 @@ class Catalog:
         os.rename(staging, final)
         self._save_schema(name, merged)
 
+    def compact(self, name: str, date_col: str | None) -> tuple[int, int]:
+        """Rewrite a table's fragmented files into one file per date
+        partition; returns (files_before, files_after).
+
+        Incremental appends and streaming micro-batch ingestion each add at
+        least one file per partition per run — at 100 TB the accumulated
+        small files dominate scan planning and open() costs long before
+        data size does. Compaction repartitions on the partition column
+        (each date collapses into exactly one task's output), writes to a
+        staging path, and atomically swaps — readers see the old or the
+        new layout, never a mix. Refuses clone aliases like the other
+        mutators: compacting through an alias would rewrite the source.
+        """
+        if os.path.exists(self._clone_marker(name)):
+            raise ValueError(
+                f"'{name}' is a zero-copy clone; compact its source instead."
+            )
+        root = self.path(name)
+
+        def _count_files(d: str) -> int:
+            return sum(
+                1
+                for base, _, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = _count_files(root)
+        df = self.table(name)
+        staging = self.path(f"{name}.__compacting")
+        if date_col is not None:
+            w = df.repartition(F.col(date_col)).write.mode("overwrite").partitionBy(
+                date_col
+            )
+        else:
+            w = df.coalesce(1).write.mode("overwrite")
+        w.parquet(staging)
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(staging, root)
+        return before, _count_files(root)
+
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
         """Date-keyed cleanup: drop whole date partitions >= cutoff.
 

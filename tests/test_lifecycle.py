@@ -168,3 +168,29 @@ def test_concurrent_run_equals_sequential(spark, sf_dir, tmp_path):
         runner.run_concurrent(models, d, "incremental")
     for name in ("fact_events", "daily_summary", "weekly_summary"):
         assert _snapshot(cat_inc, name) == _snapshot(cat_seq, name), name
+
+def test_compaction_collapses_files_preserving_data(spark, sf_dir, tmp_path):
+    """Repeated appends fragment partitions into many small files; compact
+    rewrites to one file per date partition with identical contents, and
+    refuses to operate through a clone alias."""
+    from kin_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    day = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.to_date("ts").alias("date_key"))
+    )
+    for _ in range(3):  # three appends -> >=3 files per partition
+        cat.write_append("frag", day, "date_key")
+    before_rows = cat.table("frag").count()
+
+    n_before, n_after = cat.compact("frag", "date_key")
+    n_parts = cat.table("frag").select("date_key").distinct().count()
+    assert n_before >= 3 * n_parts
+    assert n_after == n_parts  # exactly one file per date partition
+    assert cat.table("frag").count() == before_rows
+
+    cat.clone("frag_alias", "frag")
+    with pytest.raises(ValueError, match="clone"):
+        cat.compact("frag_alias", "date_key")
