@@ -559,3 +559,47 @@ def incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_collisions", F.lit(0)) > 0).cast("int").alias("is_dup"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Mixture resampling — reweighting the per-source composition of a training
+# corpus (e.g. upweight curated sources, downsample web crawl). Selection
+# must be deterministic, engine-independent, and per-document stable, so a
+# document is kept iff the first 8 hex chars of md5(doc_id) — a uniform
+# 32-bit draw — fall under the source's keep-rate threshold. One scan, no
+# shuffle at all for the selection itself (the stats roll up per source).
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+def _mix_threshold(rate: float) -> int:
+    return int(rate * 0xFFFFFFFF)
+
+@register(
+    "source_mix_resample",
+    f"""
+    WITH draw AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS u32,
+             CASE source
+               {' '.join(f"WHEN '{s}' THEN CAST({_mix_threshold(w)} AS BIGINT)" for s, w in _MIX_WEIGHTS.items())}
+               ELSE CAST(0 AS BIGINT) END AS threshold
+      FROM documents
+    )
+    SELECT doc_id, source FROM draw WHERE u32 <= threshold
+    """,
+    doc="deterministic mixture resampling: md5-threshold keep per source weight",
+)
+def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    thr = None
+    for s, w in _MIX_WEIGHTS.items():
+        lit = F.lit(_mix_threshold(w)).cast("long")
+        thr = (
+            F.when(F.col("source") == s, lit)
+            if thr is None
+            else thr.when(F.col("source") == s, lit)
+        )
+    # sources absent from the mixture spec drop out entirely
+    thr = thr.otherwise(F.lit(0).cast("long"))
+    return docs.filter(u32 <= thr).select("doc_id", "source")
