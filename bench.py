@@ -50,23 +50,26 @@ def main() -> None:
     # operator, not one-time JVM class loading.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    warm = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 1)
-        .option("numPartitions", 1)
-        .load()
-        .groupBy("value")
-        .count()
-    )
-    wq = (
-        warm.writeStream.format("memory")
-        .queryName("__stream_warm")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    wq.awaitTermination(60)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        warm = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .option("numPartitions", 1)
+            .load()
+            .groupBy("value")
+            .count()
+        )
+        wq = (
+            warm.writeStream.format("memory")
+            .queryName("__stream_warm")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not wq.awaitTermination(60):
+            wq.stop()  # never let the warm-up stream race measured queries
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # Each query runs twice and reports the faster run: the first execution
     # of a family pays one-time session costs (codegen compilation, shared

@@ -170,9 +170,14 @@ class Catalog:
         small files dominate scan planning and open() costs long before
         data size does. Compaction repartitions on the partition column
         (each date collapses into exactly one task's output), writes to a
-        staging path, and atomically swaps — readers see the old or the
-        new layout, never a mix. Refuses clone aliases like the other
-        mutators: compacting through an alias would rewrite the source.
+        staging path, then swaps via rename-aside: the old directory is
+        renamed out of the way and kept until the new one is in place, so a
+        crash at any point leaves a complete copy of the data on disk
+        (plain filesystems cannot exchange two directories atomically — a
+        reader racing the two renames can see a brief missing-path window;
+        transactional formats remove it). Refuses clone aliases like the
+        other mutators: compacting through an alias would rewrite the
+        source.
         """
         if os.path.exists(self._clone_marker(name)):
             raise ValueError(
@@ -198,8 +203,11 @@ class Catalog:
         else:
             w = df.coalesce(1).write.mode("overwrite")
         w.parquet(staging)
-        shutil.rmtree(root, ignore_errors=True)
+        old = self.path(f"{name}.__precompact")
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a past crash
+        os.rename(root, old)
         os.rename(staging, root)
+        shutil.rmtree(old)
         return before, _count_files(root)
 
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:

@@ -505,14 +505,14 @@ _BATCH_MOD = 7  # doc_id % 7 == 0 plays the arriving batch (~14%)
       SELECT a.doc_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_collisions
       FROM bands a JOIN bands c
         ON a.band_id = c.band_id AND a.band_key = c.band_key
-       AND a.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+       AND a.doc_id % {_BATCH_MOD} = 0 AND c.doc_id % {_BATCH_MOD} <> 0
       GROUP BY a.doc_id
     )
     SELECT s.doc_id,
            COALESCE(h.n_collisions, 0) AS n_collisions,
            CAST(COALESCE(h.n_collisions, 0) > 0 AS INT) AS is_dup
     FROM sig s LEFT JOIN hits h ON s.doc_id = h.doc_id
-    WHERE s.doc_id % 7 = 0
+    WHERE s.doc_id % {_BATCH_MOD} = 0
     """,
     doc="arriving-batch near-dup probe against corpus LSH bands (no re-cluster)",
 )

@@ -467,6 +467,7 @@ def api_dim_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kin_data_pipeline_spark.sources.json_api import dim_from_json_payload
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     run = datetime.date.fromisoformat(_API_RUN_DATE)
     dim = dim_from_json_payload(spark, _API_APP_PAYLOAD, run)
     return dim.select(
@@ -506,6 +507,10 @@ def api_timeseries_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kin_data_pipeline_spark.sources.json_api import timeseries_from_records
 
+    # ms-epoch → date is session-TZ dependent and the golden oracle states
+    # UTC dates; pin it (load_table does this for table-backed queries, but
+    # this source never touches a table).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     run = datetime.date.fromisoformat(_API_RUN_DATE)
     ts = timeseries_from_records(spark, _API_TS_RECORDS, run)
     return ts.select(

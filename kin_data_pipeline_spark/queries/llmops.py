@@ -70,10 +70,16 @@ def _shingles_of_words(words_col="words"):
 _SUBSTRATE_CACHE: dict[tuple, DataFrame] = {}
 
 def _cached_substrate(spark, sf_dir: str, kind: str, build) -> DataFrame:
+    # Same reentrant guard as sources.catalog.frame_cached: concurrent
+    # threads (Runner.run_concurrent, threaded query evaluation) must not
+    # double-build the most expensive shared frames.
+    from kin_data_pipeline_spark.sources.catalog import _FRAME_CACHE_LOCK
+
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _SUBSTRATE_CACHE:
-        _SUBSTRATE_CACHE[key] = build().cache()
-    return _SUBSTRATE_CACHE[key]
+    with _FRAME_CACHE_LOCK:
+        if key not in _SUBSTRATE_CACHE:
+            _SUBSTRATE_CACHE[key] = build().cache()
+        return _SUBSTRATE_CACHE[key]
 
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, shingles) with the k=3 shingle arrays materialized."""

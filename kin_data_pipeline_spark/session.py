@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas_udf / applyInPandas / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-task sizing: 128 MiB splits keep a task's working set well
+        # inside executor memory at any corpus size (spill-aware default;
+        # tune down for very wide rows, up for cold object stores).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # ANSI off: the reference dialect (Snowflake) null-pads bad casts in
         # the '<NA>' sentinel path; we normalize explicitly instead.
         .config("spark.sql.ansi.enabled", "false")

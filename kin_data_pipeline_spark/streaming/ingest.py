@@ -4,11 +4,17 @@ append rows past the watermark). A micro-batch stream lands in the same
 date-partitioned catalog tables the batch Runner maintains, so downstream
 models read one table regardless of how rows arrived.
 
-Exactly-once: ``foreachBatch`` replays a batch after a failure, and a plain
-parquet append would duplicate it. The sink therefore records the last
-committed batch id in a sidecar and skips replays — the standard idempotent
-foreachBatch recipe (transactional sinks like Delta subsume this; plain
-parquet needs the guard). At 100 TB each micro-batch append is a
+Delivery semantics: ``foreachBatch`` replays a batch after a failure, and a
+plain parquet append would duplicate it. The sink records the last
+committed batch id in a marker INSIDE the checkpoint directory — batch ids
+are scoped to a checkpoint, so the marker must share its lifecycle (a
+table-scoped marker would silently drop batch 0 of any fresh checkpoint) —
+and the marker write is an atomic replace, so a crash can never leave it
+corrupted. The one remaining window is inherent to non-transactional
+storage: a crash between the parquet append and the marker replace
+re-appends that batch on restart (at-least-once for exactly that batch);
+transactional table formats (Delta/Iceberg) close it by committing data and
+watermark in one transaction. At 100 TB each micro-batch append is a
 partition-granular write, the same shape as the batch incremental loader.
 """
 
@@ -21,11 +27,11 @@ from pyspark.sql import DataFrame
 
 from kin_data_pipeline_spark.plans.engine import Catalog
 
-def _commit_marker(catalog: Catalog, table: str) -> str:
-    return catalog.path(table) + ".stream_commits"
+def _commit_marker(checkpoint_dir: str, table: str) -> str:
+    return os.path.join(checkpoint_dir, f"__{table}.commits.json")
 
-def last_committed_batch(catalog: Catalog, table: str) -> int:
-    marker = _commit_marker(catalog, table)
+def last_committed_batch(checkpoint_dir: str, table: str) -> int:
+    marker = _commit_marker(checkpoint_dir, table)
     if not os.path.exists(marker):
         return -1
     with open(marker) as f:
@@ -41,14 +47,18 @@ def ingest_to_catalog(
     timeout_s: int = 300,
 ) -> None:
     """Run ``stream`` to completion (availableNow), appending each
-    micro-batch to ``catalog.table(table)`` exactly once."""
+    micro-batch to ``catalog.table(table)`` once per checkpoint lineage."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed_batch(catalog, table):
+        if batch_id <= last_committed_batch(checkpoint_dir, table):
             return  # replayed batch after restart — already on disk
         catalog.write_append(table, batch_df, date_col)
-        with open(_commit_marker(catalog, table), "w") as f:
+        marker = _commit_marker(checkpoint_dir, table)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, marker)  # atomic: never a torn/corrupt marker
 
     query = (
         stream.writeStream.foreachBatch(_sink)

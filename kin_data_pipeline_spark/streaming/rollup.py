@@ -38,26 +38,33 @@ def stream_events_from_parquet(
         staging = tempfile.mkdtemp(prefix="stream_events_")
     os.makedirs(staging, exist_ok=True)
     link = os.path.join(staging, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a broken symlink must be detected (exists follows
+    # the link); a stale link pointing at a different corpus is recreated
+    # rather than silently streaming the old data.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) != path:
+            os.remove(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
-    # Map timestamp columns by their physical unit from the footer: micros is
-    # Spark's native TimestampType; nanos (no Spark streaming equivalent) is
-    # read as raw LONG and rebuilt; millis/seconds likewise via the exact
-    # integer constructors. Assuming one unit breaks silently when the
-    # producer changes resolution (every row lands in one window).
-    rebuild: dict[str, str] = {}
+    # Map timestamp columns by their physical unit from the footer: millis
+    # and micros are read natively as TimestampType; nanos have no Spark
+    # equivalent and the reader only permits the read-as-LONG carve-out for
+    # them (spark.sql.legacy.parquet.nanosAsLong), so they are rebuilt from
+    # raw longs. Assuming one unit breaks silently when the producer changes
+    # resolution (every row lands in one window).
+    nanos: list[str] = []
     if schema is None:
         arrow = pq.read_schema(path)
         fields = []
         for f in arrow:
             t = str(f.type)
             if t.startswith("timestamp"):
-                unit = f.type.unit
-                if unit == "us":
-                    fields.append(f"`{f.name}` TIMESTAMP")
-                else:
+                if f.type.unit == "ns":
                     fields.append(f"`{f.name}` LONG")
-                    rebuild[f.name] = unit
+                    nanos.append(f.name)
+                else:
+                    fields.append(f"`{f.name}` TIMESTAMP")
             elif t in ("int64",):
                 fields.append(f"`{f.name}` LONG")
             elif t == "double":
@@ -65,21 +72,15 @@ def stream_events_from_parquet(
             else:
                 fields.append(f"`{f.name}` STRING")
         schema = ", ".join(fields)
-    if "ns" in rebuild.values():
+    if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    for name, unit in rebuild.items():
-        if unit == "ns":
-            expr = F.timestamp_micros(F.expr(f"`{name}` div 1000"))
-        elif unit == "ms":
-            expr = F.timestamp_millis(F.col(name))
-        else:  # "s"
-            expr = F.timestamp_seconds(F.col(name))
-        df = df.withColumn(name, expr)
+    for name in nanos:
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -109,7 +109,7 @@ def test_streaming_ingest_lands_in_catalog_idempotently(spark, sf_dir, tmp_path)
     want = project(load_table(spark, sf_dir, "events"))
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
-    assert last_committed_batch(cat, "events_ingested") >= 0
+    assert last_committed_batch(ck, "events_ingested") >= 0
     # date partitioning is physical (partition pruning works at scale)
     assert (tmp_path / "wh" / "events_ingested").is_dir()
     parts = [p.name for p in (tmp_path / "wh" / "events_ingested").iterdir()]
