@@ -55,3 +55,50 @@ def test_bucketize_edges_inclusive(spark):
         bucketize("v", [10], ["low", "high"]).alias("b")
     ).collect()]
     assert got == ["low", "low", "high", "high"]
+
+def test_scalar_compat_randomized_cross_check(spark):
+    """Seeded random sweep (400 dates, 1970–2049, leap days and month ends
+    included) of date_trunc week/month and dateadd day/week/month against
+    DuckDB — the fixed-case pins above catch known quirks; this catches the
+    unknown ones."""
+    import random
+
+    rng = random.Random(20240131)
+    base = datetime.date(1970, 1, 1)
+    days = [base + datetime.timedelta(days=rng.randrange(0, 29200)) for _ in range(394)]
+    days += [
+        datetime.date(2024, 2, 29),
+        datetime.date(2000, 2, 29),
+        datetime.date(1999, 12, 31),
+        datetime.date(2024, 1, 31),
+        datetime.date(2023, 3, 31),
+        datetime.date(2100, 1, 1),
+    ]
+    delta = 37
+    df = spark.createDataFrame([(d,) for d in days], "d date")
+    got = {
+        r["d"]: (r["w"], r["m"], r["ad"], r["aw"], r["am"])
+        for r in df.select(
+            "d",
+            date_trunc_week("d").alias("w"),
+            date_trunc_month("d").alias("m"),
+            dateadd("day", delta, "d").alias("ad"),
+            dateadd("week", delta, "d").alias("aw"),
+            dateadd("month", delta, "d").alias("am"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        SELECT d,
+               CAST(date_trunc('week', d) AS DATE),
+               CAST(date_trunc('month', d) AS DATE),
+               CAST(d + INTERVAL 37 DAY AS DATE),
+               CAST(d + INTERVAL 37 WEEK AS DATE),
+               CAST(d + INTERVAL 37 MONTH AS DATE)
+        FROM (SELECT UNNEST(?::DATE[]) AS d)
+        """,
+        [days],
+    ).fetchall()
+    for d, *want in rows:
+        assert got[d] == tuple(want), f"mismatch at {d}: {got[d]} vs {tuple(want)}"
