@@ -194,3 +194,40 @@ def test_compaction_collapses_files_preserving_data(spark, sf_dir, tmp_path):
     cat.clone("frag_alias", "frag")
     with pytest.raises(ValueError, match="clone"):
         cat.compact("frag_alias", "date_key")
+
+def test_data_quality_checks_single_pass(spark, sf_dir):
+    """dbt-style declarative checks: all checks on a table evaluate in one
+    aggregation job; violation counts are exact; the kin fact passes its
+    own contract."""
+    from kin_data_pipeline_spark.models.kin import fact_kin_transaction
+    from kin_data_pipeline_spark.plans import checks as C
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    fact = fact_kin_transaction(spark, sf_dir)
+    results = C.run_checks(
+        fact,
+        [
+            C.not_null("id", "date_key", "from_wallet"),
+            C.unique("id"),
+            C.accepted_values("txn_type", ["1", "2", "3", None]),
+            C.non_negative("fee_sol", "amount_quark"),
+        ],
+    )
+    assert all(v == 0 for v in results.values()), results
+
+    # violations are detected and reported, not silently passed
+    ev = load_table(spark, sf_dir, "events")
+    bad = C.run_checks(
+        ev,
+        [
+            C.accepted_values("event_type", ["purchase"]),  # most rows violate
+            C.in_range("value", 0, 1),
+        ],
+    )
+    assert bad["accepted_values(event_type)"] > 0
+    assert bad["in_range(value, 0, 1)"] > 0
+    with __import__("pytest").raises(AssertionError, match="data-quality"):
+        C.assert_checks(ev, [C.accepted_values("event_type", ["purchase"])], "events")
+    # debugging path: violating rows are exactly the non-accepted ones
+    viol = C.violations(ev, C.accepted_values("event_type", ["purchase"]))
+    assert viol.count() == bad["accepted_values(event_type)"]
