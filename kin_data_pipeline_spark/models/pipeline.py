@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.models import kin as K
+from kin_data_pipeline_spark.plans import checks as C
 from kin_data_pipeline_spark.plans.model import Model
 
 FACT_T = "fact_kin_transaction"
@@ -28,14 +29,14 @@ FACT_C = "fact_kin_creations"
 
 def build_kin_models(sf_dir: str) -> list[Model]:
     def _k(name: str, cadence: str = "daily", date_col: str = "date_key",
-           deps: tuple[str, ...] = (FACT_T,)) -> Model:
+           deps: tuple[str, ...] = (FACT_T,), checks: tuple = ()) -> Model:
         fn = getattr(K, name)
 
         def builder(ctx, fn=fn):
             return fn(ctx.spark, sf_dir, ctx.run_date)
 
         return Model(name, builder, cadence=cadence, depends_on=list(deps),
-                     date_col=date_col)
+                     date_col=date_col, checks=checks)
 
     def _export(source: str, renames: dict[str, str]):
         # Postgres-replication layer: pure rename projections to the API's
@@ -118,8 +119,17 @@ def build_kin_models(sf_dir: str) -> list[Model]:
 
     return [
         # --- facts (kin_main_warehouse) ---
-        _k(FACT_T, deps=()),
-        _k(FACT_C, deps=()),
+        # fact contracts gate the write: key integrity + value sanity
+        # (one fused aggregation per fact; plans/checks.py)
+        _k(FACT_T, deps=(), checks=(
+            C.not_null("id", "date_key", "from_wallet"),
+            C.non_negative("fee_sol"),
+            C.accepted_values("txn_type", ["1", "2", "3"]),
+        )),
+        _k(FACT_C, deps=(), checks=(
+            C.not_null("id", "date_key", "account_id"),
+            C.non_negative("fee_lamports", "create_fee_lamports"),
+        )),
         # --- summary_stats / transactions marts ---
         _k("daily_kin_transactions"),
         _k("daily_counts_by_amount"),

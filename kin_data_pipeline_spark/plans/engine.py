@@ -280,6 +280,12 @@ class Runner:
                 results.append(RunResult(m.name, "clone"))
                 continue
             df = m.builder(ctx)
+            if m.checks:
+                from kin_data_pipeline_spark.plans.checks import assert_checks
+
+                # contract gate: a violated check aborts BEFORE the write,
+                # so bad data never lands in the warehouse
+                assert_checks(df, m.checks, table=m.name)
             if m.order_by:
                 # O1 clustering order; within-partition sort only (a global
                 # orderBy would add an exchange for purely cosmetic order)

@@ -35,6 +35,10 @@ class Model:
     # O1: the reference ORDER BYs on materialization (37 sites) — cosmetic
     # clustering of stored tables. Optional here; costs a sort before write.
     order_by: Sequence[str] = field(default_factory=tuple)
+    # Data-quality contract (plans/checks.py): evaluated on the built frame
+    # BEFORE the write, so a violated contract never lands in the warehouse.
+    # One fused aggregation pass per checked model.
+    checks: Sequence[Any] = field(default_factory=tuple)
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:
