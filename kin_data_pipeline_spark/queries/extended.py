@@ -516,3 +516,55 @@ def api_timeseries_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.select(
         "timestamp", "date_key", "prices", "market_caps", "total_volumes"
     )
+
+# Streaming feed dedup (§2.9 tier 4 — the reference's P10 DISTINCT-feed
+# semantic as a stateful stream): the source is unioned with itself so every
+# event arrives twice, and dropDuplicates on the id emits each exactly once
+# (first arrival wins; state holds one key per id — at scale bound it with
+# dropDuplicatesWithinWatermark once ids stop recurring past the horizon).
+# Run to completion, the emitted set must equal the batch DISTINCT — the
+# oracle is the plain one-row-per-event projection.
+@register(
+    "streaming_feed_dedup",
+    """
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS date_key,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+    """,
+    doc="stateful stream dedup: doubled feed, dropDuplicates(id) emits each event once",
+)
+def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import stream_events_from_parquet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_feed_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    project = lambda df: df.select(  # noqa: E731
+        "event_id",
+        "user_id",
+        F.to_date("ts").alias("date_key"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    doubled = project(stream_events_from_parquet(spark, sf_dir)).unionByName(
+        project(stream_events_from_parquet(spark, sf_dir))
+    )
+    deduped = doubled.dropDuplicates(["event_id"])
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
+        query.stop()
+        raise RuntimeError("streaming_feed_dedup did not finish in 300s")
+    return spark.table(sink)
