@@ -568,3 +568,48 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         raise RuntimeError("streaming_feed_dedup did not finish in 300s")
     return spark.table(sink)
+
+# Stream-stream join (§2.9 tier 5): purchases joined to the same user's
+# views within a 1-hour lookback, both sides watermarked — the attribution
+# join on the streaming tier. Inner joins emit matches as they are found,
+# so the run-to-completion result equals the batch time-range join.
+@register(
+    "streaming_purchase_view_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS p_ts, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    """,
+    doc="stream-stream attribution join (purchase x prior views, watermarked both sides)",
+)
+def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import (
+        purchase_view_join_stream,
+        stream_events_from_parquet,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_purchase_view_join_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = purchase_view_join_stream(stream_events_from_parquet(spark, sf_dir))
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
+        query.stop()
+        raise RuntimeError("streaming_purchase_view_join did not finish in 300s")
+    return spark.table(sink)

@@ -170,3 +170,38 @@ def sessionize_stream(
             "session_value",
         )
     )
+
+def purchase_view_join_stream(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same user's
+    views from the preceding ``lookback`` — the attribution-join shape, on
+    the streaming tier (both sides watermarked; state for the view side is
+    bounded by watermark + lookback, the purchase side by the watermark).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts"
+    )
