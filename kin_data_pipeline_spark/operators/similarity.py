@@ -182,7 +182,13 @@ def lsh_near_dup_pairs(
     return sims.filter(F.col("sim") >= threshold)
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        # empty corpus: any positive dim keeps the hyperplane expressions
+        # type-correct; no rows ever evaluate them, so the result is the
+        # correctly-shaped empty frame instead of a driver crash.
+        return 1
+    return len(row[0])
 
 def ivf_topk(
     corpus: DataFrame,
@@ -281,7 +287,7 @@ def lsh_topk(
     equi-join on the bucket id — linear, AQE-friendly, no cross join.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _dim_of(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
