@@ -27,8 +27,15 @@ def _dot(a, b):
     )
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cast to double + attach the L2 norm; NULL vectors are dropped —
+    similarity is undefined for them, and downstream sign-LSH would hash
+    every NULL to the same bucket (a quadratic pair blowup at scale)."""
     emb = F.col(vec_col).cast("array<double>")
-    return df.withColumn("__emb", emb).withColumn("__nrm", F.sqrt(_dot(emb, emb)))
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__emb", emb)
+        .withColumn("__nrm", F.sqrt(_dot(emb, emb)))
+    )
 
 def cosine_topk(
     corpus: DataFrame,
@@ -182,11 +189,15 @@ def lsh_near_dup_pairs(
     return sims.filter(F.col("sim") >= threshold)
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:
-        # empty corpus: any positive dim keeps the hyperplane expressions
-        # type-correct; no rows ever evaluate them, so the result is the
-        # correctly-shaped empty frame instead of a driver crash.
+    # Probe a NON-NULL row: the first row's vector being NULL must not
+    # decide the dimensionality (a dim-1 guess would zip_with-pad real
+    # vectors with NULLs and collapse every bucket to 0). NULL vectors
+    # themselves are dropped by with_norm before hashing.
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        # truly empty corpus: any positive dim keeps the hyperplane
+        # expressions type-correct; no rows ever evaluate them, so the
+        # result is the correctly-shaped empty frame, not a driver crash.
         return 1
     return len(row[0])
 

@@ -41,17 +41,28 @@ def not_null(*cols: str) -> Check:
     )
 
 def unique(*cols: str) -> Check:
-    # rows beyond the first per key = duplicates; exact, one extra shuffle
-    # on the key (the only check that can't fuse into the single-pass agg —
-    # run_checks handles it separately).
+    # duplicates = non-null-keyed rows beyond the first per key. NULL-key
+    # rows are ignored (count_distinct drops them, so the base count must
+    # too — otherwise one legitimately-nullable key row reads as a
+    # duplicate); pair with not_null to forbid NULL keys. Fuses into
+    # run_checks' single aggregation like every other check.
+    nn = None
+    for c in cols:
+        cc = F.col(c).isNotNull()
+        nn = cc if nn is None else (nn & cc)
     return Check(
         name=f"unique({', '.join(cols)})",
-        agg=(F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])),
+        agg=(F.sum(nn.cast("long")) - F.count_distinct(*[F.col(c) for c in cols])),
         predicate=None,
     )
 
 def accepted_values(col: str, values: Sequence) -> Check:
-    cond = ~F.col(col).isin(list(values)) & F.col(col).isNotNull()
+    # NULLs are always ignored (dbt semantics — pair with not_null to forbid
+    # them), and None is stripped from the list: a NULL inside isin() turns
+    # the whole predicate NULL under three-valued logic, which would make
+    # the check vacuously pass on ANY value.
+    vals = [v for v in values if v is not None]
+    cond = F.col(col).isNotNull() & ~F.col(col).isin(vals)
     return Check(
         name=f"accepted_values({col})",
         agg=F.sum(cond.cast("long")),

@@ -280,30 +280,35 @@ class Runner:
                 results.append(RunResult(m.name, "clone"))
                 continue
             df = m.builder(ctx)
-            if m.checks:
-                from kin_data_pipeline_spark.plans.checks import assert_checks
-
-                # contract gate: a violated check aborts BEFORE the write,
-                # so bad data never lands in the warehouse
-                assert_checks(df, m.checks, table=m.name)
             if m.order_by:
                 # O1 clustering order; within-partition sort only (a global
                 # orderBy would add an exchange for purely cosmetic order)
                 df = df.sortWithinPartitions(*m.order_by)
+            action = "incremental"
             if build_type == "full_refresh" or not self.catalog.exists(m.name):
+                action = "full"
+            else:
+                wm = self.catalog.high_watermark(m.name, m.date_col)
+                if wm is not None:
+                    unit = CADENCE_UNITS[m.cadence]
+                    # incremental_anchor semantics: only rows whose cadence-
+                    # truncated date is strictly past the stored watermark.
+                    df = df.filter(
+                        date_trunc(unit, F.col(m.date_col)) > F.lit(wm)
+                    )
+            if m.checks:
+                from kin_data_pipeline_spark.plans.checks import assert_checks
+
+                # contract gate on exactly what is about to be written — the
+                # post-watermark delta on incremental runs (O(delta), and an
+                # old already-written violation can't block new appends),
+                # the full frame on refresh. Aborts BEFORE the write.
+                assert_checks(df, m.checks, table=m.name)
+            if action == "full":
                 self.catalog.write_full(m.name, df, m.date_col)
-                results.append(RunResult(m.name, "full"))
-                continue
-            wm = self.catalog.high_watermark(m.name, m.date_col)
-            if wm is not None:
-                unit = CADENCE_UNITS[m.cadence]
-                # incremental_anchor semantics: only rows whose cadence-
-                # truncated date is strictly past the stored watermark.
-                df = df.filter(
-                    date_trunc(unit, F.col(m.date_col)) > F.lit(wm)
-                )
-            self.catalog.write_append(m.name, df, m.date_col)
-            results.append(RunResult(m.name, "incremental"))
+            else:
+                self.catalog.write_append(m.name, df, m.date_col)
+            results.append(RunResult(m.name, action))
         return results
 
     def run_concurrent(
