@@ -26,6 +26,12 @@ from kin_data_pipeline_spark.sources.catalog import load_table
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# Max shingle document-frequency before a posting list is dropped from pair
+# formation (the stopword/skew guard). This cap is the CANONICAL near-dup
+# semantics: at open-web scale an uncapped postings join is quadratic in the
+# hottest shingle's df. The exact form survives as the unregistered
+# `ngram_jaccard_exact` (tests only).
+JACCARD_DF_CAP = 50
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 # (a, b) pairs, a,b < 2^30 → a*h32 + b < 2^62: no 64-bit overflow anywhere.
 MINHASH_PARAMS = [
@@ -167,12 +173,66 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("doc_id") == F.col("canonical_doc_id"))
 
-# n-gram Jaccard near-dup pairs: shingle-explode → equi-join on shingle →
-# pair-count → |A∩B| / (|A|+|B|−|A∩B|). Never cross-joins the corpus — the
-# join key is the shingle, so shuffle volume is bounded by shingle postings.
+# n-gram Jaccard near-dup pairs: shingle-explode → df-capped postings →
+# grouped pair expansion → |A∩B| / (|A|+|B|−|A∩B|). Never cross-joins the
+# corpus — pairs form only inside posting lists, and lists longer than
+# JACCARD_DF_CAP are dropped (the stopword/skew guard), so the worst key's
+# pair fan-out is bounded. This capped form IS the canonical semantics under
+# the natural name; the uncapped exact form is `ngram_jaccard_exact` below,
+# unregistered and exercised only by tests.
+_NGRAM_JACCARD_CAPPED_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    capped AS (
+      SELECT sh.* FROM sh JOIN keep ON sh.s = keep.s
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+    FROM pairs WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    """
+
+def _jaccard_pairs_query(spark: SparkSession, sf_dir: str, df_cap: int | None) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
+
+    lists = shingle_posting_lists(spark, sf_dir)
+    pairs = jaccard_pairs_from_lists(lists, threshold=JACCARD_THRESHOLD, df_cap=df_cap)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+
 @register(
     "ngram_jaccard_near_dups",
-    f"""
+    _NGRAM_JACCARD_CAPPED_ORACLE,
+    doc=f"n-gram Jaccard near-dup pairs, df<={JACCARD_DF_CAP} shingle cap (canonical skew-bounded form)",
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs_query(spark, sf_dir, df_cap=JACCARD_DF_CAP)
+
+# Exact all-pairs Jaccard (df_cap=None): every co-occurring pair is formed.
+# Unsafe on open-web corpora (a stopword shingle's posting list is the whole
+# corpus → quadratic pair fan-out), so deliberately NOT registered — tests
+# use it (with NGRAM_JACCARD_EXACT_ORACLE) to pin that the cap only ever
+# removes high-df pairs, never changes surviving scores.
+NGRAM_JACCARD_EXACT_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, s, len(shingles) AS n_sh FROM (
         SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
@@ -188,29 +248,10 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, n_common,
            ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
     FROM pairs WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
-    """,
-    doc="n-gram Jaccard near-duplicate pairs via shingle-postings join",
-)
-def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact all-pairs Jaccard via the single-pass grouped-postings expansion
-    # (df_cap=None): one shingle-derivation scan instead of the postings
-    # self-join's two (the self-join re-evaluates the derivation chain per
-    # side), same pair set. The posting-list substrate is session-cached and
-    # shared with `ngram_jaccard_capped` — the skew-bounded form to use at
-    # open-web scale.
-    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
+    """
 
-    lists = shingle_posting_lists(spark, sf_dir)
-    pairs = jaccard_pairs_from_lists(lists, threshold=JACCARD_THRESHOLD, df_cap=None)
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        F.round(
-            F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
-            6,
-        ).alias("jaccard"),
-    )
+def ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs_query(spark, sf_dir, df_cap=None)
 
 def _minhash_sql_exprs() -> list[str]:
     h = _sql_h32("s")
@@ -1041,50 +1082,13 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator-library implementation (operators/dedup.py shingle_postings +
 # jaccard_pairs) so the registered plan is the capped library path.
 
-JACCARD_DF_CAP = 50
-
 @register(
     "ngram_jaccard_capped",
-    f"""
-    WITH sh AS (
-      SELECT doc_id, s, len(shingles) AS n_sh FROM (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-      ), UNNEST(shingles) AS t(s)
-    ),
-    keep AS (
-      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}
-    ),
-    capped AS (
-      SELECT sh.* FROM sh JOIN keep ON sh.s = keep.s
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_common,
-             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
-      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b, n_common,
-           ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
-    FROM pairs WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
-    """,
-    doc=f"Jaccard near-dups with df<={JACCARD_DF_CAP} shingle cap (the skew-bounded scale path)",
+    _NGRAM_JACCARD_CAPPED_ORACLE,
+    doc=f"alias of ngram_jaccard_near_dups (df<={JACCARD_DF_CAP} cap); kept for round-2 continuity",
 )
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
-
-    lists = shingle_posting_lists(spark, sf_dir)
-    pairs = jaccard_pairs_from_lists(
-        lists, threshold=JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        F.round(F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias(
-            "jaccard"
-        ),
-    )
+    return _jaccard_pairs_query(spark, sf_dir, df_cap=JACCARD_DF_CAP)
 
 # Transitive dedup clusters: pair generation alone under-deduplicates (A~B,
 # B~C must merge even when A,C never pair). Min-label propagation over the
@@ -1198,6 +1202,75 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("max_bytes"),
         F.countDistinct("checksum").alias("n_unique_payloads"),
         F.round(F.sum("n_bytes") * 1.0 / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    )
+
+# Multimodal decoded-geometry accounting: the de-stubbed decode path.
+# Spark side synthesizes VALID BMP/PNG/WAV payloads (real magic bytes,
+# header structs, CRCs) from doc_id arithmetic, then recovers geometry by
+# actually parsing those bytes (operators/multimodal.parse_media_header,
+# Arrow-batched mapInPandas). The oracle predicts the same geometry from the
+# synthesis arithmetic alone — so a bug in EITHER the writer or the parser
+# breaks the hash match: the synth→parse round trip is what's verified.
+
+_MEDIA_DECODED_ORACLE = """
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(doc_id AS BIGINT) % 3 AS fmt,
+             CAST(doc_id AS BIGINT) % 4 AS m4
+      FROM documents
+    ), d AS (
+      SELECT id,
+        CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+                 ELSE 'audio/wav' END AS mime,
+        CASE fmt WHEN 0 THEN 1 + (id * 7) % 32
+                 WHEN 1 THEN 1 + (id * 7) % 512
+                 ELSE 1 + (id * 11) % 100 END AS width,
+        CASE fmt WHEN 0 THEN 1 + (id * 13) % 32
+                 WHEN 1 THEN 1 + (id * 13) % 512
+                 ELSE 8000 + (id % 4) * 4000 END AS height,
+        CASE fmt WHEN 0 THEN 3
+                 WHEN 1 THEN CASE m4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                     WHEN 2 THEN 2 ELSE 4 END
+                 ELSE 1 + id % 2 END AS n_channels,
+        CASE fmt WHEN 0 THEN 54 + CAST(floor((3 * (1 + (id * 7) % 32) + 3) / 4) AS BIGINT) * 4 * (1 + (id * 13) % 32)
+                 WHEN 1 THEN 45
+                 ELSE 44 + (1 + (id * 11) % 100) * (1 + id % 2) * 2 END AS n_bytes
+      FROM m
+    )
+    SELECT mime,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(MIN(width) AS BIGINT) AS min_width,
+           CAST(MAX(width) AS BIGINT) AS max_width,
+           ROUND(SUM(width) * 1.0 / COUNT(*), 6) AS avg_width,
+           CAST(MIN(height) AS BIGINT) AS min_height,
+           CAST(MAX(height) AS BIGINT) AS max_height,
+           CAST(COUNT(DISTINCT n_channels) AS BIGINT) AS n_channel_values,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM d GROUP BY mime
+    """
+
+@register(
+    "media_decoded_stats",
+    _MEDIA_DECODED_ORACLE,
+    doc="real header-level media decode (BMP/PNG/WAV struct parse) → geometry distributions per mime",
+)
+def media_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        synthesize_media_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media_headers(synthesize_media_df(docs, "doc_id"))
+    return decoded.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.min("width").cast("long").alias("min_width"),
+        F.max("width").cast("long").alias("max_width"),
+        F.round(F.sum("width") * 1.0 / F.count(F.lit(1)), 6).alias("avg_width"),
+        F.min("height").cast("long").alias("min_height"),
+        F.max("height").cast("long").alias("max_height"),
+        F.countDistinct("n_channels").alias("n_channel_values"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
 
 # SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into

@@ -104,6 +104,36 @@ def test_lsh_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
     pairs = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(pairs) == len(set(pairs))
 
+def test_ngram_jaccard_exact_matches_oracle(spark, sf_dir):
+    # The uncapped all-pairs form is deliberately UNREGISTERED (quadratic on
+    # stopword shingles at open-web scale); this is its only oracle check.
+    from kin_data_pipeline_spark.queries.llmops import (
+        NGRAM_JACCARD_EXACT_ORACLE,
+        ngram_jaccard_exact,
+    )
+    from tests.oracle import compare_query
+
+    compare_query(spark, sf_dir, ngram_jaccard_exact, NGRAM_JACCARD_EXACT_ORACLE)
+
+def test_capped_jaccard_subset_of_exact_with_lower_scores(spark, sf_dir):
+    # The df-cap only removes high-df shingles from intersection counts, so
+    # every surviving capped pair exists in the exact set with n_common and
+    # jaccard no higher than the exact values.
+    from kin_data_pipeline_spark.queries.llmops import (
+        ngram_jaccard_exact,
+        ngram_jaccard_near_dups,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_exact(spark, sf_dir).collect()
+    }
+    for r in ngram_jaccard_near_dups(spark, sf_dir).collect():
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact, f"capped pair {key} missing from exact set"
+        assert r["n_common"] <= exact[key][0]
+        assert r["jaccard"] <= exact[key][1]
+
 def test_connected_components_transitive_closure(spark, sf_dir):
     from kin_data_pipeline_spark.operators.dedup import connected_components
 

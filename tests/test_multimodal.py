@@ -40,6 +40,48 @@ def test_missing_codec_raises_stub_error():
     with pytest.raises(NotImplementedError, match="not installed"):
         require_codec("definitely_not_a_real_codec_lib")
 
+def test_parse_media_header_round_trips_synthesis():
+    from kin_data_pipeline_spark.operators.multimodal import (
+        parse_media_header,
+        synthesize_media,
+    )
+
+    for mid in range(200):
+        mime, payload = synthesize_media(mid)
+        parsed_mime, width, height, channels = parse_media_header(payload)
+        assert parsed_mime == mime
+        assert width >= 1 and channels >= 1
+
+def test_parse_media_header_rejects_garbage():
+    from kin_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_media_header(b"\x00\x01not a media file")
+
+def test_parse_media_header_reads_real_struct_fields():
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _make_bmp,
+        _make_png,
+        _make_wav,
+        parse_media_header,
+    )
+
+    assert parse_media_header(_make_bmp(17, 9)) == ("image/bmp", 17, 9, 3)
+    assert parse_media_header(_make_png(300, 200, 6)) == ("image/png", 300, 200, 4)
+    assert parse_media_header(_make_wav(2, 16000, 50)) == ("audio/wav", 50, 16000, 2)
+
+def test_decode_media_headers_distributed(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_media_headers,
+        synthesize_media_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    decoded = decode_media_headers(synthesize_media_df(docs, "doc_id")).collect()
+    assert len(decoded) == 60
+    assert {r["mime"] for r in decoded} == {"image/bmp", "image/png", "audio/wav"}
+    assert all(r["n_bytes"] > 0 and r["width"] >= 1 for r in decoded)
+
 def test_media_checksum_matches_sql_md5(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     media = attach_media_columns(docs, "doc_id", "text")
