@@ -285,9 +285,11 @@ def connected_components(
     convergence takes O(component diameter) rounds — near-dup components
     are shallow (dup clusters are quasi-cliques), so 3–5 rounds in
     practice. ``localCheckpoint`` truncates the iterative lineage so the
-    plan does not re-expand per round. At extreme scale the same two
-    primitives (join, min-agg) implement the large-star/small-star
-    alternation, which bounds rounds by O(log n) independent of diameter.
+    plan does not re-expand per round. For graphs whose diameter may
+    exceed ``max_iters`` (adversarial chains through shared boilerplate),
+    use ``connected_components_star`` — O(log n) rounds independent of
+    diameter. Exhausting ``max_iters`` without reaching the fixpoint
+    raises rather than silently returning partial labels.
 
     The per-round convergence probe is a count on a 1-row-early-exit
     anti-condition — the aggregated-probe exception to the no-driver-loop
@@ -325,5 +327,112 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"label propagation did not converge in {max_iters} rounds — the "
+        "component diameter exceeds the budget; use connected_components_star"
+    )
+
+# --- large-star / small-star connected components ---------------------------
+# Plain label propagation (above) needs O(component diameter) rounds — fine
+# for quasi-clique near-dup clusters, quadratic-ish wall-clock on adversarial
+# chain components. The star-contraction alternation (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14 — public algorithm)
+# halves path lengths every alternation, so rounds are O(log n) regardless
+# of diameter. Both operators are one groupBy-min + one equi-join per round:
+# the same linear-shuffle primitives, never a cross join.
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u emit (m, x) for every neighbor x > u, where m is the
+    minimum of u's neighborhood (incl. u). Output edges always (lo, hi)."""
+    sym = edges.select("lo", "hi").unionByName(
+        edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    mins = sym.groupBy("lo").agg(F.min("hi").alias("mn"))
+    mins = mins.select(F.col("lo").alias("u"), F.least("lo", "mn").alias("m"))
+    return (
+        sym.withColumnRenamed("lo", "u")
+        .join(mins, "u")
+        .filter(F.col("hi") > F.col("u"))
+        .select(F.col("m").alias("lo"), "hi")
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u emit (m, x) for every strictly-smaller neighbor x and
+    for u itself, where m is u's minimum smaller neighbor."""
+    sym = edges.select("lo", "hi").unionByName(
+        edges.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    smaller = sym.filter(F.col("hi") < F.col("lo")).select(
+        F.col("lo").alias("u"), F.col("hi").alias("x")
+    )
+    mins = smaller.groupBy("u").agg(F.min("x").alias("m"))
+    to_min = smaller.join(mins, "u").select(
+        F.col("m").alias("lo"), F.col("x").alias("hi")
+    )
+    self_to_min = mins.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+    return (
+        to_min.unionByName(self_to_min)
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+def _star_contraction(
+    edges: DataFrame, a_col: str, b_col: str, max_iters: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star to the star-forest fixpoint.
+
+    Returns (star_edges, rounds). Convergence is detected by an edge-set
+    fingerprint (count + xxhash64 sum) — one 1-row aggregate per round,
+    the same aggregated-probe class as label propagation's early exit.
+    """
+    e = (
+        edges.filter(F.col(a_col) != F.col(b_col))
+        .select(
+            F.least(a_col, b_col).alias("lo"), F.greatest(a_col, b_col).alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: long would overflow ANSI arithmetic once
+            # row count × |hash| exceeds 2^63
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        fp = (row["n"], row["h"])
+        if fp == prev_fp:
             break
-    return labels
+        prev_fp = fp
+    return e, rounds
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Connected components via star contraction: O(log n) rounds.
+
+    Same contract as ``connected_components`` — returns
+    ``(node, cluster_id)`` with ``cluster_id`` the minimum node id in the
+    component, for every node incident to an edge — but converges
+    logarithmically on long-chain components where label propagation is
+    O(diameter). Prefer this form when the duplicate graph's shape is
+    unknown (open-web corpora produce adversarial chains through
+    boilerplate overlap).
+    """
+    stars, _ = _star_contraction(edges, a_col, b_col, max_iters)
+    # Fixpoint is a star forest: every edge is (component_min, node).
+    members = stars.select(F.col("hi").alias("node"), F.col("lo").alias("cluster_id"))
+    roots = stars.select(
+        F.col("lo").alias("node"), F.col("lo").alias("cluster_id")
+    ).distinct()
+    return members.unionByName(roots).distinct()

@@ -1143,19 +1143,72 @@ sh AS (
     doc="transitive near-dup clusters via min-label propagation (connected components)",
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import connected_components
+    from kin_data_pipeline_spark.operators.dedup import connected_components_star
 
-    # The propagation loop materializes per round (localCheckpoint), so the
-    # label frame is cached like the other substrates — the survivor-stats
-    # query reuses it instead of re-running the iterations.
+    # Star contraction, not plain label propagation: O(log n) rounds even
+    # if boilerplate overlap chains documents into a long path (label
+    # propagation is O(diameter) and raises past its round budget). The
+    # contraction materializes per round (localCheckpoint), so the label
+    # frame is cached like the other substrates — the survivor-stats query
+    # reuses it instead of re-running the iterations.
     labels = _cached_substrate(
         spark,
         sf_dir,
         "near_dup_labels",
-        lambda: connected_components(
+        lambda: connected_components_star(
             ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
         ),
     )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+# Deep-chain clusters: the adversarial shape for iterative closure. The
+# edge fixture chains consecutive doc_ids into 50-long paths (component
+# diameter 49 — past plain label propagation's round budget, which would
+# raise), so this query proves the O(log n) star contraction converges on
+# exactly the graph class that motivates it. Oracle: recursive CTE walking
+# each node back to its chain head.
+
+@register(
+    "near_dup_clusters_deep",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 50 <> 49
+    ), nodes AS (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    ), reach AS (
+      SELECT node, node AS m FROM nodes
+      UNION
+      SELECT r.node, e.u FROM reach r JOIN e ON e.v = r.m
+    ), lab AS (
+      SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    doc="connected components on 50-long path components via large-star/small-star contraction",
+)
+def near_dup_clusters_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+        )
+        .filter(F.col("doc_a") % 50 != 49)
+        .join(docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    labels = connected_components_star(edges, "doc_a", "doc_b")
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),

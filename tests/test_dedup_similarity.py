@@ -159,3 +159,58 @@ def test_connected_components_long_chain_converges(spark, sf_dir):
     labels = connected_components(edges)
     assert labels.select("cluster_id").distinct().count() == 1
     assert labels.count() == n + 1
+
+def test_connected_components_raises_past_round_budget(spark, sf_dir):
+    import pytest
+
+    from kin_data_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=5)
+
+def test_star_contraction_matches_label_propagation(spark, sf_dir):
+    import random
+
+    from kin_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(11)
+    raw = [(random.randrange(80), random.randrange(80)) for _ in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], ["doc_a", "doc_b"]
+    )
+    lp = sorted(
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, max_iters=100).collect()
+    )
+    star = sorted(
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(edges).collect()
+    )
+    assert lp == star
+
+def test_star_contraction_logarithmic_rounds_on_path(spark, sf_dir):
+    import math
+
+    from kin_data_pipeline_spark.operators.dedup import (
+        _star_contraction,
+        connected_components_star,
+    )
+
+    # 1000-node path: diameter 999. Label propagation would need ~999
+    # rounds; star contraction halves chain length per alternation.
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["doc_a", "doc_b"]
+    )
+    _, rounds = _star_contraction(edges, "doc_a", "doc_b", max_iters=40)
+    assert rounds <= 2 * math.ceil(math.log2(n + 1)), rounds
+    labels = connected_components_star(edges)
+    assert labels.select("cluster_id").distinct().count() == 1
+    assert labels.count() == n + 1
+    assert labels.filter(F.col("cluster_id") != 0).count() == 0
