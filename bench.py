@@ -1,7 +1,11 @@
 """Benchmark harness: runs the registered queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {slowest-10 only}, "sf": ..., "n_queries": N, "detail":
+"BENCH_SELF.json"}. The stdout line stays well under ~1.5 KB — the round-2
+full per-query dict (~4 KB) exceeded what the driver's parser recorded.
+Full per-query timings (steady-state best AND cold first run) are written
+to BENCH_SELF.json beside this script.
 
 The JSON line is guaranteed to be the ONLY stdout output: file descriptor 1
 is pointed at stderr for the whole run (JVM/Spark banners bypass Python's
@@ -77,25 +81,52 @@ def main() -> None:
     # over a session, while the repeat measures the operator itself. Both
     # runs execute the full plan (count action).
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name, fn in queries().items():
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()
-            elapsed = time.monotonic() - t0
+            runs.append(time.monotonic() - t0)
             assert n >= 0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        first_run[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # Full per-query detail (steady-state best + cold first run, so one-time
+    # cost regressions stay visible round-over-round) goes to a sidecar file;
+    # stdout carries only the compact driver-parseable summary line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+                "first_run": first_run,
+                "first_run_total": round(sum(first_run.values()), 3),
+            },
+            fh,
+            indent=1,
+        )
     payload = json.dumps(
         {
             "metric": "total_query_wall_clock",
-            "value": round(sum(timings.values()), 3),
+            "value": total,
             "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "detail": "BENCH_SELF.json",
         }
     )
     spark.stop()

@@ -613,3 +613,64 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.stop()
         raise RuntimeError("streaming_purchase_view_join did not finish in 300s")
     return spark.table(sink)
+
+# --- skew tier: salted rewrites proven answer-identical ---------------------
+# At 100 TB a zipf-headed key (one dominant event_type, the NULL app bucket)
+# funnels a whole groupBy partition through one task. The salted operators
+# (operators/skew.py) spread that hot key over n_salts partial groups and
+# merge; these queries pin — at the driver's oracle gate — that the rewrite
+# is answer-IDENTICAL to the direct aggregation, not an approximation.
+
+@register(
+    "skew_distinct_users_by_event_type",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+    doc="exact COUNT(DISTINCT) under key skew via value-hash salted dedup (operators/skew.py:47)",
+)
+def skew_distinct_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.skew import salted_count_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(
+        events, ["event_type"], "user_id", out_col="n_distinct_users"
+    )
+
+@register(
+    "skew_salted_value_sum_by_type",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="two-phase salted aggregation (count/sum/max merge) answer-identical to direct agg",
+)
+def skew_salted_value_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        partial_aggs={
+            "pc": F.count(F.lit(1)),
+            "ps": F.sum(dec),
+            "pm": F.max(dec),
+        },
+        merge_aggs={
+            "n_events": F.sum("pc"),
+            "sum_dec": F.sum("ps"),
+            "max_dec": F.max("pm"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_dec").cast("double").alias("total_value"),
+        F.col("max_dec").cast("double").alias("max_value"),
+    )

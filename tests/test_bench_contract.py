@@ -23,6 +23,10 @@ def test_bench_stdout_is_one_parseable_json_line():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"stdout must be exactly one line, got {len(lines)}"
+    # Round-2 regression: a ~4 KB line exceeded what the driver's parser
+    # records (2000-char tail) → parsed: null. Keep the line comfortably
+    # under that budget.
+    assert len(lines[0]) < 1500, f"stdout line too long ({len(lines[0])} bytes)"
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert str(payload["sf"]) in sf_dir
@@ -30,5 +34,22 @@ def test_bench_stdout_is_one_parseable_json_line():
 
     from kin_data_pipeline_spark.queries import queries
 
-    assert set(payload["queries"]) == set(queries())
+    all_names = set(queries())
+    assert payload["n_queries"] == len(all_names)
+    assert len(payload["queries"]) == 10
+    assert set(payload["queries"]) <= all_names
     assert all(v >= 0 for v in payload["queries"].values())
+
+    # Full per-query detail (steady-state + cold) lives in the sidecar.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        payload["detail"],
+    )
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    assert set(detail["queries"]) == all_names
+    assert set(detail["first_run"]) == all_names
+    assert detail["value"] == payload["value"]
+    assert all(
+        detail["first_run"][k] >= detail["queries"][k] - 1e-9 for k in all_names
+    )

@@ -1,20 +1,44 @@
 """The external correctness gate checks only the first 50 registry entries —
-pin the window layout so a refactor can't silently push the kin model chain
-(or the round's new queries) out of verification."""
+pin the window layout so a refactor can't silently push this round's
+never-driver-checked queries (or the kin representatives) out of
+verification. Window composition is an explicit, reviewed decision:
+ROUND3_WINDOW_HEAD is the manifest, and this suite is its review."""
 
 from __future__ import annotations
+
+import json
+import os
 
 from kin_data_pipeline_spark import queries as q
 
 DRIVER_WINDOW = 50
 
-def test_driver_window_covers_kin_chain_and_new_queries():
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def _driver_checked_names() -> set[str]:
+    """Queries with a driver CORRECTNESS row in any completed round."""
+    names: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(_REPO, fname)
+        if os.path.exists(path):
+            names |= set(json.load(open(path)))
+    return names
+
+def test_window_is_exactly_the_round3_manifest():
     names = list(q.queries())
-    window = set(names[:DRIVER_WINDOW])
-    kin = {n for n in names if n.startswith("kin_")}
-    assert kin <= window, f"kin queries outside the driver window: {sorted(kin - window)}"
-    for n in q._WINDOW_TAIL:
-        assert n in window, f"{n} fell out of the driver window"
+    assert names[:DRIVER_WINDOW] == q.ROUND3_WINDOW_HEAD
+
+def test_round3_manifest_is_50_registered_queries():
+    assert len(q.ROUND3_WINDOW_HEAD) == DRIVER_WINDOW
+    assert len(set(q.ROUND3_WINDOW_HEAD)) == DRIVER_WINDOW
+    missing = [n for n in q.ROUND3_WINDOW_HEAD if n not in q.QUERIES]
+    assert not missing, f"manifest names not registered: {missing}"
+
+def test_every_query_driver_checked_after_this_round():
+    """The round-3 goal: prior-round rows ∪ this round's window ⊇ registry."""
+    covered = _driver_checked_names() | set(q.ROUND3_WINDOW_HEAD)
+    never = sorted(set(q.queries()) - covered)
+    assert not never, f"queries that would still lack a driver row: {never}"
 
 def test_fact_builders_lead_for_frame_cache():
     names = list(q.queries())
