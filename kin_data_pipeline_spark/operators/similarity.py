@@ -188,18 +188,36 @@ def lsh_near_dup_pairs(
     )
     return sims.filter(F.col("sim") >= threshold)
 
+_DIM_CACHE: dict[tuple, int] = {}
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     # Probe a NON-NULL row: the first row's vector being NULL must not
     # decide the dimensionality (a dim-1 guess would zip_with-pad real
     # vectors with NULLs and collapse every bucket to 0). NULL vectors
     # themselves are dropped by with_norm before hashing.
+    #
+    # The probe is a driver action, so composed ANN pipelines (assign +
+    # probe + verify over the same corpus) would otherwise re-run it per
+    # build; cache by (session, plan identity, column). Benign under
+    # threads: racers compute the same value.
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        vec_col,
+    )
+    hit = _DIM_CACHE.get(key)
+    if hit is not None:
+        return hit
     row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if row is None:
         # truly empty corpus: any positive dim keeps the hyperplane
         # expressions type-correct; no rows ever evaluate them, so the
         # result is the correctly-shaped empty frame, not a driver crash.
+        # Not cached — the same plan could be non-empty later in a session
+        # (e.g. after an incremental load).
         return 1
-    return len(row[0])
+    _DIM_CACHE[key] = len(row[0])
+    return _DIM_CACHE[key]
 
 def ivf_topk(
     corpus: DataFrame,

@@ -63,8 +63,11 @@ def accepted_values(col: str, values: Sequence) -> Check:
     # the check vacuously pass on ANY value.
     vals = [v for v in values if v is not None]
     cond = F.col(col).isNotNull() & ~F.col(col).isin(vals)
+    # Parameter values are part of the name: two accepted_values() on the
+    # same column with different lists are DIFFERENT checks, and run_checks
+    # keys its result dict by name.
     return Check(
-        name=f"accepted_values({col})",
+        name=f"accepted_values({col}, {vals!r})",
         agg=F.sum(cond.cast("long")),
         predicate=cond,
     )
@@ -97,6 +100,12 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> dict[str, int]:
     """
     if not checks:
         return {}
+    names = [c.name for c in checks]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # A name collision would silently keep only the last count — a
+        # violated earlier check could be masked in assert_checks.
+        raise ValueError(f"duplicate check names: {dupes}")
     aggs = [F.coalesce(c.agg, F.lit(0)).cast("long").alias(str(i)) for i, c in enumerate(checks)]
     row = df.agg(*aggs).collect()[0]
     return {c.name: int(row[str(i)]) for i, c in enumerate(checks)}

@@ -45,7 +45,28 @@ class Catalog:
     def _clone_marker(self, name: str) -> str:
         return os.path.join(self.warehouse_dir, f"{name}._clone.json")
 
+    def _heal_compaction(self, name: str) -> None:
+        """Self-heal after a crash mid-``compact()`` swap.
+
+        The rename-aside swap has a window where the canonical path is
+        absent (root renamed to ``__precompact``, staging not yet renamed
+        in). Data is never lost — the pre-compaction directory is complete —
+        so on the next touch: restore it if the root is missing, or clear
+        it (and any staging leftover) if the root is present.
+        """
+        root = self.path(name)
+        old = self.path(f"{name}.__precompact")
+        staging = self.path(f"{name}.__compacting")
+        if os.path.exists(old):
+            if os.path.exists(root):
+                shutil.rmtree(old)  # swap completed; only cleanup was lost
+            else:
+                os.rename(old, root)  # crash inside the missing-path window
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # staging is incomplete or superseded
+
     def exists(self, name: str) -> bool:
+        self._heal_compaction(name)
         return os.path.exists(self.path(name)) or os.path.exists(
             self._clone_marker(name)
         )
@@ -59,6 +80,7 @@ class Catalog:
             seen.add(name)
             with open(self._clone_marker(name)) as f:
                 name = json.load(f)["clone_of"]
+        self._heal_compaction(name)
         return self.path(name)
 
     def _schema_sidecar(self, name: str) -> str:
@@ -302,12 +324,19 @@ class Runner:
                 # contract gate on exactly what is about to be written — the
                 # post-watermark delta on incremental runs (O(delta), and an
                 # old already-written violation can't block new appends),
-                # the full frame on refresh. Aborts BEFORE the write.
+                # the full frame on refresh. Aborts BEFORE the write. The
+                # frame is persisted across check + write so the builder's
+                # plan runs once, not once per action.
+                df = df.persist()
                 assert_checks(df, m.checks, table=m.name)
-            if action == "full":
-                self.catalog.write_full(m.name, df, m.date_col)
-            else:
-                self.catalog.write_append(m.name, df, m.date_col)
+            try:
+                if action == "full":
+                    self.catalog.write_full(m.name, df, m.date_col)
+                else:
+                    self.catalog.write_append(m.name, df, m.date_col)
+            finally:
+                if m.checks:
+                    df.unpersist()
             results.append(RunResult(m.name, action))
         return results
 

@@ -52,15 +52,23 @@ def stream_events_from_parquet(
     # equivalent and the reader only permits the read-as-LONG carve-out for
     # them (spark.sql.legacy.parquet.nanosAsLong), so they are rebuilt from
     # raw longs. Assuming one unit breaks silently when the producer changes
-    # resolution (every row lands in one window).
+    # resolution (every row lands in one window). The footer probe runs even
+    # for caller-supplied schemas: a ns column the caller reads as LONG is
+    # still rebuilt into a timestamp (declaring it anything else is the
+    # caller taking over unit conversion explicitly).
+    arrow = pq.read_schema(path)
+    ns_cols = [
+        f.name
+        for f in arrow
+        if str(f.type).startswith("timestamp") and f.type.unit == "ns"
+    ]
     nanos: list[str] = []
     if schema is None:
-        arrow = pq.read_schema(path)
         fields = []
         for f in arrow:
             t = str(f.type)
             if t.startswith("timestamp"):
-                if f.type.unit == "ns":
+                if f.name in ns_cols:
                     fields.append(f"`{f.name}` LONG")
                     nanos.append(f.name)
                 else:
@@ -72,6 +80,20 @@ def stream_events_from_parquet(
             else:
                 fields.append(f"`{f.name}` STRING")
         schema = ", ".join(fields)
+    elif ns_cols:
+        from pyspark.sql.types import LongType, StructType
+
+        declared = (
+            schema
+            if isinstance(schema, StructType)
+            else spark.createDataFrame([], schema).schema
+        )
+        nanos = [
+            c
+            for c in ns_cols
+            if c in declared.fieldNames()
+            and isinstance(declared[c].dataType, LongType)
+        ]
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = (

@@ -195,6 +195,53 @@ def test_compaction_collapses_files_preserving_data(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="clone"):
         cat.compact("frag_alias", "date_key")
 
+def test_compaction_crash_self_heals(spark, sf_dir, tmp_path):
+    """A crash inside compact()'s rename-aside swap leaves the canonical
+    path absent (data preserved under __precompact); the next catalog touch
+    must restore it transparently."""
+    import os
+    import shutil
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 1, 2), 2)],
+        ["date_key", "v"],
+    )
+    cat.write_full("t", df, "date_key")
+    rows = sorted(tuple(r) for r in cat.table("t").collect())
+
+    # Simulate the crash window: root renamed aside, staging half-written.
+    os.rename(cat.path("t"), cat.path("t.__precompact"))
+    os.makedirs(cat.path("t.__compacting"))
+    assert cat.exists("t")  # heal restores the canonical path
+    assert sorted(tuple(r) for r in cat.table("t").collect()) == rows
+    assert not os.path.exists(cat.path("t.__precompact"))
+    assert not os.path.exists(cat.path("t.__compacting"))
+
+    # Crash AFTER the swap (only cleanup lost): leftover old dir is cleared.
+    shutil.copytree(cat.path("t"), cat.path("t.__precompact"))
+    assert cat.exists("t")
+    assert not os.path.exists(cat.path("t.__precompact"))
+    assert sorted(tuple(r) for r in cat.table("t").collect()) == rows
+
+def test_duplicate_check_names_rejected(spark, sf_dir):
+    from kin_data_pipeline_spark.plans import checks as C
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # Same column, different value lists → distinct names now, both counted.
+    results = C.run_checks(
+        ev,
+        [
+            C.accepted_values("event_type", ["purchase"]),
+            C.accepted_values("event_type", ["purchase", "view", "click", "signup", "error"]),
+        ],
+    )
+    assert len(results) == 2
+    # Genuinely identical names collide loudly instead of masking a count.
+    with pytest.raises(ValueError, match="duplicate check names"):
+        C.run_checks(ev, [C.not_null("value"), C.not_null("value")])
+
 def test_data_quality_checks_single_pass(spark, sf_dir):
     """dbt-style declarative checks: all checks on a table evaluate in one
     aggregation job; violation counts are exact; the kin fact passes its
@@ -224,10 +271,10 @@ def test_data_quality_checks_single_pass(spark, sf_dir):
             C.in_range("value", 0, 1),
         ],
     )
-    assert bad["accepted_values(event_type)"] > 0
+    assert bad["accepted_values(event_type, ['purchase'])"] > 0
     assert bad["in_range(value, 0, 1)"] > 0
     with __import__("pytest").raises(AssertionError, match="data-quality"):
         C.assert_checks(ev, [C.accepted_values("event_type", ["purchase"])], "events")
     # debugging path: violating rows are exactly the non-accepted ones
     viol = C.violations(ev, C.accepted_values("event_type", ["purchase"]))
-    assert viol.count() == bad["accepted_values(event_type)"]
+    assert viol.count() == bad["accepted_values(event_type, ['purchase'])"]

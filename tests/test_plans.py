@@ -32,13 +32,33 @@ def test_dim_joins_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, q
         assert "SortMergeJoin" not in plan, f"{q} fell back to sort-merge"
 
-def test_no_cartesian_products_anywhere(spark, sf_dir):
-    offenders = []
+# The only registered plans allowed a BroadcastNestedLoopJoin: each is a
+# LINEAR corpus scan against a broadcast small side (IVF centroid table,
+# brute-force top-k query set) — the documented ANN shapes. Anything else
+# showing a BNLJ or CartesianProduct is a scale bug.
+ALLOWED_BNLJ = {
+    "embedding_ivf_ann_top5",  # corpus × broadcast centroids (K ≈ √N)
+    "embedding_knn_top5",  # corpus × broadcast query set (baseline)
+    "knn_label_agreement",  # corpus × broadcast query set (baseline)
+}
+
+def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
+    cartesian, bnlj = [], []
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian products in: {offenders}"
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            bnlj.append(name)
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not bnlj, f"undocumented nested-loop joins in: {bnlj}"
+
+def test_allowed_bnlj_list_is_current(spark, sf_dir):
+    # The exemption list must not rot: every exempted query still exists
+    # and still relies on the broadcast nested-loop shape.
+    for name in ALLOWED_BNLJ:
+        assert name in QUERIES, f"{name} exempted but not registered"
+        assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, name), name
 
 def test_segmented_agg_is_single_pass(spark, sf_dir):
     # A9 fusion: one aggregate over events, not four joined subqueries
