@@ -298,6 +298,121 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
 
+def assign_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 31,
+) -> DataFrame:
+    """Nearest-centroid cell assignment with deterministically sampled
+    centroids (``id % centroid_stride == 0`` — the IVF scheme, no training
+    step). Returns ``(vid, cid)``. The cross join is only against the tiny
+    broadcast centroid set (K ≈ N/stride); everything else is linear.
+    """
+    e = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    cent = e.filter(F.col("vid") % centroid_stride == 0).select(
+        F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_to_cent)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+    )
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroid_stride: int = 31,
+    cell_cap: int | None = None,
+    broadcast_embeddings: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus into
+    centroid cells, then verify exact cosine only WITHIN each cell.
+
+    This is the embedding analog of blocked dedup (Abbas et al., "SemDeDup",
+    arXiv:2303.09540, public method): the quadratic pair space is restricted
+    to cells of expected occupancy ~stride, so total pair work is
+    O(N · stride) instead of O(N²). Pair forming reuses the grouped
+    bucket-list expansion shape from ``lsh_near_dup_pairs`` (one groupBy on
+    the cell id, pairs blown up JVM-side from the sorted id list, deduped
+    ids only — embeddings re-attached by id for the verify). ``cell_cap``
+    drops cells above that occupancy before any list is buffered (skew
+    guard for degenerate corpora where many vectors share a centroid).
+
+    Returns ``(id_a, id_b, cid, sim)`` with ``id_a < id_b``.
+    """
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    assign = assign_cells(df, id_col, vec_col, centroid_stride)
+    lists = assign.groupBy("cid").agg(
+        F.array_sort(F.collect_list("vid")).alias("vids"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    if cell_cap is not None:
+        lists = lists.filter(F.col("occ") <= cell_cap)
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("vids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("vids"), i + 2, F.size(F.col("vids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    ).alias("p")
+    cand = lists.select(F.col("cid"), pair).select("cid", "p.id_a", "p.id_b")
+    ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vid").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    if broadcast_embeddings:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    sims = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cid",
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroid_stride: int = 31,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Greedy min-id survivor set under semantic dedup: a vector is DROPPED
+    iff some same-cell vector with a SMALLER id is cosine-similar above the
+    threshold. Since pairs carry ``id_a < id_b``, the dropped set is exactly
+    ``distinct id_b`` — one anti join, no iteration.
+
+    Deliberately NOT transitive (a~b, b~c with a≁c drops both b and c even
+    though b — c's only partner — was itself dropped): the greedy policy is
+    deterministic, single-pass, and SQL-expressible; transitive-closure
+    dedup is ``operators.dedup.connected_components_star`` composed over
+    these pairs when cluster-level semantics are wanted.
+    """
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold, centroid_stride, cell_cap
+    )
+    ids = with_norm(df, vec_col).select(F.col(id_col).alias("vid"))
+    dropped = pairs.select(F.col("id_b").alias("vid")).distinct()
+    return ids.join(dropped, "vid", "left_anti").select(F.col("vid").alias(id_col))
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

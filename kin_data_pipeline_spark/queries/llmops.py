@@ -937,6 +937,94 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select("id_a", "id_b", F.round("sim", 4).alias("cosine_sim"))
 
+# SemDeDup-style semantic dedup (dedup tier 6): deterministic IVF-cell
+# clustering restricts the quadratic pair space to same-cell pairs, then an
+# exact-cosine verify inside each cell. Both engines derive the identical
+# cell structure from the data (centroids = vec_id % stride == 0), so the
+# pair set is bit-comparable with no injected literals.
+
+_SEMD_STRIDE = 31
+_SEMD_THRESHOLD = 0.30  # near-orthogonal synthetic corpus: ~2.5% of
+# within-cell pairs clear 0.30 at every SF (probed 0.001/0.01/0.1), so the
+# query is non-trivial at the smoke, correctness, and bench scales alike.
+
+_SEMD_PAIRS_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
+      WHERE vec_id % {_SEMD_STRIDE} = 0
+    ), asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+             list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS sim
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    )
+"""
+
+@register(
+    "semantic_dedup_pairs",
+    _SEMD_PAIRS_SQL
+    + f"""
+    SELECT id_a, id_b, cid, ROUND(sim, 4) AS cosine_sim
+    FROM pairs WHERE sim >= {_SEMD_THRESHOLD}
+    """,
+    doc="SemDeDup-style semantic near-dup pairs: IVF-cell blocking + exact cosine verify",
+)
+def semantic_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, threshold=_SEMD_THRESHOLD, centroid_stride=_SEMD_STRIDE
+    )
+    return pairs.select("id_a", "id_b", "cid", F.round("sim", 4).alias("cosine_sim"))
+
+@register(
+    "semantic_dedup_survivor_stats",
+    _SEMD_PAIRS_SQL
+    + f"""
+    , dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= {_SEMD_THRESHOLD}
+    )
+    SELECT e2.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS n_survivors,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
+    FROM embeddings e2 LEFT JOIN dropped d ON e2.vec_id = d.vec_id
+    GROUP BY e2.label
+    """,
+    doc="per-label survivor accounting under greedy min-id semantic dedup",
+)
+def semantic_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import semantic_dedup_survivors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = semantic_dedup_survivors(
+        emb, threshold=_SEMD_THRESHOLD, centroid_stride=_SEMD_STRIDE
+    ).withColumn("survived", F.lit(1))
+    return (
+        emb.join(surv, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("survived").alias("n_survivors"),
+            (F.count(F.lit(1)) - F.count("survived")).alias("n_dropped"),
+        )
+    )
+
 # substrate of TF-IDF (logs are deliberately excluded: libm vs JVM ln can
 # differ in the last ulp, so scoring stays engine-exact by shipping counts).
 @register(

@@ -214,3 +214,44 @@ def test_star_contraction_logarithmic_rounds_on_path(spark, sf_dir):
     assert labels.select("cluster_id").distinct().count() == 1
     assert labels.count() == n + 1
     assert labels.filter(F.col("cluster_id") != 0).count() == 0
+
+
+# --- SemDeDup tier (cell-blocked semantic dedup) ---------------------------
+
+def test_semantic_dedup_pairs_are_within_cell_and_ordered(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.similarity import (
+        assign_cells,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, threshold=0.30, centroid_stride=31)
+    rows = pairs.collect()
+    assert rows, "corpus should contain same-cell pairs above 0.30"
+    cells = {r["vid"]: r["cid"] for r in assign_cells(emb).collect()}
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cid"]
+        assert r["sim"] >= 0.30
+
+def test_semantic_dedup_survivors_greedy_min_id(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, threshold=0.30, centroid_stride=31)
+    dropped = {r["id_b"] for r in pairs.collect()}
+    surv = {r["vec_id"] for r in semantic_dedup_survivors(emb, threshold=0.30).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert surv == all_ids - dropped
+
+def test_semantic_dedup_cell_cap_drops_hot_cells(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    capped = semantic_dedup_pairs(emb, threshold=0.0, centroid_stride=31, cell_cap=10)
+    # every surviving cell holds <= 10 vectors -> <= 45 pairs per cell
+    per_cell = capped.groupBy("cid").count().collect()
+    assert all(r["count"] <= 45 for r in per_cell)

@@ -40,6 +40,8 @@ ALLOWED_BNLJ = {
     "embedding_ivf_ann_top5",  # corpus × broadcast centroids (K ≈ √N)
     "embedding_knn_top5",  # corpus × broadcast query set (baseline)
     "knn_label_agreement",  # corpus × broadcast query set (baseline)
+    "semantic_dedup_pairs",  # corpus × broadcast centroids (cell assignment)
+    "semantic_dedup_survivor_stats",  # same cell assignment underneath
 }
 
 def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
