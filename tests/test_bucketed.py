@@ -1,0 +1,85 @@
+"""Bucketed-table layout: co-located sort-merge joins must compile with NO
+shuffle exchange on either side — the 100 TB fact-join layout decision —
+and the layout must survive a fresh session via sidecar re-registration."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.plans.engine import Catalog
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    cat.write_bucketed(
+        "orders_b", orders, ["o_orderkey"], 4, sort_cols=["o_orderkey"]
+    )
+    cat.write_bucketed(
+        "lineitem_b", lineitem, ["l_orderkey"], 4, sort_cols=["l_orderkey"]
+    )
+    return cat
+
+def _join_plan(cat):
+    o = cat.bucketed_table("orders_b")
+    li = cat.bucketed_table("lineitem_b")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    return joined, joined._jdf.queryExecution().executedPlan().toString()
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    with _no_broadcast(spark):
+        joined, plan = _join_plan(bucketed_pair)
+        assert "SortMergeJoin" in plan
+        join_side = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning" not in join_side, plan
+        assert joined.count() > 0
+
+def test_bucketed_rows_match_plain_join(spark, sf_dir, bucketed_pair):
+    with _no_broadcast(spark):
+        joined, _ = _join_plan(bucketed_pair)
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        expected = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        got = {(r["o_orderkey"], str(r["qty"])) for r in joined.collect()}
+        want = {(r["o_orderkey"], str(r["qty"])) for r in expected.collect()}
+        assert got == want
+
+def test_bucket_layout_survives_catalog_reregistration(spark, bucketed_pair):
+    # simulate a fresh session: drop the session-catalog idents (external
+    # tables — data stays on disk), then read through the sidecar path
+    spark.sql("DROP TABLE IF EXISTS bucketed_orders_b")
+    spark.sql("DROP TABLE IF EXISTS bucketed_lineitem_b")
+    with _no_broadcast(spark):
+        joined, plan = _join_plan(bucketed_pair)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan.split("SortMergeJoin", 1)[1]
+        assert joined.count() > 0
+
+def test_bucketed_table_requires_sidecar(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError):
+        cat.bucketed_table("nope")
