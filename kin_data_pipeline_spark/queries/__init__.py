@@ -27,18 +27,20 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 # query has a green driver row in at least one round. Rounds 1+2 covered the
 # whole kin chain (45 green r02 rows) plus the r1 representatives, so this
 # round's head is:
-#   1..13  kin representatives re-verifying the model chain (fact builders
+#   1..12  kin representatives re-verifying the model chain (fact builders
 #          lead, warming the session frame cache exactly as before; the
 #          other kin queries keep their r01/r02 rows and stay green in the
 #          local parity suite)
-#   14..50 the 30 queries that had never had a driver CORRECTNESS row
+#   13..50 the 30 queries that had never had a driver CORRECTNESS row
 #          (curation tier, 4 streaming tiers, API sources, embedding/
 #          simhash near-dups, text analysis, TPC-H-ish extended) plus this
-#          round's 7 new-or-changed entries: the now-capped
+#          round's 8 new-or-changed entries: the now-capped
 #          ngram_jaccard_near_dups, media_decoded_stats (real header
 #          decode), near_dup_clusters_deep (star contraction), the two
-#          skew-tier salted rewrites, and the SemDeDup tier
-#          (semantic_dedup_pairs / semantic_dedup_survivor_stats).
+#          skew-tier salted rewrites, the SemDeDup tier
+#          (semantic_dedup_pairs / semantic_dedup_survivor_stats), and the
+#          bounded-state streaming dedup
+#          (streaming_dedup_within_watermark).
 # Everything after slot 50 passed driver verification in r1/r2 and is
 # re-checked continuously by the local parity suite
 # (tests/test_oracle_parity.py), which applies the identical comparison at
@@ -54,7 +56,6 @@ ROUND3_WINDOW_HEAD = [
     "kin_daily_volatility_factor",
     "kin_daily_payout",
     "kin_weekly_payout_summary",
-    "kin_gc_dust_wallets",
     "kin_multi_create_impacted",
     "kin_monthly_inactive_wallets",
     "kin_daily_churn_volume",
@@ -102,6 +103,7 @@ ROUND3_WINDOW_HEAD = [
     "streaming_running_balance",
     "streaming_user_sessions",
     "streaming_feed_dedup",
+    "streaming_dedup_within_watermark",
     "streaming_purchase_view_join",
 ]
 

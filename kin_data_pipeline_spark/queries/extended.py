@@ -569,6 +569,66 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("streaming_feed_dedup did not finish in 300s")
     return spark.table(sink)
 
+# Streaming dedup with BOUNDED state (§2.9 tier 6): the scale form of
+# tier 4. dropDuplicates holds one state key per id forever;
+# dropDuplicatesWithinWatermark evicts keys once the event-time watermark
+# passes them, so state is bounded by (arrival rate × dup horizon) instead
+# of corpus cardinality — the only form that survives an unbounded 100 TB
+# feed. Exactness contract: duplicates are only guaranteed caught while
+# their first arrival is within the watermark; the horizon here (60 days)
+# exceeds the whole fixture span, so run-to-completion output equals the
+# batch DISTINCT and the same one-row-per-event oracle applies. Production
+# sets the horizon to the real feed's re-delivery window.
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS date_key,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+    """,
+    doc="bounded-state stream dedup: dropDuplicatesWithinWatermark evicts keys past the horizon",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import stream_events_from_parquet
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sink = "streaming_dedup_within_watermark_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    project = lambda df: df.withWatermark("ts", "60 days").select(  # noqa: E731
+        "event_id",
+        "user_id",
+        F.col("ts"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    doubled = project(stream_events_from_parquet(spark, sf_dir)).unionByName(
+        project(stream_events_from_parquet(spark, sf_dir))
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id",
+        "user_id",
+        F.to_date("ts").alias("date_key"),
+        "cents",
+    )
+    restore = _stream_state_conf(spark)
+    try:
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = query.awaitTermination(300)
+    finally:
+        restore()
+    if not done:
+        query.stop()
+        raise RuntimeError("streaming_dedup_within_watermark did not finish in 300s")
+    return spark.table(sink)
+
 # Stream-stream join (§2.9 tier 5): purchases joined to the same user's
 # views within a 1-hour lookback, both sides watermarked — the attribution
 # join on the streaming tier. Inner joins emit matches as they are found,
