@@ -312,11 +312,15 @@ def connected_components(
         neighbor = sym.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "cluster_id")
+        # lazy checkpoint: the convergence probe below is the first action,
+        # so it materializes the checkpoint in the SAME job — one job per
+        # round instead of two (eager would run a materialization job, then
+        # the probe would scan the checkpointed data again).
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -350,13 +354,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("lo").agg(F.min("hi").alias("mn"))
     mins = mins.select(F.col("lo").alias("u"), F.least("lo", "mn").alias("m"))
+    # No distinct here: the duplicates a shared minimum produces are
+    # absorbed by _small_star's min-aggregation (duplicate-insensitive) and
+    # canonicalized by its final distinct — dropping the exchange saves one
+    # shuffle per alternation round.
     return (
         sym.withColumnRenamed("lo", "u")
         .join(mins, "u")
         .filter(F.col("hi") > F.col("u"))
         .select(F.col("m").alias("lo"), "hi")
         .filter(F.col("lo") != F.col("hi"))
-        .distinct()
     )
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -399,7 +406,9 @@ def _star_contraction(
     prev_fp = None
     rounds = 0
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint — the fingerprint aggregate is the first action,
+        # so materialization and convergence probe share one job per round.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         row = e.agg(
             F.count(F.lit(1)).alias("n"),

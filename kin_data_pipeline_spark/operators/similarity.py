@@ -250,12 +250,15 @@ def ivf_topk(
     )
     sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
-    scored = (
+    # corpus→cell assignment as a max_by hash aggregate (see assign_cells):
+    # partial agg collapses the K candidates per vector map-side instead of
+    # sorting the corpus×K cross product through a window shuffle.
+    assign = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("csim", sim_to_cent)
-        .withColumn("rn", F.row_number().over(rank_w))
+        .groupBy("vid")
+        .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cid"))
     )
-    assign = scored.filter(F.col("rn") == 1).select("vid", "cid")
     qe = with_norm(queries, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
@@ -316,13 +319,15 @@ def assign_cells(
         F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
     sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
-    rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+    # argmax as a hash aggregate, not a row_number window: max_by over the
+    # lexicographic struct (csim, -cid) == ORDER BY csim DESC, cid ASC
+    # LIMIT 1 per vid, but partial aggregation collapses the K candidate
+    # rows per vector map-side — no corpus-wide sort shuffle at 100 TB.
     return (
         e.crossJoin(F.broadcast(cent))
         .withColumn("csim", sim_to_cent)
-        .withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "cid")
+        .groupBy("vid")
+        .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cid"))
     )
 
 def semantic_dedup_pairs(
