@@ -391,9 +391,13 @@ def _star_contraction(
 ) -> tuple[DataFrame, int]:
     """Alternate large-star/small-star to the star-forest fixpoint.
 
-    Returns (star_edges, rounds). Convergence is detected by an edge-set
-    fingerprint (count + xxhash64 sum) — one 1-row aggregate per round,
-    the same aggregated-probe class as label propagation's early exit.
+    Returns (star_edges, rounds). Convergence is a direct star-forest
+    property probe — the lo (root) and hi (member) node sets are disjoint
+    and every member appears in exactly one edge — which is provably the
+    alternation's fixpoint, so the loop stops the round it is reached (an
+    edge-set fingerprint would need one extra confirming alternation).
+    One 1-row aggregate per round, the same aggregated-probe class as
+    label propagation's early exit.
     """
     e = (
         edges.filter(F.col(a_col) != F.col(b_col))
@@ -403,23 +407,28 @@ def _star_contraction(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_fp = None
     rounds = 0
     for _ in range(max_iters):
-        # lazy checkpoint — the fingerprint aggregate is the first action,
-        # so materialization and convergence probe share one job per round.
+        # lazy checkpoint — the convergence aggregate is the first action,
+        # so materialization and probe share one job per round.
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0) sum: long would overflow ANSI arithmetic once
-            # row count × |hash| exceeds 2^63
-            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        fp = (row["n"], row["h"])
-        if fp == prev_fp:
+        roles = e.select(
+            F.col("lo").alias("node"), F.lit(1).alias("l"), F.lit(0).alias("h")
+        ).unionByName(
+            e.select(F.col("hi").alias("node"), F.lit(0).alias("l"), F.lit(1).alias("h"))
+        )
+        row = (
+            roles.groupBy("node")
+            .agg(F.sum("l").alias("nl"), F.sum("h").alias("nh"))
+            .agg(
+                F.max("nh").alias("max_h"),
+                F.sum(((F.col("nl") > 0) & (F.col("nh") > 0)).cast("int")).alias("both"),
+            )
+            .first()
+        )
+        if row["max_h"] is None or (row["max_h"] <= 1 and row["both"] == 0):
             break
-        prev_fp = fp
     return e, rounds
 
 def connected_components_star(
