@@ -90,6 +90,151 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# Heterogeneous GROUPING SETS (beyond rollup's nested prefixes): per-region
+# totals and per-mktsegment totals from ONE pass over the join — the
+# cross-axis reporting shape rollup cannot express.
+@register(
+    "region_segment_grouping_sets",
+    """
+    SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+           CASE WHEN GROUPING(c.c_mktsegment) = 1 THEN 'ALL' ELSE c.c_mktsegment END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment))
+    """,
+    doc="heterogeneous grouping sets: region totals + segment totals in one pass",
+)
+def region_segment_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    joined.createOrReplaceTempView("__gs_joined")
+    return joined.sparkSession.sql(
+        """
+        SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+               CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM __gs_joined
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+        """
+    )
+
+# TPC-H Q5 shape (local-supplier revenue): the 6-table snowflake join —
+# region→nation fans to BOTH customer and supplier sides, lineitem bridges
+# them, and the local-supplier condition equates the two nation keys. All
+# dims broadcast; the only shuffles are the orders⨝lineitem equi-join and
+# the final aggregation.
+@register(
+    "local_supplier_revenue_q5",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table snowflake join, local-supplier condition, year filter",
+)
+def local_supplier_revenue_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    year = o.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+    )
+    joined = (
+        year.join(F.broadcast(c), year.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == year.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+# Distribution windows (W-surface breadth): ntile deciles + percent_rank +
+# cume_dist over order values — rank-normalized statistics every corpus/
+# score analysis needs. Windows are PARTITIONED (per priority class), never
+# global: a global ntile forces a single-partition total sort, the one
+# window shape that cannot scale (the global variant of any rank statistic
+# belongs to the exact-percentile rank-selection pattern used by
+# doc_length_percentiles instead).
+@register(
+    "order_value_deciles",
+    """
+    WITH w AS (
+      SELECT o_orderpriority,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS decile,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS pr,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS cd,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT o_orderpriority AS priority, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(price) AS DOUBLE) AS min_price,
+           CAST(MAX(price) AS DOUBLE) AS max_price,
+           ROUND(MAX(pr), 6) AS max_percent_rank,
+           ROUND(MAX(cd), 6) AS max_cume_dist
+    FROM w GROUP BY o_orderpriority, decile
+    """,
+    doc="ntile/percent_rank/cume_dist distribution windows per priority class",
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").asc(), F.col("o_orderkey").asc()
+    )
+    scored = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return scored.groupBy("priority", F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").cast("double").alias("min_price"),
+        F.max("price").cast("double").alias("max_price"),
+        F.round(F.max("pr"), 6).alias("max_percent_rank"),
+        F.round(F.max("cd"), 6).alias("max_cume_dist"),
+    )
+
 # Batch sessionization: lag-gap flags + running sum = session ids — the
 # batch twin of streaming session_window (both in the engine).
 @register(
