@@ -1,0 +1,45 @@
+"""Catalog storage-layout pins: the date-partitioned layout must actually
+prune partitions on date-filtered reads (the property the 100 TB design
+leans on), and appends may evolve the schema (new columns null-fill old
+partitions via the sidecar schema)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.plans.engine import Catalog
+
+def _mk(spark, days, extra=False):
+    rows = []
+    for d in range(days):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=d)
+        for i in range(5):
+            r = {"date_key": day, "k": d * 5 + i, "v": float(i)}
+            if extra:
+                r["tag"] = f"t{i}"
+            rows.append(r)
+    return spark.createDataFrame(rows)
+
+def test_date_filter_prunes_partitions(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write_full("t", _mk(spark, 10), date_col="date_key")
+    df = cat.table("t").filter(F.col("date_key") == F.lit("2024-01-03"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "date_key" in pf, plan
+    # the pruned read returns exactly the one matching partition
+    assert df.count() == 5
+
+def test_append_evolves_schema_with_null_fill(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write_full("t", _mk(spark, 2), date_col="date_key")
+    cat.write_append("t", _mk(spark, 2, extra=True).filter(F.col("date_key") > F.lit("2024-01-01")), date_col="date_key")
+    out = cat.table("t")
+    assert "tag" in out.columns  # sidecar carries the evolved schema
+    old = out.filter(F.col("date_key") == F.lit("2024-01-01"))
+    assert old.filter(F.col("tag").isNull()).count() == old.count()
+    new = out.filter((F.col("date_key") == F.lit("2024-01-02")) & F.col("tag").isNotNull())
+    assert new.count() == 5
