@@ -271,6 +271,36 @@ class Catalog:
         os.rename(staging, final)
         self._save_schema(name, merged)
 
+    def list_tables(self) -> list[str]:
+        """All table names the catalog can serve: physical directories plus
+        clone aliases (internal staging/sidecar entries excluded)."""
+        names: set[str] = set()
+        for entry in os.listdir(self.warehouse_dir):
+            if entry.endswith("._clone.json"):
+                names.add(entry[: -len("._clone.json")])
+            elif "." not in entry and os.path.isdir(
+                os.path.join(self.warehouse_dir, entry)
+            ):
+                names.add(entry)
+        return sorted(names)
+
+    def publish_views(self, names: Sequence[str] | None = None, prefix: str = "") -> list[str]:
+        """Expose catalog tables to ``spark.sql`` as temp views.
+
+        The reference serves its marts to SQL consumers (Metabase / Data
+        Studio / the Postgres API) — this is that surface for a Spark user:
+        after a Runner pass, ``publish_views()`` makes every materialized
+        model (clones included, resolved zero-copy) queryable by name in
+        SQL. A view snapshots the table's file listing at publish time, so
+        run it AFTER each Runner pass (appends/overwrites between publishes
+        are invisible or raise missing-file reads on the stale listing).
+        """
+        published = []
+        for n in names if names is not None else self.list_tables():
+            self.table(n).createOrReplaceTempView(prefix + n)
+            published.append(prefix + n)
+        return published
+
     def compact(self, name: str, date_col: str | None) -> tuple[int, int]:
         """Rewrite a table's fragmented files into one file per date
         partition; returns (files_before, files_after).
@@ -381,6 +411,7 @@ class Runner:
         models: Sequence[Model],
         run_date: datetime.date,
         build_type: str = "incremental",  # incremental | full_refresh
+        guard_plans: bool = True,
     ) -> list[RunResult]:
         ctx = BuildContext(self.spark, self.catalog, run_date)
         results: list[RunResult] = []
@@ -390,6 +421,13 @@ class Runner:
                 results.append(RunResult(m.name, "clone"))
                 continue
             df = m.builder(ctx)
+            if guard_plans:
+                from kin_data_pipeline_spark.plans.guard import assert_scalable_plan
+
+                # one Catalyst compile before any write: a degenerated join
+                # (cartesian / undeclared nested loop) aborts here instead
+                # of burning a cluster-day at 100 TB.
+                assert_scalable_plan(df, m.name, m.allow_nested_loop)
             if m.order_by:
                 # O1 clustering order; within-partition sort only (a global
                 # orderBy would add an exchange for purely cosmetic order)

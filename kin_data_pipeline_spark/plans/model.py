@@ -39,6 +39,11 @@ class Model:
     # BEFORE the write, so a violated contract never lands in the warehouse.
     # One fused aggregation pass per checked model.
     checks: Sequence[Any] = field(default_factory=tuple)
+    # Plan-guard declaration (plans/guard.py): a model whose builder
+    # INTENDS a broadcast nested-loop scan (linear corpus × tiny broadcast,
+    # e.g. centroid assignment) opts in here; everything else aborts if one
+    # appears in its compiled plan.
+    allow_nested_loop: bool = False
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:
