@@ -391,8 +391,37 @@ class BuildContext:
 @dataclass
 class RunResult:
     model: str
-    action: str  # full | incremental | clone | skipped
+    action: str  # full | incremental | clone | failed
     rows_written: int | None = None
+    duration_sec: float | None = None
+    error: str | None = None
+
+def write_run_report(
+    results: Sequence[RunResult], path: str, run_date: datetime.date | None = None
+) -> None:
+    """Structured run log: the engine's replacement for the reference's
+    per-model wall-clock prints and Slack success/failure webhook
+    (execute_snowflake_load.py:78-79,123-143) — one JSON object with
+    per-model action/duration/error plus an overall ok flag, appended as a
+    single line so operators can tail a runs file across invocations."""
+    payload = {
+        "run_date": run_date.isoformat() if run_date else None,
+        "ok": all(r.error is None for r in results),
+        "total_sec": round(
+            sum(r.duration_sec or 0.0 for r in results), 3
+        ),
+        "models": [
+            {
+                "model": r.model,
+                "action": r.action,
+                "duration_sec": r.duration_sec,
+                **({"error": r.error} if r.error else {}),
+            }
+            for r in results
+        ],
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(payload) + "\n")
 
 class Runner:
     """Dependency-ordered model materializer.
@@ -412,58 +441,95 @@ class Runner:
         run_date: datetime.date,
         build_type: str = "incremental",  # incremental | full_refresh
         guard_plans: bool = True,
+        report_path: str | None = None,
     ) -> list[RunResult]:
+        import time
+
         ctx = BuildContext(self.spark, self.catalog, run_date)
         results: list[RunResult] = []
         for m in topo_sort(models):
-            if m.clone_of is not None:
-                self.catalog.clone(m.name, m.clone_of)
-                results.append(RunResult(m.name, "clone"))
-                continue
-            df = m.builder(ctx)
-            if guard_plans:
-                from kin_data_pipeline_spark.plans.guard import assert_scalable_plan
-
-                # one Catalyst compile before any write: a degenerated join
-                # (cartesian / undeclared nested loop) aborts here instead
-                # of burning a cluster-day at 100 TB.
-                assert_scalable_plan(df, m.name, m.allow_nested_loop)
-            if m.order_by:
-                # O1 clustering order; within-partition sort only (a global
-                # orderBy would add an exchange for purely cosmetic order)
-                df = df.sortWithinPartitions(*m.order_by)
-            action = "incremental"
-            if build_type == "full_refresh" or not self.catalog.exists(m.name):
-                action = "full"
-            else:
-                wm = self.catalog.high_watermark(m.name, m.date_col)
-                if wm is not None:
-                    unit = CADENCE_UNITS[m.cadence]
-                    # incremental_anchor semantics: only rows whose cadence-
-                    # truncated date is strictly past the stored watermark.
-                    df = df.filter(
-                        date_trunc(unit, F.col(m.date_col)) > F.lit(wm)
-                    )
-            if m.checks:
-                from kin_data_pipeline_spark.plans.checks import assert_checks
-
-                # contract gate on exactly what is about to be written — the
-                # post-watermark delta on incremental runs (O(delta), and an
-                # old already-written violation can't block new appends),
-                # the full frame on refresh. Aborts BEFORE the write. The
-                # frame is persisted across check + write so the builder's
-                # plan runs once, not once per action.
-                df = df.persist()
-                assert_checks(df, m.checks, table=m.name)
+            t0 = time.monotonic()
             try:
-                if action == "full":
-                    self.catalog.write_full(m.name, df, m.date_col)
-                else:
-                    self.catalog.write_append(m.name, df, m.date_col)
-            finally:
-                if m.checks:
-                    df.unpersist()
-            results.append(RunResult(m.name, action))
+                self._run_one(ctx, m, build_type, guard_plans, results, t0)
+            except Exception as exc:  # noqa: BLE001 — report, then propagate
+                results.append(
+                    RunResult(
+                        m.name,
+                        "failed",
+                        duration_sec=round(time.monotonic() - t0, 3),
+                        error=f"{type(exc).__name__}: {exc}",
+                    )
+                )
+                if report_path:
+                    write_run_report(results, report_path, run_date)
+                raise
+        if report_path:
+            write_run_report(results, report_path, run_date)
+        return results
+
+    def _run_one(
+        self,
+        ctx: BuildContext,
+        m: Model,
+        build_type: str,
+        guard_plans: bool,
+        results: list[RunResult],
+        t0: float,
+    ) -> None:
+        import time
+
+        if m.clone_of is not None:
+            self.catalog.clone(m.name, m.clone_of)
+            results.append(
+                RunResult(m.name, "clone", duration_sec=round(time.monotonic() - t0, 3))
+            )
+            return
+        df = m.builder(ctx)
+        if guard_plans:
+            from kin_data_pipeline_spark.plans.guard import assert_scalable_plan
+
+            # one Catalyst compile before any write: a degenerated join
+            # (cartesian / undeclared nested loop) aborts here instead
+            # of burning a cluster-day at 100 TB.
+            assert_scalable_plan(df, m.name, m.allow_nested_loop)
+        if m.order_by:
+            # O1 clustering order; within-partition sort only (a global
+            # orderBy would add an exchange for purely cosmetic order)
+            df = df.sortWithinPartitions(*m.order_by)
+        action = "incremental"
+        if build_type == "full_refresh" or not self.catalog.exists(m.name):
+            action = "full"
+        else:
+            wm = self.catalog.high_watermark(m.name, m.date_col)
+            if wm is not None:
+                unit = CADENCE_UNITS[m.cadence]
+                # incremental_anchor semantics: only rows whose cadence-
+                # truncated date is strictly past the stored watermark.
+                df = df.filter(
+                    date_trunc(unit, F.col(m.date_col)) > F.lit(wm)
+                )
+        if m.checks:
+            from kin_data_pipeline_spark.plans.checks import assert_checks
+
+            # contract gate on exactly what is about to be written — the
+            # post-watermark delta on incremental runs (O(delta), and an
+            # old already-written violation can't block new appends),
+            # the full frame on refresh. Aborts BEFORE the write. The
+            # frame is persisted across check + write so the builder's
+            # plan runs once, not once per action.
+            df = df.persist()
+            assert_checks(df, m.checks, table=m.name)
+        try:
+            if action == "full":
+                self.catalog.write_full(m.name, df, m.date_col)
+            else:
+                self.catalog.write_append(m.name, df, m.date_col)
+        finally:
+            if m.checks:
+                df.unpersist()
+        results.append(
+            RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
+        )
         return results
 
     def run_concurrent(

@@ -68,3 +68,29 @@ def test_publish_views_exposes_tables_and_clones(spark, tmp_path):
     cat.write_full("base_t", _frame(spark, 7), date_col="date_key")
     cat.publish_views()
     assert spark.sql("SELECT COUNT(*) AS n FROM base_t").first()["n"] == 7
+
+def test_run_report_records_durations_and_failures(spark, tmp_path):
+    import json
+
+    from kin_data_pipeline_spark.plans.engine import write_run_report  # noqa: F401
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    report = str(tmp_path / "runs.jsonl")
+    good = Model(name="good_t", builder=lambda ctx: _frame(ctx.spark))
+    Runner(spark, cat).run([good], RUN, report_path=report)
+    bad = Model(
+        name="bad_cross",
+        builder=lambda ctx: _frame(ctx.spark).crossJoin(
+            _frame(ctx.spark).select(F.col("k").alias("k2"))
+        ),
+    )
+    with pytest.raises(PlanGuardError):
+        Runner(spark, cat).run([bad], RUN, report_path=report)
+    lines = [json.loads(l) for l in open(report)]
+    assert len(lines) == 2
+    ok, failed = lines
+    assert ok["ok"] is True and ok["models"][0]["action"] == "full"
+    assert ok["models"][0]["duration_sec"] >= 0
+    assert failed["ok"] is False
+    assert failed["models"][0]["action"] == "failed"
+    assert "BroadcastNestedLoopJoin" in failed["models"][0]["error"]
