@@ -145,11 +145,13 @@ def grouped_posting_lists(postings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
     )
 
-def jaccard_pairs_from_lists(
-    lists: DataFrame, threshold: float = 0.8, df_cap: int | None = 50
+def pair_counts_from_lists(
+    lists: DataFrame, df_cap: int | None = 50
 ) -> DataFrame:
-    """Pair expansion over ``grouped_posting_lists`` output (see
-    ``jaccard_pairs_grouped`` for semantics and the scale contract)."""
+    """Co-occurrence pair counts over ``grouped_posting_lists`` output:
+    ``(doc_a, doc_b, n_common, na, nb)`` — the shared substrate every
+    set-overlap score (Jaccard, containment) derives from with one more
+    column expression."""
     if df_cap is not None:
         lists = lists.filter(F.col("df") <= df_cap)
     pair = F.explode(
@@ -168,7 +170,7 @@ def jaccard_pairs_from_lists(
             )
         )
     ).alias("p")
-    pairs = (
+    return (
         lists.select(pair)
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
@@ -177,8 +179,29 @@ def jaccard_pairs_from_lists(
             F.first("p.nb").alias("nb"),
         )
     )
+
+def jaccard_pairs_from_lists(
+    lists: DataFrame, threshold: float = 0.8, df_cap: int | None = 50
+) -> DataFrame:
+    """Pair expansion over ``grouped_posting_lists`` output (see
+    ``jaccard_pairs_grouped`` for semantics and the scale contract)."""
+    pairs = pair_counts_from_lists(lists, df_cap)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return pairs.withColumn("jaccard", jac).filter(jac >= threshold)
+
+def containment_pairs_from_lists(
+    lists: DataFrame, threshold: float = 0.8, df_cap: int | None = 50
+) -> DataFrame:
+    """Asymmetric near-dup pairs: containment = |A∩B| / min(|A|,|B|).
+
+    Catches one document CONTAINING another (quote farms, boilerplate
+    wrappers, partial scrapes) that symmetric Jaccard under-scores when
+    sizes differ: a 100-shingle doc fully inside a 1000-shingle doc has
+    containment 1.0 but Jaccard 0.1. Same single-traversal grouped
+    expansion and df-cap skew contract as the Jaccard form."""
+    pairs = pair_counts_from_lists(lists, df_cap)
+    cont = F.col("n_common") / F.least("na", "nb")
+    return pairs.withColumn("containment", cont).filter(cont >= threshold)
 
 def minhash_signatures(
     postings: DataFrame, params: list[tuple[int, int]], prime: int = 2147483647

@@ -27,11 +27,11 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 # query has a green driver row in at least one round. Rounds 1+2 covered the
 # whole kin chain (45 green r02 rows) plus the r1 representatives, so this
 # round's head is:
-#   1..9   kin representatives re-verifying the model chain (fact builders
+#   1..8   kin representatives re-verifying the model chain (fact builders
 #          lead, warming the session frame cache exactly as before; the
 #          other kin queries keep their r01/r02 rows and stay green in the
 #          local parity suite)
-#   10..50 the 30 queries that had never had a driver CORRECTNESS row
+#   9..50  the 30 queries that had never had a driver CORRECTNESS row
 #          (curation tier, 4 streaming tiers, API sources, embedding/
 #          simhash near-dups, text analysis, TPC-H-ish extended) plus this
 #          round's 8 new-or-changed entries: the now-capped
@@ -40,9 +40,10 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 #          skew-tier salted rewrites, the SemDeDup tier
 #          (semantic_dedup_pairs / semantic_dedup_survivor_stats), and the
 #          bounded-state streaming dedup
-#          (streaming_dedup_within_watermark), plus the round-3 relational
+#          (streaming_dedup_within_watermark), the round-3 relational
 #          breadth additions (region_segment_grouping_sets,
-#          local_supplier_revenue_q5, order_value_deciles).
+#          local_supplier_revenue_q5, order_value_deciles), and the
+#          asymmetric containment dedup tier (shingle_containment_pairs).
 # Everything after slot 50 passed driver verification in r1/r2 and is
 # re-checked continuously by the local parity suite
 # (tests/test_oracle_parity.py), which applies the identical comparison at
@@ -55,11 +56,11 @@ ROUND3_WINDOW_HEAD = [
     "kin_closing_balance_per_day",
     "kin_daily_active_accounts_30d",
     "kin_daily_payout",
-    "kin_weekly_payout_summary",
     "kin_multi_create_impacted",
     "kin_daily_churn_volume",
     # text/dedup tier (shingle substrate warms once, reused downstream)
     "ngram_jaccard_near_dups",
+    "shingle_containment_pairs",
     "doc_length_percentiles",
     "regex_token_stats",
     "rolling_hash_fingerprints",

@@ -1178,6 +1178,58 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_query(spark, sf_dir, df_cap=JACCARD_DF_CAP)
 
+# Containment near-dups — the ASYMMETRIC overlap score over the same
+# capped posting-list substrate: |A∩B| / min(|A|,|B|) catches a document
+# contained inside a larger one (quote farms, boilerplate wrappers,
+# partial scrapes) that Jaccard under-scores when sizes differ. One more
+# column expression over the shared pair-count expansion; no new shuffle.
+
+_CONTAINMENT_THRESHOLD = 0.8
+
+@register(
+    "shingle_containment_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s, len(shingles) AS n_sh FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ),
+    capped AS (
+      SELECT sh.* FROM sh JOIN keep ON sh.s = keep.s
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           ROUND(n_common * 1.0 / LEAST(na, nb), 6) AS containment
+    FROM pairs WHERE n_common * 1.0 / LEAST(na, nb) >= {_CONTAINMENT_THRESHOLD}
+    """,
+    doc="asymmetric containment near-dups (doc-inside-doc) over capped posting lists",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import containment_pairs_from_lists
+
+    lists = shingle_posting_lists(spark, sf_dir)
+    pairs = containment_pairs_from_lists(
+        lists, threshold=_CONTAINMENT_THRESHOLD, df_cap=JACCARD_DF_CAP
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(F.col("n_common") * 1.0 / F.least("na", "nb"), 6).alias("containment"),
+    )
+
 # Transitive dedup clusters: pair generation alone under-deduplicates (A~B,
 # B~C must merge even when A,C never pair). Min-label propagation over the
 # capped-Jaccard edge set; the oracle computes the same closure with a
