@@ -603,3 +603,59 @@ def source_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sources absent from the mixture spec drop out entirely
     thr = thr.otherwise(F.lit(0).cast("long"))
     return docs.filter(u32 <= thr).select("doc_id", "source")
+
+# ---------------------------------------------------------------------------
+# Token-budget selection — the data-mixing primitive: per source, keep the
+# highest-quality documents until a token budget fills (quality proxy =
+# distinct-word ratio; md5-free since the ORDER is the product here, not a
+# sample). One window shuffle on source: rank and running token total come
+# from the same partition spec, and the budget cut is a filter — no global
+# sort, no iteration. At 100 TB the per-source partitions are the natural
+# parallel unit (sources ≫ executors).
+_TOKEN_BUDGET = 800
+
+@register(
+    "token_budget_selection",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             len(list_distinct({_SQL_WORDS})) * 1.0 / len({_SQL_WORDS}) AS dr
+      FROM documents
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY dr DESC, doc_id ASC) AS rk,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY dr DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM q
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(rk AS BIGINT) AS rk, CAST(cum AS BIGINT) AS cum_tokens
+    FROM r WHERE cum <= {_TOKEN_BUDGET}
+    """,
+    doc=f"per-source token-budget selection: best docs by distinct-ratio until {_TOKEN_BUDGET} tokens",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)) * 1.0 / F.size(words)).alias("dr"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("dr"), F.asc("doc_id"))
+    r = q.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_tokens"
+        ),
+    )
+    return r.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
