@@ -212,11 +212,17 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
         # Bytes 8..16 are the IHDR length+type; width/height follow.
         width, height = struct.unpack_from(">II", content, 16)
         color_type = content[25]
-        return "image/png", width, height, PNG_CHANNELS[color_type]
+        channels = PNG_CHANNELS.get(color_type)
+        if channels is None:
+            # keep the documented contract: bad payloads raise ValueError
+            # (quarantine route), never KeyError
+            raise ValueError(f"PNG payload with invalid color type {color_type}")
+        return "image/png", width, height, channels
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        # Walk RIFF chunks — fmt/data need not be adjacent in the wild.
-        n_channels = sample_rate = block_align = None
-        n_frames = 0
+        # Walk RIFF chunks — fmt/data need not be adjacent OR ordered in
+        # the wild, so collect both before computing frames (a data chunk
+        # preceding fmt must not be lost).
+        n_channels = sample_rate = block_align = data_size = None
         off = 12
         while off + 8 <= len(content):
             ctype, clen = struct.unpack_from("<4sI", content, off)
@@ -224,11 +230,12 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
                 _, n_channels, sample_rate, _, block_align, _ = struct.unpack_from(
                     "<HHIIHH", content, off + 8
                 )
-            elif ctype == b"data" and block_align:
-                n_frames = clen // block_align
+            elif ctype == b"data":
+                data_size = clen
             off += 8 + clen + (clen & 1)  # RIFF chunks pad to even offsets
         if n_channels is None:
             raise ValueError("WAV payload missing fmt chunk")
+        n_frames = (data_size // block_align) if (data_size and block_align) else 0
         return "audio/wav", n_frames, sample_rate, n_channels
     raise ValueError(f"unrecognized media payload (magic={content[:8]!r})")
 

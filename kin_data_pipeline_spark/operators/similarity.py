@@ -190,6 +190,11 @@ def lsh_near_dup_pairs(
 
 _DIM_CACHE: dict[tuple, int] = {}
 
+def clear_dim_cache() -> None:
+    """Reset the dimensionality probe cache (call after overwriting a
+    vector table in place with different-dimension embeddings)."""
+    _DIM_CACHE.clear()
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     # Probe a NON-NULL row: the first row's vector being NULL must not
     # decide the dimensionality (a dim-1 guess would zip_with-pad real
@@ -200,6 +205,13 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     # probe + verify over the same corpus) would otherwise re-run it per
     # build; cache by (session, plan identity, column). Benign under
     # threads: racers compute the same value.
+    #
+    # Staleness contract: the cache assumes a plan's dimensionality is
+    # stable for the session. Overwriting a table in place with vectors of
+    # a DIFFERENT dimension makes the same plan hash resolve to the old
+    # dim — call clear_dim_cache() after such a reload (or use a fresh
+    # session). The cache is size-bounded so a long-lived driver composing
+    # many distinct plans cannot grow it without limit.
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
@@ -208,6 +220,8 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     hit = _DIM_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_DIM_CACHE) >= 1024:
+        _DIM_CACHE.clear()
     row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if row is None:
         # truly empty corpus: any positive dim keeps the hyperplane
@@ -250,15 +264,8 @@ def ivf_topk(
     )
     sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
-    # corpus→cell assignment as a max_by hash aggregate (see assign_cells):
-    # partial agg collapses the K candidates per vector map-side instead of
-    # sorting the corpus×K cross product through a window shuffle.
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("csim", sim_to_cent)
-        .groupBy("vid")
-        .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cid"))
-    )
+    # corpus→cell assignment: the shared max_by hash-aggregate operator
+    assign = assign_cells(corpus, id_col, vec_col, centroid_stride)
     qe = with_norm(queries, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
@@ -337,7 +344,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     centroid_stride: int = 31,
     cell_cap: int | None = None,
-    broadcast_embeddings: bool = True,
+    broadcast_embeddings: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster the corpus into
     centroid cells, then verify exact cosine only WITHIN each cell.
@@ -351,6 +358,9 @@ def semantic_dedup_pairs(
     ids only — embeddings re-attached by id for the verify). ``cell_cap``
     drops cells above that occupancy before any list is buffered (skew
     guard for degenerate corpora where many vectors share a centroid).
+    ``broadcast_embeddings`` defaults to False — the scale-safe shuffled
+    equi-join re-attach; set it True only when the (id, vector) table fits
+    the broadcast budget (it saves two shuffles at test/bench scale).
 
     Returns ``(id_a, id_b, cid, sim)`` with ``id_a < id_b``.
     """
@@ -399,11 +409,16 @@ def semantic_dedup_survivors(
     threshold: float = 0.9,
     centroid_stride: int = 31,
     cell_cap: int | None = None,
+    broadcast_embeddings: bool = False,
 ) -> DataFrame:
     """Greedy min-id survivor set under semantic dedup: a vector is DROPPED
     iff some same-cell vector with a SMALLER id is cosine-similar above the
     threshold. Since pairs carry ``id_a < id_b``, the dropped set is exactly
     ``distinct id_b`` — one anti join, no iteration.
+
+    Rows with a NULL embedding can never be dropped (similarity is
+    undefined for them) and therefore ARE survivors — the id universe is
+    taken from ``df`` itself, not from the norm-filtered pair substrate.
 
     Deliberately NOT transitive (a~b, b~c with a≁c drops both b and c even
     though b — c's only partner — was itself dropped): the greedy policy is
@@ -412,9 +427,10 @@ def semantic_dedup_survivors(
     these pairs when cluster-level semantics are wanted.
     """
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, threshold, centroid_stride, cell_cap
+        df, id_col, vec_col, threshold, centroid_stride, cell_cap,
+        broadcast_embeddings,
     )
-    ids = with_norm(df, vec_col).select(F.col(id_col).alias("vid"))
+    ids = df.select(F.col(id_col).alias("vid"))
     dropped = pairs.select(F.col("id_b").alias("vid")).distinct()
     return ids.join(dropped, "vid", "left_anti").select(F.col("vid").alias(id_col))
 

@@ -52,18 +52,23 @@ class Catalog:
         absent (root renamed to ``__precompact``, staging not yet renamed
         in). Data is never lost — the pre-compaction directory is complete —
         so on the next touch: restore it if the root is missing, or clear
-        it (and any staging leftover) if the root is present.
+        it if the root is present. Every write path (write_full/
+        write_append/upsert/compact) heals BEFORE touching the root, so a
+        post-crash append restores the preserved copy first instead of
+        re-creating the root with only the delta (which would make a later
+        heal mistake the crash for a completed swap and delete the copy).
+        A leftover ``__compacting`` staging dir is NOT cleaned here — a
+        concurrent reader racing a live compact() must not delete its
+        staging; the next compact() overwrites it (mode=overwrite), so a
+        stale one costs only disk until then.
         """
         root = self.path(name)
         old = self.path(f"{name}.__precompact")
-        staging = self.path(f"{name}.__compacting")
         if os.path.exists(old):
             if os.path.exists(root):
                 shutil.rmtree(old)  # swap completed; only cleanup was lost
             else:
                 os.rename(old, root)  # crash inside the missing-path window
-        if os.path.exists(staging):
-            shutil.rmtree(staging)  # staging is incomplete or superseded
 
     def exists(self, name: str) -> bool:
         self._heal_compaction(name)
@@ -110,6 +115,7 @@ class Catalog:
         return self.spark.read.parquet(path)
 
     def write_full(self, name: str, df: DataFrame, date_col: str | None) -> None:
+        self._heal_compaction(name)
         self._drop_clone(name)
         w = df.write.mode("overwrite")
         if date_col is not None:
@@ -118,6 +124,7 @@ class Catalog:
         self._save_schema(name, df)
 
     def write_append(self, name: str, df: DataFrame, date_col: str | None) -> None:
+        self._heal_compaction(name)
         self._drop_clone(name)
         w = df.write.mode("append")
         if date_col is not None:
@@ -323,6 +330,10 @@ class Catalog:
             raise ValueError(
                 f"'{name}' is a zero-copy clone; compact its source instead."
             )
+        # heal BEFORE counting: after a crash-restore the root would
+        # otherwise be missing and (files_before=0, n) would misreport the
+        # table as having grown from nothing.
+        self._heal_compaction(name)
         root = self.path(name)
 
         def _count_files(d: str) -> int:
@@ -516,10 +527,13 @@ class Runner:
             # old already-written violation can't block new appends),
             # the full frame on refresh. Aborts BEFORE the write. The
             # frame is persisted across check + write so the builder's
-            # plan runs once, not once per action.
+            # plan runs once, not once per action; the unpersist covers
+            # the check too — a violated contract is an expected path and
+            # must not leak a cached frame per retry.
             df = df.persist()
-            assert_checks(df, m.checks, table=m.name)
         try:
+            if m.checks:
+                assert_checks(df, m.checks, table=m.name)
             if action == "full":
                 self.catalog.write_full(m.name, df, m.date_col)
             else:

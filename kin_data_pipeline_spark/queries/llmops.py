@@ -987,8 +987,13 @@ def semantic_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.operators.similarity import semantic_dedup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # broadcast re-attach: the test/bench corpus fits the broadcast budget
+    # (operator default is the scale-safe shuffled join)
     pairs = semantic_dedup_pairs(
-        emb, threshold=_SEMD_THRESHOLD, centroid_stride=_SEMD_STRIDE
+        emb,
+        threshold=_SEMD_THRESHOLD,
+        centroid_stride=_SEMD_STRIDE,
+        broadcast_embeddings=True,
     )
     return pairs.select("id_a", "id_b", "cid", F.round("sim", 4).alias("cosine_sim"))
 
@@ -1013,7 +1018,10 @@ def semantic_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     surv = semantic_dedup_survivors(
-        emb, threshold=_SEMD_THRESHOLD, centroid_stride=_SEMD_STRIDE
+        emb,
+        threshold=_SEMD_THRESHOLD,
+        centroid_stride=_SEMD_STRIDE,
+        broadcast_embeddings=True,
     ).withColumn("survived", F.lit(1))
     return (
         emb.join(surv, "vec_id", "left")

@@ -216,13 +216,39 @@ def test_compaction_crash_self_heals(spark, sf_dir, tmp_path):
     assert cat.exists("t")  # heal restores the canonical path
     assert sorted(tuple(r) for r in cat.table("t").collect()) == rows
     assert not os.path.exists(cat.path("t.__precompact"))
-    assert not os.path.exists(cat.path("t.__compacting"))
+    # staging is deliberately NOT cleaned by heal (a concurrent reader must
+    # never delete a live compact()'s staging); the next compact overwrites
+    assert os.path.exists(cat.path("t.__compacting"))
 
     # Crash AFTER the swap (only cleanup lost): leftover old dir is cleared.
     shutil.copytree(cat.path("t"), cat.path("t.__precompact"))
     assert cat.exists("t")
     assert not os.path.exists(cat.path("t.__precompact"))
     assert sorted(tuple(r) for r in cat.table("t").collect()) == rows
+
+def test_append_after_compaction_crash_restores_before_appending(spark, tmp_path):
+    """A write_append issued right after a mid-compact crash must restore
+    the preserved copy FIRST: re-creating the root with only the delta
+    would make the next heal mistake the crash for a completed swap and
+    delete the whole pre-crash table."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 1, 2), 2)],
+        ["date_key", "v"],
+    )
+    cat.write_full("t", df, "date_key")
+    os.rename(cat.path("t"), cat.path("t.__precompact"))  # crash window
+    delta = spark.createDataFrame([(datetime.date(2024, 1, 3), 3)], ["date_key", "v"])
+    cat.write_append("t", delta, "date_key")
+    got = sorted(tuple(r) for r in cat.table("t").select("date_key", "v").collect())
+    assert got == [
+        (datetime.date(2024, 1, 1), 1),
+        (datetime.date(2024, 1, 2), 2),
+        (datetime.date(2024, 1, 3), 3),
+    ]
+    assert not os.path.exists(cat.path("t.__precompact"))
 
 def test_duplicate_check_names_rejected(spark, sf_dir):
     from kin_data_pipeline_spark.plans import checks as C

@@ -109,3 +109,43 @@ def test_frame_sample_plan_uniform_stride(spark, sf_dir):
             assert idx[0] == 0 and idx[-1] == (7 * n) // 8
         else:
             assert idx == list(range(n))
+
+
+def test_parse_wav_with_data_chunk_before_fmt():
+    import struct
+
+    from kin_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    # legal RIFF ordering: [RIFF][data][fmt ] — frames must still resolve
+    n_channels, sample_rate, n_samples = 2, 16000, 25
+    block_align = n_channels * 2
+    data_bytes = n_samples * block_align
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_bytes, b"WAVE")
+        + struct.pack("<4sI", b"data", data_bytes)
+        + bytes(data_bytes)
+        + struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ", 16, 1, n_channels, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+    )
+    mime, frames, rate, ch = parse_media_header(payload)
+    assert (mime, frames, rate, ch) == ("audio/wav", n_samples, sample_rate, n_channels)
+
+
+def test_parse_png_invalid_color_type_raises_value_error():
+    import struct
+
+    import pytest
+
+    from kin_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I4s", 13, b"IHDR")
+        + struct.pack(">IIBBBBB", 10, 10, 8, 5, 0, 0, 0)  # color type 5: invalid
+        + bytes(8)
+    )
+    with pytest.raises(ValueError, match="color type"):
+        parse_media_header(bad)
