@@ -803,6 +803,95 @@ def rolling_hash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rh.alias("rolling_hash"),
     )
 
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# local fingerprinting algorithm, public): hash every k-gram, slide a
+# w-window over the hash sequence, keep each window's minimum. Guarantees
+# any shared run of ≥ w+k−1 tokens shares a fingerprint (the property
+# plagiarism/overlap detection needs), at expected density 2/(w+1) —
+# unlike MinHash it is position-local, unlike the whole-doc rolling hash it
+# survives partial overlap. Pure array math per doc: no explode, no
+# shuffle until the final per-source aggregation.
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+_SQL_KGRAM_HASHES = f"""
+  list_transform(
+    range(0, greatest(0, len({_SQL_WORDS}) - {_WINNOW_K - 1})),
+    i -> CAST('0x' || substr(md5(array_to_string(
+           list_slice({_SQL_WORDS}, i + 1, i + {_WINNOW_K}), ' ')), 1, 8) AS BIGINT))
+"""
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, {_SQL_KGRAM_HASHES} AS hs FROM documents
+    ), w AS (
+      SELECT doc_id, source,
+             CAST(len(hs) AS BIGINT) AS n_kgrams,
+             CAST(greatest(0, len(hs) - {_WINNOW_W - 1}) AS BIGINT) AS n_windows,
+             list_distinct(list_transform(
+               range(0, greatest(0, len(hs) - {_WINNOW_W - 1})),
+               j -> list_min(list_slice(hs, j + 1, j + {_WINNOW_W})))) AS fps
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_kgrams) AS BIGINT) AS total_kgrams,
+           CAST(SUM(len(fps)) AS BIGINT) AS total_fingerprints,
+           ROUND(SUM(len(fps)) * 1.0 / SUM(n_windows), 6) AS fingerprint_density,
+           CAST(MIN(len(fps)) AS BIGINT) AS min_doc_fps,
+           CAST(MAX(len(fps)) AS BIGINT) AS max_doc_fps
+    FROM w GROUP BY source
+    """,
+    doc="winnowing (MOSS) fingerprint selection stats per source (w-window min of k-gram hashes)",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_words(load_table(spark, sf_dir, "documents"))
+    words = F.col("words")
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(words) - _WINNOW_K)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, _WINNOW_K)),
+    )
+    # sequence(0, n) is INCLUSIVE: the k-gram range above yields one extra
+    # element when the doc is non-degenerate, so slice to the true count
+    # (and to zero when len(words) < k, where sequence would auto-descend).
+    n_kgrams = F.greatest(F.lit(0), F.size(words) - (_WINNOW_K - 1))
+    hs = F.slice(
+        F.transform(
+            kgrams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ),
+        1,
+        n_kgrams,
+    )
+    h = d.select("doc_id", "source", hs.alias("hs"))
+    n_windows = F.greatest(F.lit(0), F.size("hs") - (_WINNOW_W - 1))
+    mins = F.slice(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.lit(0), F.size("hs") - _WINNOW_W)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j + 1, _WINNOW_W)),
+        ),
+        1,
+        n_windows,
+    )
+    w = h.select(
+        "source",
+        F.size("hs").cast("long").alias("n_kgrams"),
+        n_windows.cast("long").alias("n_windows"),
+        F.array_distinct(mins).alias("fps"),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kgrams").alias("total_kgrams"),
+        F.sum(F.size("fps")).cast("long").alias("total_fingerprints"),
+        F.round(F.sum(F.size("fps")) * 1.0 / F.sum("n_windows"), 6).alias(
+            "fingerprint_density"
+        ),
+        F.min(F.size("fps")).cast("long").alias("min_doc_fps"),
+        F.max(F.size("fps")).cast("long").alias("max_doc_fps"),
+    )
+
 # IVF (inverted-file) ANN — the second scale path for similarity search,
 # complementing sign-LSH. Centroids are sampled deterministically from the
 # corpus (vec_id % stride == 0), so BOTH engines derive the identical cell
