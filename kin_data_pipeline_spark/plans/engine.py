@@ -105,6 +105,11 @@ class Catalog:
         """
         path = self.resolve(name)
         phys = os.path.basename(path)
+        # a bucketed table must be read through its session-catalog ident —
+        # a plain parquet read returns the same rows but silently loses the
+        # bucket metadata (and with it the shuffle-free join property)
+        if os.path.exists(self._bucket_sidecar(phys)):
+            return self.bucketed_table(phys)
         sidecar = self._schema_sidecar(phys)
         if os.path.exists(sidecar):
             with open(sidecar) as f:
@@ -161,6 +166,7 @@ class Catalog:
         parquet table rooted at the catalog path. ``sort_cols`` additionally
         pre-sorts each bucket file so a downstream sort-merge join skips its
         sort as well as its shuffle."""
+        self._heal_compaction(name)
         self._drop_clone(name)
         ident = self._bucket_ident(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
@@ -508,7 +514,11 @@ class Runner:
             # orderBy would add an exchange for purely cosmetic order)
             df = df.sortWithinPartitions(*m.order_by)
         action = "incremental"
-        if build_type == "full_refresh" or not self.catalog.exists(m.name):
+        if (
+            build_type == "full_refresh"
+            or m.bucket_by  # bucketed layout cannot be appended to (Model.bucket_by)
+            or not self.catalog.exists(m.name)
+        ):
             action = "full"
         else:
             wm = self.catalog.high_watermark(m.name, m.date_col)
@@ -534,7 +544,11 @@ class Runner:
         try:
             if m.checks:
                 assert_checks(df, m.checks, table=m.name)
-            if action == "full":
+            if m.bucket_by:
+                self.catalog.write_bucketed(
+                    m.name, df, m.bucket_by, m.n_buckets, sort_cols=m.bucket_by
+                )
+            elif action == "full":
                 self.catalog.write_full(m.name, df, m.date_col)
             else:
                 self.catalog.write_append(m.name, df, m.date_col)

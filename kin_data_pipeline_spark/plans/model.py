@@ -44,6 +44,13 @@ class Model:
     # e.g. centroid assignment) opts in here; everything else aborts if one
     # appears in its compiled plan.
     allow_nested_loop: bool = False
+    # Bucketed layout (Catalog.write_bucketed): tables that meet in
+    # repeated equi-joins declare their join key here — downstream reads
+    # then sort-merge-join with no shuffle on either side. Bucketed models
+    # always FULL-refresh (appending unbucketed files would silently break
+    # the layout; Spark's insertInto does not re-bucket).
+    bucket_by: Sequence[str] = field(default_factory=tuple)
+    n_buckets: int = 8
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:

@@ -83,3 +83,50 @@ def test_bucketed_table_requires_sidecar(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"))
     with pytest.raises(ValueError):
         cat.bucketed_table("nope")
+
+
+def test_bucketed_model_in_dag_joins_without_shuffle(spark, sf_dir, tmp_path):
+    """Model.bucket_by flows through the Runner: the materialized tables
+    read back bucketed (via Catalog.table), and a downstream model's join
+    on the bucket key compiles with no shuffle on either side."""
+    import datetime
+
+    from kin_data_pipeline_spark.plans.engine import Runner
+    from kin_data_pipeline_spark.plans.model import Model
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    run = datetime.date(2024, 2, 1)
+    orders_m = Model(
+        name="orders_bm",
+        builder=lambda ctx: load_table(ctx.spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        bucket_by=("o_orderkey",),
+        n_buckets=4,
+    )
+    items_m = Model(
+        name="lineitem_bm",
+        builder=lambda ctx: load_table(ctx.spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        ),
+        bucket_by=("o_orderkey",),
+        n_buckets=4,
+    )
+    joined_m = Model(
+        name="order_qty",
+        builder=lambda ctx: ctx.table("orders_bm").join(
+            ctx.table("lineitem_bm"), "o_orderkey"
+        ),
+        depends_on=("orders_bm", "lineitem_bm"),
+        date_col=None,
+    )
+    with _no_broadcast(spark):
+        results = Runner(spark, cat).run([joined_m, orders_m, items_m], run)
+        assert [r.action for r in results] == ["full", "full", "full"]
+        df = cat.table("orders_bm").join(cat.table("lineitem_bm"), "o_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan.split("SortMergeJoin", 1)[1]
+    # a second run still full-refreshes (bucketed models never append)
+    results2 = Runner(spark, cat).run([orders_m], run)
+    assert results2[0].action == "full"
