@@ -370,23 +370,21 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parallelism; production sizes it up with the keyspace.
 _STREAM_STATE_PARTITIONS = 8
 
-def _stream_state_conf(spark: SparkSession):
-    """Pin shuffle/state partitions for a stream start; returns a restore fn
-    (the value is captured when the streaming query starts, so it can be
-    restored as soon as the run-to-completion trigger terminates)."""
-    try:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-    except Exception:
-        prev = None
-    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Per-stream cloned session (shared SparkContext, isolated SQL conf).
 
-    def restore() -> None:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    return restore
+    State-partition count and the UTC timezone are pinned on the CLONE at
+    plan-build time, so starting a stream never mutates the caller's
+    session — a batch query evaluated concurrently (threaded runners,
+    concurrent query evaluation) can no longer observe 8 shuffle
+    partitions or race a restore. Clones share the context, caches and
+    catalog data; the memory sink registers in the clone, which is also
+    where the result frame is read from.
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
+    return s
 
 # Structured Streaming, driver-checkable (§2.9): the watermarked tumbling
 # daily rollup run to completion (availableNow trigger, complete-mode memory
@@ -412,24 +410,20 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The driver's vanilla session: pin UTC so the day window matches the
     # UTC-naive oracle, and make the run idempotent within a session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_daily_rollup_sink"
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
     stream = daily_rollup_stream(stream_events_from_parquet(spark, sf_dir))
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_daily_rollup did not finish in 300s")
@@ -464,7 +458,7 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_parquet,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_running_balance_sink"
     for q in spark.streams.active:
         if q.name == sink:
@@ -476,18 +470,14 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_balance_stream(
         events, key_col="user_id", value_col="cents", value_type="LONG"
     )
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_running_balance did not finish in 300s")
@@ -549,7 +539,7 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_parquet,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_user_sessions_sink"
     for q in spark.streams.active:
         if q.name == sink:
@@ -559,18 +549,14 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap="30 minutes",
         watermark="0 seconds",
     )
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_user_sessions did not finish in 300s")
@@ -682,7 +668,7 @@ def api_timeseries_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.streaming import stream_events_from_parquet
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_feed_dedup_sink"
     for q in spark.streams.active:
         if q.name == sink:
@@ -697,18 +683,14 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         project(stream_events_from_parquet(spark, sf_dir))
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_feed_dedup did not finish in 300s")
@@ -737,7 +719,7 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.streaming import stream_events_from_parquet
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_dedup_within_watermark_sink"
     for q in spark.streams.active:
         if q.name == sink:
@@ -757,18 +739,14 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.to_date("ts").alias("date_key"),
         "cents",
     )
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_dedup_within_watermark did not finish in 300s")
@@ -796,24 +774,20 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_parquet,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = _stream_session(spark)
     sink = "streaming_purchase_view_join_sink"
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
     stream = purchase_view_join_stream(stream_events_from_parquet(spark, sf_dir))
-    restore = _stream_state_conf(spark)
-    try:
-        query = (
-            stream.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        done = query.awaitTermination(300)
-    finally:
-        restore()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
     if not done:
         query.stop()
         raise RuntimeError("streaming_purchase_view_join did not finish in 300s")

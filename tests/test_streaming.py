@@ -121,3 +121,16 @@ def test_streaming_ingest_lands_in_catalog_idempotently(spark, sf_dir, tmp_path)
         cat, "events_ingested", "date_key", "ingest_test", ck,
     )
     assert cat.table("events_ingested").count() == want.count()
+
+
+def test_streaming_query_leaves_caller_conf_untouched(spark, sf_dir):
+    """Streams run on a cloned session: the caller's SQL conf must never be
+    mutated (the old toggle-and-restore raced concurrent batch queries)."""
+    from kin_data_pipeline_spark.queries import QUERIES
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    out = QUERIES["streaming_feed_dedup"].fn(spark, sf_dir)
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.session.timeZone") == tz_before
