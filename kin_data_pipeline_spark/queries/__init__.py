@@ -27,11 +27,11 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 # query has a green driver row in at least one round. Rounds 1+2 covered the
 # whole kin chain (45 green r02 rows) plus the r1 representatives, so this
 # round's head is:
-#   1..6   kin representatives re-verifying the model chain (fact builders
+#   1..5   kin representatives re-verifying the model chain (fact builders
 #          lead, warming the session frame cache exactly as before; the
 #          other kin queries keep their r01/r02 rows and stay green in the
 #          local parity suite)
-#   7..50  the 30 queries that had never had a driver CORRECTNESS row
+#   6..50  the 30 queries that had never had a driver CORRECTNESS row
 #          (curation tier, 4 streaming tiers, API sources, embedding/
 #          simhash near-dups, text analysis, TPC-H-ish extended) plus this
 #          round's 8 new-or-changed entries: the now-capped
@@ -45,7 +45,8 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 #          local_supplier_revenue_q5, order_value_deciles), and the
 #          asymmetric containment dedup tier (shingle_containment_pairs) and
 #          per-source token-budget selection (token_budget_selection) and
-#          winnowing (MOSS) fingerprints (winnowing_fingerprints).
+#          winnowing (MOSS) fingerprints (winnowing_fingerprints) and the
+#          fused one-pass column profiler (events_column_profile).
 # Everything after slot 50 passed driver verification in r1/r2 and is
 # re-checked continuously by the local parity suite
 # (tests/test_oracle_parity.py), which applies the identical comparison at
@@ -56,7 +57,6 @@ ROUND3_WINDOW_HEAD = [
     "kin_fact_creations",
     "kin_daily_transactions",
     "kin_closing_balance_per_day",
-    "kin_daily_active_accounts_30d",
     "kin_daily_payout",
     # text/dedup tier (shingle substrate warms once, reused downstream)
     "ngram_jaccard_near_dups",
@@ -92,6 +92,7 @@ ROUND3_WINDOW_HEAD = [
     # skew tier
     "skew_distinct_users_by_event_type",
     "skew_salted_value_sum_by_type",
+    "events_column_profile",
     # sources
     "api_dim_seed",
     "api_timeseries_seed",

@@ -853,3 +853,38 @@ def skew_salted_value_sum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("sum_dec").cast("double").alias("total_value"),
         F.col("max_dec").cast("double").alias("max_value"),
     )
+
+# One-pass table profiling (ANALYZE-style): per-column null counts + exact
+# distinct cardinalities from a single fused aggregation — the statistics
+# that drive layout decisions (bucket counts, broadcast candidacy, skew
+# suspects). operators/profile.py; approx=True switches to HLL at scale.
+@register(
+    "events_column_profile",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS null_event_id,
+             COUNT(DISTINCT event_id) AS dist_event_id,
+             COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+             COUNT(DISTINCT user_id) AS dist_user_id,
+             COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+             COUNT(DISTINCT event_type) AS dist_event_type,
+             COUNT(CASE WHEN props IS NULL THEN 1 END) AS null_props,
+             COUNT(DISTINCT props) AS dist_props
+      FROM events
+    )
+    SELECT 'event_id' AS column, n AS n_rows, null_event_id AS n_nulls, dist_event_id AS n_distinct FROM s
+    UNION ALL
+    SELECT 'user_id', n, null_user_id, dist_user_id FROM s
+    UNION ALL
+    SELECT 'event_type', n, null_event_type, dist_event_type FROM s
+    UNION ALL
+    SELECT 'props', n, null_props, dist_props FROM s
+    """,
+    doc="one-pass per-column profiling (nulls + exact distincts) over events",
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, ["event_id", "user_id", "event_type", "props"])

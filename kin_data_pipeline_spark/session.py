@@ -50,6 +50,10 @@ def get_spark(
         # inside executor memory at any corpus size (spill-aware default;
         # tune down for very wide rows, up for cold object stores).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd parquet: ~25-35% smaller than snappy on text-heavy tables at
+        # comparable scan speed — at 100 TB that is tens of TB of storage
+        # and scan I/O saved on every full pass.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # ANSI off: the reference dialect (Snowflake) null-pads bad casts in
         # the '<NA>' sentinel path; we normalize explicitly instead.
         .config("spark.sql.ansi.enabled", "false")
