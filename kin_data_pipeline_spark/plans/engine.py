@@ -119,9 +119,20 @@ class Catalog:
             return self.spark.read.schema(schema).parquet(path)
         return self.spark.read.parquet(path)
 
+    def _drop_bucket_meta(self, name: str) -> None:
+        """Remove bucket-layout metadata before a non-bucketed write: a
+        surviving sidecar/ident would route ``table()`` through a bucketed
+        scan over files that are no longer bucket-named (invalid-bucket-file
+        read errors, or silently wrong co-located joins)."""
+        sidecar = self._bucket_sidecar(name)
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_ident(name)}")
+
     def write_full(self, name: str, df: DataFrame, date_col: str | None) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
+        self._drop_bucket_meta(name)
         w = df.write.mode("overwrite")
         if date_col is not None:
             w = w.partitionBy(date_col)
@@ -131,6 +142,7 @@ class Catalog:
     def write_append(self, name: str, df: DataFrame, date_col: str | None) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
+        self._drop_bucket_meta(name)
         w = df.write.mode("append")
         if date_col is not None:
             w = w.partitionBy(date_col)
@@ -204,6 +216,19 @@ class Catalog:
         with open(sidecar) as f:
             meta = json.load(f)
         ident = self._bucket_ident(name)
+        if self.spark.catalog.tableExists(ident):
+            # the session catalog is shared by every Catalog instance in the
+            # session — a same-named table from ANOTHER warehouse dir must
+            # not be served silently. Verify the registered location.
+            loc_rows = [
+                r
+                for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect()
+                if r[0] == "Location"
+            ]
+            registered = loc_rows[0][1] if loc_rows else ""
+            expected = "file:" + os.path.abspath(self.path(name))
+            if registered.rstrip("/") != expected.rstrip("/"):
+                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         if not self.spark.catalog.tableExists(ident):
             with open(self._schema_sidecar(name)) as f:
                 from pyspark.sql.types import StructType
@@ -279,6 +304,7 @@ class Catalog:
         # physical table, and tolerate the missing directory of a
         # marker-only clone.
         self._drop_clone(name)
+        self._drop_bucket_meta(name)  # rewritten files are not bucket-named
         final = self.path(name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(staging, final)
@@ -335,6 +361,13 @@ class Catalog:
         if os.path.exists(self._clone_marker(name)):
             raise ValueError(
                 f"'{name}' is a zero-copy clone; compact its source instead."
+            )
+        if os.path.exists(self._bucket_sidecar(name)):
+            raise ValueError(
+                f"'{name}' is bucketed; compaction would rewrite its files "
+                "without bucket names and destroy the layout. Bucketed "
+                "tables are rebuilt whole (write_bucketed) and never "
+                "accumulate small files."
             )
         # heal BEFORE counting: after a crash-restore the root would
         # otherwise be missing and (files_before=0, n) would misreport the

@@ -48,7 +48,11 @@ class Model:
     # repeated equi-joins declare their join key here — downstream reads
     # then sort-merge-join with no shuffle on either side. Bucketed models
     # always FULL-refresh (appending unbucketed files would silently break
-    # the layout; Spark's insertInto does not re-bucket).
+    # the layout; Spark's insertInto does not re-bucket) and are mutually
+    # exclusive with date partitioning: pick the pruning axis (date_col)
+    # OR the co-location axis (bucket_by) per table — declaring both
+    # raises, because date-keyed cleanup/watermarking silently would not
+    # apply to the bucketed layout.
     bucket_by: Sequence[str] = field(default_factory=tuple)
     n_buckets: int = 8
 
@@ -58,6 +62,13 @@ class Model:
         if (self.builder is None) == (self.clone_of is None):
             raise ValueError(
                 f"model {self.name}: exactly one of builder/clone_of required"
+            )
+        if self.bucket_by and self.date_col is not None:
+            raise ValueError(
+                f"model {self.name}: bucket_by and date_col are mutually "
+                "exclusive — the bucketed layout is not date-partitioned, so "
+                "watermark/cleanup semantics would silently not apply. Set "
+                "date_col=None for bucketed models."
             )
 
 def topo_sort(models: Sequence[Model]) -> list[Model]:

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.queries.llmops import (
     LSH_BANDS,
+    document_bands,
+    document_signatures,
     _SQL_SHINGLES,
     _SQL_WORDS,
     STOPWORDS,
@@ -485,45 +487,6 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus one corpus-signature scan, never corpus × corpus. Batch membership
 # is a deterministic modulo so both engines pick the same split.
 _BATCH_MOD = 7  # doc_id % 7 == 0 plays the arriving batch (~14%)
-
-def document_bands(sig: DataFrame) -> DataFrame:
-    """LSH band rows ``(doc_id, band_id, band_key)`` from a MinHash
-    signature frame — the PERSISTABLE dedup index: materialize this for
-    the corpus once (e.g. as a catalog model) and every arriving batch
-    probes it with a broadcast join instead of re-deriving corpus
-    signatures (see ``tests/test_dedup_index.py`` for the lifecycle
-    integration)."""
-    from kin_data_pipeline_spark.queries.llmops import LSH_BANDS
-
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.concat_ws(
-                ":", F.col(f"mh{r0}").cast("string"), F.col(f"mh{r1}").cast("string")
-            ).alias("band_key"),
-        )
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    return bands
-
-def document_signatures(docs: DataFrame) -> DataFrame:
-    """MinHash signature frame ``(doc_id, mh0..mhN)`` for a documents
-    frame (doc_id, text) — shingle-explode + per-doc min over the salted
-    hash family."""
-    from kin_data_pipeline_spark.queries.llmops import (
-        _minhash_spark_exprs,
-        _shingles_of_words,
-        _words,
-    )
-
-    sh = docs.withColumn("words", _words()).select(
-        "doc_id", F.explode(_shingles_of_words()).alias("s")
-    )
-    return sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
 
 @register(
     "incremental_dedup_check",

@@ -408,13 +408,10 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_parquet,
     )
 
-    # The driver's vanilla session: pin UTC so the day window matches the
-    # UTC-naive oracle, and make the run idempotent within a session.
+    # Cloned session: UTC (day windows match the UTC-naive oracle) and
+    # state partitions are pinned on the clone, never the caller's session.
     spark = _stream_session(spark)
     sink = "streaming_daily_rollup_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     stream = daily_rollup_stream(stream_events_from_parquet(spark, sf_dir))
     query = (
         stream.writeStream.format("memory")
@@ -460,9 +457,6 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     sink = "streaming_running_balance_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     events = stream_events_from_parquet(spark, sf_dir).select(
         "user_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
@@ -541,9 +535,6 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     sink = "streaming_user_sessions_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     stream = sessionize_stream(
         stream_events_from_parquet(spark, sf_dir),
         gap="30 minutes",
@@ -670,9 +661,6 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     sink = "streaming_feed_dedup_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     project = lambda df: df.select(  # noqa: E731
         "event_id",
         "user_id",
@@ -721,9 +709,6 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
     spark = _stream_session(spark)
     sink = "streaming_dedup_within_watermark_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     project = lambda df: df.withWatermark("ts", "60 days").select(  # noqa: E731
         "event_id",
         "user_id",
@@ -776,9 +761,6 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     sink = "streaming_purchase_view_join_sink"
-    for q in spark.streams.active:
-        if q.name == sink:
-            q.stop()
     stream = purchase_view_join_stream(stream_events_from_parquet(spark, sf_dir))
     query = (
         stream.writeStream.format("memory")

@@ -267,6 +267,39 @@ def _minhash_spark_exprs():
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
 
+def document_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signature frame ``(doc_id, mh0..mhN)`` for a documents
+    frame (doc_id, text) — shingle-explode + per-doc min over the salted
+    hash family. The standalone form for arbitrary frames; registered
+    queries go through the session-cached shingle substrate instead."""
+    sh = _with_words(docs).select(
+        "doc_id", F.explode(_shingles_of_words()).alias("s")
+    )
+    return sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+
+def document_bands(sig: DataFrame) -> DataFrame:
+    """LSH band rows ``(doc_id, band_id, band_key)`` from a MinHash
+    signature frame — the PERSISTABLE dedup index: materialize this for
+    the corpus once (e.g. as a catalog model) and every arriving batch
+    probes it with a broadcast join instead of re-deriving corpus
+    signatures (``tests/test_dedup_index.py``). The single band builder —
+    the LSH candidate query and the incremental probe both derive their
+    band keys here, so the band format cannot silently diverge."""
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                ":", F.col(f"mh{r0}").cast("string"), F.col(f"mh{r1}").cast("string")
+            ).alias("band_key"),
+        )
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    return bands
+
 # MinHash signatures: min over shingles of universal-hash family values.
 @register(
     "minhash_signatures",
@@ -319,19 +352,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("s")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.concat_ws(
-                ":", F.col(f"mh{r0}").cast("string"), F.col(f"mh{r1}").cast("string")
-            ).alias("band_key"),
-        )
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    bands = document_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -818,8 +839,7 @@ _WINNOW_W = 4
 _SQL_KGRAM_HASHES = f"""
   list_transform(
     range(0, greatest(0, len({_SQL_WORDS}) - {_WINNOW_K - 1})),
-    i -> CAST('0x' || substr(md5(array_to_string(
-           list_slice({_SQL_WORDS}, i + 1, i + {_WINNOW_K}), ' ')), 1, 8) AS BIGINT))
+    i -> {_sql_h32(f"array_to_string(list_slice({_SQL_WORDS}, i + 1, i + {_WINNOW_K}), ' ')")})
 """
 
 @register(
@@ -858,13 +878,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element when the doc is non-degenerate, so slice to the true count
     # (and to zero when len(words) < k, where sequence would auto-descend).
     n_kgrams = F.greatest(F.lit(0), F.size(words) - (_WINNOW_K - 1))
-    hs = F.slice(
-        F.transform(
-            kgrams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ),
-        1,
-        n_kgrams,
-    )
+    hs = F.slice(F.transform(kgrams, _h32), 1, n_kgrams)
     h = d.select("doc_id", "source", hs.alias("hs"))
     n_windows = F.greatest(F.lit(0), F.size("hs") - (_WINNOW_W - 1))
     mins = F.slice(

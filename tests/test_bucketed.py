@@ -103,6 +103,7 @@ def test_bucketed_model_in_dag_joins_without_shuffle(spark, sf_dir, tmp_path):
         ),
         bucket_by=("o_orderkey",),
         n_buckets=4,
+        date_col=None,
     )
     items_m = Model(
         name="lineitem_bm",
@@ -111,6 +112,7 @@ def test_bucketed_model_in_dag_joins_without_shuffle(spark, sf_dir, tmp_path):
         ),
         bucket_by=("o_orderkey",),
         n_buckets=4,
+        date_col=None,
     )
     joined_m = Model(
         name="order_qty",
@@ -130,3 +132,43 @@ def test_bucketed_model_in_dag_joins_without_shuffle(spark, sf_dir, tmp_path):
     # a second run still full-refreshes (bucketed models never append)
     results2 = Runner(spark, cat).run([orders_m], run)
     assert results2[0].action == "full"
+
+
+def test_full_write_clears_stale_bucket_layout(spark, sf_dir, tmp_path):
+    """write_full over a bucketed table must drop the bucket sidecar/ident:
+    routing the next read through the old bucketed scan would fail on the
+    plain-named files (or silently mis-join)."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat.write_bucketed("t", orders, ["o_orderkey"], 4)
+    cat.write_full("t", orders.limit(10), date_col=None)
+    assert not os.path.exists(cat._bucket_sidecar("t"))
+    assert cat.table("t").count() == 10  # plain read, no bucket routing
+
+def test_compact_refuses_bucketed_tables(spark, sf_dir, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat.write_bucketed("t", orders, ["o_orderkey"], 4)
+    with pytest.raises(ValueError, match="bucketed"):
+        cat.compact("t", None)
+
+def test_bucketed_ident_not_shared_across_catalogs(spark, sf_dir, tmp_path):
+    """Two Catalog instances in one session: the session-catalog ident from
+    warehouse A must not serve reads for the same table name in B."""
+    cat_a = Catalog(spark, str(tmp_path / "wh_a"))
+    cat_b = Catalog(spark, str(tmp_path / "wh_b"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cat_a.write_bucketed("same_name", orders, ["o_orderkey"], 4)
+    cat_b.write_bucketed("same_name", orders.limit(5), ["o_orderkey"], 4)
+    # B's write re-registered the ident at B's location; reading through A
+    # must detect the mismatch and re-register for A's path
+    assert cat_a.table("same_name").count() == orders.count()
+    assert cat_b.table("same_name").count() == 5
+
+def test_model_rejects_bucket_by_with_date_col():
+    from kin_data_pipeline_spark.plans.model import Model
+
+    with pytest.raises(ValueError, match="mutually"):
+        Model(name="x", builder=lambda ctx: None, bucket_by=("k",))
