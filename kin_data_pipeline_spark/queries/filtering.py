@@ -1,0 +1,358 @@
+"""Web-corpus filtering & selection tier: URL/domain gates, corpus-LM
+rarity scoring, line-grain exact substring dedup, quality-ranked dedup
+survivor selection.
+
+These are the remaining first-pass gates a 100 TB training-data pipeline
+runs before (and after) the content-level dedup tiers in
+``queries/llmops.py`` / ``queries/curation.py``:
+
+- **URL/domain filtering** (C4, RefinedWeb): block documents by registrable
+  domain against a blocklist — a broadcast anti-join, corpus never
+  shuffles. The driver corpus has no URL column, so (exactly like the
+  multimodal tier synthesizes valid media bytes) a URL is derived from
+  ``doc_id`` by fixed md5 arithmetic; the parse → normalize → block chain
+  operates only on the derived string, and the oracle re-derives and
+  re-parses the same URLs, so the round trip is checked end-to-end.
+- **Token-rarity scoring** (the CCNet perplexity-filter shape): "train" a
+  unigram LM on the corpus itself (one token-frequency aggregation — the
+  vocabulary is tiny next to the corpus, hence broadcastable), score each
+  document by its tokens' corpus frequencies. Deliberately log-free: the
+  mean corpus-frequency and rare-token fraction are monotone transforms of
+  unigram log-likelihood computable in exact integer/rational arithmetic,
+  so the oracle comparison is bit-exact (IEEE division of integers is
+  engine-independent; ``ln``/``log2`` are not).
+- **Repeated-chunk stats** (line-level exact substring dedup,
+  MassiveText/RefinedWeb): hash fixed-width non-overlapping token chunks,
+  count cross-document repeats — the scale-sane approximation of
+  suffix-array substring dedup (one linear shuffle on chunk hash).
+- **Keep-best survivor selection**: production dedup keeps the
+  highest-QUALITY member of each near-dup cluster, not the lowest id.
+  Reuses the cached connected-components labels and ranks members by
+  distinct-token ratio.
+
+No reference counterpart (the reference warehouse has no web tier); part
+of the beyond-reference LLM-ops surface alongside llmops.py/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from kin_data_pipeline_spark.operators.webfilter import (
+    blocklist_mark,
+    domain_of,
+    registrable_domain,
+)
+from kin_data_pipeline_spark.queries.llmops import (
+    _CAPPED_PAIRS_CTES,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _cached_substrate,
+    _with_words,
+)
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+# --- deterministic URL derivation ------------------------------------------
+# 40 synthetic sites; every 7th is a tracker domain. Both engines derive
+# the same u32 from md5(doc_id), so the URL strings are identical and the
+# extract/normalize/block chain is exercised on real parsing, not on a
+# shared shortcut column.
+
+_N_SITES = 40
+_TRACKER_MOD = 7
+
+_SQL_URL = (
+    "('https://site' || "
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+    f" % {_N_SITES}) || (CASE WHEN "
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+    f" % {_N_SITES}) % {_TRACKER_MOD} = 0 THEN '.tracker.example' "
+    "ELSE '.example.com' END) || '/doc/' || doc_id)"
+)
+
+_SQL_HOST_RE = "'^[a-z][a-z0-9+.-]*://([^/:?#]+)'"
+
+BLOCKED_REGISTRABLE = ["tracker.example"]
+
+def _url_col() -> F.Column:
+    idx = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SITES
+    )
+    tld = F.when(idx % _TRACKER_MOD == 0, F.lit(".tracker.example")).otherwise(
+        F.lit(".example.com")
+    )
+    return F.concat(
+        F.lit("https://site"),
+        idx.cast("string"),
+        tld,
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+@register(
+    "url_domain_filter_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, {_SQL_URL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, source,
+             regexp_extract(url, {_SQL_HOST_RE}, 1) AS host
+      FROM u
+    ), r AS (
+      SELECT doc_id, source, host,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE list_extract(string_split(host, '.'), len(string_split(host, '.')) - 1)
+                       || '.' ||
+                       list_extract(string_split(host, '.'), len(string_split(host, '.')))
+             END AS reg_domain
+      FROM h
+    ), m AS (
+      SELECT *, reg_domain IN ({', '.join(repr(d) for d in BLOCKED_REGISTRABLE)}) AS blocked
+      FROM r
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS block_rate,
+           CAST(COUNT(DISTINCT CASE WHEN NOT blocked THEN host END) AS BIGINT) AS n_kept_domains
+    FROM m GROUP BY source
+    """,
+    doc="URL→domain blocklist gate (broadcast anti-join shape), per-source block accounting",
+)
+def url_domain_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = docs.withColumn("url", _url_col())
+    h = u.withColumn("host", domain_of("url")).withColumn(
+        "reg_domain", registrable_domain("host")
+    )
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_REGISTRABLE], "domain string"
+    )
+    m = blocklist_mark(h, "reg_domain", blocked)
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("blocked").cast("int")).cast("long").alias("n_blocked"),
+        F.sum((~F.col("blocked")).cast("int")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("blocked").cast("int")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("block_rate"),
+        F.countDistinct(F.when(~F.col("blocked"), F.col("host")))
+        .cast("long")
+        .alias("n_kept_domains"),
+    )
+
+# --- corpus-LM token rarity -------------------------------------------------
+
+_RARE_CF = 2  # a token seen <= twice corpus-wide is "rare"
+
+@register(
+    "token_rarity_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY w
+    )
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cf) * 1.0 / COUNT(*), 6) AS mean_token_cf,
+           CAST(MIN(cf) AS BIGINT) AS min_token_cf,
+           ROUND(SUM(CASE WHEN cf <= {_RARE_CF} THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS rare_frac
+    FROM tok JOIN freq USING (w)
+    GROUP BY doc_id
+    """,
+    doc="corpus-trained unigram-LM document scoring (CCNet shape, exact log-free arithmetic)",
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _cached_substrate(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "source", F.explode("words").alias("w")
+        ),
+    )
+    # The "LM": one aggregation over the corpus. Vocabulary ≪ corpus, so on
+    # a cluster this side broadcasts and the big token stream never
+    # shuffles for the score join.
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    scored = tok.join(F.broadcast(freq), "w")
+    return scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("cf") * 1.0 / F.count(F.lit(1)), 6).alias("mean_token_cf"),
+        F.min("cf").alias("min_token_cf"),
+        F.round(
+            F.sum((F.col("cf") <= _RARE_CF).cast("int")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("rare_frac"),
+    )
+
+# --- line-grain exact substring dedup ---------------------------------------
+
+_CHUNK_W = 8  # tokens per non-overlapping chunk (line/paragraph analog)
+
+@register(
+    "repeated_chunk_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), ck AS (
+      SELECT doc_id, source,
+             list_transform(
+               range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1),
+               i -> md5(array_to_string(
+                      list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}),
+                      ' '))
+             ) AS chunks
+      FROM d
+    ), inst AS (
+      SELECT doc_id, source, c FROM ck, UNNEST(chunks) AS t(c)
+    ), df AS (
+      SELECT c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM inst GROUP BY c
+    ), j AS (
+      SELECT inst.source, df.ndocs FROM inst JOIN df ON inst.c = df.c
+    ), per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS total_chunks,
+             CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks
+      FROM j GROUP BY source
+    ), nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT nd.source, nd.n_docs,
+           COALESCE(per_src.total_chunks, 0) AS total_chunks,
+           COALESCE(per_src.shared_chunks, 0) AS shared_chunks,
+           ROUND(COALESCE(per_src.shared_chunks, 0) * 1.0
+                 / NULLIF(COALESCE(per_src.total_chunks, 0), 0), 6) AS dup_chunk_rate
+    FROM nd LEFT JOIN per_src ON nd.source = per_src.source
+    """,
+    doc=f"cross-document repeated {_CHUNK_W}-token chunks (line-grain exact substring dedup)",
+)
+def repeated_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_words(load_table(spark, sf_dir, "documents"))
+    n_chunks = (F.size("words") / _CHUNK_W).cast("long")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n_chunks),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("words"),
+                        ((i - F.lit(1)) * _CHUNK_W + 1).cast("int"),
+                        _CHUNK_W,
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = d.select("doc_id", "source", F.explode(chunks).alias("c"))
+    # One linear shuffle on the chunk hash — the scale contract of
+    # line-level dedup (no pairwise anything; repeats surface as df >= 2).
+    cdf = inst.groupBy("c").agg(F.countDistinct("doc_id").cast("long").alias("ndocs"))
+    j = inst.join(cdf, "c")
+    per_src = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.sum((F.col("ndocs") >= 2).cast("int")).cast("long").alias("shared_chunks"),
+    )
+    nd = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    out = nd.join(per_src, "source", "left")
+    total = F.coalesce(F.col("total_chunks"), F.lit(0).cast("long"))
+    shared = F.coalesce(F.col("shared_chunks"), F.lit(0).cast("long"))
+    return out.select(
+        "source",
+        "n_docs",
+        total.alias("total_chunks"),
+        shared.alias("shared_chunks"),
+        F.round(shared * 1.0 / F.nullif(total, F.lit(0).cast("long")), 6).alias(
+            "dup_chunk_rate"
+        ),
+    )
+
+# --- quality-ranked dedup survivors -----------------------------------------
+# Production dedup keeps the BEST member of each near-dup cluster (highest
+# quality score), not the lowest doc_id. Reuses the cached
+# connected-components labels from near_dup_clusters; ranking quality is
+# the distinct-token ratio — an integer-ratio double, so cross-engine
+# comparisons (including the window ORDER BY) are exact.
+
+@register(
+    "dedup_keep_best_survivors",
+    f"""
+    WITH RECURSIVE {_CAPPED_PAIRS_CTES.format(shingles=_SQL_SHINGLES)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM good
+      UNION ALL
+      SELECT doc_b, doc_a FROM good
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS m FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+    ),
+    lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id, source,
+             len(list_distinct({_SQL_WORDS})) * 1.0 / len({_SQL_WORDS}) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT q.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(lab.cluster_id, q.doc_id)
+               ORDER BY q.quality DESC, q.doc_id ASC
+             ) = 1 AS keep
+      FROM q LEFT JOIN lab ON q.doc_id = lab.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS keep_rate
+    FROM ranked GROUP BY source
+    """,
+    doc="keep highest-quality member per near-dup cluster; per-source survivor accounting",
+)
+def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import connected_components_star
+    from kin_data_pipeline_spark.queries.llmops import ngram_jaccard_capped
+
+    labels = _cached_substrate(
+        spark,
+        sf_dir,
+        "near_dup_labels",
+        lambda: connected_components_star(
+            ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
+        ),
+    )
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct("words")) * 1.0 / F.size("words")
+        ).alias("quality"),
+    )
+    lab = labels.select(F.col("node").alias("doc_id"), "cluster_id")
+    j = d.join(lab, "doc_id", "left").withColumn(
+        "cid", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    ranked = j.withColumn("keep", F.row_number().over(w) == 1)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("int")).cast("long").alias("n_dropped"),
+        F.round(F.sum(F.col("keep").cast("int")) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "keep_rate"
+        ),
+    )
+

@@ -40,10 +40,18 @@ def test_every_query_driver_checked_after_this_round():
     never = sorted(set(q.queries()) - covered)
     assert not never, f"queries that would still lack a driver row: {never}"
 
-def test_fact_builders_lead_for_frame_cache():
+def test_flagship_fact_leads():
+    """Slot 1 re-verifies the flagship fact; the filtering tier (added
+    after the first round-3 window draft) takes the next four slots —
+    new queries must enter the window to ever earn a driver row."""
     names = list(q.queries())
     assert names[0] == "kin_fact_transactions"
-    assert names[1] == "kin_fact_creations"
+    assert names[1:5] == [
+        "url_domain_filter_stats",
+        "token_rarity_scores",
+        "repeated_chunk_stats",
+        "dedup_keep_best_survivors",
+    ]
 
 def test_queries_and_oracles_stay_aligned():
     names = list(q.queries())

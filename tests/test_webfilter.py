@@ -1,0 +1,138 @@
+"""Web-corpus filtering tier: operator unit behavior + plan shape.
+
+Oracle parity for the four registered queries is covered by
+tests/test_oracle_parity.py; here we pin the operator semantics on edge
+inputs and the scale-critical plan shapes (blocklist gate broadcasts, the
+corpus side never becomes the build side).
+"""
+
+from __future__ import annotations
+
+from kin_data_pipeline_spark.operators.webfilter import (
+    blocklist_filter,
+    blocklist_mark,
+    domain_cap,
+    domain_of,
+    registrable_domain,
+)
+
+def test_domain_of_extracts_and_normalizes(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Example.COM/path?q=1",),
+            ("http://a.b.co.uk/",),
+            ("ftp://files.example.org",),
+            ("not a url",),
+            ("https://host:8443/x",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(domain_of("url")).collect()]
+    assert got == ["www.example.com", "a.b.co.uk", "files.example.org", "", "host"]
+
+def test_registrable_domain_last_two_labels(spark):
+    df = spark.createDataFrame(
+        [("www.news.example.com",), ("example.com",), ("localhost",)],
+        "host string",
+    )
+    got = [r[0] for r in df.select(registrable_domain("host")).collect()]
+    assert got == ["example.com", "example.com", "localhost"]
+
+def test_blocklist_mark_and_filter_agree(spark):
+    docs = spark.createDataFrame(
+        [(1, "ads.example"), (2, "good.example"), (3, "ads.example")],
+        "id long, dom string",
+    )
+    blocked = spark.createDataFrame([("ads.example",)], "domain string")
+    marked = blocklist_mark(docs, "dom", blocked)
+    assert {r["id"]: r["blocked"] for r in marked.collect()} == {
+        1: True,
+        2: False,
+        3: True,
+    }
+    kept = blocklist_filter(docs, "dom", blocked)
+    assert [r["id"] for r in kept.collect()] == [2]
+
+def test_blocklist_gate_broadcasts_the_small_side(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}.example") for i in range(20)], "id long, dom string"
+    )
+    blocked = spark.createDataFrame([("d0.example",)], "domain string")
+    for frame in (
+        blocklist_mark(docs, "dom", blocked),
+        blocklist_filter(docs, "dom", blocked),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+def test_domain_cap_keeps_deterministic_prefix(spark):
+    rows = [(d, i) for d in ("a.x", "b.x") for i in range(5)]
+    df = spark.createDataFrame(rows, "dom string, ord long")
+    capped = domain_cap(df, "dom", "ord", 2)
+    got = sorted((r["dom"], r["ord"]) for r in capped.collect())
+    assert got == [("a.x", 0), ("a.x", 1), ("b.x", 0), ("b.x", 1)]
+
+def test_url_filter_stats_blocklist_is_broadcast(spark, sf_dir):
+    from kin_data_pipeline_spark.queries.filtering import url_domain_filter_stats
+
+    plan = (
+        url_domain_filter_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+def test_token_rarity_lm_side_is_broadcast(spark, sf_dir):
+    from kin_data_pipeline_spark.queries.filtering import token_rarity_scores
+
+    plan = (
+        token_rarity_scores(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the vocabulary (LM) side broadcasts; the token stream never shuffles
+    # for the score join
+    assert "BroadcastHashJoin" in plan
+
+def test_repeated_chunk_stats_counts_cross_doc_repeats_only(spark):
+    # doc 1 and 2 share one 8-token chunk; doc 3 repeats its own chunk
+    # twice (intra-doc repeat: both instances count as shared only if the
+    # chunk spans >= 2 DISTINCT docs, so doc 3's stay unshared).
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [
+            (1, eight, "s"),
+            (2, eight + " tail ignored because partial", "s"),
+            (3, other + " " + other, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from kin_data_pipeline_spark.queries import filtering as flt
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        # testdata tables are single parquet FILES (the catalog probes their
+        # footer with pyarrow), so write the fixture the same way
+        pq.write_table(
+            pa.Table.from_pylist([r.asDict() for r in docs.collect()]),
+            os.path.join(td, "documents.parquet"),
+        )
+        out = {
+            r["source"]: r
+            for r in flt.repeated_chunk_stats(spark, td).collect()
+        }
+    row = out["s"]
+    assert row["n_docs"] == 3
+    # doc1: 1 chunk, doc2: 1 chunk (partial tail dropped), doc3: 2 chunks
+    assert row["total_chunks"] == 4
+    # only the doc1/doc2 shared chunk's two instances are cross-doc shared
+    assert row["shared_chunks"] == 2
