@@ -53,12 +53,12 @@ import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
 # (tests/test_oracle_parity.py), which applies the identical comparison at
 # sf0.001/sf0.01/sf0.1.
 ROUND3_WINDOW_HEAD = [
-    # flagship fact re-verified every round (slot 1); the other four kin
-    # representatives of the earlier draft (all green in r02) yielded their
-    # slots to the web-filtering tier added later in round 3 — every NEW
-    # query must enter the window or it never earns a driver row, while the
-    # kin chain keeps its r01/r02 rows and the local parity suite.
-    "kin_fact_transactions",
+    # The five kin representatives of the earlier round-3 draft (all green
+    # in r02) yielded their slots to queries added later in the round —
+    # every NEW query must enter the window or it never earns a driver
+    # row, while the kin chain keeps its r01/r02 rows and the local parity
+    # suite re-checks it continuously.
+    "training_shard_manifest",
     # web-corpus filtering tier (new this round)
     "url_domain_filter_stats",
     "token_rarity_scores",

@@ -648,3 +648,42 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r.filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+
+# ---------------------------------------------------------------------------
+# Training-shard manifest — the export step's accounting surface. Placement
+# is the md5-deterministic assignment from operators/shards.py (any engine
+# recomputes it; re-exports after incremental updates move only changed
+# docs); the manifest is the per-shard doc/token summary a data loader
+# schedules epochs from. The writer itself (write_training_shards) is
+# exercised by tests/test_shards.py — a driver query can't have write side
+# effects, so the registered surface is the pure assignment + accounting.
+
+_N_SHARDS = 16
+
+@register(
+    "training_shard_manifest",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                  % {_N_SHARDS} AS INT) AS shard,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM a GROUP BY shard
+    """,
+    doc=f"deterministic {_N_SHARDS}-way training-shard assignment + per-shard manifest",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.shards import shard_assignment, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    return shard_manifest(shard_assignment(docs, "doc_id", _N_SHARDS), "n_tokens")

@@ -40,13 +40,13 @@ def test_every_query_driver_checked_after_this_round():
     never = sorted(set(q.queries()) - covered)
     assert not never, f"queries that would still lack a driver row: {never}"
 
-def test_flagship_fact_leads():
-    """Slot 1 re-verifies the flagship fact; the filtering tier (added
-    after the first round-3 window draft) takes the next four slots —
+def test_round3_additions_lead():
+    """The queries added after the first round-3 window draft take the
+    head slots (displacing kin representatives that are green in r02) —
     new queries must enter the window to ever earn a driver row."""
     names = list(q.queries())
-    assert names[0] == "kin_fact_transactions"
-    assert names[1:5] == [
+    assert names[:5] == [
+        "training_shard_manifest",
         "url_domain_filter_stats",
         "token_rarity_scores",
         "repeated_chunk_stats",
