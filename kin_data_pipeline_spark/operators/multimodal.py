@@ -5,7 +5,7 @@ store URIs) beside typed metadata structs; every transform is Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
 Header-level decode (dimensions, channel count, sample geometry) is REAL for
-BMP / PNG / WAV payloads: ``parse_media_header`` does magic-byte sniffing +
+BMP / PNG / WAV / JPEG payloads: ``parse_media_header`` does magic-byte sniffing +
 struct parsing of the actual container headers, no external codec needed.
 Pixel/sample-level work (full image decode, audio resample, video frame
 extraction) still needs libraries absent from this container — those steps
@@ -76,7 +76,7 @@ DECODED_HEADER_SCHEMA = StructType(
 def require_codec(name: str):
     """Import a media codec library or raise a clear stub error.
 
-    Header-level decode of BMP/PNG/WAV needs no codec (see
+    Header-level decode of BMP/PNG/WAV/JPEG needs no codec (see
     ``parse_media_header``); this gate covers only pixel/sample-level work
     (full raster decode, resampling, video frame extraction) on formats the
     pure-Python parsers don't handle. Production clusters ship the libs.
@@ -87,10 +87,10 @@ def require_codec(name: str):
         raise NotImplementedError(
             f"media codec '{name}' is not installed in this environment; "
             "pixel/sample-level decode is unavailable (header-level decode "
-            "of BMP/PNG/WAV works without it — see parse_media_header)"
+            "of BMP/PNG/WAV/JPEG works without it — see parse_media_header)"
         ) from exc
 
-# --- deterministic media synthesis (BMP / PNG / WAV) -----------------------
+# --- deterministic media synthesis (BMP / PNG / WAV / JPEG) ----------------
 # The container has no media corpus, so the multimodal decode path is
 # exercised on synthesized-but-VALID files: real magic bytes, real header
 # structs, real CRCs. Geometry derives from media_id by fixed arithmetic so
@@ -141,6 +141,44 @@ def _make_png(width: int, height: int, color_type: int) -> bytes:
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
 
+#: SOF markers that carry frame geometry (C4/C8/CC are tables, not frames).
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+def _make_jpeg(width: int, height: int, n_components: int) -> bytes:
+    """SOI + JFIF APP0 + SOF0 + EOI — a valid marker stream up to the frame
+    header (no entropy-coded scan: dimension sniffing never needs it).
+
+    n_bytes = 32 + 3*n_components (2 SOI + 18 APP0 + 10+3n SOF0 + 2 EOI),
+    the arithmetic the decoded-stats oracle mirrors.
+    """
+    app0 = struct.pack(
+        ">HH5sBBBHHBB",
+        0xFFE0,
+        16,  # length includes itself: 2 + 14 payload bytes
+        b"JFIF\x00",
+        1,
+        1,  # version 1.1
+        0,  # density units: none
+        1,
+        1,  # aspect-ratio densities
+        0,
+        0,  # no thumbnail
+    )
+    sof0 = struct.pack(
+        ">HHBHHB",
+        0xFFC0,
+        8 + 3 * n_components,  # length includes itself
+        8,  # sample precision
+        height,
+        width,
+        n_components,
+    ) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
 def _make_wav(n_channels: int, sample_rate: int, n_samples: int) -> bytes:
     """Canonical 44-byte RIFF/WAVE header + silent 16-bit PCM frames."""
     block_align = n_channels * 2
@@ -163,18 +201,25 @@ def _make_wav(n_channels: int, sample_rate: int, n_samples: int) -> bytes:
     )
 
 def synthesize_media(media_id: int) -> tuple[str, bytes]:
-    """Deterministic (mime, payload): id%3 picks BMP/PNG/WAV; geometry is
-    fixed arithmetic on the id (mirrored by media_decoded_stats' oracle)."""
-    fmt = media_id % 3
+    """Deterministic (mime, payload): id%4 picks BMP/PNG/WAV/JPEG; geometry
+    is fixed arithmetic on the id (mirrored by media_decoded_stats' oracle).
+    Sub-selectors (PNG color type, WAV channels/rate, JPEG components) use
+    id//4 so they still vary within each format's id residue class."""
+    fmt = media_id % 4
+    sub = media_id // 4
     if fmt == 0:
         return "image/bmp", _make_bmp(1 + media_id * 7 % 32, 1 + media_id * 13 % 32)
     if fmt == 1:
-        color_type = (0, 2, 4, 6)[media_id % 4]
+        color_type = (0, 2, 4, 6)[sub % 4]
         return "image/png", _make_png(
             1 + media_id * 7 % 512, 1 + media_id * 13 % 512, color_type
         )
-    return "audio/wav", _make_wav(
-        1 + media_id % 2, 8000 + media_id % 4 * 4000, 1 + media_id * 11 % 100
+    if fmt == 2:
+        return "audio/wav", _make_wav(
+            1 + sub % 2, 8000 + sub % 4 * 4000, 1 + media_id * 11 % 100
+        )
+    return "image/jpeg", _make_jpeg(
+        1 + media_id * 7 % 256, 1 + media_id * 13 % 256, 1 if sub % 2 == 0 else 3
     )
 
 def synthesize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,7 +235,7 @@ def synthesize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         )
 
 def synthesize_media_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """Attach deterministic BMP/PNG/WAV payloads to an id column."""
+    """Attach deterministic BMP/PNG/WAV/JPEG payloads to an id column."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
     return ids.mapInPandas(synthesize_media_batch, schema=SYNTH_SCHEMA)
 
@@ -218,6 +263,28 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
             # (quarantine route), never KeyError
             raise ValueError(f"PNG payload with invalid color type {color_type}")
         return "image/png", width, height, channels
+    if content[:2] == b"\xff\xd8":
+        # JPEG has no fixed-offset geometry: walk the marker stream to the
+        # first frame header (SOF). Standalone markers (RST/TEM/EOI) carry
+        # no length; fill bytes (0xFF padding before a marker) are legal.
+        off = 2
+        while off + 4 <= len(content):
+            if content[off] != 0xFF:
+                raise ValueError("JPEG marker stream desynchronized")
+            marker = content[off + 1]
+            if marker == 0xFF:  # fill byte
+                off += 1
+                continue
+            if marker in _JPEG_SOF_MARKERS:
+                height, width = struct.unpack_from(">HH", content, off + 5)
+                n_components = content[off + 9]
+                return "image/jpeg", width, height, n_components
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                off += 2
+                continue
+            seg_len = struct.unpack_from(">H", content, off + 2)[0]
+            off += 2 + seg_len
+        raise ValueError("JPEG payload has no SOF frame header")
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         # Walk RIFF chunks — fmt/data need not be adjacent OR ordered in
         # the wild, so collect both before computing frames (a data chunk

@@ -1509,7 +1509,7 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # Multimodal decoded-geometry accounting: the de-stubbed decode path.
-# Spark side synthesizes VALID BMP/PNG/WAV payloads (real magic bytes,
+# Spark side synthesizes VALID BMP/PNG/WAV/JPEG payloads (real magic bytes,
 # header structs, CRCs) from doc_id arithmetic, then recovers geometry by
 # actually parsing those bytes (operators/multimodal.parse_media_header,
 # Arrow-batched mapInPandas). The oracle predicts the same geometry from the
@@ -1519,26 +1519,30 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_DECODED_ORACLE = """
     WITH m AS (
       SELECT CAST(doc_id AS BIGINT) AS id,
-             CAST(doc_id AS BIGINT) % 3 AS fmt,
-             CAST(doc_id AS BIGINT) % 4 AS m4
+             CAST(doc_id AS BIGINT) % 4 AS fmt,
+             CAST(doc_id AS BIGINT) // 4 AS sub
       FROM documents
     ), d AS (
       SELECT id,
         CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
-                 ELSE 'audio/wav' END AS mime,
+                 WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
         CASE fmt WHEN 0 THEN 1 + (id * 7) % 32
                  WHEN 1 THEN 1 + (id * 7) % 512
-                 ELSE 1 + (id * 11) % 100 END AS width,
+                 WHEN 2 THEN 1 + (id * 11) % 100
+                 ELSE 1 + (id * 7) % 256 END AS width,
         CASE fmt WHEN 0 THEN 1 + (id * 13) % 32
                  WHEN 1 THEN 1 + (id * 13) % 512
-                 ELSE 8000 + (id % 4) * 4000 END AS height,
+                 WHEN 2 THEN 8000 + (sub % 4) * 4000
+                 ELSE 1 + (id * 13) % 256 END AS height,
         CASE fmt WHEN 0 THEN 3
-                 WHEN 1 THEN CASE m4 WHEN 0 THEN 1 WHEN 1 THEN 3
-                                     WHEN 2 THEN 2 ELSE 4 END
-                 ELSE 1 + id % 2 END AS n_channels,
+                 WHEN 1 THEN CASE sub % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                          WHEN 2 THEN 2 ELSE 4 END
+                 WHEN 2 THEN 1 + sub % 2
+                 ELSE CASE WHEN sub % 2 = 0 THEN 1 ELSE 3 END END AS n_channels,
         CASE fmt WHEN 0 THEN 54 + CAST(floor((3 * (1 + (id * 7) % 32) + 3) / 4) AS BIGINT) * 4 * (1 + (id * 13) % 32)
                  WHEN 1 THEN 45
-                 ELSE 44 + (1 + (id * 11) % 100) * (1 + id % 2) * 2 END AS n_bytes
+                 WHEN 2 THEN 44 + (1 + (id * 11) % 100) * (1 + sub % 2) * 2
+                 ELSE 32 + 3 * (CASE WHEN sub % 2 = 0 THEN 1 ELSE 3 END) END AS n_bytes
       FROM m
     )
     SELECT mime,
@@ -1556,7 +1560,7 @@ _MEDIA_DECODED_ORACLE = """
 @register(
     "media_decoded_stats",
     _MEDIA_DECODED_ORACLE,
-    doc="real header-level media decode (BMP/PNG/WAV struct parse) → geometry distributions per mime",
+    doc="real header-level media decode (BMP/PNG/WAV/JPEG struct parse) → geometry distributions per mime",
 )
 def media_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.operators.multimodal import (

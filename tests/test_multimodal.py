@@ -79,7 +79,12 @@ def test_decode_media_headers_distributed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(60)
     decoded = decode_media_headers(synthesize_media_df(docs, "doc_id")).collect()
     assert len(decoded) == 60
-    assert {r["mime"] for r in decoded} == {"image/bmp", "image/png", "audio/wav"}
+    assert {r["mime"] for r in decoded} == {
+        "image/bmp",
+        "image/png",
+        "audio/wav",
+        "image/jpeg",
+    }
     assert all(r["n_bytes"] > 0 and r["width"] >= 1 for r in decoded)
 
 def test_media_checksum_matches_sql_md5(spark, sf_dir):
@@ -149,3 +154,39 @@ def test_parse_png_invalid_color_type_raises_value_error():
     )
     with pytest.raises(ValueError, match="color type"):
         parse_media_header(bad)
+
+def test_parse_jpeg_reads_sof_geometry():
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _make_jpeg,
+        parse_media_header,
+    )
+
+    assert parse_media_header(_make_jpeg(640, 480, 3)) == ("image/jpeg", 640, 480, 3)
+    assert parse_media_header(_make_jpeg(31, 7, 1)) == ("image/jpeg", 31, 7, 1)
+    # n_bytes arithmetic the oracle mirrors
+    assert len(_make_jpeg(640, 480, 3)) == 32 + 9
+    assert len(_make_jpeg(31, 7, 1)) == 32 + 3
+
+def test_parse_jpeg_skips_non_frame_segments():
+    import struct
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _make_jpeg,
+        parse_media_header,
+    )
+
+    base = _make_jpeg(100, 50, 3)
+    # splice a DHT (0xC4: excluded table marker) and a COM segment after
+    # APP0 — the walker must skip both and still find SOF0
+    dht = struct.pack(">HH", 0xFFC4, 5) + b"\x00\x01\x02"
+    com = struct.pack(">HH", 0xFFFE, 4) + b"hi"
+    spliced = base[:20] + dht + com + base[20:]
+    assert parse_media_header(spliced) == ("image/jpeg", 100, 50, 3)
+
+def test_parse_jpeg_without_sof_raises():
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    with _pytest.raises(ValueError, match="no SOF"):
+        parse_media_header(b"\xff\xd8\xff\xd9")
