@@ -136,3 +136,38 @@ def test_repeated_chunk_stats_counts_cross_doc_repeats_only(spark):
     assert row["total_chunks"] == 4
     # only the doc1/doc2 shared chunk's two instances are cross-doc shared
     assert row["shared_chunks"] == 2
+
+def test_domain_of_agrees_with_urllib_reference(spark):
+    """Differential check: the JVM-regex host extraction must agree with
+    Python's urllib.parse over a structured URL corpus (schemes, ports,
+    userinfo-free hosts, queries, fragments, traps)."""
+    from urllib.parse import urlparse
+
+    hosts = ["example.com", "a.b.c.example.org", "localhost", "x--y.co.uk",
+             "sub.domain.example", "site7.tracker.example"]
+    paths = ["", "/", "/a/b", "/a?q=1", "/a#frag", "/a/b?q=1&r=2#z"]
+    schemes = ["http", "https", "ftp", "ws+ssl"]
+    urls = [f"{s}://{h}{p}" for s in schemes for h in hosts for p in paths]
+    urls += [f"https://{h}:8443/x" for h in hosts]
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["host"]
+        for r in df.select("url", domain_of("url").alias("host")).collect()
+    }
+    for u in urls:
+        expect = (urlparse(u).hostname or "").lower()
+        assert got[u] == expect, (u, got[u], expect)
+
+def test_registrable_domain_agrees_with_suffix_reference(spark):
+    hosts = ["a.b.c.d.example.com", "example.com", "com", "x.y", "single",
+             "deep.sub.tracker.example"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["reg"]
+        for r in df.select("host", registrable_domain("host").alias("reg")).collect()
+    }
+    for h in hosts:
+        parts = h.split(".")
+        expect = h if len(parts) <= 2 else ".".join(parts[-2:])
+        assert got[h] == expect
