@@ -28,10 +28,10 @@ import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
 # query has a green driver row in at least one round. Rounds 1+2 covered the
 # whole kin chain (45 green r02 rows) plus the r1 representatives, so this
 # round's head is:
-#   1..5   kin representatives re-verifying the model chain (fact builders
-#          lead, warming the session frame cache exactly as before; the
-#          other kin queries keep their r01/r02 rows and stay green in the
-#          local parity suite)
+#   1..5   the queries added latest in round 3 (training-shard manifest +
+#          the web-corpus filtering tier) — they displaced the kin
+#          representatives of the earlier draft, which all hold green r02
+#          rows and stay covered by the local parity suite
 #   6..50  the 30 queries that had never had a driver CORRECTNESS row
 #          (curation tier, 4 streaming tiers, API sources, embedding/
 #          simhash near-dups, text analysis, TPC-H-ish extended) plus this
