@@ -1,0 +1,134 @@
+"""Corpus-release DAG: the LLM-ops curation pipeline as catalog models.
+
+The registered queries in ``queries/filtering.py`` / ``queries/curation.py``
+expose each curation operator for oracle verification; a production run
+instead MATERIALIZES the chain through the engine lifecycle — data-quality
+contracts abort a bad stage before it lands, downstream stages read the
+stored upstream table (not a recomputed lineage), and the release ships as
+deterministic training shards. This module wires that up with the same
+Model/Runner machinery the kin warehouse uses:
+
+    corpus_quality   docs + token metrics, low-quality rows gated out
+                     (contract: doc_id unique & non-null, n_tokens > 0)
+    corpus_survivors keep-best member per near-dup cluster over the stored
+                     quality table (contract: survivors unique)
+    corpus_shards    md5-deterministic shard id per survivor
+                     (contract: shard within [0, N_SHARDS))
+
+``export_release`` then writes the stored shard table to its
+``shard=K/`` parquet layout in one pass (operators/shards.py).
+
+Scale notes: every stage is one scan of its upstream table plus the
+operator's own bounded shuffles (capped-postings pairs, O(log n) star
+rounds, one hash agg); stages re-read STORED parquet rather than
+re-deriving the full lineage, which is exactly the
+materialize-per-stage contract a 100 TB curation run needs (re-running
+stage 3 must not re-shingle the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from kin_data_pipeline_spark.operators.dedup import connected_components_star
+from kin_data_pipeline_spark.operators.shards import shard_assignment
+from kin_data_pipeline_spark.plans.checks import in_range, non_negative, not_null, unique
+from kin_data_pipeline_spark.plans.model import Model
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+#: minimum whitespace tokens for a document to enter the release
+MIN_TOKENS = 5
+N_SHARDS = 16
+
+def _quality(ctx, sf_dir: str) -> DataFrame:
+    docs = load_table(ctx.spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    q = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(words)) * 1.0 / F.size(words)).alias("quality"),
+    )
+    return q.filter(F.col("n_tokens") >= MIN_TOKENS)
+
+def _survivors(ctx) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import jaccard_pairs_from_lists
+    from kin_data_pipeline_spark.operators.dedup import grouped_posting_lists
+    from kin_data_pipeline_spark.queries.llmops import (
+        JACCARD_DF_CAP,
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+
+    q = ctx.table("corpus_quality")
+    words = F.split(F.trim(F.col("text")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
+        )
+    )
+    postings = q.select(
+        "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("s")
+    )
+    pairs = jaccard_pairs_from_lists(
+        grouped_posting_lists(postings),
+        threshold=JACCARD_THRESHOLD,
+        df_cap=JACCARD_DF_CAP,
+    )
+    labels = connected_components_star(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    j = q.join(labels, "doc_id", "left").withColumn(
+        "cid", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "source", "text", "n_tokens", "quality")
+    )
+
+def _shards(ctx) -> DataFrame:
+    s = ctx.table("corpus_survivors")
+    return shard_assignment(s, "doc_id", N_SHARDS)
+
+def corpus_release_models(sf_dir: str) -> list[Model]:
+    """The three-stage release DAG (quality → survivors → shards)."""
+    return [
+        Model(
+            name="corpus_quality",
+            builder=lambda ctx: _quality(ctx, sf_dir),
+            date_col=None,
+            checks=(
+                not_null("doc_id", "text", "source"),
+                unique("doc_id"),
+                non_negative("n_tokens"),
+            ),
+        ),
+        Model(
+            name="corpus_survivors",
+            builder=_survivors,
+            depends_on=("corpus_quality",),
+            date_col=None,
+            checks=(unique("doc_id"), not_null("doc_id")),
+        ),
+        Model(
+            name="corpus_shards",
+            builder=_shards,
+            depends_on=("corpus_survivors",),
+            date_col=None,
+            checks=(in_range("shard", 0, N_SHARDS - 1),),
+        ),
+    ]
+
+def export_release(catalog, out_dir: str) -> None:
+    """Write the stored shard table to its shard=K/ training layout."""
+    df = catalog.table("corpus_shards")
+    (
+        df.repartition(N_SHARDS, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -1,0 +1,94 @@
+"""Corpus-release DAG: the curation chain materialized through the
+engine lifecycle, with contracts enforced per stage and a shard export.
+
+The per-operator math is oracle-checked by the registered queries; here
+we pin the LIFECYCLE properties: stages read stored upstreams, survivor
+accounting matches the registered keep-best query, contracts abort bad
+stages, and the export lands the loader-facing layout.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.models.corpus import (
+    N_SHARDS,
+    corpus_release_models,
+    export_release,
+)
+from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+from kin_data_pipeline_spark.queries.registry import QUERIES
+
+RUN = datetime.date(2024, 2, 1)
+
+@pytest.fixture(scope="module")
+def release(spark, sf_dir, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    Runner(spark, cat).run(corpus_release_models(sf_dir), RUN)
+    return cat
+
+def test_stages_materialize_in_dependency_order(release):
+    for t in ("corpus_quality", "corpus_survivors", "corpus_shards"):
+        assert release.table(t).count() > 0
+
+def test_survivor_accounting_matches_registered_query(release, spark, sf_dir):
+    """The DAG's survivor stage must agree with dedup_keep_best_survivors
+    wherever the quality gate doesn't interfere (the gate runs upstream in
+    the DAG; the registered query scores the ungated corpus, so compare on
+    the common per-source totals only when no doc was gated out)."""
+    gated = release.table("corpus_quality").count()
+    raw = (
+        QUERIES["dedup_keep_best_survivors"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_docs").alias("n"), F.sum("n_kept").alias("k"))
+        .first()
+    )
+    if gated == raw["n"]:  # nothing gated: totals must match exactly
+        assert release.table("corpus_survivors").count() == raw["k"]
+    else:  # gate removed docs: survivors can only shrink
+        assert release.table("corpus_survivors").count() <= raw["k"]
+
+def test_survivors_are_subset_of_quality(release):
+    q = release.table("corpus_quality").select("doc_id")
+    s = release.table("corpus_survivors").select("doc_id")
+    assert s.exceptAll(q).count() == 0
+
+def test_shards_cover_survivors_exactly(release):
+    s = release.table("corpus_survivors")
+    sh = release.table("corpus_shards")
+    assert sh.count() == s.count()
+    assert sh.agg(F.min("shard")).first()[0] >= 0
+    assert sh.agg(F.max("shard")).first()[0] <= N_SHARDS - 1
+
+def test_export_lands_loader_layout(release, tmp_path):
+    out = str(tmp_path / "release")
+    export_release(release, out)
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert dirs
+    back = release.spark.read.parquet(out)
+    assert back.count() == release.table("corpus_shards").count()
+
+def test_violated_contract_aborts_before_write(spark, sf_dir, tmp_path):
+    """A stage whose output breaks its declared contract must fail the run
+    and leave no table behind."""
+    from kin_data_pipeline_spark.plans.checks import accepted_values
+    from kin_data_pipeline_spark.plans.model import Model
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    bad = Model(
+        name="corpus_bad_stage",
+        builder=lambda ctx: load_table(ctx.spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        ),
+        date_col=None,
+        checks=(accepted_values("lang", ["xx"]),),  # guaranteed violation
+    )
+    with pytest.raises(Exception, match="check|contract|accepted"):
+        Runner(spark, cat).run([bad], RUN)
+    assert not glob.glob(str(tmp_path / "wh" / "corpus_bad_stage" / "*.parquet"))
