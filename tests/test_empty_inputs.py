@@ -61,3 +61,31 @@ def test_rangejoin_operators_empty_input(spark, sf_dir):
     assert (
         trailing_distinct_count(daily, "day", "user_id", days=7).count() == 0
     )
+
+def test_round3_operators_empty_input(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from kin_data_pipeline_spark.operators.dedup import connected_components_star
+    from kin_data_pipeline_spark.operators.layout import zorder_layout
+    from kin_data_pipeline_spark.operators.shards import (
+        shard_assignment,
+        shard_manifest,
+    )
+    from kin_data_pipeline_spark.operators.webfilter import (
+        blocklist_filter,
+        blocklist_mark,
+        domain_cap,
+    )
+
+    docs = _empty_docs(spark, sf_dir)
+    blocked = spark.createDataFrame([("x.example",)], "domain string")
+    assert blocklist_mark(docs.withColumn("dom", F2.lit("a.b")), "dom", blocked).count() == 0
+    assert blocklist_filter(docs.withColumn("dom", F2.lit("a.b")), "dom", blocked).count() == 0
+    assert domain_cap(docs.withColumn("dom", F2.lit("a.b")), "dom", "doc_id", 3).count() == 0
+    assigned = shard_assignment(docs, "doc_id", 8)
+    assert assigned.count() == 0
+    assert shard_manifest(assigned, "n_chars").count() == 0
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_star(empty_edges).count() == 0
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    assert zorder_layout(ev, F2.col("user_id"), F2.col("value").cast("long"), 4).count() == 0
