@@ -102,7 +102,10 @@ def main() -> None:
     # Full per-query detail (steady-state best + cold first run, so one-time
     # cost regressions stay visible round-over-round) goes to a sidecar file;
     # stdout carries only the compact driver-parseable summary line.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    # Overridable so test runs (tests/test_bench_contract.py) don't clobber
+    # the committed sf0.1 detail file with small-SF numbers.
+    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_SELF.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -126,7 +129,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "queries": slowest,
-            "detail": "BENCH_SELF.json",
+            "detail": detail_name,
         }
     )
     spark.stop()

@@ -132,3 +132,109 @@ def export_release(catalog, out_dir: str) -> None:
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+# --- incremental ingest ------------------------------------------------------
+# A release is not rebuilt when new documents arrive: the batch probes the
+# STORED LSH band index (broadcast batch side — the corpus never reshuffles),
+# near-dups of existing content drop, and the novel remainder appends to the
+# survivor, band, and shard tables in one pass each. Ingesting the same
+# batch twice appends nothing (its bands are in the index after the first
+# ingest), so the operation is idempotent at the content level.
+
+def corpus_index_model() -> Model:
+    """The persistable LSH band index over the released survivors."""
+
+    def _bands(ctx) -> DataFrame:
+        from kin_data_pipeline_spark.queries.llmops import (
+            document_bands,
+            document_signatures,
+        )
+
+        return document_bands(
+            document_signatures(ctx.table("corpus_survivors").select("doc_id", "text"))
+        )
+
+    return Model(
+        name="corpus_bands",
+        builder=_bands,
+        depends_on=("corpus_survivors",),
+        date_col=None,
+        checks=(not_null("doc_id", "band_key"),),
+    )
+
+def ingest_increment(spark, catalog, batch_docs: DataFrame) -> dict[str, int]:
+    """Quality-gate an arriving batch, drop near-dups of stored content,
+    append the novel remainder to survivors/bands/shards.
+
+    Within-batch EXACT duplicates collapse here (min doc_id per text hash);
+    within-batch NEAR-dups are the caller's preprocessing — run the batch
+    through the pair tier first if its source can self-duplicate. Returns
+    counts for the run report: arrived, gated, collided, appended.
+    """
+    from kin_data_pipeline_spark.queries.llmops import (
+        document_bands,
+        document_signatures,
+    )
+
+    words = F.split(F.trim(F.col("text")), " ")
+    w_txt = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    gated = (
+        batch_docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(words).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(words)) * 1.0 / F.size(words)).alias("quality"),
+        )
+        .filter(F.col("n_tokens") >= MIN_TOKENS)
+        .withColumn("__rk", F.row_number().over(w_txt))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    gated = gated.cache()
+
+    batch_bands = document_bands(
+        document_signatures(gated.select("doc_id", "text"))
+    ).cache()
+    stored = catalog.table("corpus_bands").select("band_id", "band_key").distinct()
+    colliding = (
+        F.broadcast(batch_bands)
+        .join(stored, ["band_id", "band_key"])
+        .select("doc_id")
+        .distinct()
+    )
+    novel = gated.join(colliding, "doc_id", "left_anti").cache()
+
+    n_arrived = batch_docs.count()
+    n_gated = n_arrived - gated.count()
+    n_novel = novel.count()
+    n_collided = n_arrived - n_gated - n_novel
+
+    if n_novel:
+        catalog.write_append(
+            "corpus_survivors",
+            novel.select("doc_id", "source", "text", "n_tokens", "quality"),
+            date_col=None,
+        )
+        catalog.write_append(
+            "corpus_bands",
+            batch_bands.join(novel.select("doc_id"), "doc_id", "left_semi"),
+            date_col=None,
+        )
+        catalog.write_append(
+            "corpus_shards",
+            shard_assignment(
+                novel.select("doc_id", "source", "text", "n_tokens", "quality"),
+                "doc_id",
+                N_SHARDS,
+            ),
+            date_col=None,
+        )
+    for f in (gated, batch_bands, novel):
+        f.unpersist()
+    return {
+        "arrived": n_arrived,
+        "gated": n_gated,
+        "collided": n_collided,
+        "appended": n_novel,
+    }

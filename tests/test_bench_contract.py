@@ -11,7 +11,13 @@ import sys
 
 def test_bench_stdout_is_one_parseable_json_line():
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="8")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS="8",
+        # keep the committed sf0.1 BENCH_SELF.json out of the blast radius
+        SPARK_GRAFT_BENCH_DETAIL="BENCH_SELF.test.json",
+    )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -92,3 +92,45 @@ def test_violated_contract_aborts_before_write(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="check|contract|accepted"):
         Runner(spark, cat).run([bad], RUN)
     assert not glob.glob(str(tmp_path / "wh" / "corpus_bad_stage" / "*.parquet"))
+
+def test_incremental_ingest_appends_only_novel_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Release on 90% of the corpus + band index; ingest the held-out 10%:
+    only non-colliding docs append, the index grows with them, and
+    re-ingesting the same batch appends nothing."""
+    from kin_data_pipeline_spark.models import corpus as C
+    from kin_data_pipeline_spark.plans.model import Model
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+
+    # release DAG over the base corpus (quality stage reads the base frame)
+    models = C.corpus_release_models(sf_dir)
+    models[0] = Model(
+        name="corpus_quality",
+        builder=lambda ctx: C._quality(ctx, sf_dir).join(
+            base.select("doc_id"), "doc_id", "left_semi"
+        ),
+        date_col=None,
+    )
+    models.append(C.corpus_index_model())
+    Runner(spark, cat).run(models, RUN)
+
+    before = cat.table("corpus_survivors").count()
+    batch = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    stats = C.ingest_increment(spark, cat, batch)
+    after = cat.table("corpus_survivors").count()
+
+    assert stats["arrived"] == batch.count()
+    assert stats["appended"] == after - before
+    assert stats["gated"] + stats["collided"] + stats["appended"] == stats["arrived"]
+    # survivor ids stay unique across base + increment
+    s = cat.table("corpus_survivors")
+    assert s.select("doc_id").distinct().count() == s.count()
+
+    # idempotence: the same batch now collides entirely on its own bands
+    again = C.ingest_increment(spark, cat, batch)
+    assert again["appended"] == 0
+    assert cat.table("corpus_survivors").count() == after
