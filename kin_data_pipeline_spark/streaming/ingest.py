@@ -70,3 +70,51 @@ def ingest_to_catalog(
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+
+def stream_corpus_increments(
+    stream: DataFrame,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    query_name: str = "corpus_ingest",
+    timeout_s: int = 600,
+) -> list[dict]:
+    """Dedup-gated streaming corpus ingestion: each micro-batch of documents
+    runs ``models.corpus.ingest_increment`` — quality gate, broadcast probe
+    of the STORED LSH band index, append-only-novel — under the same
+    batch-id commit marker as ``ingest_to_catalog``.
+
+    The marker matters for exactly-once here even though a replayed batch
+    is CONTENT-idempotent once its bands are stored: a crash between the
+    survivor append and the band append would otherwise re-append those
+    survivors on replay (the probe wouldn't see their bands yet). Returns
+    the per-batch ingest stats in completion order.
+    """
+    from kin_data_pipeline_spark.models.corpus import ingest_increment
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stats: list[dict] = []
+    table = "corpus_increment"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(checkpoint_dir, table):
+            return
+        result = ingest_increment(batch_df.sparkSession, catalog, batch_df)
+        result["batch_id"] = batch_id
+        stats.append(result)
+        marker = _commit_marker(checkpoint_dir, table)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, marker)
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+    return stats

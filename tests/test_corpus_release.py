@@ -134,3 +134,66 @@ def test_incremental_ingest_appends_only_novel_and_is_idempotent(
     again = C.ingest_increment(spark, cat, batch)
     assert again["appended"] == 0
     assert cat.table("corpus_survivors").count() == after
+
+def test_streaming_ingest_equals_batch_ingest(spark, sf_dir, tmp_path):
+    """File-source micro-batches through stream_corpus_increments must land
+    the same survivor set as calling ingest_increment on the union, and a
+    restarted stream (same checkpoint) must replay nothing."""
+    from kin_data_pipeline_spark.models import corpus as C
+    from kin_data_pipeline_spark.plans.model import Model
+    from kin_data_pipeline_spark.sources.catalog import load_table
+    from kin_data_pipeline_spark.streaming.ingest import stream_corpus_increments
+
+    def build_release(whdir):
+        cat = Catalog(spark, str(whdir))
+        base = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        models = C.corpus_release_models(sf_dir)
+        models[0] = Model(
+            name="corpus_quality",
+            builder=lambda ctx: C._quality(ctx, sf_dir).join(
+                base.select("doc_id"), "doc_id", "left_semi"
+            ),
+            date_col=None,
+        )
+        models.append(C.corpus_index_model())
+        Runner(spark, cat).run(models, RUN)
+        return cat
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+    # reference run: one batch ingest
+    cat_ref = build_release(tmp_path / "wh_ref")
+    C.ingest_increment(spark, cat_ref, batch)
+    expect = {r["doc_id"] for r in cat_ref.table("corpus_survivors").collect()}
+
+    # streaming run: the same docs arrive as file-source micro-batches
+    cat_s = build_release(tmp_path / "wh_stream")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch.write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stats = stream_corpus_increments(stream, cat_s, ckpt)
+    assert sum(s["arrived"] for s in stats) == batch.count()
+    got = {r["doc_id"] for r in cat_s.table("corpus_survivors").collect()}
+    assert got == expect
+
+    # restart on the same checkpoint: nothing new arrives, nothing replays
+    stream2 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    stats2 = stream_corpus_increments(stream2, cat_s, ckpt)
+    assert sum(s["appended"] for s in stats2) == 0
+    assert {r["doc_id"] for r in cat_s.table("corpus_survivors").collect()} == expect
