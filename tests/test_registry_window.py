@@ -59,3 +59,14 @@ def test_queries_and_oracles_stay_aligned():
     assert [n for n in names if n in osql] == list(osql)
     # every query has an oracle except the sketch-based rows-only check
     assert [n for n in names if n not in osql] == ["approx_daily_active_users"]
+
+def test_queries_md_matches_registry():
+    """QUERIES.md is the generated registry index — regenerate it when the
+    registry changes (see the generator snippet in the repo history)."""
+    md = open(os.path.join(_REPO, "QUERIES.md")).read()
+    for name in q.QUERIES:
+        assert f"| `{name}` |" in md, f"QUERIES.md missing {name} — regenerate"
+    listed = md.count("| `")
+    assert listed == len(q.QUERIES), (
+        f"QUERIES.md lists {listed} queries, registry has {len(q.QUERIES)}"
+    )
