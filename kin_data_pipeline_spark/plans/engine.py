@@ -205,6 +205,42 @@ class Catalog:
                 f,
             )
 
+    def write_zordered(
+        self, name: str, df: DataFrame, zorder_cols: Sequence[str], n_files: int = 16
+    ) -> None:
+        """Overwrite ``name`` with its files arranged along the Morton curve
+        over two numeric columns (operators/layout.py), so both columns
+        carry tight per-file min/max and 2-D box predicates prune from the
+        parquet footers alone. Quantization bounds come from one bounds
+        aggregate over the frame (a 1-row driver probe, same class as the
+        watermark read); the frame is persisted so the bounds pass and the
+        write share one computation of the builder's plan."""
+        from kin_data_pipeline_spark.operators.layout import quantize, zorder_layout
+
+        x, y = zorder_cols
+        self._heal_compaction(name)
+        self._drop_clone(name)
+        self._drop_bucket_meta(name)
+        df = df.persist()
+        try:
+            b = df.agg(
+                F.min(x).alias("xl"),
+                F.max(x).alias("xh"),
+                F.min(y).alias("yl"),
+                F.max(y).alias("yh"),
+            ).first()
+            if b["xl"] is None:  # empty frame: plain write, nothing to order
+                df.write.mode("overwrite").parquet(self.path(name))
+            else:
+                zx = quantize(F.col(x), float(b["xl"]), float(b["xh"]) + 1.0, 1 << 12)
+                zy = quantize(F.col(y), float(b["yl"]), float(b["yh"]) + 1.0, 1 << 12)
+                zorder_layout(df, zx, zy, n_files, bits=12).write.mode(
+                    "overwrite"
+                ).parquet(self.path(name))
+        finally:
+            df.unpersist()
+        self._save_schema(name, df)
+
     def bucketed_table(self, name: str) -> DataFrame:
         """Read a bucketed table WITH its bucket metadata (plain
         ``spark.read.parquet`` would see the same rows but lose the layout
@@ -550,6 +586,7 @@ class Runner:
         if (
             build_type == "full_refresh"
             or m.bucket_by  # bucketed layout cannot be appended to (Model.bucket_by)
+            or m.zorder_by  # z-ordered layout is rebuilt whole (Model.zorder_by)
             or not self.catalog.exists(m.name)
         ):
             action = "full"
@@ -581,6 +618,8 @@ class Runner:
                 self.catalog.write_bucketed(
                     m.name, df, m.bucket_by, m.n_buckets, sort_cols=m.bucket_by
                 )
+            elif m.zorder_by:
+                self.catalog.write_zordered(m.name, df, m.zorder_by, m.n_zfiles)
             elif action == "full":
                 self.catalog.write_full(m.name, df, m.date_col)
             else:

@@ -55,6 +55,16 @@ class Model:
     # apply to the bucketed layout.
     bucket_by: Sequence[str] = field(default_factory=tuple)
     n_buckets: int = 8
+    # Z-order layout (Catalog.write_zordered): tables scanned with
+    # selective predicates on TWO numeric columns declare them here; the
+    # files are written along the Morton curve so both columns carry tight
+    # per-file min/max and a 2-D box predicate prunes from footers alone.
+    # Like bucket_by, the layout survives only full rewrites (an appended
+    # file spans the whole space), so z-ordered models always full-refresh
+    # and are exclusive with date partitioning AND with bucketing (one
+    # layout axis per table).
+    zorder_by: Sequence[str] = field(default_factory=tuple)
+    n_zfiles: int = 16
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:
@@ -70,6 +80,24 @@ class Model:
                 "watermark/cleanup semantics would silently not apply. Set "
                 "date_col=None for bucketed models."
             )
+        if self.zorder_by:
+            if len(self.zorder_by) != 2:
+                raise ValueError(
+                    f"model {self.name}: zorder_by takes exactly two numeric "
+                    "columns (the Morton curve interleaves two dimensions)"
+                )
+            if self.bucket_by:
+                raise ValueError(
+                    f"model {self.name}: zorder_by and bucket_by are mutually "
+                    "exclusive — pick the co-location axis or the 2-D "
+                    "skipping axis per table"
+                )
+            if self.date_col is not None:
+                raise ValueError(
+                    f"model {self.name}: zorder_by requires date_col=None — "
+                    "the z-ordered layout is rebuilt whole; date watermark/"
+                    "cleanup semantics would silently not apply"
+                )
 
 def topo_sort(models: Sequence[Model]) -> list[Model]:
     """Dependency-ordered build list; raises on cycles/unknown deps.

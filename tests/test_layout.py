@@ -109,3 +109,59 @@ def test_zorder_files_prune_2d_box_better_than_naive(spark, sf_dir):
         a = spark.read.parquet(naive_dir)
         b = spark.read.parquet(z_dir)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+def test_zorder_model_materializes_through_runner(spark, sf_dir, tmp_path):
+    """Model.zorder_by routes the write through the z-ordered layout and
+    always full-refreshes; the stored table round-trips the data and its
+    files carry tight 2-D min/max boxes."""
+    import datetime
+
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    from kin_data_pipeline_spark.plans.model import Model
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    m = Model(
+        name="events_zordered",
+        builder=lambda ctx: load_table(ctx.spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", F.col("value").cast("double").alias("value")),
+        date_col=None,
+        zorder_by=("user_id", "value"),
+        n_zfiles=8,
+    )
+    Runner(spark, cat).run([m], datetime.date(2024, 2, 1))
+    stored = cat.table("events_zordered")
+    src = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assert stored.count() == src.count()
+
+    ranges = _file_ranges(str(tmp_path / "wh" / "events_zordered"), ["user_id"])
+    assert len(ranges) > 1
+    # tight boxes: the per-file user_id spans cover far less than the full
+    # domain on average (a hash layout would put the full span in every file)
+    full = src.agg(
+        (F.max("user_id") - F.min("user_id")).alias("span")
+    ).first()["span"]
+    spans = [maxs["user_id"] - mins["user_id"] for mins, maxs in ranges]
+    assert sum(spans) / len(spans) < full * 0.8
+
+    # second run stays a full rewrite (no append path for the layout)
+    Runner(spark, cat).run([m], datetime.date(2024, 2, 2))
+    assert cat.table("events_zordered").count() == src.count()
+
+def test_zorder_model_declaration_validates():
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.plans.model import Model
+
+    with _pytest.raises(ValueError, match="exactly two"):
+        Model(name="bad1", builder=lambda c: None, date_col=None, zorder_by=("x",))
+    with _pytest.raises(ValueError, match="date_col=None"):
+        Model(name="bad2", builder=lambda c: None, zorder_by=("x", "y"))
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        Model(
+            name="bad3",
+            builder=lambda c: None,
+            date_col=None,
+            zorder_by=("x", "y"),
+            bucket_by=("x",),
+        )
