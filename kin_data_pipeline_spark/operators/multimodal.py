@@ -263,6 +263,11 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
             # (quarantine route), never KeyError
             raise ValueError(f"PNG payload with invalid color type {color_type}")
         return "image/png", width, height, channels
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 13:
+        # Logical Screen Descriptor: canvas geometry at a fixed offset.
+        width, height = struct.unpack_from("<HH", content, 6)
+        # GIF pixels are palette indices — 1 channel, like PNG color type 3
+        return "image/gif", width, height, 1
     if content[:2] == b"\xff\xd8":
         # JPEG has no fixed-offset geometry: walk the marker stream to the
         # first frame header (SOF). Standalone markers (RST/TEM/EOI) carry

@@ -190,3 +190,17 @@ def test_parse_jpeg_without_sof_raises():
 
     with _pytest.raises(ValueError, match="no SOF"):
         parse_media_header(b"\xff\xd8\xff\xd9")
+
+def test_parse_gif_logical_screen_descriptor():
+    import struct
+
+    from kin_data_pipeline_spark.operators.multimodal import parse_media_header
+
+    def gif(w, h, version=b"89a"):
+        return (
+            b"GIF" + version + struct.pack("<HHBBB", w, h, 0x91, 0, 0)
+            + b"\x00" * 6  # enough trailing bytes to look like a real file
+        )
+
+    assert parse_media_header(gif(320, 200)) == ("image/gif", 320, 200, 1)
+    assert parse_media_header(gif(1, 1, b"87a")) == ("image/gif", 1, 1, 1)
