@@ -119,6 +119,20 @@ ROUND3_WINDOW_HEAD = [
     "streaming_purchase_view_join",
 ]
 
+# Queries registered AFTER the round-3 window filled its 50 slots: they are
+# verified by the local parity suite at sf0.001/0.01/0.1 this round and are
+# the designated head of the ROUND-4 driver window (the same rotation
+# discipline that gave every round-2 addition its row this round). The
+# window-invariant test pins that this backlog is exactly the set of
+# registered queries with no prior driver row and no round-3 slot — no
+# query ever falls through the rotation untracked.
+ROUND4_WINDOW_BACKLOG = [
+    "top_shingle_heavy_hitters",
+    "cross_source_dup_matrix",
+    "embedding_cell_outliers",
+    "per_domain_quality_profile",
+]
+
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in ROUND3_WINDOW_HEAD if n in QUERIES}
     out.update((n, s) for n, s in QUERIES.items() if n not in out)

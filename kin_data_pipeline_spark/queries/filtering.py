@@ -356,3 +356,66 @@ def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+# --- per-domain quality profile ---------------------------------------------
+# The audit that DECIDES domain filters: RefinedWeb/C4-style pipelines
+# blocklist or down-weight registrable domains whose aggregate text quality
+# is poor, and that decision comes from exactly this rollup — per-domain
+# document counts and length/shortness profiles. Composes the URL→domain
+# extraction with corpus text metrics in one pass: grouping on registrable
+# domain (bounded cardinality ≪ corpus, so the aggregate's reduce side is
+# tiny), integer-exact sums, ratios rounded once at the end.
+
+_SHORT_DOC_WORDS = 50  # docs under this many tokens count as "short"
+
+@register(
+    "per_domain_quality_profile",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_SQL_WORDS} AS ws, {_SQL_URL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, n_chars, len(ws) AS n_words,
+             regexp_extract(url, {_SQL_HOST_RE}, 1) AS host
+      FROM u
+    ), r AS (
+      SELECT doc_id, n_chars, n_words,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE list_extract(string_split(host, '.'), len(string_split(host, '.')) - 1)
+                       || '.' ||
+                       list_extract(string_split(host, '.'), len(string_split(host, '.')))
+             END AS reg_domain
+      FROM h
+    )
+    SELECT reg_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN n_words < {_SHORT_DOC_WORDS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           ROUND(SUM(CASE WHEN n_words < {_SHORT_DOC_WORDS} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS short_frac,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS mean_chars
+    FROM r GROUP BY reg_domain
+    """,
+    doc="per-registrable-domain text-quality rollup (the domain-filter decision input)",
+)
+def per_domain_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", F.size("words").alias("n_words")
+    )
+    h = docs.withColumn("url", _url_col()).withColumn("host", domain_of("url"))
+    r = h.withColumn("reg_domain", registrable_domain("host"))
+    n_short = F.sum((F.col("n_words") < _SHORT_DOC_WORDS).cast("int")).cast("long")
+    return r.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        n_short.alias("n_short"),
+        F.round(
+            F.sum((F.col("n_words") < _SHORT_DOC_WORDS).cast("int"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("short_frac"),
+        F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("mean_chars"),
+    )

@@ -1860,3 +1860,181 @@ def frame_sample_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_idx"),
     )
+
+# Corpus-wide heavy-hitter shingles: the boilerplate detector. The shingles
+# whose document frequency tops the corpus are headers/footers/licence
+# blurbs shared across many documents — exactly the strings a filtering
+# pass strips (and the population the Jaccard df-cap drops from pair
+# formation). Zero new shuffles over the cached posting-list substrate:
+# the grouped lists already carry df, and the global top-k compiles to
+# TakeOrderedAndProject (per-partition heaps + a k-row driver merge), not
+# a corpus-wide sort shuffle. The (df DESC, s ASC) tiebreak makes the
+# top-k set unique, so the limit is deterministic on both engines.
+
+_HH_TOP_K = 20
+
+@register(
+    "top_shingle_heavy_hitters",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), freq AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+    )
+    SELECT s AS shingle, df FROM freq
+    ORDER BY df DESC, s ASC LIMIT {_HH_TOP_K}
+    """,
+    doc=f"top-{_HH_TOP_K} highest-df shingles (boilerplate detector; TakeOrdered, no global sort)",
+)
+def top_shingle_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lists = shingle_posting_lists(spark, sf_dir)
+    return (
+        lists.select(F.col("s").alias("shingle"), F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(_HH_TOP_K)
+    )
+
+# Cross-source duplication matrix: where do the near-dup pairs COME from?
+# The data-mixing audit primitive — a high off-diagonal cell means two
+# sources scrape the same upstream content and their mixture weights
+# double-count it. Reuses the capped-Jaccard pair substrate (no new pair
+# formation); the per-endpoint source lookup is an equi-join of the small
+# pair set against the (doc_id, source) projection, and the (least,
+# greatest) normalization folds the matrix to upper-triangular so a pair
+# is counted once regardless of endpoint order. min/max are selections
+# over already-rounded scores, so the aggregate is exact on both engines.
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_CAPPED_PAIRS_CTES.format(shingles=_SQL_SHINGLES)},
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+      FROM pr WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    ), lab AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             s.jaccard
+      FROM scored s
+      JOIN documents da ON da.doc_id = s.doc_a
+      JOIN documents db ON db.doc_id = s.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(jaccard) AS min_jaccard,
+           MAX(jaccard) AS max_jaccard
+    FROM lab GROUP BY source_a, source_b
+    """,
+    doc="near-dup pair counts by (source, source): cross-source contamination matrix",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs_query(spark, sf_dir, df_cap=JACCARD_DF_CAP)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+# Embedding-cell outliers: the pruning complement of SemDeDup. Dedup
+# removes a cell's REDUNDANT members (too close to a neighbor); quality
+# pruning removes its ALIEN members — the vectors farthest from their own
+# centroid, i.e. mis-clustered or noise points (the "prune the cluster
+# fringe" step of SemDeDup-style curation). Reuses the deterministic IVF
+# assignment (centroids = vec_id % stride, max_by hash-aggregate); the
+# per-cell bottom-k is a window over the cell partition — bounded by cell
+# occupancy, never corpus-wide. Rank (sim ASC, vid ASC) is total, so the
+# bottom-2 set is unique and engine-independent; cell_n is an exact count.
+
+_OUTLIER_BOTTOM_K = 2
+
+@register(
+    "embedding_cell_outliers",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
+      WHERE vec_id % {_SEMD_STRIDE} = 0
+    ), asg AS (
+      SELECT vec_id, cid, csim FROM (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) AS csim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT cid, vec_id, csim,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim ASC, vec_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY cid) AS cell_n
+      FROM asg
+    )
+    SELECT cid, vec_id, ROUND(csim, 4) AS sim_to_centroid,
+           CAST(rnk AS INT) AS rnk, CAST(cell_n AS BIGINT) AS cell_n
+    FROM ranked WHERE rnk <= {_OUTLIER_BOTTOM_K}
+    """,
+    doc="per-IVF-cell bottom-k members by centroid cosine (cluster-fringe pruning)",
+)
+def embedding_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+    cent = e.filter(F.col("vid") % _SEMD_STRIDE == 0).select(
+        F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    csim = F.aggregate(
+        F.zip_with("emb", "cemb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    ) / (F.col("nrm") * F.col("cnrm"))
+    # nearest centroid kept together with its similarity: max_by over the
+    # lexicographic (csim, -cid) struct — one hash aggregate, map-side
+    # partial, no per-vector sort (same shape as operators.similarity
+    # .assign_cells, which returns only the cid).
+    asg = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .groupBy("vid")
+        .agg(F.expr("max_by(struct(cid, csim), struct(csim, -cid))").alias("best"))
+        .select("vid", F.col("best.cid").alias("cid"), F.col("best.csim").alias("csim"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.asc("csim"), F.asc("vid"))
+    wc = Window.partitionBy("cid")
+    ranked = asg.select(
+        "cid",
+        F.col("vid").alias("vec_id"),
+        "csim",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("cell_n"),
+    )
+    return ranked.filter(F.col("rnk") <= _OUTLIER_BOTTOM_K).select(
+        "cid",
+        "vec_id",
+        F.round("csim", 4).alias("sim_to_centroid"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("cell_n").cast("long").alias("cell_n"),
+    )

