@@ -131,6 +131,7 @@ ROUND4_WINDOW_BACKLOG = [
     "cross_source_dup_matrix",
     "embedding_cell_outliers",
     "per_domain_quality_profile",
+    "line_dedup_retention",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

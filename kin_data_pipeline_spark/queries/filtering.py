@@ -198,6 +198,34 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_W = 8  # tokens per non-overlapping chunk (line/paragraph analog)
 
+def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, source, c) chunk-hash instances — shared by the
+    repeated-chunk stats and the line-dedup retention transformation."""
+
+    def build() -> DataFrame:
+        d = _with_words(load_table(spark, sf_dir, "documents"))
+        n_chunks = (F.size("words") / _CHUNK_W).cast("long")
+        chunks = F.when(
+            n_chunks >= 1,
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), n_chunks),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("words"),
+                            ((i - F.lit(1)) * _CHUNK_W + 1).cast("int"),
+                            _CHUNK_W,
+                        ),
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select("doc_id", "source", F.explode(chunks).alias("c"))
+
+    return _cached_substrate(spark, sf_dir, "doc_chunks", build)
+
+
 @register(
     "repeated_chunk_stats",
     f"""
@@ -238,24 +266,7 @@ _CHUNK_W = 8  # tokens per non-overlapping chunk (line/paragraph analog)
 )
 def repeated_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_words(load_table(spark, sf_dir, "documents"))
-    n_chunks = (F.size("words") / _CHUNK_W).cast("long")
-    chunks = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), n_chunks),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        F.col("words"),
-                        ((i - F.lit(1)) * _CHUNK_W + 1).cast("int"),
-                        _CHUNK_W,
-                    ),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    inst = d.select("doc_id", "source", F.explode(chunks).alias("c"))
+    inst = _chunk_instances(spark, sf_dir)
     # One linear shuffle on the chunk hash — the scale contract of
     # line-level dedup (no pairwise anything; repeats surface as df >= 2).
     cdf = inst.groupBy("c").agg(F.countDistinct("doc_id").cast("long").alias("ndocs"))
@@ -418,4 +429,81 @@ def per_domain_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("short_frac"),
         F.round(F.sum("n_chars") * 1.0 / F.count(F.lit(1)), 6).alias("mean_chars"),
+    )
+
+# --- line-dedup retention (the transformation, not just the stats) ----------
+# repeated_chunk_stats REPORTS cross-document chunk repetition; this query
+# computes the per-document OUTCOME of applying the dedup — MassiveText/
+# RefinedWeb's "remove lines duplicated across documents" rewrite. A chunk
+# instance is dropped iff its hash occurs in >= 2 distinct documents (the
+# cross-document criterion; a chunk repeated only within one document is
+# kept). The tail tokens past the last full chunk are always kept, so
+# n_kept_tokens = n_words − CHUNK_W · (dropped instances). Same single
+# linear shuffle on the chunk hash over the cached instance substrate; the
+# doc-grain rollup adds one bounded aggregate.
+
+@register(
+    "line_dedup_retention",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+    ), ck AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1),
+               i -> md5(array_to_string(
+                      list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}),
+                      ' '))
+             ) AS chunks
+      FROM d
+    ), inst AS (
+      SELECT doc_id, c FROM ck, UNNEST(chunks) AS t(c)
+    ), cdf AS (
+      SELECT c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM inst GROUP BY c
+    ), per_doc AS (
+      SELECT inst.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN cdf.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+      FROM inst JOIN cdf ON inst.c = cdf.c
+      GROUP BY inst.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len(d.ws) AS BIGINT) AS n_words,
+           COALESCE(per_doc.n_chunks, 0) AS n_chunks,
+           COALESCE(per_doc.n_dup_chunks, 0) AS n_dup_chunks,
+           CAST(len(d.ws) - {_CHUNK_W} * COALESCE(per_doc.n_dup_chunks, 0) AS BIGINT)
+             AS n_kept_tokens,
+           ROUND((len(d.ws) - {_CHUNK_W} * COALESCE(per_doc.n_dup_chunks, 0)) * 1.0
+                 / len(d.ws), 6) AS retained_frac
+    FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+    doc=f"per-document outcome of cross-document {_CHUNK_W}-token chunk dedup (line-dedup rewrite)",
+)
+def line_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.size("words").cast("long").alias("n_words")
+    )
+    inst = _chunk_instances(spark, sf_dir).select("doc_id", "c")
+    cdf = inst.groupBy("c").agg(F.countDistinct("doc_id").cast("long").alias("ndocs"))
+    per_doc = (
+        inst.join(cdf, "c")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("ndocs") >= 2).cast("int")).cast("long").alias("n_dup_chunks"),
+        )
+    )
+    out = d.join(per_doc, "doc_id", "left")
+    n_dup = F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long"))
+    kept = F.col("n_words") - _CHUNK_W * n_dup
+    return out.select(
+        "doc_id",
+        "source",
+        "n_words",
+        F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")).alias("n_chunks"),
+        n_dup.alias("n_dup_chunks"),
+        kept.cast("long").alias("n_kept_tokens"),
+        F.round(kept * 1.0 / F.col("n_words"), 6).alias("retained_frac"),
     )
