@@ -132,6 +132,8 @@ ROUND4_WINDOW_BACKLOG = [
     "embedding_cell_outliers",
     "per_domain_quality_profile",
     "line_dedup_retention",
+    "hll_user_rollup_weekly",
+    "approx_length_percentiles",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -362,6 +362,63 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# Sketch re-aggregation (DataSketches HLL): the 100 TB rollup-mart pattern.
+# A day-grain mart stores one HLL sketch per (day) — built once from the raw
+# events — and every coarser grain (week, month, all-time) derives by
+# UNIONING the stored sketches, never rescanning raw data. Exact distinct
+# counts cannot re-aggregate (distinct-of-day ≠ sum-of-daily-distincts);
+# sketches make the rollup lattice one cheap merge per grain. Sketch bytes
+# are engine-specific, so rows-only at the driver; tests/test_sketches.py
+# pins the estimates against exact counts with the HLL error bound.
+@register(
+    "hll_user_rollup_weekly",
+    None,
+    doc="day-grain HLL user sketches unioned to weekly distinct estimates (re-aggregatable mart)",
+)
+def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return daily.groupBy(F.weekofyear("day").cast("int").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+# Approximate percentiles (KLL-style quantile summary behind
+# percentile_approx): the opt-in variant of the exact rank-selection in
+# doc_length_percentiles — at 100 TB the exact form's per-group sort gives
+# way to a mergeable one-pass summary. Rows-only (summary internals are
+# engine-specific); the error-bound test pins it against the exact twin.
+@register(
+    "approx_length_percentiles",
+    None,
+    doc="approx n_chars percentiles per source (mergeable quantile summary; exact twin: doc_length_percentiles)",
+)
+def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.percentile_approx("n_chars", pcts, 10000).alias("pcts"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.col("pcts")[0].alias("p25"),
+            F.col("pcts")[1].alias("p50"),
+            F.col("pcts")[2].alias("p75"),
+            F.col("pcts")[3].alias("p90"),
+            "n_docs",
+        )
+    )
+
 # Stateful streaming creates one state store per shuffle partition, and each
 # store pays per-batch init/commit I/O regardless of how few keys it holds —
 # at the test corpus (150 window×type groups, ~10³ users) 32 stores are ~6×

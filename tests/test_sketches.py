@@ -1,0 +1,96 @@
+"""Sketch-tier accuracy pins: the rows-only registered queries (HLL
+distinct rollup, approximate percentiles) have no DuckDB oracle because
+sketch internals are engine-specific — so their ESTIMATES are pinned here
+against exact twins computed on the same data, with the published error
+bounds of each sketch.
+
+- DataSketches HLL at lgK=14: relative standard error ≈ 1.04/√2^14 ≈ 0.8%;
+  we assert within 5% (≈6 standard errors) per week — loose enough to never
+  flake, tight enough that a broken union (e.g. summing daily estimates
+  instead of merging sketches) fails by construction.
+- percentile_approx at accuracy=10000: rank error ≤ n/10000, which at test
+  corpus sizes (≤ 60k docs per source) is a handful of ranks — we assert
+  the approximate value lies between the exact values two rank-error
+  windows out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries import QUERIES
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+
+def test_hll_weekly_rollup_matches_exact_within_bound(spark, sf_dir):
+    approx = {
+        r["week"]: (r["approx_users"], r["n_events"])
+        for r in QUERIES["hll_user_rollup_weekly"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["week"]: (r["exact_users"], r["n_events"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.weekofyear(F.to_date("ts")).cast("int").alias("week"))
+            .agg(
+                F.countDistinct("user_id").alias("exact_users"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for week, (est, n_ev) in approx.items():
+        true, true_ev = exact[week]
+        # event counts ride along exactly — they are plain sums
+        assert n_ev == true_ev, week
+        assert abs(est - true) <= max(2, 0.05 * true), (
+            f"week {week}: HLL estimate {est} vs exact {true}"
+        )
+
+
+def test_hll_rollup_is_a_true_sketch_union_not_a_sum(spark, sf_dir):
+    # A user active on several days of one week must count ONCE in the
+    # weekly estimate. Summing daily distincts would overcount; the sketch
+    # union must land near the exact weekly distinct, which is strictly
+    # below the daily sum whenever any user repeats across days.
+    daily_sum = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    weekly = QUERIES["hll_user_rollup_weekly"].fn(spark, sf_dir).collect()
+    est_total = sum(r["approx_users"] for r in weekly)
+    exact_total = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.weekofyear(F.to_date("ts")))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .agg(F.sum("u"))
+        .collect()[0][0]
+    )
+    assert est_total <= daily_sum  # union deduplicates across days
+    assert abs(est_total - exact_total) <= max(2, 0.05 * exact_total)
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    rows = QUERIES["approx_length_percentiles"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    for r in rows:
+        vals = sorted(
+            x[0]
+            for x in docs.filter(F.col("source") == r["source"])
+            .select("n_chars")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r["n_docs"]
+        slack = max(2, 2 * n // 10000)  # two rank-error windows
+        for q, got in ((0.25, r["p25"]), (0.5, r["p50"]), (0.75, r["p75"]), (0.9, r["p90"])):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - slack)]
+            hi = vals[min(n - 1, rank + slack)]
+            assert lo <= got <= hi, (
+                f"{r['source']} p{int(q*100)}: {got} outside [{lo}, {hi}]"
+            )
