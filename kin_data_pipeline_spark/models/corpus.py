@@ -14,6 +14,10 @@ Model/Runner machinery the kin warehouse uses:
                      quality table (contract: survivors unique)
     corpus_shards    md5-deterministic shard id per survivor
                      (contract: shard within [0, N_SHARDS))
+    corpus_clean     exact-substring rewrite of the survivors (drop
+                     cross-document repeated CHUNK_W-token chunks, rebuild
+                     text) — the RefinedWeb post-dedup pass, materialized
+                     as the cleaned release variant
 
 ``export_release`` then writes the stored shard table to its
 ``shard=K/`` parquet layout in one pass (operators/shards.py).
@@ -94,6 +98,68 @@ def _shards(ctx) -> DataFrame:
     s = ctx.table("corpus_survivors")
     return shard_assignment(s, "doc_id", N_SHARDS)
 
+#: tokens per non-overlapping chunk for the exact-substring rewrite
+CHUNK_W = 8
+
+def _clean(ctx) -> DataFrame:
+    """Exact-substring rewrite of the survivor table (the RefinedWeb pass
+    that runs AFTER fuzzy document dedup): drop every CHUNK_W-token chunk
+    whose hash occurs in >= 2 distinct surviving documents, keep the tail
+    tokens past the last full chunk, rebuild the text. Row-preserving — a
+    document emptied by the rewrite stays (n_tokens drops to the tail
+    length), so downstream row accounting is unchanged and a re-gate is an
+    explicit policy choice, not a side effect.
+
+    One linear shuffle on the chunk hash + one broadcast-back of the small
+    duplicated-hash set; the rewrite itself is a per-row higher-order
+    filter (JVM-side, no UDF). Registered stats twin over the raw corpus:
+    ``queries/filtering.py::line_dedup_retention``.
+    """
+    s = ctx.table("corpus_survivors")
+    words = F.split(F.trim(F.col("text")), " ")
+    base = s.select("doc_id", "source", F.col("text").alias("__orig"), words.alias("__w"))
+    n_chunks = (F.size("__w") / CHUNK_W).cast("long")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n_chunks),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("__w"), ((i - F.lit(1)) * CHUNK_W + 1).cast("int"), CHUNK_W),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = base.select("doc_id", F.posexplode(chunks).alias("idx", "c"))
+    dup = (
+        inst.groupBy("c")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("c")
+    )
+    dropped = (
+        inst.join(F.broadcast(dup), "c")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__drop"))
+    )
+    j = base.join(dropped, "doc_id", "left").withColumn(
+        "__drop", F.coalesce(F.col("__drop"), F.array().cast("array<int>"))
+    )
+    tail_from = (F.size("__w") / CHUNK_W).cast("long") * CHUNK_W
+    kept = F.filter(
+        F.col("__w"),
+        lambda w, i: (i >= tail_from)
+        | ~F.array_contains(F.col("__drop"), (i / CHUNK_W).cast("int")),
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", kept).alias("text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        F.size("__drop").cast("long").alias("n_dropped_chunks"),
+    )
+
 def corpus_release_models(sf_dir: str) -> list[Model]:
     """The three-stage release DAG (quality → survivors → shards)."""
     return [
@@ -120,6 +186,18 @@ def corpus_release_models(sf_dir: str) -> list[Model]:
             depends_on=("corpus_survivors",),
             date_col=None,
             checks=(in_range("shard", 0, N_SHARDS - 1),),
+        ),
+        # Sibling of the shard stage (both read the stored survivors): the
+        # exact-substring-cleaned release variant. A deployment that ships
+        # cleaned shards points the shard stage's upstream here — kept as a
+        # separate table so both release variants coexist and the
+        # survivor/shard row accounting stays byte-identical either way.
+        Model(
+            name="corpus_clean",
+            builder=_clean,
+            depends_on=("corpus_survivors",),
+            date_col=None,
+            checks=(not_null("doc_id"), unique("doc_id"), non_negative("n_tokens")),
         ),
     ]
 

@@ -197,3 +197,59 @@ def test_streaming_ingest_equals_batch_ingest(spark, sf_dir, tmp_path):
     stats2 = stream_corpus_increments(stream2, cat_s, ckpt)
     assert sum(s["appended"] for s in stats2) == 0
     assert {r["doc_id"] for r in cat_s.table("corpus_survivors").collect()} == expect
+
+
+def test_clean_stage_row_preserving_and_token_accounting(release, spark):
+    """corpus_clean must keep every survivor row, and the rebuilt token
+    count must be exactly (original tokens − CHUNK_W · dropped chunks) —
+    the same arithmetic the registered line_dedup_retention query pins
+    against its oracle over the raw corpus."""
+    from kin_data_pipeline_spark.models.corpus import CHUNK_W
+
+    s = release.table("corpus_survivors")
+    c = release.table("corpus_clean")
+    assert c.count() == s.count()
+    orig = s.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_orig"),
+    )
+    bad = (
+        c.join(orig, "doc_id")
+        .filter(
+            F.col("n_tokens") != F.col("n_orig") - CHUNK_W * F.col("n_dropped_chunks")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_clean_stage_removes_all_copies_of_a_shared_chunk(spark, sf_dir, tmp_path):
+    """Micro-fixture: two documents sharing one exact 8-token chunk, plus a
+    document whose repeated chunk appears only within itself. The rewrite
+    must strip the shared chunk from BOTH carriers (line dedup removes all
+    copies) and leave the within-document repeat alone (the criterion is
+    cross-document)."""
+    from kin_data_pipeline_spark.models.corpus import CHUNK_W, corpus_release_models
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+
+    shared = " ".join(f"s{i}" for i in range(CHUNK_W))
+    selfrep = " ".join(f"r{i}" for i in range(CHUNK_W))
+    rows = [
+        (1, "a", shared + " " + " ".join(f"a{i}" for i in range(CHUNK_W)) + " tail1"),
+        (2, "b", shared + " " + " ".join(f"b{i}" for i in range(CHUNK_W))),
+        (3, "c", selfrep + " " + selfrep + " tail3"),
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    surv = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cat.write_full("corpus_survivors", surv, date_col=None)
+    clean_model = [
+        m for m in corpus_release_models(sf_dir) if m.name == "corpus_clean"
+    ]
+    Runner(spark, cat).run(clean_model, RUN)
+    out = {r["doc_id"]: r for r in cat.table("corpus_clean").collect()}
+    assert "s0" not in out[1]["text"] and "s0" not in out[2]["text"]
+    assert out[1]["text"].split(" ") == [f"a{i}" for i in range(CHUNK_W)] + ["tail1"]
+    assert out[2]["text"].split(" ") == [f"b{i}" for i in range(CHUNK_W)]
+    # within-document repeat is NOT cross-document: both copies stay
+    assert out[3]["text"].split(" ").count("r0") == 2
+    assert out[3]["n_dropped_chunks"] == 0
