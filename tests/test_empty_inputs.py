@@ -89,3 +89,44 @@ def test_round3_operators_empty_input(spark, sf_dir):
     assert connected_components_star(empty_edges).count() == 0
     ev = load_table(spark, sf_dir, "events").filter("event_id < 0")
     assert zorder_layout(ev, F2.col("user_id"), F2.col("value").cast("long"), 4).count() == 0
+
+def test_late_round3_additions_empty_input(spark, sf_dir):
+    """The late-round-3 additions (clean-stage rewrite, cell outliers,
+    sketch rollups) must return correctly-shaped empties on zero rows."""
+    from pyspark.sql import functions as F2
+
+    from kin_data_pipeline_spark.operators.similarity import assign_cells
+
+    emb = _empty_emb(spark, sf_dir)
+    assert assign_cells(emb).count() == 0
+
+    # sketch aggregates over empty inputs: no groups, no rows, no crash
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    sk = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F2.hll_sketch_agg("user_id", F2.lit(14)).alias("sk"))
+        .agg(F2.hll_sketch_estimate(F2.hll_union_agg("sk")).alias("est"))
+    )
+    assert sk.collect()[0]["est"] is None or sk.collect()[0]["est"] == 0
+
+    # clean-stage rewrite on an empty survivor table
+    from kin_data_pipeline_spark.models.corpus import corpus_release_models
+    import datetime as _dt
+
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as wh:
+        cat = Catalog(spark, wh)
+        cat.write_full(
+            "corpus_survivors",
+            spark.createDataFrame([], "doc_id long, source string, text string"),
+            date_col=None,
+        )
+        clean = [m for m in corpus_release_models(sf_dir) if m.name == "corpus_clean"]
+        Runner(spark, cat).run(clean, _dt.date(2024, 2, 1))
+        out = cat.table("corpus_clean")
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "source", "text", "n_tokens", "n_dropped_chunks",
+        }
