@@ -34,7 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from kin_data_pipeline_spark.operators.dedup import connected_components_star
+from kin_data_pipeline_spark.operators.dedup import (
+    CHUNK_W,
+    chunk_hashes,
+    connected_components_star,
+)
 from kin_data_pipeline_spark.operators.shards import shard_assignment
 from kin_data_pipeline_spark.plans.checks import in_range, non_negative, not_null, unique
 from kin_data_pipeline_spark.plans.model import Model
@@ -98,9 +102,6 @@ def _shards(ctx) -> DataFrame:
     s = ctx.table("corpus_survivors")
     return shard_assignment(s, "doc_id", N_SHARDS)
 
-#: tokens per non-overlapping chunk for the exact-substring rewrite
-CHUNK_W = 8
-
 def _clean(ctx) -> DataFrame:
     """Exact-substring rewrite of the survivor table (the RefinedWeb pass
     that runs AFTER fuzzy document dedup): drop every CHUNK_W-token chunk
@@ -110,28 +111,19 @@ def _clean(ctx) -> DataFrame:
     length), so downstream row accounting is unchanged and a re-gate is an
     explicit policy choice, not a side effect.
 
-    One linear shuffle on the chunk hash + one broadcast-back of the small
-    duplicated-hash set; the rewrite itself is a per-row higher-order
-    filter (JVM-side, no UDF). Registered stats twin over the raw corpus:
-    ``queries/filtering.py::line_dedup_retention``.
+    One linear shuffle on the chunk hash, then a re-attach join of the
+    duplicated-hash set (Catalyst picks broadcast vs shuffle by its size
+    statistics — on a boilerplate-heavy web corpus that set is NOT small,
+    so it is deliberately not force-broadcast); the rewrite itself is a
+    per-row higher-order filter (JVM-side, no UDF). Chunk geometry and
+    hashing come from the shared operator declaration
+    (``operators/dedup.py::chunk_hashes``); registered stats twin over the
+    raw corpus: ``queries/filtering.py::line_dedup_retention``.
     """
     s = ctx.table("corpus_survivors")
     words = F.split(F.trim(F.col("text")), " ")
     base = s.select("doc_id", "source", F.col("text").alias("__orig"), words.alias("__w"))
-    n_chunks = (F.size("__w") / CHUNK_W).cast("long")
-    chunks = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), n_chunks),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(F.col("__w"), ((i - F.lit(1)) * CHUNK_W + 1).cast("int"), CHUNK_W),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    inst = base.select("doc_id", F.posexplode(chunks).alias("idx", "c"))
+    inst = base.select("doc_id", F.posexplode(chunk_hashes("__w")).alias("idx", "c"))
     dup = (
         inst.groupBy("c")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -139,7 +131,7 @@ def _clean(ctx) -> DataFrame:
         .select("c")
     )
     dropped = (
-        inst.join(F.broadcast(dup), "c")
+        inst.join(dup, "c")
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("__drop"))
     )
@@ -161,7 +153,9 @@ def _clean(ctx) -> DataFrame:
     )
 
 def corpus_release_models(sf_dir: str) -> list[Model]:
-    """The three-stage release DAG (quality → survivors → shards)."""
+    """The release DAG: quality → survivors → {shards, clean} (the last
+    two are siblings — raw-text shards and the substring-cleaned variant
+    both read the stored survivor table)."""
     return [
         Model(
             name="corpus_quality",

@@ -43,6 +43,33 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         )
     )
 
+#: tokens per non-overlapping chunk for line-grain exact substring dedup —
+#: the ONE declaration shared by the stats query (line_dedup_retention /
+#: repeated_chunk_stats) and the release rewrite (models/corpus._clean), so
+#: the audit and the transformation can never disagree on chunk geometry.
+CHUNK_W = 8
+
+def chunk_hashes(words_col: Column | str, chunk_w: int = CHUNK_W) -> Column:
+    """md5 hashes of the non-overlapping ``chunk_w``-token chunks of a
+    words array (tail tokens past the last full chunk excluded). JVM
+    higher-order functions only; empty array for docs shorter than one
+    chunk. The line/paragraph-grain unit of exact substring dedup
+    (MassiveText/RefinedWeb shape)."""
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    n_chunks = (F.size(w) / chunk_w).cast("long")
+    return F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n_chunks),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(w, ((i - F.lit(1)) * chunk_w + 1).cast("int"), chunk_w),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 def shingle_postings(
     df: DataFrame,
     id_col: str,

@@ -384,7 +384,13 @@ def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    return daily.groupBy(F.weekofyear("day").cast("int").alias("week")).agg(
+    # Week key is the date_trunc('week') anchor DATE (same convention as the
+    # kin weekly marts), not weekofyear(): a bare ISO week number collapses
+    # week N of different years into one bucket and maps Dec 29-31 into
+    # "week 1" of the wrong year.
+    return daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
+    ).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.sum("n_events").cast("long").alias("n_events"),

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from kin_data_pipeline_spark.operators.dedup import CHUNK_W, chunk_hashes
 from kin_data_pipeline_spark.operators.webfilter import (
     blocklist_mark,
     domain_of,
@@ -196,7 +197,10 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- line-grain exact substring dedup ---------------------------------------
 
-_CHUNK_W = 8  # tokens per non-overlapping chunk (line/paragraph analog)
+# Chunk geometry and hashing are the shared operator-library declaration
+# (operators/dedup.py::CHUNK_W / chunk_hashes) so the stats queries here
+# and the release rewrite in models/corpus._clean can never drift apart.
+_CHUNK_W = CHUNK_W
 
 def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (doc_id, source, c) chunk-hash instances — shared by the
@@ -204,24 +208,9 @@ def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = _with_words(load_table(spark, sf_dir, "documents"))
-        n_chunks = (F.size("words") / _CHUNK_W).cast("long")
-        chunks = F.when(
-            n_chunks >= 1,
-            F.transform(
-                F.sequence(F.lit(1).cast("long"), n_chunks),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.slice(
-                            F.col("words"),
-                            ((i - F.lit(1)) * _CHUNK_W + 1).cast("int"),
-                            _CHUNK_W,
-                        ),
-                    )
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return d.select("doc_id", "source", F.explode(chunks).alias("c"))
+        return d.select(
+            "doc_id", "source", F.explode(chunk_hashes("words")).alias("c")
+        )
 
     return _cached_substrate(spark, sf_dir, "doc_chunks", build)
 

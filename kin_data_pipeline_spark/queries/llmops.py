@@ -1972,7 +1972,7 @@ _OUTLIER_BOTTOM_K = 2
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
       WHERE vec_id % {_SEMD_STRIDE} = 0

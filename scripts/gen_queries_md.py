@@ -25,7 +25,10 @@ def main() -> None:
         "registered query: the driver runs the Spark callable and the DuckDB",
         "oracle side-by-side at sf0.01 and compares rows/schema/value-hash.",
         f"{len(QUERIES)} queries, {sum(1 for s in QUERIES.values() if s.oracle)} oracles",
-        "(`approx_daily_active_users` is the single rows-only sketch check).",
+        "(rows-only sketch checks — estimates are engine-specific, pinned "
+        "locally against exact twins: "
+        + ", ".join(f"`{n}`" for n, s in sorted(QUERIES.items()) if not s.oracle)
+        + ").",
         "Entries marked `[w]` sit in the round-3 driver window (first 50).",
         "",
         "| Query | In | Description |",

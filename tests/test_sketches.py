@@ -24,14 +24,16 @@ from kin_data_pipeline_spark.sources.catalog import load_table
 
 def test_hll_weekly_rollup_matches_exact_within_bound(spark, sf_dir):
     approx = {
-        r["week"]: (r["approx_users"], r["n_events"])
+        r["week_start"]: (r["approx_users"], r["n_events"])
         for r in QUERIES["hll_user_rollup_weekly"].fn(spark, sf_dir).collect()
     }
     exact = {
-        r["week"]: (r["exact_users"], r["n_events"])
+        r["week_start"]: (r["exact_users"], r["n_events"])
         for r in (
             load_table(spark, sf_dir, "events")
-            .groupBy(F.weekofyear(F.to_date("ts")).cast("int").alias("week"))
+            .groupBy(
+                F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
+            )
             .agg(
                 F.countDistinct("user_id").alias("exact_users"),
                 F.count(F.lit(1)).alias("n_events"),
@@ -65,7 +67,7 @@ def test_hll_rollup_is_a_true_sketch_union_not_a_sum(spark, sf_dir):
     est_total = sum(r["approx_users"] for r in weekly)
     exact_total = (
         load_table(spark, sf_dir, "events")
-        .groupBy(F.weekofyear(F.to_date("ts")))
+        .groupBy(F.date_trunc("week", F.to_date("ts")))
         .agg(F.countDistinct("user_id").alias("u"))
         .agg(F.sum("u"))
         .collect()[0][0]
