@@ -202,6 +202,16 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the release rewrite in models/corpus._clean can never drift apart.
 _CHUNK_W = CHUNK_W
 
+#: DuckDB twin of operators/dedup.py::chunk_hashes over a words array `ws`
+#: — ONE fragment shared by both chunk oracles and the differential test,
+#: so the SQL side cannot drift from itself.
+_SQL_CHUNKS = (
+    f"list_transform("
+    f"range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1), "
+    f"i -> md5(array_to_string("
+    f"list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}), ' ')))"
+)
+
 def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (doc_id, source, c) chunk-hash instances — shared by the
     repeated-chunk stats and the line-dedup retention transformation."""
@@ -222,12 +232,7 @@ def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
     ), ck AS (
       SELECT doc_id, source,
-             list_transform(
-               range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1),
-               i -> md5(array_to_string(
-                      list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}),
-                      ' '))
-             ) AS chunks
+             {_SQL_CHUNKS} AS chunks
       FROM d
     ), inst AS (
       SELECT doc_id, source, c FROM ck, UNNEST(chunks) AS t(c)
@@ -438,12 +443,7 @@ def per_domain_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
     ), ck AS (
       SELECT doc_id,
-             list_transform(
-               range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1),
-               i -> md5(array_to_string(
-                      list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}),
-                      ' '))
-             ) AS chunks
+             {_SQL_CHUNKS} AS chunks
       FROM d
     ), inst AS (
       SELECT doc_id, c FROM ck, UNNEST(chunks) AS t(c)
