@@ -129,21 +129,45 @@ class Catalog:
             os.remove(sidecar)
             self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_ident(name)}")
 
-    def write_full(self, name: str, df: DataFrame, date_col: str | None) -> None:
+    @staticmethod
+    def _bloom_options(w, bloom_cols: Sequence[str], bloom_ndv: int):
+        """Enable parquet bloom filters for the declared point-lookup keys
+        (Model.bloom_filter_on). Per-file bitsets — valid under append."""
+        for c in bloom_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+            )
+        return w
+
+    def write_full(
+        self,
+        name: str,
+        df: DataFrame,
+        date_col: str | None,
+        bloom_cols: Sequence[str] = (),
+        bloom_ndv: int = 100_000,
+    ) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
-        w = df.write.mode("overwrite")
+        w = self._bloom_options(df.write.mode("overwrite"), bloom_cols, bloom_ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
         self._save_schema(name, df)
 
-    def write_append(self, name: str, df: DataFrame, date_col: str | None) -> None:
+    def write_append(
+        self,
+        name: str,
+        df: DataFrame,
+        date_col: str | None,
+        bloom_cols: Sequence[str] = (),
+        bloom_ndv: int = 100_000,
+    ) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
-        w = df.write.mode("append")
+        w = self._bloom_options(df.write.mode("append"), bloom_cols, bloom_ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
@@ -621,9 +645,15 @@ class Runner:
             elif m.zorder_by:
                 self.catalog.write_zordered(m.name, df, m.zorder_by, m.n_zfiles)
             elif action == "full":
-                self.catalog.write_full(m.name, df, m.date_col)
+                self.catalog.write_full(
+                    m.name, df, m.date_col,
+                    bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
+                )
             else:
-                self.catalog.write_append(m.name, df, m.date_col)
+                self.catalog.write_append(
+                    m.name, df, m.date_col,
+                    bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
+                )
         finally:
             if m.checks:
                 df.unpersist()

@@ -65,6 +65,20 @@ class Model:
     # layout axis per table).
     zorder_by: Sequence[str] = field(default_factory=tuple)
     n_zfiles: int = 16
+    # Parquet bloom filters (Catalog write option): tables probed by
+    # point-lookup equality on a high-cardinality key (wallet id, doc id)
+    # declare it here — each written file carries a bloom bitset for the
+    # column, and an `id = X` scan skips whole row groups from footers
+    # alone, the third skipping axis beside date partitioning (range) and
+    # z-order (2-D box). Unlike bucketing/z-order this COMPOSES with date
+    # partitioning and appends: every file carries its own filter, so
+    # incremental writes keep the layout valid. Costs write-side space
+    # (~bits per distinct value per file) — declare only for keys that are
+    # actually point-probed.
+    bloom_filter_on: Sequence[str] = field(default_factory=tuple)
+    # expected distinct values PER FILE for sizing the bitset; parquet-mr
+    # over-sizes gracefully, undersizing inflates the false-positive rate
+    bloom_ndv: int = 100_000
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:

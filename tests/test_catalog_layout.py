@@ -43,3 +43,49 @@ def test_append_evolves_schema_with_null_fill(spark, tmp_path):
     assert old.filter(F.col("tag").isNull()).count() == old.count()
     new = out.filter((F.col("date_key") == F.lit("2024-01-02")) & F.col("tag").isNotNull())
     assert new.count() == 5
+
+def test_bloom_filter_declaration_writes_bitsets_and_survives_append(spark, tmp_path):
+    """Model.bloom_filter_on: the written files must actually carry the
+    bloom bitsets (observable as a material file-size delta for the same
+    data — parquet stores the filter inline), reads must be unchanged, and
+    the declaration must hold across the incremental-append path (each
+    file carries its own filter, so append composes — unlike bucketing or
+    z-order which require full rewrites)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    df = spark.range(100_000).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("wallet"),
+        (F.col("id") % 7).alias("v"),
+    )
+    plain = Catalog(spark, str(tmp_path / "plain"))
+    bloomed = Catalog(spark, str(tmp_path / "bloomed"))
+    plain.write_full("t", df, date_col=None)
+    bloomed.write_full("t", df, date_col=None, bloom_cols=("wallet",), bloom_ndv=100_000)
+
+    size = lambda cat: sum(
+        os.path.getsize(f) for f in glob.glob(cat.path("t") + "/*.parquet")
+    )
+    assert size(bloomed) > size(plain) * 1.2, (size(bloomed), size(plain))
+    assert (
+        bloomed.table("t").orderBy("id").collect()
+        == plain.table("t").orderBy("id").collect()
+    )
+
+    # append path keeps the layout valid and the filter declared
+    extra = spark.range(100_000, 120_000).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("wallet"),
+        (F.col("id") % 7).alias("v"),
+    )
+    before = size(bloomed)
+    bloomed.write_append("t", extra, date_col=None, bloom_cols=("wallet",))
+    plain.write_append("t", extra, date_col=None)
+    assert bloomed.table("t").count() == plain.table("t").count() == 120_000
+    appended_bytes = size(bloomed) - before
+    assert appended_bytes > 0
