@@ -29,14 +29,15 @@ FACT_C = "fact_kin_creations"
 
 def build_kin_models(sf_dir: str) -> list[Model]:
     def _k(name: str, cadence: str = "daily", date_col: str = "date_key",
-           deps: tuple[str, ...] = (FACT_T,), checks: tuple = ()) -> Model:
+           deps: tuple[str, ...] = (FACT_T,), checks: tuple = (),
+           bloom: tuple[str, ...] = ()) -> Model:
         fn = getattr(K, name)
 
         def builder(ctx, fn=fn):
             return fn(ctx.spark, sf_dir, ctx.run_date)
 
         return Model(name, builder, cadence=cadence, depends_on=list(deps),
-                     date_col=date_col, checks=checks)
+                     date_col=date_col, checks=checks, bloom_filter_on=bloom)
 
     def _export(source: str, renames: dict[str, str]):
         # Postgres-replication layer: pure rename projections to the API's
@@ -121,15 +122,19 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         # --- facts (kin_main_warehouse) ---
         # fact contracts gate the write: key integrity + value sanity
         # (one fused aggregation per fact; plans/checks.py)
+        # facts are the tables ops point-probe by txn/account id (support
+        # lookups, dedup audits), so they carry parquet bloom filters on
+        # the id — row-group skipping for `id = X` beside the date
+        # partition pruning (Model.bloom_filter_on; composes with append)
         _k(FACT_T, deps=(), checks=(
             C.not_null("id", "date_key", "from_wallet"),
             C.non_negative("fee_sol"),
             C.accepted_values("txn_type", ["1", "2", "3"]),
-        )),
+        ), bloom=("id",)),
         _k(FACT_C, deps=(), checks=(
             C.not_null("id", "date_key", "account_id"),
             C.non_negative("fee_lamports", "create_fee_lamports"),
-        )),
+        ), bloom=("id",)),
         # --- summary_stats / transactions marts ---
         _k("daily_kin_transactions"),
         _k("daily_counts_by_amount"),
