@@ -400,7 +400,13 @@ class Catalog:
             published.append(prefix + n)
         return published
 
-    def compact(self, name: str, date_col: str | None) -> tuple[int, int]:
+    def compact(
+        self,
+        name: str,
+        date_col: str | None,
+        bloom_cols: Sequence[str] = (),
+        bloom_ndv: int = 100_000,
+    ) -> tuple[int, int]:
         """Rewrite a table's fragmented files into one file per date
         partition; returns (files_before, files_after).
 
@@ -452,6 +458,10 @@ class Catalog:
             )
         else:
             w = df.coalesce(1).write.mode("overwrite")
+        # compaction rewrites every file — a table declared with bloom
+        # filters (Model.bloom_filter_on) must pass them through here or
+        # the rewrite silently strips its point-lookup bitsets
+        w = self._bloom_options(w, bloom_cols, bloom_ndv)
         w.parquet(staging)
         old = self.path(f"{name}.__precompact")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a past crash

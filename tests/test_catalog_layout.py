@@ -89,3 +89,11 @@ def test_bloom_filter_declaration_writes_bitsets_and_survives_append(spark, tmp_
     assert bloomed.table("t").count() == plain.table("t").count() == 120_000
     appended_bytes = size(bloomed) - before
     assert appended_bytes > 0
+
+    # compaction rewrites every file; passing the declaration through must
+    # keep the bitsets (compacted-with-bloom stays materially larger than
+    # the same compaction without it)
+    bloomed.compact("t", None, bloom_cols=("wallet",), bloom_ndv=150_000)
+    plain.compact("t", None)
+    assert size(bloomed) > size(plain) * 1.2, (size(bloomed), size(plain))
+    assert bloomed.table("t").count() == 120_000
