@@ -134,6 +134,7 @@ ROUND4_WINDOW_BACKLOG = [
     "line_dedup_retention",
     "hll_user_rollup_weekly",
     "approx_length_percentiles",
+    "streaming_approx_daily_users",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -370,6 +370,8 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketches make the rollup lattice one cheap merge per grain. Sketch bytes
 # are engine-specific, so rows-only at the driver; tests/test_sketches.py
 # pins the estimates against exact counts with the HLL error bound.
+_HLL_LGK = 14  # DataSketches HLL register count 2^14 → RSE ≈ 0.8%
+
 @register(
     "hll_user_rollup_weekly",
     None,
@@ -380,7 +382,7 @@ def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
-            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+            F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -933,3 +935,49 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return profile_table(ev, ["event_id", "user_id", "event_type", "props"])
+
+# Streaming sketch tier: the HLL day sketches built INSIDE a watermarked
+# streaming aggregation — the shape of a live distinct-users dashboard at
+# 100 TB/day, where exact streaming COUNT(DISTINCT) state would hold every
+# user id and a sketch holds 2^lgK registers per window. HLL register
+# state is a per-register max, so the converged sketch is independent of
+# micro-batch order and equals the batch sketch over the same rows bit for
+# bit — tests/test_sketches.py pins streaming estimate == batch estimate
+# exactly, plus the usual error bound vs exact. Rows-only at the driver
+# (sketch internals are engine-specific).
+@register(
+    "streaming_approx_daily_users",
+    None,
+    doc="watermarked daily HLL distinct-user estimates built in-stream (sketch state, not user-id state)",
+)
+def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import stream_events_from_parquet
+
+    spark = _stream_session(spark)
+    sink = "streaming_approx_daily_users_sink"
+    st = stream_events_from_parquet(spark, sf_dir)
+    agg = (
+        st.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(_HLL_LGK)).alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = query.awaitTermination(300)
+    if not done:
+        query.stop()
+        raise RuntimeError("streaming_approx_daily_users did not finish in 300s")
+    return spark.table(sink)

@@ -86,6 +86,7 @@ def test_queries_and_oracles_stay_aligned():
         "approx_daily_active_users",
         "approx_length_percentiles",
         "hll_user_rollup_weekly",
+        "streaming_approx_daily_users",
     ]
 
 def test_queries_md_matches_registry():

@@ -96,3 +96,42 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             assert lo <= got <= hi, (
                 f"{r['source']} p{int(q*100)}: {got} outside [{lo}, {hi}]"
             )
+
+
+def test_streaming_hll_equals_batch_sketch_exactly(spark, sf_dir):
+    """HLL register state is a per-register max, so the converged streaming
+    sketch must equal the batch sketch over the same rows — estimate
+    EQUALITY, not just error-bound agreement — and both sit within the
+    bound of the exact count."""
+    from kin_data_pipeline_spark.queries.extended import _HLL_LGK
+
+    streamed = {
+        r["day"]: (r["approx_users"], r["n_events"])
+        for r in QUERIES["streaming_approx_daily_users"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r["day"]: (r["approx_users"], r["n_events"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(_HLL_LGK))
+                ).alias("approx_users"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .collect()
+        )
+    }
+    assert streamed == batch
+    exact = {
+        r["day"]: r["u"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("u"))
+            .collect()
+        )
+    }
+    for day, (est, _) in streamed.items():
+        assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), day
