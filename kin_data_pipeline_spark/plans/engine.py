@@ -129,6 +129,62 @@ class Catalog:
             os.remove(sidecar)
             self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_ident(name)}")
 
+    # --- bloom layout sidecar -------------------------------------------
+    # The bloom declaration is a property of the TABLE, not of one write
+    # call: it is recorded in a sidecar (like the bucket layout) and every
+    # rewrite/append path that does not receive an explicit declaration
+    # inherits it — otherwise any maintenance rewrite (upsert, compaction,
+    # streaming micro-batch append) would silently strip the point-lookup
+    # bitsets the table was declared with.
+
+    def _bloom_sidecar(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, f"{name}._bloom.json")
+
+    def _load_bloom(self, name: str) -> tuple[tuple[str, ...], int]:
+        p = self._bloom_sidecar(name)
+        if not os.path.exists(p):
+            return (), 100_000
+        meta = json.load(open(p))
+        return tuple(meta["cols"]), int(meta.get("ndv", 100_000))
+
+    def _store_bloom(self, name: str, cols: Sequence[str], ndv: int) -> None:
+        p = self._bloom_sidecar(name)
+        if cols:
+            with open(p, "w") as fh:
+                json.dump({"cols": list(cols), "ndv": ndv}, fh)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def _resolve_bloom(
+        self,
+        name: str,
+        df: DataFrame,
+        bloom_cols: Sequence[str] | None,
+        bloom_ndv: int | None,
+        store: bool,
+    ) -> tuple[tuple[str, ...], int]:
+        """``None`` inherits the table's recorded declaration; an explicit
+        sequence (possibly empty) replaces it. Declared columns must exist
+        in the frame — parquet silently ignores bloom options for unknown
+        columns, so a typo'd declaration would otherwise write no bitsets
+        with no error, ever."""
+        if bloom_cols is None:
+            cols, ndv = self._load_bloom(name)
+            if bloom_ndv is not None:
+                ndv = bloom_ndv
+        else:
+            cols = tuple(bloom_cols)
+            ndv = bloom_ndv if bloom_ndv is not None else 100_000
+            missing = set(cols) - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"bloom_filter_on columns {sorted(missing)} not in "
+                    f"'{name}' frame columns {df.columns}"
+                )
+            if store:
+                self._store_bloom(name, cols, ndv)
+        return cols, ndv
+
     @staticmethod
     def _bloom_options(w, bloom_cols: Sequence[str], bloom_ndv: int):
         """Enable parquet bloom filters for the declared point-lookup keys
@@ -144,13 +200,14 @@ class Catalog:
         name: str,
         df: DataFrame,
         date_col: str | None,
-        bloom_cols: Sequence[str] = (),
-        bloom_ndv: int = 100_000,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_ndv: int | None = None,
     ) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
-        w = self._bloom_options(df.write.mode("overwrite"), bloom_cols, bloom_ndv)
+        cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
+        w = self._bloom_options(df.write.mode("overwrite"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
@@ -161,13 +218,14 @@ class Catalog:
         name: str,
         df: DataFrame,
         date_col: str | None,
-        bloom_cols: Sequence[str] = (),
-        bloom_ndv: int = 100_000,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_ndv: int | None = None,
     ) -> None:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
-        w = self._bloom_options(df.write.mode("append"), bloom_cols, bloom_ndv)
+        cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
+        w = self._bloom_options(df.write.mode("append"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
@@ -204,6 +262,8 @@ class Catalog:
         sort as well as its shuffle."""
         self._heal_compaction(name)
         self._drop_clone(name)
+        # exclusive layout: a bucketed rewrite replaces any bloom record
+        self._store_bloom(name, (), 0)
         ident = self._bucket_ident(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
         path = self.path(name)
@@ -245,6 +305,8 @@ class Catalog:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
+        # exclusive layout: a z-ordered rewrite replaces any bloom record
+        self._store_bloom(name, (), 0)
         df = df.persist()
         try:
             b = df.agg(
@@ -353,9 +415,12 @@ class Catalog:
         )
         merged = survivors.select(*df.columns).unionByName(df)
         # Materialize before overwrite: the plan reads the directory being
-        # replaced, so write to a staging path first, then swap.
+        # replaced, so write to a staging path first, then swap. The table's
+        # recorded bloom declaration rides through the rewrite — a MERGE on
+        # a bloom-declared fact must not strip its point-lookup bitsets.
         staging = self.path(f"{name}.__staging")
-        w = merged.write.mode("overwrite")
+        cols, ndv = self._resolve_bloom(name, merged, None, None, store=False)
+        w = self._bloom_options(merged.write.mode("overwrite"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(staging)
@@ -404,8 +469,8 @@ class Catalog:
         self,
         name: str,
         date_col: str | None,
-        bloom_cols: Sequence[str] = (),
-        bloom_ndv: int = 100_000,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_ndv: int | None = None,
     ) -> tuple[int, int]:
         """Rewrite a table's fragmented files into one file per date
         partition; returns (files_before, files_after).
@@ -458,10 +523,12 @@ class Catalog:
             )
         else:
             w = df.coalesce(1).write.mode("overwrite")
-        # compaction rewrites every file — a table declared with bloom
-        # filters (Model.bloom_filter_on) must pass them through here or
-        # the rewrite silently strips its point-lookup bitsets
-        w = self._bloom_options(w, bloom_cols, bloom_ndv)
+        # compaction rewrites every file — the table's recorded bloom
+        # declaration is inherited by default (explicit args override for
+        # one rewrite without changing the record), so maintenance never
+        # silently strips the point-lookup bitsets
+        cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=False)
+        w = self._bloom_options(w, cols, ndv)
         w.parquet(staging)
         old = self.path(f"{name}.__precompact")
         shutil.rmtree(old, ignore_errors=True)  # leftover from a past crash

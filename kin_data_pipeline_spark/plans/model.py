@@ -72,9 +72,13 @@ class Model:
     # alone, the third skipping axis beside date partitioning (range) and
     # z-order (2-D box). Unlike bucketing/z-order this COMPOSES with date
     # partitioning and appends: every file carries its own filter, so
-    # incremental writes keep the layout valid. Costs write-side space
-    # (~bits per distinct value per file) — declare only for keys that are
-    # actually point-probed.
+    # incremental writes keep the layout valid (the Catalog records the
+    # declaration in a sidecar, so maintenance rewrites — upsert,
+    # compaction, streaming micro-batch appends — inherit it instead of
+    # silently stripping the bitsets). Exclusive with bucket_by/zorder_by
+    # (those writers do not thread parquet options; declaring both
+    # raises). Costs write-side space (~bits per distinct value per
+    # file) — declare only for keys that are actually point-probed.
     bloom_filter_on: Sequence[str] = field(default_factory=tuple)
     # expected distinct values PER FILE for sizing the bitset; parquet-mr
     # over-sizes gracefully, undersizing inflates the false-positive rate
@@ -112,6 +116,15 @@ class Model:
                     "the z-ordered layout is rebuilt whole; date watermark/"
                     "cleanup semantics would silently not apply"
                 )
+        if self.bloom_filter_on and (self.bucket_by or self.zorder_by):
+            # The bucketed/z-ordered writers do not thread parquet bloom
+            # options; accepting the combination would silently ignore the
+            # bloom declaration. Raise until those writers support it.
+            raise ValueError(
+                f"model {self.name}: bloom_filter_on is not supported "
+                "together with bucket_by/zorder_by — the declaration would "
+                "be silently ignored on those write paths"
+            )
 
 def topo_sort(models: Sequence[Model]) -> list[Model]:
     """Dependency-ordered build list; raises on cycles/unknown deps.

@@ -451,6 +451,23 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     s.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
     return s
 
+def _run_to_memory(stream, sink: str, output_mode: str, timeout_s: int = 300):
+    """Run a streaming frame to completion into a memory sink and return the
+    sink table (registered in the stream's own cloned session). One place
+    for the start/await/timeout/raise protocol all run-to-completion
+    streaming queries share."""
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise RuntimeError(f"{sink} did not finish in {timeout_s}s")
+    return stream.sparkSession.table(sink)
+
 # Structured Streaming, driver-checkable (§2.9): the watermarked tumbling
 # daily rollup run to completion (availableNow trigger, complete-mode memory
 # sink) converges to the batch groupBy — so the streaming path gets a real
@@ -478,18 +495,8 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _stream_session(spark)
     sink = "streaming_daily_rollup_sink"
     stream = daily_rollup_stream(stream_events_from_parquet(spark, sf_dir))
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_daily_rollup did not finish in 300s")
-    return spark.table(sink).select(
+    sunk = _run_to_memory(stream, sink, "complete")
+    return sunk.select(
         "date_key",
         "event_type",
         "n_events",
@@ -529,20 +536,10 @@ def streaming_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = running_balance_stream(
         events, key_col="user_id", value_col="cents", value_type="LONG"
     )
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_running_balance did not finish in 300s")
+    sunk = _run_to_memory(stream, sink, "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(sink)
+        sunk
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -605,19 +602,9 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap="30 minutes",
         watermark="0 seconds",
     )
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_user_sessions did not finish in 300s")
+    sunk = _run_to_memory(stream, sink, "append")
     gap = F.expr("INTERVAL 30 MINUTE")
-    return spark.table(sink).select(
+    return sunk.select(
         "user_id",
         "session_start",
         (F.col("session_end") - gap).alias("last_event_ts"),
@@ -736,18 +723,8 @@ def streaming_feed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         project(stream_events_from_parquet(spark, sf_dir))
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_feed_dedup did not finish in 300s")
-    return spark.table(sink)
+    sunk = _run_to_memory(deduped, sink, "append")
+    return sunk
 
 # Streaming dedup with BOUNDED state (§2.9 tier 6): the scale form of
 # tier 4. dropDuplicates holds one state key per id forever;
@@ -789,18 +766,8 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.to_date("ts").alias("date_key"),
         "cents",
     )
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_dedup_within_watermark did not finish in 300s")
-    return spark.table(sink)
+    sunk = _run_to_memory(deduped, sink, "append")
+    return sunk
 
 # Stream-stream join (§2.9 tier 5): purchases joined to the same user's
 # views within a 1-hour lookback, both sides watermarked — the attribution
@@ -827,18 +794,8 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _stream_session(spark)
     sink = "streaming_purchase_view_join_sink"
     stream = purchase_view_join_stream(stream_events_from_parquet(spark, sf_dir))
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_purchase_view_join did not finish in 300s")
-    return spark.table(sink)
+    sunk = _run_to_memory(stream, sink, "append")
+    return sunk
 
 # --- skew tier: salted rewrites proven answer-identical ---------------------
 # At 100 TB a zipf-headed key (one dominant event_type, the NULL app bucket)
@@ -969,15 +926,5 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    done = query.awaitTermination(300)
-    if not done:
-        query.stop()
-        raise RuntimeError("streaming_approx_daily_users did not finish in 300s")
-    return spark.table(sink)
+    sunk = _run_to_memory(agg, sink, "complete")
+    return sunk

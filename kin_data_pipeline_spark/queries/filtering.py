@@ -202,15 +202,20 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the release rewrite in models/corpus._clean can never drift apart.
 _CHUNK_W = CHUNK_W
 
-#: DuckDB twin of operators/dedup.py::chunk_hashes over a words array `ws`
-#: — ONE fragment shared by both chunk oracles and the differential test,
-#: so the SQL side cannot drift from itself.
-_SQL_CHUNKS = (
-    f"list_transform("
-    f"range(1, CAST(len(ws) // {_CHUNK_W} AS BIGINT) + 1), "
-    f"i -> md5(array_to_string("
-    f"list_slice(ws, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}), ' ')))"
-)
+def _sql_chunks(ws_expr: str = "ws") -> str:
+    """DuckDB twin of operators/dedup.py::chunk_hashes over a words-array
+    SQL expression — ONE generator shared by both chunk oracles and the
+    differential test (which passes its own tokenizer expression instead
+    of text-substituting into a constant), so the SQL side cannot drift
+    from itself."""
+    return (
+        f"list_transform("
+        f"range(1, CAST(len({ws_expr}) // {_CHUNK_W} AS BIGINT) + 1), "
+        f"i -> md5(array_to_string("
+        f"list_slice({ws_expr}, (i-1)*{_CHUNK_W}+1, (i-1)*{_CHUNK_W}+{_CHUNK_W}), ' ')))"
+    )
+
+_SQL_CHUNKS = _sql_chunks()
 
 def _chunk_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (doc_id, source, c) chunk-hash instances — shared by the

@@ -77,23 +77,44 @@ def test_bloom_filter_declaration_writes_bitsets_and_survives_append(spark, tmp_
         == plain.table("t").orderBy("id").collect()
     )
 
-    # append path keeps the layout valid and the filter declared
+    # append path: the declaration is INHERITED from the table's sidecar
+    # (no bloom args here — streaming micro-batch ingestion appends through
+    # exactly this path), and the appended files must actually carry
+    # bitsets: the bloomed catalog's append delta materially exceeds the
+    # plain catalog's delta for identical data
     extra = spark.range(100_000, 120_000).select(
         F.col("id"),
         F.col("id").cast("string").alias("wallet"),
         (F.col("id") % 7).alias("v"),
     )
-    before = size(bloomed)
-    bloomed.write_append("t", extra, date_col=None, bloom_cols=("wallet",))
+    before_b, before_p = size(bloomed), size(plain)
+    bloomed.write_append("t", extra, date_col=None)
     plain.write_append("t", extra, date_col=None)
     assert bloomed.table("t").count() == plain.table("t").count() == 120_000
-    appended_bytes = size(bloomed) - before
-    assert appended_bytes > 0
+    delta_b = size(bloomed) - before_b
+    delta_p = size(plain) - before_p
+    assert delta_b > delta_p * 1.2, (delta_b, delta_p)
 
-    # compaction rewrites every file; passing the declaration through must
-    # keep the bitsets (compacted-with-bloom stays materially larger than
-    # the same compaction without it)
-    bloomed.compact("t", None, bloom_cols=("wallet",), bloom_ndv=150_000)
+    # compaction rewrites every file; the recorded declaration is inherited
+    # by default, so a plain maintenance compact() keeps the bitsets
+    bloomed.compact("t", None)
     plain.compact("t", None)
     assert size(bloomed) > size(plain) * 1.2, (size(bloomed), size(plain))
     assert bloomed.table("t").count() == 120_000
+
+    # upsert is a whole-table rewrite; it must inherit the declaration too
+    upd = spark.range(0, 1000).select(
+        F.col("id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("wallet"),
+        F.lit(99).alias("v"),
+    )
+    bloomed.upsert_by_key("t", upd, ["id"], date_col=None)
+    plain.upsert_by_key("t", upd, ["id"], date_col=None)
+    assert bloomed.table("t").count() == plain.table("t").count() == 120_000
+    assert size(bloomed) > size(plain) * 1.2, (size(bloomed), size(plain))
+
+    # a typo'd declaration must fail loudly, not silently write no bitsets
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in"):
+        bloomed.write_full("t2", df, date_col=None, bloom_cols=("wallet_typo",))

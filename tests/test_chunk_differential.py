@@ -18,7 +18,7 @@ import duckdb
 from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.operators.dedup import CHUNK_W, chunk_hashes
-from kin_data_pipeline_spark.queries.filtering import _SQL_CHUNKS
+from kin_data_pipeline_spark.queries.filtering import _sql_chunks
 
 
 def _py_reference(words: list[str]) -> list[str]:
@@ -76,7 +76,7 @@ def test_chunk_hashes_three_way_differential(spark):
             int(i): list(c)
             for i, c in con.execute(
                 "SELECT doc_id, "
-                + _SQL_CHUNKS.replace("ws", "string_split(trim(text), ' ')")
+                + _sql_chunks("string_split(trim(text), ' ')")
                 + " AS chunks FROM docs ORDER BY doc_id"
             ).fetchall()
         }
