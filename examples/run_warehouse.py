@@ -1,0 +1,84 @@
+"""End-to-end example: the reference warehouse AND the corpus release,
+materialized through the engine into a local catalog.
+
+    python examples/run_warehouse.py [sf_dir] [warehouse_dir]
+
+What it does (the switch-over path a reference user follows — see
+MIGRATION.md for the file-by-file mapping):
+
+1. builds the FULL kin model DAG (facts → marts → KRE chain → API
+   summaries → clones → camelCase exports) with data-quality contracts
+   enforced before every write, like `execute_snowflake_load.py` but with
+   explicit dependency order instead of filename sort;
+2. runs a second INCREMENTAL pass to show the high-watermark append path
+   (`incremental_anchor.sql` semantics) — all models no-op because no new
+   data arrived;
+3. publishes every table as a SQL view and runs a reporting query;
+4. runs the corpus-release DAG (quality gate → near-dup survivors →
+   shards + substring-cleaned variant) and exports the training shards.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wh = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="kin_wh_")
+
+    from kin_data_pipeline_spark.models.corpus import (
+        corpus_release_models,
+        export_release,
+    )
+    from kin_data_pipeline_spark.models.kin import RUN_DATE
+    from kin_data_pipeline_spark.models.pipeline import build_kin_models
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    from kin_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="kin-warehouse-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = Catalog(spark, wh)
+    runner = Runner(spark, catalog)
+
+    models = build_kin_models(sf_dir)
+    print(f"[1/4] full refresh: {len(models)} models -> {wh}")
+    results = runner.run(models, RUN_DATE, build_type="full_refresh")
+    total = sum(r.duration_sec or 0 for r in results)
+    slowest = max(results, key=lambda r: r.duration_sec or 0)
+    print(f"      built {len(results)} tables in {total:.1f}s "
+          f"(slowest: {slowest.model}, {slowest.duration_sec:.1f}s)")
+
+    print("[2/4] incremental pass (no new data -> watermark no-ops)")
+    results = runner.run(models, RUN_DATE)
+    print(f"      {sum(1 for r in results if r.action == 'incremental')} incremental, "
+          f"{sum(1 for r in results if r.action == 'full')} full")
+
+    print("[3/4] SQL surface")
+    catalog.publish_views()
+    spark.sql(
+        """
+        SELECT date_key, transaction_count, active_user_balance
+        FROM daily_kre_summary ORDER BY date_key DESC LIMIT 5
+        """
+    ).show(truncate=False)
+
+    print("[4/4] corpus release")
+    runner.run(corpus_release_models(sf_dir), datetime.date(2024, 2, 1))
+    for t in ("corpus_quality", "corpus_survivors", "corpus_shards", "corpus_clean"):
+        print(f"      {t}: {catalog.table(t).count()} rows")
+    out = wh + "/release"
+    export_release(catalog, out)
+    print(f"      shards exported to {out}")
+
+    spark.stop()
+    if len(sys.argv) <= 2:
+        shutil.rmtree(wh, ignore_errors=True)
+
+if __name__ == "__main__":
+    main()

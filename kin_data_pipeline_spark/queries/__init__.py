@@ -126,6 +126,11 @@ ROUND3_WINDOW_HEAD = [
 # window-invariant test pins that this backlog is exactly the set of
 # registered queries with no prior driver row and no round-3 slot — no
 # query ever falls through the rotation untracked.
+#
+# Round-4 window recipe: this backlog first, then any round-4 additions,
+# then pad to 50 with kin representatives (facts first, so the session
+# frame cache warms in the order the chain reads it) — see the r3 head
+# below for the pattern.
 ROUND4_WINDOW_BACKLOG = [
     "top_shingle_heavy_hitters",
     "cross_source_dup_matrix",
