@@ -140,6 +140,7 @@ ROUND4_WINDOW_BACKLOG = [
     "hll_user_rollup_weekly",
     "approx_length_percentiles",
     "streaming_approx_daily_users",
+    "dsir_importance_scores",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

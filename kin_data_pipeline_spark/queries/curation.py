@@ -687,3 +687,87 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
     )
     return shard_manifest(shard_assignment(docs, "doc_id", _N_SHARDS), "n_tokens")
+
+# DSIR-shaped importance scores (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", arXiv:2302.03169 — public method): rank
+# raw-corpus documents by how much more likely their tokens are under a
+# TARGET domain's unigram distribution than under the raw corpus's. House
+# arithmetic style: log-free and exact — per-document target/reference token
+# masses are integer sums (order-independent), the ratio is one final
+# double division. The global n_ref/n_target normalization is the same
+# constant for every document, so it cannot change the resampling RANKING
+# and is deliberately omitted (keeps the plan free of a 1-row totals
+# cross-join). Tokens unseen in the target contribute 0 mass; their
+# fraction is reported as oov_frac (high-oov docs are poor targets no
+# matter the ratio).
+@register(
+    "dsir_importance_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), tgt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf_t FROM tok
+      WHERE source = '{_BENCH_SOURCE}' GROUP BY w
+    ), ref AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf_r FROM tok
+      WHERE source <> '{_BENCH_SOURCE}' GROUP BY w
+    )
+    SELECT tok.doc_id, ANY_VALUE(tok.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(tgt.cf_t, 0)) AS BIGINT) AS tgt_mass,
+           CAST(SUM(ref.cf_r) AS BIGINT) AS ref_mass,
+           ROUND(SUM(COALESCE(tgt.cf_t, 0)) * 1.0 / SUM(ref.cf_r), 6)
+             AS importance_ratio,
+           ROUND(SUM(CASE WHEN tgt.cf_t IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_frac
+    FROM tok
+    JOIN ref ON tok.w = ref.w
+    LEFT JOIN tgt ON tok.w = tgt.w
+    WHERE tok.source <> '{_BENCH_SOURCE}'
+    GROUP BY tok.doc_id
+    """,
+    doc="DSIR-shaped importance scores: target-vs-corpus unigram mass ratio per raw doc (log-free)",
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import _cached_substrate
+
+    tok = _cached_substrate(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "source", F.explode("words").alias("w")
+        ),
+    )
+    # The two unigram "models" are vocabulary-sized aggregates (≪ corpus),
+    # so both broadcast and the big token stream never shuffles for the
+    # score joins — same shape as token_rarity_scores' single-corpus LM.
+    tgt = (
+        tok.filter(F.col("source") == _BENCH_SOURCE)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf_t"))
+    )
+    ref = (
+        tok.filter(F.col("source") != _BENCH_SOURCE)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf_r"))
+    )
+    scored = (
+        tok.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(ref), "w")
+        .join(F.broadcast(tgt), "w", "left")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("cf_t", F.lit(0))).cast("long").alias("tgt_mass"),
+        F.sum("cf_r").cast("long").alias("ref_mass"),
+        F.round(
+            F.sum(F.coalesce("cf_t", F.lit(0))) * 1.0 / F.sum("cf_r"), 6
+        ).alias("importance_ratio"),
+        F.round(
+            F.sum(F.col("cf_t").isNull().cast("int")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("oov_frac"),
+    )
