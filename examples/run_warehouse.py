@@ -32,6 +32,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     wh = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="kin_wh_")
 
+    from kin_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="kin-warehouse-example")
+    try:
+        _run(spark, sf_dir, wh)
+    finally:
+        spark.stop()
+        if len(sys.argv) <= 2:  # auto-created tempdir: never leave it behind
+            shutil.rmtree(wh, ignore_errors=True)
+
+def _run(spark, sf_dir: str, wh: str) -> None:
     from kin_data_pipeline_spark.models.corpus import (
         corpus_release_models,
         export_release,
@@ -39,9 +50,7 @@ def main() -> None:
     from kin_data_pipeline_spark.models.kin import RUN_DATE
     from kin_data_pipeline_spark.models.pipeline import build_kin_models
     from kin_data_pipeline_spark.plans.engine import Catalog, Runner
-    from kin_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="kin-warehouse-example")
     spark.sparkContext.setLogLevel("ERROR")
     catalog = Catalog(spark, wh)
     runner = Runner(spark, catalog)
@@ -75,10 +84,6 @@ def main() -> None:
     out = wh + "/release"
     export_release(catalog, out)
     print(f"      shards exported to {out}")
-
-    spark.stop()
-    if len(sys.argv) <= 2:
-        shutil.rmtree(wh, ignore_errors=True)
 
 if __name__ == "__main__":
     main()

@@ -711,8 +711,7 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cf_t FROM tok
       WHERE source = '{_BENCH_SOURCE}' GROUP BY w
     ), ref AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf_r FROM tok
-      WHERE source <> '{_BENCH_SOURCE}' GROUP BY w
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf_r FROM tok GROUP BY w
     )
     SELECT tok.doc_id, ANY_VALUE(tok.source) AS source,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -731,16 +730,9 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DSIR-shaped importance scores: target-vs-corpus unigram mass ratio per raw doc (log-free)",
 )
 def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.queries.llmops import _cached_substrate
+    from kin_data_pipeline_spark.queries.llmops import doc_tokens
 
-    tok = _cached_substrate(
-        spark,
-        sf_dir,
-        "doc_tokens",
-        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "source", F.explode("words").alias("w")
-        ),
-    )
+    tok = doc_tokens(spark, sf_dir)
     # The two unigram "models" are vocabulary-sized aggregates (≪ corpus),
     # so both broadcast and the big token stream never shuffles for the
     # score joins — same shape as token_rarity_scores' single-corpus LM.
@@ -749,11 +741,10 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cf_t"))
     )
-    ref = (
-        tok.filter(F.col("source") != _BENCH_SOURCE)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cf_r"))
-    )
+    # The reference distribution is the WHOLE corpus, target included —
+    # DSIR's raw-corpus reference. (Excluding the target would change the
+    # per-document ranking, unlike the omitted global normalization.)
+    ref = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf_r"))
     scored = (
         tok.filter(F.col("source") != _BENCH_SOURCE)
         .join(F.broadcast(ref), "w")

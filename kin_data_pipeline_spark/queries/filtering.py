@@ -172,14 +172,9 @@ _RARE_CF = 2  # a token seen <= twice corpus-wide is "rare"
     doc="corpus-trained unigram-LM document scoring (CCNet shape, exact log-free arithmetic)",
 )
 def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _cached_substrate(
-        spark,
-        sf_dir,
-        "doc_tokens",
-        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "source", F.explode("words").alias("w")
-        ),
-    )
+    from kin_data_pipeline_spark.queries.llmops import doc_tokens
+
+    tok = doc_tokens(spark, sf_dir)
     # The "LM": one aggregation over the corpus. Vocabulary ≪ corpus, so on
     # a cluster this side broadcasts and the big token stream never
     # shuffles for the score join.

@@ -87,6 +87,21 @@ def _cached_substrate(spark, sf_dir: str, kind: str, build) -> DataFrame:
             _SUBSTRATE_CACHE[key] = build().cache()
         return _SUBSTRATE_CACHE[key]
 
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, source, w) exploded token stream — the ONE owner of
+    the ``doc_tokens`` substrate key. Every consumer (token rarity, DSIR
+    importance) must come through here: two call sites passing their own
+    build lambdas under the same key would silently hand whichever ran
+    second the first one's frame."""
+    return _cached_substrate(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: _with_words(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "source", F.explode("words").alias("w")
+        ),
+    )
+
 def shingled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, shingles) with the k=3 shingle arrays materialized."""
     return _cached_substrate(
