@@ -141,6 +141,7 @@ ROUND4_WINDOW_BACKLOG = [
     "approx_length_percentiles",
     "streaming_approx_daily_users",
     "dsir_importance_scores",
+    "source_vocab_overlap",
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -762,3 +762,71 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cf_t").isNull().cast("int")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("oov_frac"),
     )
+
+# Source vocabulary-overlap matrix: pairwise Jaccard of the distinct-token
+# vocabularies of every source pair — the lexical complement of the
+# content-level cross_source_dup_matrix (shared TOKENS flag sibling scrapes
+# or shared registers even when no document is a near-dup). Scale shape:
+# the per-token source list is bounded by the SOURCE count (datasets, not
+# documents — tens, not billions), so the pair expansion per token is at
+# most C(n_sources, 2); one distinct pass + one grouped pair count, no
+# all-pairs join of anything corpus-sized.
+@register(
+    "source_vocab_overlap",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           ROUND(i.n_shared * 1.0 / (sa.v + sb.v - i.n_shared), 6)
+             AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="pairwise vocabulary Jaccard between sources (lexical mixing-audit matrix)",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import doc_tokens
+
+    vocab = doc_tokens(spark, sf_dir).select("source", "w").distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "w")
+    b = vocab.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "vocab_a",
+        "vocab_b",
+        F.round(
+            F.col("n_shared") * 1.0 / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+            6,
+        ).alias("vocab_jaccard"),
+    )
