@@ -61,7 +61,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     total = sum(r.duration_sec or 0 for r in results)
     slowest = max(results, key=lambda r: r.duration_sec or 0)
     print(f"      built {len(results)} tables in {total:.1f}s "
-          f"(slowest: {slowest.model}, {slowest.duration_sec:.1f}s)")
+          f"(slowest: {slowest.model}, {slowest.duration_sec or 0:.1f}s)")
 
     print("[2/4] incremental pass (no new data -> watermark no-ops)")
     results = runner.run(models, RUN_DATE)

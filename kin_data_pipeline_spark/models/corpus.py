@@ -117,8 +117,18 @@ def _clean(ctx) -> DataFrame:
     so it is deliberately not force-broadcast); the rewrite itself is a
     per-row higher-order filter (JVM-side, no UDF). Chunk geometry and
     hashing come from the shared operator declaration
-    (``operators/dedup.py::chunk_hashes``); registered stats twin over the
-    raw corpus: ``queries/filtering.py::line_dedup_retention``.
+    (``operators/dedup.py::chunk_hashes``).
+
+    SUBSTRATE CAVEAT — the registered stats "twin"
+    ``queries/filtering.py::line_dedup_retention`` computes its
+    duplicated-chunk set over the RAW documents corpus, while this rewrite
+    computes it over corpus_survivors (post fuzzy dedup). Whenever fuzzy
+    dedup removed a chunk's only other carrier, the raw-corpus audit counts
+    a duplicate this rewrite no longer sees, so the audit's n_dup_chunks /
+    retained_frac OVERSTATE what the release rewrite actually drops. Use
+    the audit for corpus characterization; read release accounting off this
+    model's own ``n_dropped_chunks`` column (or the corpus_clean table),
+    never off the raw-corpus audit numbers.
     """
     s = ctx.table("corpus_survivors")
     words = F.split(F.trim(F.col("text")), " ")

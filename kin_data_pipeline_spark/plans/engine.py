@@ -22,6 +22,7 @@ import datetime
 import json
 import os
 import shutil
+import warnings
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -144,8 +145,20 @@ class Catalog:
         p = self._bloom_sidecar(name)
         if not os.path.exists(p):
             return (), 100_000
-        meta = json.load(open(p))
-        return tuple(meta["cols"]), int(meta.get("ndv", 100_000))
+        try:
+            with open(p) as fh:
+                meta = json.load(fh)
+            return tuple(meta["cols"]), int(meta.get("ndv", 100_000))
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
+            # A truncated/corrupted sidecar must not permanently block every
+            # subsequent write of the table — drop it and fall back to the
+            # no-bloom default (the declaration can be re-issued).
+            warnings.warn(
+                f"bloom sidecar for '{name}' is unreadable ({exc}); "
+                "removing it and writing without bloom filters"
+            )
+            os.remove(p)
+            return (), 100_000
 
     def _store_bloom(self, name: str, cols: Sequence[str], ndv: int) -> None:
         p = self._bloom_sidecar(name)
@@ -172,6 +185,20 @@ class Catalog:
             cols, ndv = self._load_bloom(name)
             if bloom_ndv is not None:
                 ndv = bloom_ndv
+            # The inherit path needs the same existence check as the
+            # explicit one: after a schema change (or a stale sidecar from a
+            # prior same-named table) parquet would silently write no
+            # bitsets for the vanished columns. Drop them for this write
+            # (the recorded declaration is kept — a later write with the
+            # column restored picks it back up) and warn.
+            missing = set(cols) - set(df.columns)
+            if missing:
+                warnings.warn(
+                    f"bloom declaration for '{name}' names column(s) "
+                    f"{sorted(missing)} absent from the frame being "
+                    "written; writing bitsets only for the present columns"
+                )
+                cols = tuple(c for c in cols if c in set(df.columns))
         else:
             cols = tuple(bloom_cols)
             ndv = bloom_ndv if bloom_ndv is not None else 100_000

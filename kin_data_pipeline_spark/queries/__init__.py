@@ -24,128 +24,91 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
-# so ordering is a coverage decision. Round-3 window goal: every registered
-# query has a green driver row in at least one round. Rounds 1+2 covered the
-# whole kin chain (45 green r02 rows) plus the r1 representatives, so this
-# round's head is:
-#   1..5   the queries added latest in round 3 (training-shard manifest +
-#          the web-corpus filtering tier) — they displaced the kin
-#          representatives of the earlier draft, which all hold green r02
-#          rows and stay covered by the local parity suite
-#   6..50  the 30 queries that had never had a driver CORRECTNESS row
-#          (curation tier, 4 streaming tiers, API sources, embedding/
-#          simhash near-dups, text analysis, TPC-H-ish extended) plus this
-#          round's 8 new-or-changed entries: the now-capped
-#          ngram_jaccard_near_dups, media_decoded_stats (real header
-#          decode), near_dup_clusters_deep (star contraction), the two
-#          skew-tier salted rewrites, the SemDeDup tier
-#          (semantic_dedup_pairs / semantic_dedup_survivor_stats), and the
-#          bounded-state streaming dedup
-#          (streaming_dedup_within_watermark), the round-3 relational
-#          breadth additions (region_segment_grouping_sets,
-#          local_supplier_revenue_q5, order_value_deciles), and the
-#          asymmetric containment dedup tier (shingle_containment_pairs) and
-#          per-source token-budget selection (token_budget_selection) and
-#          winnowing (MOSS) fingerprints (winnowing_fingerprints) and the
-#          fused one-pass column profiler (events_column_profile).
-# Everything after slot 50 passed driver verification in r1/r2 and is
-# re-checked continuously by the local parity suite
-# (tests/test_oracle_parity.py), which applies the identical comparison at
-# sf0.001/sf0.01/sf0.1.
-ROUND3_WINDOW_HEAD = [
-    # The five kin representatives of the earlier round-3 draft (all green
-    # in r02) yielded their slots to queries added later in the round —
-    # every NEW query must enter the window or it never earns a driver
-    # row, while the kin chain keeps its r01/r02 rows and the local parity
-    # suite re-checks it continuously.
-    "training_shard_manifest",
-    # web-corpus filtering tier (new this round)
-    "url_domain_filter_stats",
-    "token_rarity_scores",
-    "repeated_chunk_stats",
-    "dedup_keep_best_survivors",
-    # text/dedup tier (shingle substrate warms once, reused downstream)
-    "ngram_jaccard_near_dups",
-    "shingle_containment_pairs",
-    "doc_length_percentiles",
-    "regex_token_stats",
-    "rolling_hash_fingerprints",
-    "winnowing_fingerprints",
-    "gopher_quality_flags",
-    "doc_repetition_profile",
-    "simhash_near_dups",
-    "near_dup_clusters_deep",
-    "dedup_survivor_stats",
-    # embedding tier
-    "embedding_cosine_near_dups",
-    "embedding_ivf_ann_top5",
-    "knn_label_agreement",
-    "semantic_dedup_pairs",
-    "semantic_dedup_survivor_stats",
-    # curation tier
-    "curated_corpus_stats",
-    "benchmark_decontamination",
-    "stratified_sample_split",
-    "redaction_stats_props",
+# so ordering is a coverage decision. Round-4 window goal: VERIFICATION
+# CLOSURE — after this round, every one of the 149 registered queries has a
+# green (or rows-green) driver row in some round. The head is composed as:
+#   1..12  the 12 relational queries whose ONLY driver record is a round-1
+#          hash-FAIL (fixed in round 2, locally green ever since, but the
+#          driver's last word on them is FAIL — the rotation invariant used
+#          to count those FAIL rows as "covered", which is why they never
+#          rotated back; fixed this round, see tests/test_registry_window.py)
+#   13     sequence_packing_index — the one red r3 row; the bug was
+#          ORACLE-side (uncast DuckDB HUGEINT window sum -> decimal
+#          terminal), fixed + guarded by tests/test_oracle_schema_guard.py
+#   14..20 the 7 oracle-bearing ROUND4_WINDOW_BACKLOG queries (registered
+#          after the r3 window filled)
+#   21..23 the 3 rows-only sketch queries from the backlog (driver records
+#          the weaker rows-check; estimates are pinned against exact twins
+#          with published error bounds in tests/test_sketches.py)
+#   24..50 27 kin-chain representatives, facts first so the session frame
+#          cache warms in the order the chain reads it — cheap insurance
+#          that the chain (last driver-checked in r2) still hash-matches
+#          under the code that keeps evolving around it.
+ROUND4_WINDOW_HEAD = [
+    # r1-stale-red relational tier (fixed in r2, never re-windowed)
+    "pricing_summary",
+    "revenue_by_region",
+    "daily_order_revenue",
+    "weekly_order_revenue",
+    "monthly_order_revenue",
+    "day_over_day_revenue",
+    "daily_event_segments",
+    "entity_role_activity",
+    "lineitems_of_big_orders",
+    "multi_item_orders",
+    "top_customers_per_nation",
+    "user_day_purchase_vs_activity",
+    # the one red r3 row (oracle-side decimal bug, fixed this round)
     "sequence_packing_index",
-    "source_cap_sample",
-    "source_mix_resample",
-    "token_budget_selection",
-    "incremental_dedup_check",
-    # multimodal
-    "media_decoded_stats",
-    "frame_sample_plan_stats",
-    # skew tier
-    "skew_distinct_users_by_event_type",
-    "skew_salted_value_sum_by_type",
-    "events_column_profile",
-    # sources
-    "api_dim_seed",
-    "api_timeseries_seed",
-    # extended/TPC-H-ish + sessionization + sketch
-    "revenue_rollup_region_nation",
-    "region_segment_grouping_sets",
-    "local_supplier_revenue_q5",
-    "order_value_deciles",
-    "shipping_priority_q3",
-    "monthly_priority_pivot",
-    "user_sessions_batch",
-    "approx_daily_active_users",
-    # streaming tiers (engine overhead amortizes at the tail)
-    "streaming_running_balance",
-    "streaming_user_sessions",
-    "streaming_feed_dedup",
-    "streaming_dedup_within_watermark",
-    "streaming_purchase_view_join",
-]
-
-# Queries registered AFTER the round-3 window filled its 50 slots: they are
-# verified by the local parity suite at sf0.001/0.01/0.1 this round and are
-# the designated head of the ROUND-4 driver window (the same rotation
-# discipline that gave every round-2 addition its row this round). The
-# window-invariant test pins that this backlog is exactly the set of
-# registered queries with no prior driver row and no round-3 slot — no
-# query ever falls through the rotation untracked.
-#
-# Round-4 window recipe: this backlog first, then any round-4 additions,
-# then pad to 50 with kin representatives (facts first, so the session
-# frame cache warms in the order the chain reads it) — see the r3 head
-# below for the pattern.
-ROUND4_WINDOW_BACKLOG = [
+    # round-3 backlog: oracle-bearing
     "top_shingle_heavy_hitters",
     "cross_source_dup_matrix",
     "embedding_cell_outliers",
     "per_domain_quality_profile",
     "line_dedup_retention",
+    "dsir_importance_scores",
+    "source_vocab_overlap",
+    # round-3 backlog: rows-only sketch tier
     "hll_user_rollup_weekly",
     "approx_length_percentiles",
     "streaming_approx_daily_users",
-    "dsir_importance_scores",
-    "source_vocab_overlap",
+    # kin representatives, chain order (facts warm the frame cache first)
+    "kin_fact_transactions",
+    "kin_fact_creations",
+    "kin_transactions_curated",
+    "kin_daily_transactions",
+    "kin_daily_counts_by_amount",
+    "kin_closing_balance_per_day",
+    "kin_daily_active_accounts_30d",
+    "kin_daily_aub_by_app",
+    "kin_daily_volatility_factor",
+    "kin_daily_payout",
+    "kin_weekly_payout_summary",
+    "kin_gc_dust_wallets",
+    "kin_multi_create_impacted",
+    "kin_average_balance_per_day",
+    "kin_daily_market_summary",
+    "kin_daily_net_inflation",
+    "kin_daily_creations_by_app",
+    "kin_weekly_transactions",
+    "kin_monthly_transactions",
+    "kin_daily_blocks",
+    "kin_daily_kre_summary",
+    "kin_daily_churn_volume",
+    "kin_daily_active_accounts_ecosystem",
+    "kin_daily_summary_by_app",
+    "kin_monthly_inactive_wallets",
+    "kin_account_balance_buckets",
+    "kin_daily_create_fee_payers",
 ]
 
+# Queries registered after the round-4 window filled go here at registration
+# time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
+# and must lead the round-5 window.
+ROUND5_WINDOW_BACKLOG: list[str] = []
+
 def _ordered() -> dict[str, QuerySpec]:
-    out = {n: QUERIES[n] for n in ROUND3_WINDOW_HEAD if n in QUERIES}
+    out = {n: QUERIES[n] for n in ROUND4_WINDOW_HEAD if n in QUERIES}
     out.update((n, s) for n, s in QUERIES.items() if n not in out)
     return out
 

@@ -398,10 +398,13 @@ _PACK_BUDGET = 512  # tokens per chunk
     ),
     o AS (
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             -- DuckDB SUM(BIGINT) widens to HUGEINT -> Arrow decimal128; the
+             -- driver canon renders decimals float-style so an uncast window
+             -- sum can never hash-match. CAST keeps the terminal BIGINT.
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) AS start_offset
+             ), 0) AS BIGINT) AS start_offset
       FROM t
     )
     SELECT doc_id, source, n_tokens, start_offset,
@@ -727,15 +730,28 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE tok.source <> '{_BENCH_SOURCE}'
     GROUP BY tok.doc_id
     """,
-    doc="DSIR-shaped importance scores: target-vs-corpus unigram mass ratio per raw doc (log-free)",
+    doc=(
+        "DSIR-shaped importance scores: target-vs-corpus unigram MASS ratio "
+        "per raw doc (log-free). NOT ranking-equivalent to DSIR's importance "
+        "weight sum(log p_t - log p_r): the mass ratio is dominated by a "
+        "doc's highest-frequency tokens while the log sum weights every "
+        "token equally — dsir_log_importance_scores is the faithful form"
+    ),
 )
 def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.queries.llmops import doc_tokens
 
     tok = doc_tokens(spark, sf_dir)
-    # The two unigram "models" are vocabulary-sized aggregates (≪ corpus),
-    # so both broadcast and the big token stream never shuffles for the
-    # score joins — same shape as token_rarity_scores' single-corpus LM.
+    # The two unigram "models" are vocabulary-sized aggregates. NO broadcast
+    # hints: the reference vocabulary grows with the corpus (billions of
+    # distinct whitespace tokens on open web at 100 TB) and the target
+    # vocabulary grows with the benchmark set, so a forced hint risks
+    # driver/executor OOM and disables AQE's runtime fallback. AQE picks
+    # broadcast from observed stats when a side really is small; otherwise
+    # both score joins shuffle on `w` — the sound plan at scale. The
+    # bounded-by-construction alternative is a hashed vocabulary
+    # (the published CCNet/DSIR shape); see PLANS.md "Vocabulary-scale
+    # boundary" and filtering.hashed_token_rarity_scores.
     tgt = (
         tok.filter(F.col("source") == _BENCH_SOURCE)
         .groupBy("w")
@@ -747,8 +763,8 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf_r"))
     scored = (
         tok.filter(F.col("source") != _BENCH_SOURCE)
-        .join(F.broadcast(ref), "w")
-        .join(F.broadcast(tgt), "w", "left")
+        .join(ref, "w")
+        .join(tgt, "w", "left")
     )
     return scored.groupBy("doc_id").agg(
         F.any_value("source").alias("source"),

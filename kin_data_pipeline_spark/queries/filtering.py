@@ -175,11 +175,18 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kin_data_pipeline_spark.queries.llmops import doc_tokens
 
     tok = doc_tokens(spark, sf_dir)
-    # The "LM": one aggregation over the corpus. Vocabulary ≪ corpus, so on
-    # a cluster this side broadcasts and the big token stream never
-    # shuffles for the score join.
+    # The "LM": one aggregation over the corpus. NO broadcast hint: the
+    # distinct-token vocabulary grows with the corpus (open-web whitespace
+    # tokens — URLs, hashes, typos — run to billions of entries at 100 TB),
+    # so a forced broadcast turns into a driver/executor OOM at scale and
+    # removes AQE's ability to fall back. AQE owns the strategy: at small
+    # vocabularies it picks broadcast at runtime from observed stats; at
+    # open-web scale it shuffles both sides on `w` — the sound plan. The
+    # bounded-by-construction alternative is a hashed vocabulary
+    # (CCNet/DSIR shape): see hashed_token_rarity_scores below. PLANS.md
+    # "Vocabulary-scale boundary" documents which queries assume which.
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cf"))
-    scored = tok.join(F.broadcast(freq), "w")
+    scored = tok.join(freq, "w")
     return scored.groupBy("doc_id").agg(
         F.any_value("source").alias("source"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -468,9 +475,20 @@ def per_domain_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(d.ws), 6) AS retained_frac
     FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
     """,
-    doc=f"per-document outcome of cross-document {_CHUNK_W}-token chunk dedup (line-dedup rewrite)",
+    doc=(
+        f"per-document outcome of cross-document {_CHUNK_W}-token chunk "
+        "dedup (line-dedup rewrite) — RAW-corpus audit; not release "
+        "accounting (see models/corpus._clean substrate caveat)"
+    ),
 )
 def line_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-corpus characterization audit. The release rewrite
+    (``models/corpus._clean``) computes its duplicated-chunk set over the
+    post-fuzzy-dedup survivor table, so whenever fuzzy dedup removed a
+    chunk's only other carrier this audit counts a duplicate the rewrite
+    no longer drops — n_dup_chunks / retained_frac here OVERSTATE the
+    release rewrite's actual drops. Read release accounting off
+    corpus_clean's own n_dropped_chunks, never off these numbers."""
     d = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.size("words").cast("long").alias("n_words")
     )

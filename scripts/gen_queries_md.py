@@ -15,7 +15,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 def main() -> None:
-    from kin_data_pipeline_spark.queries import QUERIES, ROUND3_WINDOW_HEAD
+    from kin_data_pipeline_spark.queries import QUERIES, ROUND4_WINDOW_HEAD
 
     lines = [
         "# QUERIES — the registered operator inventory",
@@ -29,12 +29,12 @@ def main() -> None:
         "locally against exact twins: "
         + ", ".join(f"`{n}`" for n, s in sorted(QUERIES.items()) if not s.oracle)
         + ").",
-        "Entries marked `[w]` sit in the round-3 driver window (first 50).",
+        "Entries marked `[w]` sit in the round-4 driver window (first 50).",
         "",
         "| Query | In | Description |",
         "|---|---|---|",
     ]
-    win = set(ROUND3_WINDOW_HEAD)
+    win = set(ROUND4_WINDOW_HEAD)
     for n, s in QUERIES.items():
         mark = "w" if n in win else ""
         doc = (s.doc or "").replace("|", "\\|")

@@ -118,3 +118,46 @@ def test_bloom_filter_declaration_writes_bitsets_and_survives_append(spark, tmp_
 
     with _pytest.raises(ValueError, match="not in"):
         bloomed.write_full("t2", df, date_col=None, bloom_cols=("wallet_typo",))
+
+def test_corrupt_bloom_sidecar_recovers(spark, tmp_path):
+    """A truncated/corrupted bloom sidecar must not permanently block
+    writes of the table: the loader warns, removes the sidecar, and the
+    write proceeds without bitsets (the declaration can be re-issued)."""
+    import warnings as _w
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("wallet")
+    )
+    cat.write_full("t", df, date_col=None, bloom_cols=("wallet",))
+    with open(cat._bloom_sidecar("t"), "w") as fh:
+        fh.write('{"cols": ["wall')  # truncated mid-write
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        cat.write_append("t", df, date_col=None)  # inherit path — must not raise
+    assert any("unreadable" in str(c.message) for c in caught)
+    assert not __import__("os").path.exists(cat._bloom_sidecar("t"))
+    assert cat.table("t").count() == 200
+
+def test_inherited_bloom_cols_validated_against_frame(spark, tmp_path):
+    """The inherit path applies the same existence check as the explicit
+    one: after a schema change, recorded columns absent from the frame are
+    dropped for that write (with a warning) instead of parquet silently
+    writing no bitsets — and the recorded declaration survives for when
+    the column returns."""
+    import json as _json
+    import warnings as _w
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("wallet")
+    )
+    cat.write_full("t", df, date_col=None, bloom_cols=("wallet",))
+    renamed = df.withColumnRenamed("wallet", "account")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        cat.write_full("t", renamed, date_col=None)  # inherit: 'wallet' gone
+    assert any("absent from the frame" in str(c.message) for c in caught)
+    # declaration is kept, not silently rewritten
+    with open(cat._bloom_sidecar("t")) as fh:
+        assert _json.load(fh)["cols"] == ["wallet"]
