@@ -105,7 +105,12 @@ ROUND4_WINDOW_HEAD = [
 # Queries registered after the round-4 window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the round-5 window.
-ROUND5_WINDOW_BACKLOG: list[str] = []
+ROUND5_WINDOW_BACKLOG: list[str] = [
+    # round-4 additions (registered after the r4 window filled with the
+    # verification-closure set):
+    "hashed_token_rarity_scores",   # bounded-vocab CCNet scoring
+    "dsir_log_importance_scores",   # faithful DSIR log-ratio weights
+]
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in ROUND4_WINDOW_HEAD if n in QUERIES}

@@ -779,6 +779,122 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_frac"),
     )
 
+# Faithful DSIR importance weights: sum over a document's tokens of
+# log p_target(token) - log p_reference(token), the published form
+# (Xie et al., "Data Selection for Language Models via Importance
+# Resampling"), which weights every token equally — unlike the mass-ratio
+# sibling above, whose ranking is dominated by a doc's highest-frequency
+# tokens. Two design choices make it sound at 100 TB AND hash-exact across
+# engines:
+#
+# - HASHED VOCABULARY (the published DSIR shape): tokens hash into B=4096
+#   buckets, so both unigram models are <= B rows and broadcast is safe by
+#   construction at any corpus size (PLANS.md "Vocabulary-scale boundary").
+#   Laplace smoothing (+1 per bucket) handles target-OOV buckets.
+# - MICRO-QUANTIZED LOG ARITHMETIC: ln() is engine-dependent in the last
+#   ulp, so per-BUCKET log-ratios are quantized to integer micro-units
+#   (round(x*1e6) as BIGINT) in the tiny model table; per-document scores
+#   are then EXACT integer sums, and the final /1e6 is the same IEEE
+#   division on both engines. The only cross-engine float op is one ln()
+#   per bucket, where a 1-ulp difference flips the hash only if the value
+#   sits within ~1e-10 of a quantization boundary (~4096 chances, ~1e-10
+#   each — negligible, and deterministic per corpus).
+_DSIR_B = 4096
+_SQL_DSIR_BUCKET = f"CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {_DSIR_B}"
+
+@register(
+    "dsir_log_importance_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_DSIR_BUCKET} AS b FROM (
+        SELECT doc_id, source, w FROM (
+          SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+        ), UNNEST(ws) AS t(w)
+      )
+    ),
+    ref AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cf_r FROM tok GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cf_t FROM tok
+            WHERE source = '{_BENCH_SOURCE}' GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+                   CAST(SUM(CASE WHEN source = '{_BENCH_SOURCE}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t
+            FROM tok),
+    model AS (
+      SELECT ref.b,
+             CAST(ROUND((ln(COALESCE(tgt.cf_t, 0) + 1)
+                         - ln(CAST(tot.n_t + {_DSIR_B} AS DOUBLE))
+                         - ln(ref.cf_r + 1)
+                         + ln(CAST(tot.n_r + {_DSIR_B} AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS q
+      FROM ref LEFT JOIN tgt ON ref.b = tgt.b CROSS JOIN tot
+    )
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(q) AS BIGINT) AS logratio_micro,
+           ROUND(CAST(SUM(q) AS BIGINT) / 1000000.0, 6) AS importance_logratio
+    FROM tok JOIN model USING (b)
+    WHERE source <> '{_BENCH_SOURCE}'
+    GROUP BY doc_id
+    """,
+    doc=(
+        f"faithful DSIR importance weights: per-doc sum of smoothed "
+        f"log p_target - log p_reference over a {_DSIR_B}-bucket hashed "
+        "vocabulary (micro-quantized integer log arithmetic)"
+    ),
+)
+def dsir_log_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import _h32, doc_tokens
+
+    tok = doc_tokens(spark, sf_dir).select(
+        "doc_id", "source", (_h32(F.col("w")) % _DSIR_B).alias("b")
+    )
+    ref = tok.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cf_r"))
+    tgt = (
+        tok.filter(F.col("source") == _BENCH_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf_t"))
+    )
+    # model table: <= B rows. The corpus/target token totals are recovered
+    # from the bucket counts themselves (sum over all buckets) via a global
+    # window over this BOUNDED frame — a single-partition pass over 4096
+    # rows, which avoids any totals join (a constant-key join gets
+    # constant-folded into the nested-loop shape the registry-wide plan
+    # test forbids).
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    model = (
+        ref.join(tgt, "b", "left")
+        .withColumn("n_r", F.sum("cf_r").over(w_all))
+        .withColumn("n_t", F.sum(F.coalesce(F.col("cf_t"), F.lit(0))).over(w_all))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("cf_t"), F.lit(0)) + 1)
+                    - F.log(F.col("n_t") + F.lit(_DSIR_B))
+                    - F.log(F.col("cf_r") + 1)
+                    + F.log(F.col("n_r") + F.lit(_DSIR_B))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    scored = tok.filter(F.col("source") != _BENCH_SOURCE).join(
+        F.broadcast(model), "b"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("q").cast("long").alias("logratio_micro"),
+        F.round(F.sum("q").cast("long") / F.lit(1000000.0), 6).alias(
+            "importance_logratio"
+        ),
+    )
+
 # Source vocabulary-overlap matrix: pairwise Jaccard of the distinct-token
 # vocabularies of every source pair — the lexical complement of the
 # content-level cross_source_dup_matrix (shared TOKENS flag sibling scrapes

@@ -14,9 +14,11 @@ runs before (and after) the content-level dedup tiers in
   operates only on the derived string, and the oracle re-derives and
   re-parses the same URLs, so the round trip is checked end-to-end.
 - **Token-rarity scoring** (the CCNet perplexity-filter shape): "train" a
-  unigram LM on the corpus itself (one token-frequency aggregation — the
-  vocabulary is tiny next to the corpus, hence broadcastable), score each
-  document by its tokens' corpus frequencies. Deliberately log-free: the
+  unigram LM on the corpus itself (one token-frequency aggregation; the
+  score join carries NO broadcast hint — the distinct-token vocabulary
+  grows with the corpus, so AQE owns the strategy; the hashed-vocabulary
+  variant below is bounded by construction and broadcasts safely), score
+  each document by its tokens' corpus frequencies. Deliberately log-free: the
   mean corpus-frequency and rare-token fraction are monotone transforms of
   unigram log-likelihood computable in exact integer/rational arithmetic,
   so the oracle comparison is bit-exact (IEEE division of integers is
@@ -195,6 +197,71 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum((F.col("cf") <= _RARE_CF).cast("int")) * 1.0 / F.count(F.lit(1)), 6
         ).alias("rare_frac"),
+    )
+
+# --- hashed-vocabulary token rarity (bounded-model variant) -----------------
+
+# The CCNet/DSIR trick that makes the unigram "LM" broadcastable BY
+# CONSTRUCTION at any corpus size: tokens hash into a fixed bucket table
+# (B=4096), so the model side is <= B rows no matter how many distinct
+# tokens the open-web corpus grows. Collisions conflate token identities
+# (each bucket's count is the sum over its tokens) — the standard accepted
+# trade of hashed feature models; rankings track the exact-vocabulary form
+# wherever collisions are balanced. The broadcast hint here is SAFE, unlike
+# token_rarity_scores' exact-vocabulary model (see PLANS.md
+# "Vocabulary-scale boundary").
+_VOCAB_BUCKETS = 4096
+
+def _bucket_of(col):
+    """Portable token->bucket hash: first 8 md5 hex chars mod B."""
+    from kin_data_pipeline_spark.queries.llmops import _h32
+
+    return (_h32(col) % _VOCAB_BUCKETS).alias("b")
+
+_SQL_BUCKET = (
+    f"CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {_VOCAB_BUCKETS}"
+)
+
+@register(
+    "hashed_token_rarity_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_BUCKET} AS b FROM (
+        SELECT doc_id, source, w FROM (
+          SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents
+        ), UNNEST(ws) AS t(w)
+      )
+    ), freq AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY b
+    )
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cf) * 1.0 / COUNT(*), 6) AS mean_bucket_cf,
+           CAST(MIN(cf) AS BIGINT) AS min_bucket_cf,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_distinct_buckets
+    FROM tok JOIN freq USING (b)
+    GROUP BY doc_id
+    """,
+    doc=(
+        f"hashed-vocabulary ({_VOCAB_BUCKETS}-bucket) unigram-LM document "
+        "scoring — the bounded-model CCNet shape whose broadcast is safe "
+        "at any corpus size"
+    ),
+)
+def hashed_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import doc_tokens
+
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "source", _bucket_of(F.col("w")))
+    # <= 4096 rows regardless of corpus size: the ONLY vocabulary-model
+    # frame in the tier where a broadcast hint is sound by construction.
+    freq = tok.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    scored = tok.join(F.broadcast(freq), "b")
+    return scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("cf") * 1.0 / F.count(F.lit(1)), 6).alias("mean_bucket_cf"),
+        F.min("cf").alias("min_bucket_cf"),
+        F.countDistinct("b").cast("long").alias("n_distinct_buckets"),
     )
 
 # --- line-grain exact substring dedup ---------------------------------------
