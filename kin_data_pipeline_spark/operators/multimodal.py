@@ -77,9 +77,11 @@ def require_codec(name: str):
     """Import a media codec library or raise a clear stub error.
 
     Header-level decode of BMP/PNG/WAV/JPEG needs no codec (see
-    ``parse_media_header``); this gate covers only pixel/sample-level work
-    (full raster decode, resampling, video frame extraction) on formats the
-    pure-Python parsers don't handle. Production clusters ship the libs.
+    ``parse_media_header``), and PNG raster decode is pure stdlib too
+    (``decode_png_pixels``: zlib inflate + scanline unfiltering). This
+    gate covers only the formats whose pixel/sample work genuinely needs a
+    native codec — JPEG entropy decode, video frame extraction, lossy
+    resampling. Production clusters ship the libs.
     """
     try:
         return __import__(name)
@@ -421,4 +423,249 @@ def resize_plan(df: DataFrame, max_side: int) -> DataFrame:
         "*",
         (F.col("width") * scale).cast("int").alias("target_width"),
         (F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+# --- pixel-level PNG decode (pure stdlib: zlib + struct + numpy) -----------
+# PNG IDAT is zlib (RFC 1950) and the scanline filters are spec §9 integer
+# arithmetic — the raster path needs NO external codec. This retires the
+# NotImplementedError gate for the generated formats: require_codec remains
+# only for JPEG entropy decode and video (formats whose rasters genuinely
+# need libjpeg/libav).
+#
+# The encoder below exists so the path is a checked ROUND TRIP rather than
+# a parser of its own output's happy path: rasters are deterministic
+# arithmetic on (x, y, channel, media_id), rows are filtered with a cycling
+# filter type, and the decoder must undo zlib + per-row unfiltering to
+# recover pixel statistics that the SQL oracle predicts from the formula
+# alone (queries/llmops.py::png_pixel_stats).
+
+PNG_PIXEL_DIM = 24  # max raster side for the synthesized pixel tier
+
+def _pixel_raster(media_id: int, width: int, height: int, channels: int):
+    """The deterministic raster: sample(x, y, c) = (3x + 5y + 7c + id) % 256."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(channels, dtype=np.int64)
+    return (
+        (3 * x[None, :, None] + 5 * y[:, None, None] + 7 * c[None, None, :] + media_id)
+        % 256
+    ).astype("uint8")
+
+def png_pixel_geometry(media_id: int) -> tuple[int, int, int]:
+    """(width, height, color_type) for the synthesized pixel tier — fixed
+    arithmetic the SQL oracle mirrors."""
+    width = 1 + media_id * 7 % PNG_PIXEL_DIM
+    height = 1 + media_id * 13 % PNG_PIXEL_DIM
+    color_type = (0, 2, 4, 6)[media_id // 4 % 4]
+    return width, height, color_type
+
+def encode_png_pixels(media_id: int) -> bytes:
+    """A complete, valid PNG (signature, IHDR, IDAT, IEND, real CRCs) of
+    the deterministic raster. Rows cycle filter types None/Sub/Up so the
+    decoder's unfiltering is actually exercised, not just passed through."""
+    import numpy as np
+
+    width, height, color_type = png_pixel_geometry(media_id)
+    channels = PNG_CHANNELS[color_type]
+    raster = _pixel_raster(media_id, width, height, channels)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = []
+    prev = np.zeros(width * channels, dtype=np.uint8)
+    for yy in range(height):
+        flat = raster[yy].reshape(-1)
+        ft = yy % 3
+        if ft == 0:  # None
+            filt = flat
+        elif ft == 1:  # Sub: raw[x] - raw[x - bpp]
+            shifted = np.concatenate(
+                [np.zeros(channels, dtype=np.uint8), flat[:-channels]]
+            )
+            filt = (flat.astype(np.int16) - shifted.astype(np.int16)) % 256
+        else:  # Up: raw[x] - prior_row[x]
+            filt = (flat.astype(np.int16) - prev.astype(np.int16)) % 256
+        out.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4 Paeth predictor."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+def decode_png_pixels(content: bytes):
+    """Full raster decode of an 8-bit non-interlaced PNG — pure stdlib.
+
+    Walks chunks (verifying CRCs), inflates the concatenated IDAT stream,
+    and undoes all five scanline filters (None/Sub/Up/Average/Paeth).
+    Returns a (height, width, channels) uint8 numpy array. Raises
+    ValueError on malformed payloads and NotImplementedError for bit
+    depths/interlacing outside the supported profile (route those through
+    ``require_codec`` on a production image).
+    """
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    off = 8
+    ihdr = None
+    idat = []
+    while off + 8 <= len(content):
+        clen, ctype = struct.unpack_from(">I4s", content, off)
+        data = content[off + 8 : off + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", content, off + 8 + clen)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG payload has no IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "stdlib PNG decode supports 8-bit non-interlaced profiles; "
+            "use require_codec for others"
+        )
+    channels = PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG payload with invalid color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for yy in range(height):
+        ft = raw[yy * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=yy * (stride + 1) + 1
+        ).astype(np.int16)
+        up = out[yy - 1].astype(np.int16) if yy else np.zeros(stride, np.int16)
+        if ft == 0:  # None
+            rec = row
+        elif ft == 1:  # Sub — prefix dependency collapses to a cumsum
+            rec = row.reshape(-1, bpp).cumsum(axis=0) % 256
+            rec = rec.reshape(-1)
+        elif ft == 2:  # Up
+            rec = (row + up) % 256
+        elif ft == 3:  # Average — sequential in x (left is reconstructed)
+            rec = np.zeros(stride, np.int16)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (row[i] + (left + up[i]) // 2) % 256
+        elif ft == 4:  # Paeth — sequential in x
+            rec = np.zeros(stride, np.int16)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                ul = int(up[i - bpp]) if i >= bpp else 0
+                rec[i] = (row[i] + _paeth(left, int(up[i]), ul)) % 256
+        else:
+            raise ValueError(f"PNG row {yy} has invalid filter type {ft}")
+        out[yy] = rec.astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+def png_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id, content) -> per-image raster stats.
+
+    Geometry comes from the DECODED raster (IHDR + inflate + unfilter),
+    never from the generation formula — the formula lives only in the SQL
+    oracle, which is what makes the comparison an end-to-end decode check.
+    """
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            r = decode_png_pixels(bytes(content))
+            h, w, ch = r.shape
+            flat = r.reshape(-1)
+            rows.append(
+                (
+                    int(mid),
+                    w,
+                    h,
+                    ch,
+                    int(flat.size),
+                    int(flat.astype("int64").sum()),
+                    int(flat.min()),
+                    int(flat.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id",
+                "width",
+                "height",
+                "n_channels",
+                "n_samples",
+                "sum_samples",
+                "min_sample",
+                "max_sample",
+            ],
+        )
+
+def synthesize_pixel_png_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete pixel-bearing PNG payload (unlike synthesize_media's
+    header-only tier)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/png",
+                "content": pdf["media_id"].map(lambda i: encode_png_pixels(int(i))),
+            }
+        )
+
+def synthesize_pixel_png_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return ids.mapInPandas(synthesize_pixel_png_batch, schema=SYNTH_SCHEMA)
+
+def png_pixel_stats_df(df: DataFrame) -> DataFrame:
+    """Arrow-batched raster decode + per-image stats over a (media_id,
+    content) frame."""
+    return df.select("media_id", "content").mapInPandas(
+        png_pixel_stats_batch, schema=PIXEL_STATS_SCHEMA
     )

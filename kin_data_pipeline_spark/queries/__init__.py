@@ -110,6 +110,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     # verification-closure set):
     "hashed_token_rarity_scores",   # bounded-vocab CCNet scoring
     "dsir_log_importance_scores",   # faithful DSIR log-ratio weights
+    "png_pixel_stats",              # stdlib pixel-level PNG decode round trip
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

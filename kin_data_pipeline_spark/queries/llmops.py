@@ -1596,6 +1596,75 @@ def media_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
 
+# Pixel-level PNG decode round trip: the Spark side synthesizes complete
+# pixel-bearing PNGs (zlib IDAT, cycling None/Sub/Up row filters) and
+# recovers per-image raster statistics by a REAL stdlib decode (chunk walk
+# + CRC verify + inflate + all-five-filter unfiltering) in an
+# Arrow-batched mapInPandas. The oracle never decodes anything: it
+# predicts the same statistics from the deterministic raster formula
+# sample(x,y,c) = (3x+5y+7c+id) % 256, so a decoder bug anywhere in the
+# chain (filter math, stride, channel count) breaks the hash. This retires
+# the require_codec gate for generated formats — see
+# operators/multimodal.py "pixel-level PNG decode".
+
+@register(
+    "png_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 24 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 24 AS INT) AS height,
+             CAST(CASE doc_id // 4 % 4
+                  WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4
+                  END AS INT) AS n_channels
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           ANY_VALUE(g.n_channels) AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM((3 * x.x + 5 * y.y + 7 * c.c + g.media_id) % 256)
+                AS BIGINT) AS sum_samples,
+           CAST(MIN((3 * x.x + 5 * y.y + 7 * c.c + g.media_id) % 256)
+                AS INT) AS min_sample,
+           CAST(MAX((3 * x.x + 5 * y.y + 7 * c.c + g.media_id) % 256)
+                AS INT) AS max_sample,
+           ROUND(SUM((3 * x.x + 5 * y.y + 7 * c.c + g.media_id) % 256) * 1.0
+                 / COUNT(*), 6) AS mean_sample
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y),
+         UNNEST(range(0, g.n_channels)) AS c(c)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "pixel-level PNG decode (stdlib zlib inflate + scanline "
+        "unfiltering) → per-image raster stats; oracle predicts from the "
+        "deterministic raster formula"
+    ),
+)
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        png_pixel_stats_df,
+        synthesize_pixel_png_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_pixel_stats_df(synthesize_pixel_png_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        "n_samples",
+        "sum_samples",
+        "min_sample",
+        "max_sample",
+        F.round(F.col("sum_samples") * 1.0 / F.col("n_samples"), 6).alias(
+            "mean_sample"
+        ),
+    )
+
 # SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into
 # two 16-bit buckets (a pair within Hamming distance 1 must agree on at
 # least one band by pigeonhole), equi-join on (band, value) — linear

@@ -204,3 +204,122 @@ def test_parse_gif_logical_screen_descriptor():
 
     assert parse_media_header(gif(320, 200)) == ("image/gif", 320, 200, 1)
     assert parse_media_header(gif(1, 1, b"87a")) == ("image/gif", 1, 1, 1)
+
+# --- pixel-level PNG decode (stdlib zlib path) ------------------------------
+
+def _png_with_filters(width, height, channels, filter_of_row, pixel):
+    """Hand-rolled PNG encoder applying an arbitrary per-row filter type —
+    exists so the DECODER's Average/Paeth unfilters are exercised against
+    an independent forward implementation, not the library's own encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import _paeth
+
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raster = np.fromfunction(
+        lambda y, x, c: pixel(y, x, c) % 256, (height, width, channels), dtype=int
+    ).astype(np.uint8)
+    stride = width * channels
+    out = []
+    prev = np.zeros(stride, dtype=int)
+    for yy in range(height):
+        raw = raster[yy].reshape(-1).astype(int)
+        ft = filter_of_row(yy)
+        filt = np.zeros(stride, dtype=int)
+        for i in range(stride):
+            left = raw[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+                4: _paeth(int(left), int(up), int(ul)),
+            }[ft]
+            filt[i] = (raw[i] - pred) % 256
+        out.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = raw
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + chunk(b"IEND", b"")
+    ), raster
+
+def test_png_decode_all_five_filter_types():
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import decode_png_pixels
+
+    pixel = lambda y, x, c: 11 * x + 17 * y + 29 * c + 3
+    for ch in (1, 2, 3, 4):
+        # every row a different filter type, covering all five
+        png, raster = _png_with_filters(7, 10, ch, lambda y: y % 5, pixel)
+        got = decode_png_pixels(png)
+        assert got.shape == raster.shape
+        assert (got == raster).all(), f"channels={ch}"
+    # single-filter images too (Paeth/Average-only exercise the x<bpp edge)
+    for ft in range(5):
+        png, raster = _png_with_filters(5, 4, 3, lambda y: ft, pixel)
+        assert (decode_png_pixels(png) == raster).all(), f"filter={ft}"
+
+def test_png_encode_decode_round_trip_matches_formula():
+    from kin_data_pipeline_spark.operators.multimodal import (
+        PNG_CHANNELS,
+        _pixel_raster,
+        decode_png_pixels,
+        encode_png_pixels,
+        png_pixel_geometry,
+    )
+
+    for mid in (0, 1, 2, 3, 4, 7, 97, 1009):
+        w, h, ct = png_pixel_geometry(mid)
+        got = decode_png_pixels(encode_png_pixels(mid))
+        assert (got == _pixel_raster(mid, w, h, PNG_CHANNELS[ct])).all()
+
+def test_png_decode_rejects_malformed():
+    import pytest
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    png = encode_png_pixels(5)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"BMnot-a-png")
+    # flip a byte inside IDAT: CRC check must catch it
+    corrupt = bytearray(png)
+    corrupt[41] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_pixels(bytes(corrupt))
+    # cut inside the IDAT chunk body (IHDR spans bytes 8..33, IDAT starts
+    # at 33; byte 45 is mid-payload) — a missing IEND alone is tolerated
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_pixels(png[:45])
+    # 16-bit profile routes to require_codec, not silence
+    import struct as _s
+    import zlib as _z
+    ihdr16 = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk = (
+        _s.pack(">I", len(ihdr16))
+        + b"IHDR"
+        + ihdr16
+        + _s.pack(">I", _z.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\n" + chunk)
