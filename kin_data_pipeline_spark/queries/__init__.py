@@ -111,6 +111,8 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "hashed_token_rarity_scores",   # bounded-vocab CCNet scoring
     "dsir_log_importance_scores",   # faithful DSIR log-ratio weights
     "png_pixel_stats",              # stdlib pixel-level PNG decode round trip
+    "scd2_user_event_type_history",  # warehouse SCD2 interval build
+    "streaming_static_enrichment_join",  # §2.9 tier 7: stream-static dim join
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -288,6 +288,78 @@ def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_value"),
     )
 
+# SCD2 history build — the classic warehouse dimension-versioning op the
+# reference's snapshot-shaped marts imply but never materialize: compress
+# each entity's attribute stream into validity intervals
+# [valid_from, valid_to) with an open interval for the current version.
+# Gaps-and-islands via change-flag + running sum (the same two-window shape
+# as sessionization above, keyed on value change instead of time gap); all
+# windows partition by the entity key, so the build scales as one shuffle
+# on user_id with no global ordering anywhere.
+@register(
+    "scd2_user_event_type_history",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR event_type <> LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS version_id
+      FROM flagged
+    ), runs AS (
+      SELECT user_id, version_id, MIN(event_type) AS attr,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, version_id
+    )
+    SELECT user_id, version_id, attr, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version_id)
+             AS valid_to,
+           n_events,
+           CAST(CASE WHEN LEAD(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY version_id) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM runs
+    """,
+    doc=(
+        "SCD2 dimension history: per-user event_type runs compressed into "
+        "validity intervals (change-flag + running sum, open current row)"
+    ),
+)
+def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("version_id", F.sum("chg").over(w_run).cast("long"))
+    runs = numbered.groupBy("user_id", "version_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version_id")
+    return runs.select(
+        "user_id",
+        "version_id",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w_v).isNull().cast("int").alias("is_current"),
+    )
+
 # TPC-H Q3 shape: selective multi-join + agg + rank (the classic OLAP plan:
 # two broadcastable filters on either side of the big fact).
 @register(
@@ -796,6 +868,53 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = purchase_view_join_stream(stream_events_from_parquet(spark, sf_dir))
     sunk = _run_to_memory(stream, sink, "append")
     return sunk
+
+# Stream-static enrichment join (§2.9 tier 7): the micro-batch ingestion
+# shape every warehouse feed uses — each micro-batch of the event stream
+# joins a STATIC dimension (re-resolved per batch, broadcast by size), then
+# rolls up. Unlike the stream-stream tier there is no join state at all:
+# state is only the rollup aggregation, and the static side never grows
+# with stream history. Run to completion (availableNow, complete mode) the
+# result converges to the batch join+agg, so it hash-checks against a
+# plain SQL oracle.
+@register(
+    "streaming_static_enrichment_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(date_trunc('day', e.ts) AS DATE) AS date_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment, date_key
+    """,
+    doc=(
+        "stream-static broadcast enrichment: event micro-batches join a "
+        "static customer dim, rolled up per segment/day (stateless join, "
+        "bounded agg state)"
+    ),
+)
+def streaming_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import stream_events_from_parquet
+
+    spark = _stream_session(spark)
+    sink = "streaming_static_enrichment_sink"
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = stream_events_from_parquet(spark, sf_dir).join(dim, "user_id")
+    rolled = enriched.groupBy(
+        "segment", F.to_date("ts").alias("date_key")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # no exact COUNT(DISTINCT): unsupported on streams (state would be
+        # unbounded per group anyway) — the sketch tier's streaming HLL
+        # (streaming_approx_daily_users) is the distinct-count form here
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return _run_to_memory(rolled, sink, "complete")
 
 # --- skew tier: salted rewrites proven answer-identical ---------------------
 # At 100 TB a zipf-headed key (one dominant event_type, the NULL app bucket)
