@@ -230,6 +230,109 @@ def containment_pairs_from_lists(
     cont = F.col("n_common") / F.least("na", "nb")
     return pairs.withColumn("containment", cont).filter(cont >= threshold)
 
+def prefix_filter_jaccard_pairs(
+    shingled: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join with AllPairs/PPJoin prefix filtering —
+    the published scalable form of the exact set-similarity join (Bayardo,
+    Ma & Srikant, WWW'07; Chaudhuri, Ganti & Kaushik, ICDE'06).
+
+    The uncapped postings expansion (``df_cap=None``) forms every
+    co-occurring pair — quadratic in the hottest token and therefore
+    unregisterable for open web. Prefix filtering recovers the EXACT
+    result while indexing only each document's ``|r| - ceil(t*|r|) + 1``
+    rarest tokens (global order = (document frequency, token), a total
+    order): any pair with Jaccard >= t provably shares a token within both
+    prefixes, so candidate generation touches only rare-token posting
+    lists, then an intersection verification computes the true score.
+
+    The threshold is a RATIONAL (num/den) so the prefix length is exact
+    integer arithmetic — a float ``ceil(0.5 * n)`` can land on the wrong
+    side of an IEEE representation error and silently shorten a prefix,
+    which would drop qualifying pairs (an exactness bug, not a precision
+    nit).
+
+    Scale shape: one groupBy + one equi-join on the token key to attach
+    frequencies (vocabulary-sized — NO broadcast hint, AQE owns it; see
+    PLANS.md "Vocabulary-scale boundary"), one grouped expansion over
+    prefix postings (bounded by rare-token df, not corpus df), a pair-level
+    length filter (t*max(|a|,|b|) <= min(|a|,|b|)), and two doc_id
+    equi-joins for verification. Returns (doc_a, doc_b, n_common, jaccard).
+    """
+    n_sh = F.size("shingles")
+    post = shingled.select(
+        "doc_id", n_sh.alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = post.join(freq, "s")
+    # L = n - ceil(num*n/den) + 1, all-integer
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("n_sh") + threshold_den - 1)
+            / F.lit(threshold_den)
+        ).cast("int")
+        + 1
+    )
+    pre = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list(F.struct("dfreq", "s"))).alias("ord"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.explode(
+                F.slice(
+                    F.transform("ord", lambda x: x["s"]), F.lit(1), prefix_len
+                )
+            ).alias("s"),
+        )
+    )
+    cand = (
+        pair_counts_from_lists(
+            pre.groupBy("s").agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
+                ).alias("docs")
+            ),
+            df_cap=None,
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        # length filter: J >= t forces t*max <= min — prunes before the
+        # verification joins ever see the pair
+        .filter(
+            F.lit(threshold_den) * F.least("na", "nb")
+            >= F.lit(threshold_num) * F.greatest("na", "nb")
+        )
+    )
+    full = shingled.select("doc_id", "shingles")
+    v = cand.join(
+        full.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+        "doc_a",
+    ).join(
+        full.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    scored = v.select(
+        "doc_a", "doc_b", inter.alias("n_common"), "na", "nb"
+    ).filter(
+        F.lit(threshold_den) * F.col("n_common")
+        >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    )
+
 def minhash_signatures(
     postings: DataFrame, params: list[tuple[int, int]], prime: int = 2147483647
 ) -> DataFrame:

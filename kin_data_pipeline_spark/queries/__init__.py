@@ -113,6 +113,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "png_pixel_stats",              # stdlib pixel-level PNG decode round trip
     "scd2_user_event_type_history",  # warehouse SCD2 interval build
     "streaming_static_enrichment_join",  # §2.9 tier 7: stream-static dim join
+    "ngram_jaccard_prefix_filtered",  # EXACT Jaccard, AllPairs/PPJoin pruned
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

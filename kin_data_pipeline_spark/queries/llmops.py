@@ -268,6 +268,32 @@ NGRAM_JACCARD_EXACT_ORACLE = f"""
 def ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_query(spark, sf_dir, df_cap=None)
 
+# Prefix-filtered EXACT Jaccard — the registerable exact form. Unlike the
+# unregistered all-pairs expansion above (quadratic in the hottest
+# shingle), AllPairs/PPJoin prefix filtering indexes only each document's
+# rarest |r| - ceil(t|r|) + 1 shingles and provably loses no qualifying
+# pair, so the exact semantics finally get a driver-checked row with a
+# scale-sane plan (operators/dedup.py::prefix_filter_jaccard_pairs has the
+# lemma + shuffle budget). Oracle: the same exact all-pairs SQL the
+# differential tests use — identical results, different plan.
+@register(
+    "ngram_jaccard_prefix_filtered",
+    NGRAM_JACCARD_EXACT_ORACLE,
+    doc=(
+        "EXACT n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering "
+        "(rarest-token prefixes + length filter + intersection verify)"
+    ),
+)
+def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    # JACCARD_THRESHOLD as an exact rational: 0.5 = 1/2. The operator
+    # takes num/den so prefix lengths are integer-exact (see its docstring).
+    assert JACCARD_THRESHOLD == 0.5
+    return prefix_filter_jaccard_pairs(
+        shingled_documents(spark, sf_dir), threshold_num=1, threshold_den=2
+    )
+
 def _minhash_sql_exprs() -> list[str]:
     h = _sql_h32("s")
     return [

@@ -255,3 +255,22 @@ def test_semantic_dedup_cell_cap_drops_hot_cells(spark, sf_dir):
     # every surviving cell holds <= 10 vectors -> <= 45 pairs per cell
     per_cell = capped.groupBy("cid").count().collect()
     assert all(r["count"] <= 45 for r in per_cell)
+
+def test_prefix_filter_equals_exact_expansion(spark, sf_dir):
+    """The AllPairs/PPJoin lemma, checked differentially: prefix-filtered
+    candidate generation + verification returns EXACTLY the pairs of the
+    uncapped all-pairs expansion — same keys, same scores."""
+    from kin_data_pipeline_spark.queries.llmops import (
+        ngram_jaccard_exact,
+        ngram_jaccard_prefix_filtered,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_exact(spark, sf_dir).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_prefix_filtered(spark, sf_dir).collect()
+    }
+    assert pref == exact
