@@ -114,6 +114,9 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "scd2_user_event_type_history",  # warehouse SCD2 interval build
     "streaming_static_enrichment_join",  # §2.9 tier 7: stream-static dim join
     "ngram_jaccard_prefix_filtered",  # EXACT Jaccard, AllPairs/PPJoin pruned
+    "scd2_point_in_time_enrichment",  # PIT join against the SCD2 history
+    "source_temperature_weights",  # alpha-temperature source mixing weights
+    "cdc_chunk_dedup_stats",  # content-defined chunking dedup stats
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -962,3 +962,65 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vocab_jaccard"),
     )
+
+# Temperature-scaled source mixing weights — the multinomial sampling
+# primitive every multi-source LLM training run uses (mT5/PaLM-style
+# p_i ∝ n_i^alpha with alpha < 1 upweighting small sources). alpha = 0.5
+# here (temperature tau = 2 over token mass). Cross-engine exactness, house
+# style: the only float op per source is one sqrt, immediately quantized to
+# integer micro-units; the normalizing denominator is then an EXACT integer
+# sum, and each weight is a single IEEE division. Scale shape: everything
+# after the one token-count aggregation lives on a frame bounded by the
+# SOURCE count (datasets, not documents), where the global window is a
+# single-partition pass over tens of rows.
+@register(
+    "source_temperature_weights",
+    """
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)
+               AS s_micro
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens, s_micro,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS raw_frac,
+           ROUND(CAST(s_micro AS DOUBLE) / SUM(s_micro) OVER (), 6) AS weight_alpha05
+    FROM scaled
+    """,
+    doc=(
+        "temperature-scaled (alpha=0.5) source sampling weights over token "
+        "mass — the multi-source mixing primitive (micro-quantized sqrt, "
+        "integer normalizer)"
+    ),
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scaled = per_source.withColumn(
+        "s_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000, 0).cast("long"),
+    )
+    w_all = Window.partitionBy()
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "s_micro",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all), 6
+        ).alias("raw_frac"),
+        F.round(
+            F.col("s_micro").cast("double") / F.sum("s_micro").over(w_all), 6
+        ).alias("weight_alpha05"),
+    )

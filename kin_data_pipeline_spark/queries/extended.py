@@ -360,6 +360,119 @@ def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_v).isNull().cast("int").alias("is_current"),
     )
 
+# Point-in-time (as-of) enrichment against an SCD2 dimension — the read
+# side of the versioning pattern above, and the warehouse op the reference's
+# snapshot marts imply (every "state at the time of the event" report needs
+# it). The history here is a DAILY-grain SCD2: per (user, day) the dominant
+# event_type (argmax by count, event_type tiebreak) compressed into validity
+# intervals; each individual event then joins to the version covering its
+# day — so the attached attribute is the user's day-dominant behavior, not
+# the event's own type. Scale shape: the interval join is an equi-join on
+# user_id with a range residual — Spark co-partitions both sides on the
+# user key (one shuffle each) and the per-user interval list is tiny (#
+# distinct behavior runs), so the residual never degenerates into a range
+# cross-product; nothing broadcasts or loops.
+@register(
+    "scd2_point_in_time_enrichment",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), dominant AS (
+      SELECT user_id, day, event_type AS attr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, day ORDER BY n DESC, event_type ASC) AS rn
+        FROM daily
+      ) WHERE rn = 1
+    ), flagged AS (
+      SELECT user_id, day, attr,
+             CASE WHEN LAG(attr) OVER w IS NULL OR attr <> LAG(attr) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM dominant WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), runs AS (
+      SELECT user_id,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS version_id,
+             attr, day
+      FROM flagged
+    ), hist AS (
+      SELECT user_id, version_id, MIN(attr) AS attr,
+             MIN(day) AS valid_from,
+             LEAD(MIN(day)) OVER (PARTITION BY user_id ORDER BY version_id)
+               AS valid_to
+      FROM runs GROUP BY user_id, version_id
+    )
+    SELECT h.attr AS dominant_attr, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN hist h
+      ON e.user_id = h.user_id
+     AND CAST(date_trunc('day', e.ts) AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(date_trunc('day', e.ts) AS DATE) < h.valid_to)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "point-in-time join: events enriched with the SCD2 version valid at "
+        "their day (daily dominant-behavior dimension, interval residual on "
+        "a user_id equi-join)"
+    ),
+)
+def scd2_point_in_time_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    daily = ev.groupBy("user_id", "day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_rank = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    dominant = (
+        daily.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("attr"))
+    )
+    w_day = Window.partitionBy("user_id").orderBy("day")
+    flagged = dominant.withColumn(
+        "chg",
+        F.when(
+            F.lag("attr").over(w_day).isNull()
+            | (F.col("attr") != F.lag("attr").over(w_day)),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "version_id",
+        F.sum("chg")
+        .over(w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    runs = numbered.groupBy("user_id", "version_id").agg(
+        F.min("attr").alias("attr"), F.min("day").alias("valid_from")
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version_id")
+    hist = runs.select(
+        "user_id",
+        F.col("attr").alias("dominant_attr"),
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+    )
+    e = ev.select("user_id", "day", "event_type").alias("e")
+    h = hist.alias("h")
+    joined = e.join(
+        h,
+        (F.col("e.user_id") == F.col("h.user_id"))
+        & (F.col("e.day") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("e.day") < F.col("h.valid_to"))),
+    )
+    return joined.groupBy("dominant_attr", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.col("e.user_id")).cast("long").alias("n_users"),
+    )
+
 # TPC-H Q3 shape: selective multi-join + agg + rank (the classic OLAP plan:
 # two broadcastable filters on either side of the big fact).
 @register(

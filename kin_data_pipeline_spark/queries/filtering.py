@@ -581,3 +581,96 @@ def line_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.cast("long").alias("n_kept_tokens"),
         F.round(kept * 1.0 / F.col("n_words"), 6).alias("retained_frac"),
     )
+
+# --- content-defined chunking (CDC) -----------------------------------------
+# The fixed-width chunk tier above breaks under INSERTION: prepend one token
+# and every downstream chunk boundary shifts, so a near-identical document
+# shares zero chunk hashes with the original. Content-defined chunking (the
+# rsync/LBFS/FastCDC idea, applied at token grain) draws a boundary wherever
+# the TOKEN's own hash satisfies h % G == 0, so boundaries re-synchronize
+# right after any local edit and the rest of the document dedups again.
+# Expected chunk length = G tokens. Scale shape: one posexplode + one
+# per-document window (partitioned by doc_id — no global ordering), one
+# grouped shuffle on chunk hash; all linear.
+_CDC_G = 16
+
+@register(
+    "cdc_chunk_dedup_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, ws[i] AS w, i
+      FROM (SELECT doc_id, source, {_SQL_WORDS} AS ws FROM documents),
+           UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ), flagged AS (
+      SELECT *, CASE WHEN CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                          % {_CDC_G} = 0 THEN 1 ELSE 0 END AS bnd
+      FROM tok
+    ), numbered AS (
+      SELECT *, CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             md5(string_agg(w, ' ' ORDER BY i)) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM numbered GROUP BY doc_id, chunk_id
+    ), freq AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM chunks GROUP BY c
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_instances,
+           ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS avg_chunk_toks
+    FROM chunks JOIN freq USING (c)
+    GROUP BY source
+    """,
+    doc=(
+        f"content-defined chunking (boundary when h(token) %% {_CDC_G} == 0): "
+        "insertion-robust exact substring dedup stats per source"
+    ),
+)
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import _h32
+
+    d = _with_words(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", "source", F.posexplode("words").alias("i", "w")
+    )
+    flagged = tok.withColumn(
+        "bnd", ((_h32(F.col("w")) % _CDC_G) == 0).cast("int")
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("chunk_id", F.sum("bnd").over(w_doc).cast("long"))
+    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.any_value("source").alias("source"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    )
+    freq = chunks.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    joined = chunks.join(freq, "c")
+    dup = F.sum((F.col("cnt") >= 2).cast("int"))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        dup.cast("long").alias("n_dup_instances"),
+        F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chunk_toks"
+        ),
+    )
