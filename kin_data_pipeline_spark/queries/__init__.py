@@ -22,6 +22,7 @@ import kin_data_pipeline_spark.queries.kin_models  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.extended  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.retrieval  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
 # so ordering is a coverage decision. Round-4 window goal: VERIFICATION
@@ -117,6 +118,11 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "scd2_point_in_time_enrichment",  # PIT join against the SCD2 history
     "source_temperature_weights",  # alpha-temperature source mixing weights
     "cdc_chunk_dedup_stats",  # content-defined chunking dedup stats
+    "hashed_bigram_logprob",  # bounded-model bigram-LM sequence quality
+    "bm25_doc_scores",  # inverted-index BM25 retrieval scoring
+    "ivf_recall_audit",  # recall@5 of IVF ANN vs brute-force exact
+    "minhash_estimate_audit",  # signature agreement vs exact Jaccard
+    "near_dup_pagerank_3iter",  # integer PageRank over the LSH graph
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -674,3 +674,106 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chunk_toks"
         ),
     )
+
+# --- hashed bigram language-model scoring -----------------------------------
+# The unigram tier above ranks docs by isolated token frequency; real
+# LM-based quality filters (CCNet's KenLM stage) score SEQUENCES. This is
+# the bounded-model bigram form: token buckets (B=256) give a <= B^2-row
+# conditional-frequency model — broadcast-safe at any corpus size, like the
+# unigram hashed vocabulary — and each document's score is its mean Laplace
+# log-probability ln((c(prev,cur)+1)/(c(prev)+B)) under that model. House
+# exactness: per-pair log values are micro-quantized to integers in the
+# tiny model table; per-doc sums are exact integer arithmetic; the final
+# mean is one fixed-order double division chain.
+_BIGRAM_B = 256
+_SQL_BK = (
+    f"list_transform({{ws}}, w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)"
+    f" % {_BIGRAM_B})"
+)
+
+@register(
+    "hashed_bigram_logprob",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_SQL_BK.format(ws=_SQL_WORDS)} AS bk FROM documents
+    ), pairs AS (
+      SELECT doc_id, source, p FROM (
+        SELECT doc_id, source,
+               list_transform(range(2, len(bk) + 1),
+                              i -> bk[i-1] * {_BIGRAM_B} + bk[i]) AS ps
+        FROM d
+      ), UNNEST(ps) AS t(p)
+    ), pair_freq AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c_pair FROM pairs GROUP BY p
+    ), ctx_freq AS (
+      SELECT p // {_BIGRAM_B} AS ctx, CAST(SUM(c_pair) AS BIGINT) AS c_ctx
+      FROM pair_freq GROUP BY 1
+    ), model AS (
+      SELECT p, CAST(ROUND((ln(c_pair + 1) - ln(c_ctx + {_BIGRAM_B}))
+                           * 1000000, 0) AS BIGINT) AS q
+      FROM pair_freq JOIN ctx_freq ON p // {_BIGRAM_B} = ctx
+    )
+    SELECT doc_id, ANY_VALUE(source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q) AS BIGINT) AS logprob_micro,
+           ROUND(CAST(SUM(q) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_logprob
+    FROM pairs JOIN model USING (p)
+    GROUP BY doc_id
+    """,
+    doc=(
+        f"hashed ({_BIGRAM_B}-bucket) bigram-LM mean log-probability per "
+        "document — the bounded-model KenLM/CCNet sequence-quality shape "
+        "(micro-quantized integer log arithmetic)"
+    ),
+)
+def hashed_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.queries.llmops import _h32
+
+    d = _with_words(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.col("words"), lambda w: _h32(w) % _BIGRAM_B
+        ).alias("bk"),
+    )
+    ps = F.when(
+        F.size("bk") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("bk")),
+            lambda i: F.element_at(F.col("bk"), (i - 1).cast("int")) * _BIGRAM_B
+            + F.element_at(F.col("bk"), i.cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pairs = d.select("doc_id", "source", F.explode(ps).alias("p"))
+    pair_freq = pairs.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    ctx_freq = pair_freq.groupBy(
+        (F.col("p") / _BIGRAM_B).cast("long").alias("ctx")
+    ).agg(F.sum("c_pair").cast("long").alias("c_ctx"))
+    model = (
+        pair_freq.withColumn("ctx", (F.col("p") / _BIGRAM_B).cast("long"))
+        .join(ctx_freq, "ctx")
+        .select(
+            "p",
+            F.round(
+                (F.log(F.col("c_pair") + 1) - F.log(F.col("c_ctx") + _BIGRAM_B))
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    # model is <= B^2 rows by construction: the one bigram-model frame
+    # whose broadcast is sound at any corpus size.
+    scored = pairs.join(F.broadcast(model), "p")
+    return scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("logprob_micro"),
+        F.round(
+            F.sum("q").cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

@@ -406,6 +406,109 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+# MinHash estimate-vs-exact audit: for every LSH candidate pair, the number
+# of agreeing signature components (the MinHash Jaccard ESTIMATE, an
+# integer out of len(MINHASH_PARAMS)) next to the pair's exact shingle-set
+# Jaccard — the calibration table that tells you what a 4-hash signature
+# actually buys (E[n_agree/4] = true Jaccard). The verify step is
+# pair-local (array intersection on the two docs' shingle arrays), the
+# standard LSH candidate-verification shape: cost scales with the
+# candidate count, never with the corpus.
+@register(
+    "minhash_estimate_audit",
+    f"""
+    WITH doc_sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), sh AS (
+      SELECT doc_id, s FROM doc_sh, UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({' + '.join(f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)' for i in range(len(MINHASH_PARAMS)))}
+             AS INT) AS n_agree,
+           ROUND(CAST({' + '.join(f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)' for i in range(len(MINHASH_PARAMS)))}
+             AS DOUBLE) / {len(MINHASH_PARAMS)}, 6) AS est_jaccard,
+           CAST(len(list_intersect(da.shingles, db.shingles)) AS BIGINT) AS n_common,
+           CAST(len(da.shingles) AS BIGINT) AS na,
+           CAST(len(db.shingles) AS BIGINT) AS nb,
+           ROUND(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+                 / (len(da.shingles) + len(db.shingles)
+                    - len(list_intersect(da.shingles, db.shingles))), 6)
+             AS true_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN doc_sh da ON da.doc_id = c.doc_a
+    JOIN doc_sh db ON db.doc_id = c.doc_b
+    """,
+    doc=(
+        f"MinHash calibration audit: per LSH candidate pair, the "
+        f"{len(MINHASH_PARAMS)}-hash signature agreement count (estimate) "
+        "vs the exact shingle-set Jaccard (pair-local verify)"
+    ),
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_sh = shingled_documents(spark, sf_dir).select("doc_id", "shingles")
+    sh = doc_sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    bands = document_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_PARAMS))],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_PARAMS))],
+    )
+    da = doc_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    db = doc_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    j = cand.join(sa, "doc_a").join(sb, "doc_b").join(da, "doc_a").join(db, "doc_b")
+    agree = None
+    for i in range(len(MINHASH_PARAMS)):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    na, nb = F.size("sh_a").cast("long"), F.size("sh_b").cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        agree.cast("int").alias("n_agree"),
+        F.round(agree.cast("double") / F.lit(len(MINHASH_PARAMS)), 6).alias(
+            "est_jaccard"
+        ),
+        inter.alias("n_common"),
+        na.alias("na"),
+        nb.alias("nb"),
+        F.round(inter.cast("double") / (na + nb - inter), 6).alias("true_jaccard"),
+    )
+
 def _simhash_bitsum_sql() -> list[str]:
     return [
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -2147,4 +2250,109 @@ def embedding_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("csim", 4).alias("sim_to_centroid"),
         F.col("rnk").cast("int").alias("rnk"),
         F.col("cell_n").cast("long").alias("cell_n"),
+    )
+
+# PageRank centrality over the near-dup candidate graph — the "canonical
+# document" signal: inside a duplication cluster, the member most connected
+# to other widely-duplicated members ranks highest (boilerplate hubs and
+# template families light up). Three power-iteration steps, unrolled —
+# each step is one grouped equi-join shuffle, the scale shape GraphX/Pregel
+# would compile to, with NO iterative driver loop hiding in a registered
+# query. Exactness: scores live in integer micro-units; the damping update
+# s' = 150000 + (17 * sum(s_u DIV deg_u)) DIV 20 is pure truncating integer
+# arithmetic (0.85 = 17/20 exactly), so both engines agree bit-for-bit and
+# parallel summation order cannot matter.
+_PR_ITERS = 3
+
+def _pr_sql() -> str:
+    steps = []
+    prev = "init"
+    for i in range(_PR_ITERS):
+        steps.append(
+            f"s{i} AS (SELECT e.dst AS doc_id, "
+            f"150000 + (17 * SUM(p.s // d.deg)) // 20 AS s "
+            f"FROM edges e JOIN {prev} p ON e.src = p.doc_id "
+            f"JOIN deg d ON e.src = d.doc_id GROUP BY e.dst)"
+        )
+        prev = f"s{i}"
+    return ", ".join(steps)
+
+@register(
+    "near_dup_pagerank_3iter",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ), deg AS (
+      SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY src
+    ), init AS (
+      SELECT doc_id, CAST(1000000 AS BIGINT) AS s FROM deg
+    ), {_pr_sql()}
+    SELECT p.doc_id, d.deg, CAST(p.s AS BIGINT) AS pr_micro,
+           ROUND(CAST(p.s AS DOUBLE) / 1000000.0, 6) AS pagerank
+    FROM s{_PR_ITERS - 1} p JOIN deg d ON p.doc_id = d.doc_id
+    """,
+    doc=(
+        f"{_PR_ITERS}-step integer PageRank over the MinHash-LSH candidate "
+        "graph (damping 17/20, truncating integer arithmetic — canonical-"
+        "document centrality inside duplication clusters)"
+    ),
+)
+def near_dup_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    bands = document_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = deg.select(F.col("src").alias("doc_id"), "deg")
+    scores = deg.select("doc_id", F.lit(1000000).cast("long").alias("s"))
+    e = edges.select(F.col("src").alias("doc_id"), "dst")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(scores, "doc_id")
+            .join(deg, "doc_id")
+            .select("dst", F.expr("s div deg").alias("c"))
+        )
+        scores = contrib.groupBy("dst").agg(
+            (F.lit(150000) + F.expr("17 * sum(c) div 20")).cast("long").alias("s")
+        ).select(F.col("dst").alias("doc_id"), "s")
+    return scores.join(deg, "doc_id").select(
+        "doc_id",
+        "deg",
+        F.col("s").alias("pr_micro"),
+        F.round(F.col("s").cast("double") / F.lit(1000000.0), 6).alias("pagerank"),
     )

@@ -43,6 +43,8 @@ ALLOWED_BNLJ = {
     "semantic_dedup_pairs",  # corpus × broadcast centroids (cell assignment)
     "semantic_dedup_survivor_stats",  # same cell assignment underneath
     "embedding_cell_outliers",  # corpus × broadcast centroids (cell assignment)
+    "ivf_recall_audit",  # composes the two exempted ANN paths above
+    "bm25_doc_scores",  # |Q|-row term frame × 1-row corpus-stats frame
 }
 
 def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
