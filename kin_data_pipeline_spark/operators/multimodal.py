@@ -669,3 +669,167 @@ def png_pixel_stats_df(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         png_pixel_stats_batch, schema=PIXEL_STATS_SCHEMA
     )
+
+# --- sample-level WAV PCM decode -------------------------------------------
+# The audio analog of the PNG pixel tier above: complete RIFF/WAVE payloads
+# carrying a deterministic int16 PCM waveform, decoded by a REAL stdlib
+# chunk walk (including an unknown odd-length chunk the parser must skip
+# with the RIFF even-byte padding rule). The SQL oracle predicts the same
+# sample statistics from the waveform formula alone, so any defect in the
+# chunk walk, fmt parse, or PCM frame unpacking breaks the hash.
+
+WAV_PCM_MAX_FRAMES = 200
+
+def wav_pcm_geometry(media_id: int) -> tuple[int, int, int]:
+    """(n_channels, sample_rate, n_frames) — fixed arithmetic the SQL
+    oracle mirrors."""
+    return (
+        1 + media_id % 2,
+        8000 + media_id % 4 * 4000,
+        1 + media_id * 11 % WAV_PCM_MAX_FRAMES,
+    )
+
+def _wav_pcm_samples(media_id: int, n_frames: int, n_channels: int):
+    """The deterministic waveform: s(f, c) = ((13f + 7c + id) % 65536) - 32768."""
+    import numpy as np
+
+    f = np.arange(n_frames, dtype=np.int64)
+    c = np.arange(n_channels, dtype=np.int64)
+    return (
+        ((13 * f[:, None] + 7 * c[None, :] + media_id) % 65536) - 32768
+    ).astype(np.int16)
+
+def encode_pcm_wav(media_id: int) -> bytes:
+    """A complete RIFF/WAVE payload of the deterministic waveform. A 5-byte
+    'JUNK' chunk sits between fmt and data (padded to 6 per the RIFF even
+    rule) so the decoder's chunk walk is exercised on content it must
+    SKIP, not just on the happy-path fmt→data layout."""
+    n_channels, sample_rate, n_frames = wav_pcm_geometry(media_id)
+    pcm = _wav_pcm_samples(media_id, n_frames, n_channels).tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        16,
+    )
+    junk = struct.pack("<4sI", b"JUNK", 5) + b"skip!" + b"\x00"  # odd→padded
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    body = fmt + junk + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+def decode_wav_pcm(content: bytes):
+    """Chunk-walking 16-bit PCM WAV decode — pure stdlib + numpy frombuffer.
+
+    Returns (samples, sample_rate) with samples shaped (n_frames,
+    n_channels) int16. Unknown chunks are skipped with the RIFF
+    even-byte padding rule; malformed payloads raise ValueError; non-PCM
+    or non-16-bit streams raise NotImplementedError (route those through
+    ``require_codec``).
+    """
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    fmt_fields = None
+    pcm = None
+    while off + 8 <= len(content):
+        ctype, clen = struct.unpack_from("<4sI", content, off)
+        chunk = content[off + 8 : off + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError(f"truncated WAV chunk {ctype!r}")
+        if ctype == b"fmt ":
+            fmt_fields = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif ctype == b"data":
+            pcm = chunk
+        off += 8 + clen + (clen & 1)  # RIFF pads odd chunks to even
+    if fmt_fields is None or pcm is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt_fields
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "stdlib WAV decode supports 16-bit PCM; use require_codec for "
+            "compressed/float streams"
+        )
+    if len(pcm) % (2 * n_channels):
+        raise ValueError("WAV data length not a whole number of frames")
+    samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, n_channels)
+    return samples, sample_rate
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+def wav_sample_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id, content) -> per-clip PCM stats.
+    Geometry comes from the DECODED stream, never the generation formula."""
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            samples, rate = decode_wav_pcm(bytes(content))
+            flat = samples.reshape(-1).astype("int64")
+            rows.append(
+                (
+                    int(mid),
+                    int(samples.shape[0]),
+                    int(samples.shape[1]),
+                    int(rate),
+                    int(flat.size),
+                    int(flat.sum()),
+                    int(flat.min()),
+                    int(flat.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id",
+                "n_frames",
+                "n_channels",
+                "sample_rate",
+                "n_samples",
+                "sum_samples",
+                "min_sample",
+                "max_sample",
+            ],
+        )
+
+def synthesize_pcm_wav_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete sample-bearing WAV payload."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "audio/wav",
+                "content": pdf["media_id"].map(lambda i: encode_pcm_wav(int(i))),
+            }
+        )
+
+def synthesize_pcm_wav_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return ids.mapInPandas(synthesize_pcm_wav_batch, schema=SYNTH_SCHEMA)
+
+def wav_sample_stats_df(df: DataFrame) -> DataFrame:
+    """Arrow-batched PCM decode + per-clip stats over a (media_id,
+    content) frame."""
+    return df.select("media_id", "content").mapInPandas(
+        wav_sample_stats_batch, schema=WAV_STATS_SCHEMA
+    )

@@ -123,6 +123,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "ivf_recall_audit",  # recall@5 of IVF ANN vs brute-force exact
     "minhash_estimate_audit",  # signature agreement vs exact Jaccard
     "near_dup_pagerank_3iter",  # integer PageRank over the LSH graph
+    "wav_sample_stats",  # sample-level WAV PCM decode round trip
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

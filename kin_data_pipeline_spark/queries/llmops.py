@@ -1794,6 +1794,69 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# Sample-level WAV PCM decode round trip — the audio analog of
+# png_pixel_stats: the Spark side synthesizes complete RIFF/WAVE payloads
+# carrying a deterministic int16 waveform (plus an unknown odd-length
+# chunk the parser must skip) and recovers per-clip sample statistics by a
+# REAL stdlib chunk-walk decode in an Arrow-batched mapInPandas. The
+# oracle never decodes anything: it predicts the same statistics from the
+# waveform formula s(f, c) = ((13f + 7c + id) % 65536) - 32768, so a
+# defect anywhere in the chunk walk / fmt parse / frame unpacking breaks
+# the hash.
+@register(
+    "wav_sample_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+             CAST(1 + doc_id * 11 % 200 AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.n_frames) AS n_frames,
+           ANY_VALUE(g.n_channels) AS n_channels,
+           ANY_VALUE(g.sample_rate) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM((13 * f.f + 7 * c.c + g.media_id) % 65536 - 32768)
+                AS BIGINT) AS sum_samples,
+           CAST(MIN((13 * f.f + 7 * c.c + g.media_id) % 65536 - 32768)
+                AS INT) AS min_sample,
+           CAST(MAX((13 * f.f + 7 * c.c + g.media_id) % 65536 - 32768)
+                AS INT) AS max_sample,
+           ROUND(SUM((13 * f.f + 7 * c.c + g.media_id) % 65536 - 32768) * 1.0
+                 / COUNT(*), 6) AS mean_sample
+    FROM g,
+         UNNEST(range(0, g.n_frames)) AS f(f),
+         UNNEST(range(0, g.n_channels)) AS c(c)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "sample-level WAV PCM decode (stdlib RIFF chunk walk + int16 frame "
+        "unpack) → per-clip stats; oracle predicts from the waveform formula"
+    ),
+)
+def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        synthesize_pcm_wav_df,
+        wav_sample_stats_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = wav_sample_stats_df(synthesize_pcm_wav_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "n_frames",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "sum_samples",
+        "min_sample",
+        "max_sample",
+        F.round(F.col("sum_samples") * 1.0 / F.col("n_samples"), 6).alias(
+            "mean_sample"
+        ),
+    )
+
 # SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into
 # two 16-bit buckets (a pair within Hamming distance 1 must agree on at
 # least one band by pigeonhole), equi-join on (band, value) — linear

@@ -323,3 +323,80 @@ def test_png_decode_rejects_malformed():
     )
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_png_pixels(b"\x89PNG\r\n\x1a\n" + chunk)
+
+def test_wav_pcm_encode_decode_round_trip_matches_formula():
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _wav_pcm_samples,
+        decode_wav_pcm,
+        encode_pcm_wav,
+        wav_pcm_geometry,
+    )
+
+    for mid in (0, 1, 2, 3, 4, 7, 97, 1009):
+        ch, rate, nf = wav_pcm_geometry(mid)
+        samples, got_rate = decode_wav_pcm(encode_pcm_wav(mid))
+        assert got_rate == rate
+        assert samples.shape == (nf, ch)
+        assert (samples == _wav_pcm_samples(mid, nf, ch)).all()
+
+def test_wav_pcm_decoder_skips_unknown_chunks_with_padding():
+    # The synthesized payload carries an odd-length JUNK chunk between fmt
+    # and data; a decoder missing the RIFF even-byte pad rule would land
+    # mid-chunk and fail. Also verify a payload with the JUNK chunk AFTER
+    # data decodes identically (chunk order must not matter).
+    import struct
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_pcm_wav,
+    )
+
+    wav = encode_pcm_wav(6)
+    assert b"JUNK" in wav
+    base, _ = decode_wav_pcm(wav)
+    # rebuild with JUNK moved to the end
+    junk_at = wav.index(b"JUNK")
+    junk = wav[junk_at : junk_at + 8 + 6]
+    moved = wav[:junk_at] + wav[junk_at + len(junk) :] + junk
+    moved = struct.pack("<4sI4s", b"RIFF", len(moved) - 8, b"WAVE") + moved[12:]
+    got, _ = decode_wav_pcm(moved)
+    assert (got == base).all()
+
+def test_wav_pcm_decode_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_pcm_wav,
+    )
+
+    wav = encode_pcm_wav(9)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm(b"RIFXbad!WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_pcm(wav[:-3])
+    # non-PCM format code routes to require_codec, not silence
+    fmt_at = wav.index(b"fmt ")
+    float_fmt = bytearray(wav)
+    struct.pack_into("<H", float_fmt, fmt_at + 8, 3)  # IEEE float
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        decode_wav_pcm(bytes(float_fmt))
+
+def test_wav_sample_stats_distributed(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        synthesize_pcm_wav_df,
+        wav_sample_stats_df,
+    )
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(32)
+    stats = wav_sample_stats_df(synthesize_pcm_wav_df(docs, "doc_id"))
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_samples") == F.col("n_frames") * F.col("n_channels")).cast("int")).alias("ok"),
+    ).first()
+    assert row["n"] == 32 and row["ok"] == 32
