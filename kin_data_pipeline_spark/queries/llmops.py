@@ -130,6 +130,45 @@ def shingle_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: grouped_posting_lists(_shingle_postings_cached(spark, sf_dir)),
     )
 
+def minhash_signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, mh0..mhN) MinHash signature frame — shared by the
+    signature query, the LSH candidate query, the calibration audit, and
+    the PageRank graph (the session-cache analogue of materializing the
+    signature index once per pipeline run)."""
+    return _cached_substrate(
+        spark,
+        sf_dir,
+        "minhash_sig",
+        lambda: shingled_documents(spark, sf_dir)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .groupBy("doc_id")
+        .agg(*_minhash_spark_exprs()),
+    )
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached distinct (doc_a, doc_b) MinHash-LSH candidate pairs. Three
+    registered consumers (candidates, calibration audit, PageRank) and the
+    PageRank power iterations re-read it N times — without the cache each
+    reference would re-derive the banded self-join from raw text."""
+
+    def build() -> DataFrame:
+        bands = document_bands(minhash_signature_frame(spark, sf_dir))
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    return _cached_substrate(spark, sf_dir, "lsh_cand", build)
+
 def _h64(col):
     """First 15 md5 hex chars as a bigint (< 2^60)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -356,10 +395,7 @@ def document_bands(sig: DataFrame) -> DataFrame:
     doc="MinHash signatures (4 universal hash fns over 3-gram shingles)",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_documents(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    return sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
+    return minhash_signature_frame(spark, sf_dir)
 
 # MinHash-LSH candidate pairs: band the signatures, bucket-join on band
 # value — candidates are docs agreeing on ANY full band. The join key is
@@ -389,22 +425,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH banded bucket join → near-dup candidate pairs",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_documents(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
-    bands = document_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(spark, sf_dir)
 
 # MinHash estimate-vs-exact audit: for every LSH candidate pair, the number
 # of agreeing signature components (the MinHash Jaccard ESTIMATE, an
@@ -461,20 +482,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_sh = shingled_documents(spark, sf_dir).select("doc_id", "shingles")
-    sh = doc_sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
-    bands = document_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sig = minhash_signature_frame(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_PARAMS))],
@@ -2381,22 +2390,7 @@ def _pr_sql() -> str:
     ),
 )
 def near_dup_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_documents(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    sig = sh.groupBy("doc_id").agg(*_minhash_spark_exprs())
-    bands = document_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(spark, sf_dir)
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -1,0 +1,101 @@
+"""Catalog snapshots / time travel: tagged zero-copy versions that survive
+every later write path (overwrite, append, upsert, compaction), instant
+restore with the compaction swap discipline, and hygiene (list_tables
+exclusion, clone/bucketed guardrails)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.plans.engine import Catalog
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v, f"r{v}") for v in vals], "id long, s string")
+
+def test_snapshot_survives_overwrite_and_restore_rolls_back(spark, cat):
+    cat.write_full("t", _df(spark, 1, 2, 3), date_col=None)
+    cat.snapshot("t", "v1")
+    cat.write_full("t", _df(spark, 9), date_col=None)
+    assert _rows(cat.table("t")) == [(9, "r9")]
+    assert _rows(cat.table_at("t", "v1")) == [(1, "r1"), (2, "r2"), (3, "r3")]
+    cat.restore("t", "v1")
+    assert _rows(cat.table("t")) == [(1, "r1"), (2, "r2"), (3, "r3")]
+    # the snapshot outlives its own restore
+    assert cat.list_snapshots("t") == ["v1"]
+
+def test_snapshot_is_zero_copy_hardlinks(spark, cat):
+    cat.write_full("t", _df(spark, 1, 2), date_col=None)
+    cat.snapshot("t", "v1")
+    snap_data = cat._snapshot_dir("t", "v1") + "/data"
+    linked = 0
+    for root, _dirs, files in os.walk(snap_data):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            if st.st_nlink >= 2:
+                linked += 1
+    assert linked > 0, "snapshot copied bytes instead of hardlinking"
+
+def test_snapshot_unaffected_by_append_upsert_compact(spark, cat):
+    cat.write_full("t", _df(spark, 1, 2), date_col=None)
+    cat.snapshot("t", "v1")
+    cat.write_append("t", _df(spark, 3), date_col=None)
+    cat.upsert_by_key("t", _df(spark, 2), key_cols=["id"], date_col=None)
+    cat.compact("t", date_col=None)
+    assert _rows(cat.table("t")) == [(1, "r1"), (2, "r2"), (3, "r3")]
+    assert _rows(cat.table_at("t", "v1")) == [(1, "r1"), (2, "r2")]
+
+def test_snapshot_of_empty_partitioned_table_readable(spark, cat):
+    df = _df(spark, 1).filter(F.col("id") > 99)
+    cat.write_full("t", df, date_col=None)
+    cat.snapshot("t", "empty")
+    got = cat.table_at("t", "empty")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "s"]
+
+def test_snapshot_tags_are_isolated_and_droppable(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    cat.snapshot("t", "v1")
+    cat.write_full("t", _df(spark, 2), date_col=None)
+    cat.snapshot("t", "v2")
+    assert cat.list_snapshots("t") == ["v1", "v2"]
+    assert _rows(cat.table_at("t", "v1")) == [(1, "r1")]
+    assert _rows(cat.table_at("t", "v2")) == [(2, "r2")]
+    cat.drop_snapshot("t", "v1")
+    assert cat.list_snapshots("t") == ["v2"]
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.table_at("t", "v1")
+
+def test_snapshot_guardrails(spark, cat):
+    cat.write_full("src", _df(spark, 1), date_col=None)
+    cat.clone("alias", "src")
+    # snapshot through a clone captures the resolved data (under the alias)
+    cat.snapshot("alias", "v1")
+    assert _rows(cat.table_at("alias", "v1")) == [(1, "r1")]
+    # but restore through a clone must refuse (would mutate the source)
+    with pytest.raises(ValueError, match="clone"):
+        cat.restore("alias", "v1")
+    with pytest.raises(ValueError, match="missing table"):
+        cat.snapshot("nope", "v1")
+    with pytest.raises(ValueError, match="already exists"):
+        cat.snapshot("alias", "v1")
+    with pytest.raises(ValueError, match="invalid snapshot tag"):
+        cat.snapshot("src", "../escape")
+    # snapshot dirs never surface as tables
+    assert "src.__snapshots" not in cat.list_tables()
+    assert set(cat.list_tables()) == {"src", "alias"}
+
+def test_snapshot_dir_excluded_from_list_tables_after_many_tags(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    for i in range(3):
+        cat.snapshot("t", f"v{i}")
+    assert cat.list_tables() == ["t"]
