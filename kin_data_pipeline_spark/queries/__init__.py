@@ -124,6 +124,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "minhash_estimate_audit",  # signature agreement vs exact Jaccard
     "near_dup_pagerank_3iter",  # integer PageRank over the LSH graph
     "wav_sample_stats",  # sample-level WAV PCM decode round trip
+    "streaming_purchase_view_left_join",  # stream-stream LEFT OUTER join
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -982,6 +982,54 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = _run_to_memory(stream, sink, "append")
     return sunk
 
+# Stream-stream LEFT OUTER join (§2.9): the missing-match semantics — a
+# purchase with NO qualifying prior view must still emit (with NULL view
+# columns) once the watermark proves no future view can match. The NULL
+# rows come from evicted left-side state, so in a finite run only the
+# watermark-closed prefix emits them: the oracle applies the same horizon
+# (p_ts < min(max purchase ts, max view ts) — Spark's min-policy global
+# watermark over the two inputs), the outer-join analog of the session
+# query's closed-session cutoff above.
+@register(
+    "streaming_purchase_view_left_join",
+    """
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'view')) AS w
+    )
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS p_ts, v.ts AS v_ts
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, p.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM events p, wm
+    WHERE p.event_type = 'purchase' AND p.ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM events v WHERE v.event_type = 'view'
+          AND v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts)
+    """,
+    doc=(
+        "stream-stream LEFT OUTER attribution join: unmatched purchases "
+        "emit NULL view rows from watermark-evicted state (horizon-bounded)"
+    ),
+)
+def streaming_purchase_view_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.streaming import (
+        purchase_view_left_join_stream,
+        stream_events_from_parquet,
+    )
+
+    spark = _stream_session(spark)
+    sink = "streaming_purchase_view_left_join_sink"
+    stream = purchase_view_left_join_stream(stream_events_from_parquet(spark, sf_dir))
+    return _run_to_memory(stream, sink, "append")
+
 # Stream-static enrichment join (§2.9 tier 7): the micro-batch ingestion
 # shape every warehouse feed uses — each micro-batch of the event stream
 # joins a STATIC dimension (re-resolved per batch, broadcast by size), then

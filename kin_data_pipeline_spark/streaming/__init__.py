@@ -5,6 +5,7 @@ from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401
 from kin_data_pipeline_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,
     purchase_view_join_stream,
+    purchase_view_left_join_stream,
     running_balance_stream,
     sessionize_stream,
     stream_events_from_parquet,

@@ -227,3 +227,40 @@ def purchase_view_join_stream(
     return purchases.join(views, cond, "inner").select(
         "purchase_id", "view_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts"
     )
+
+def purchase_view_left_join_stream(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join — the missing-match
+    semantics of the inner form above: purchases with NO qualifying prior
+    view emit once the watermark proves no future view can match
+    (v_ts < p_ts and watermark has passed p_ts). State stays bounded
+    exactly as in the inner join; the outer rows are emitted from evicted
+    left-side state, so a finite run's NULL set is the watermark-closed
+    prefix of the stream — the oracle applies the same horizon."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    return purchases.join(views, cond, "leftOuter").select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id"), "p_ts", "v_ts"
+    )
