@@ -125,6 +125,9 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "near_dup_pagerank_3iter",  # integer PageRank over the LSH graph
     "wav_sample_stats",  # sample-level WAV PCM decode round trip
     "streaming_purchase_view_left_join",  # stream-stream LEFT OUTER join
+    "nation_pair_trade_q7",  # double-alias dim join, pair predicate
+    "disjunctive_predicate_revenue_q19",  # OR-of-conjuncts predicate
+    "acctbal_opportunity_q22",  # scalar-subquery threshold + anti join
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

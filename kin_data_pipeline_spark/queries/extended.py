@@ -1208,3 +1208,173 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sunk = _run_to_memory(agg, sink, "complete")
     return sunk
+
+# TPC-H Q7 shape: bilateral nation-pair trade — the SAME dimension table
+# joined twice through two different fact paths (supplier nation vs
+# customer nation), a disjunctive pair predicate applied across both, and
+# a year rollup. The classic double-alias dim join: both nation sides and
+# the supplier dim broadcast; the only big shuffles are the fact joins.
+@register(
+    "nation_pair_trade_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "TPC-H Q7 shape: nation joined twice via supplier and customer "
+        "paths, disjunctive pair predicate, year rollup"
+    ),
+)
+def nation_pair_trade_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.to_date("l_shipdate")).cast("int").alias("l_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+# TPC-H Q19 shape: a disjunction of conjunctive predicate groups spanning
+# BOTH join sides (part attrs AND lineitem attrs in each arm) — the
+# predicate structure that exercises OR-pushdown and join-condition
+# hygiene: each arm's part-only conjuncts can gate the broadcast side
+# while the mixed conjuncts must evaluate post-join.
+@register(
+    "disjunctive_predicate_revenue_q19",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape: disjunction of conjunctive predicate groups "
+        "spanning both join sides (OR-pushdown exercise)"
+    ),
+)
+def disjunctive_predicate_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+# TPC-H Q22 shape: a GLOBAL scalar threshold (average positive account
+# balance) gating the main query, plus an anti join — the scalar-subquery
+# pattern. The scalar is a 1-row aggregate crossed into the bounded
+# customer-segment frame (Catalyst compiles scalar subqueries to exactly
+# this broadcast nested-loop against a 1-row side; allowlisted in
+# tests/test_plans.py). Exactness: the average is an exact DECIMAL sum
+# with one final IEEE division, identical on both engines.
+@register(
+    "acctbal_opportunity_q22",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "TPC-H Q22 shape: global scalar threshold (avg positive balance) + "
+        "anti join on orders, per-segment rollup"
+    ),
+)
+def acctbal_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+    )

@@ -45,6 +45,7 @@ ALLOWED_BNLJ = {
     "embedding_cell_outliers",  # corpus × broadcast centroids (cell assignment)
     "ivf_recall_audit",  # composes the two exempted ANN paths above
     "bm25_doc_scores",  # |Q|-row term frame × 1-row corpus-stats frame
+    "acctbal_opportunity_q22",  # scalar subquery: 1-row threshold × customers
 }
 
 def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
