@@ -128,6 +128,8 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "nation_pair_trade_q7",  # double-alias dim join, pair predicate
     "disjunctive_predicate_revenue_q19",  # OR-of-conjuncts predicate
     "acctbal_opportunity_q22",  # scalar-subquery threshold + anti join
+    "countmin_token_estimates",  # oracle-exact count-min sketch + audit
+    "bpe_pair_frequencies",  # BPE tokenizer-training pair counting pass
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2413,3 +2413,161 @@ def near_dup_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("pr_micro"),
         F.round(F.col("s").cast("double") / F.lit(1000000.0), 6).alias("pagerank"),
     )
+
+# Count-min sketch over token frequencies — the mergeable approximate-
+# frequency structure (Cormode & Muthukrishnan 2005): d hash rows of w
+# counters built in ONE grouped aggregation (counters are sums, so
+# per-partition sketches merge by addition — the property that makes this
+# the right 100 TB shape for frequency estimation, unlike exact
+# vocabulary-sized counting). Estimates are min over the d rows and
+# OVERCOUNT only (est >= exact, guaranteed), which the audit columns
+# exhibit. The sketch itself is deterministic integer arithmetic, so both
+# engines build the identical counter matrix and the comparison is exact —
+# an oracle-checked SKETCH, unlike the HLL tier's rows-only checks.
+_CMS_W = 1024  # counters per row
+_CMS_ROWS = [(387420489, 12190087), (962892417, 55555333), (29986577, 271828182)]
+_CMS_PROBES = ["dup", "merge", "scan", "the", "vector", "zzz_absent_token"]
+
+def _cms_bucket_sql(i: int, expr: str) -> str:
+    a, b = _CMS_ROWS[i]
+    return f"(({a} * {_sql_h32(expr)} + {b}) % {MINHASH_PRIME}) % {_CMS_W}"
+
+def _cms_bucket_col(i: int, col):
+    a, b = _CMS_ROWS[i]
+    return ((F.lit(a) * _h32(col) + F.lit(b)) % MINHASH_PRIME) % _CMS_W
+
+@register(
+    "countmin_token_estimates",
+    f"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), cells AS (
+      {' UNION ALL '.join(f"SELECT {i} AS row_id, {_cms_bucket_sql(i, 'w')} AS bucket FROM tok" for i in range(len(_CMS_ROWS)))}
+    ), sketch AS (
+      SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row_id, bucket
+    ), probes AS (
+      SELECT * FROM (VALUES {', '.join(f"({i}, '{t}')" for i, t in enumerate(_CMS_PROBES))}) AS p(pid, token)
+    ), probe_cells AS (
+      {' UNION ALL '.join(f"SELECT pid, token, {i} AS row_id, {_cms_bucket_sql(i, 'token')} AS bucket FROM probes" for i in range(len(_CMS_ROWS)))}
+    ), est AS (
+      SELECT pc.token, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_cf
+      FROM probe_cells pc
+      LEFT JOIN sketch s ON s.row_id = pc.row_id AND s.bucket = pc.bucket
+      GROUP BY pc.token
+    ), exact AS (
+      SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS exact_cf
+      FROM tok GROUP BY w
+    )
+    SELECT e.token, COALESCE(x.exact_cf, 0) AS exact_cf, e.est_cf,
+           CAST(e.est_cf - COALESCE(x.exact_cf, 0) AS BIGINT) AS overcount
+    FROM est e LEFT JOIN exact x ON e.token = x.token
+    """,
+    doc=(
+        f"count-min sketch ({len(_CMS_ROWS)}x{_CMS_W} counters, one grouped "
+        "pass, mergeable by addition) probed for literal tokens vs exact "
+        "counts — an oracle-exact sketch (est >= exact by construction)"
+    ),
+)
+def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_tokens(spark, sf_dir).select("w")
+    cells = None
+    for i in range(len(_CMS_ROWS)):
+        part = tok.select(
+            F.lit(i).alias("row_id"), _cms_bucket_col(i, F.col("w")).alias("bucket")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    probes = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CMS_PROBES)], "pid int, token string"
+    )
+    pc = None
+    for i in range(len(_CMS_ROWS)):
+        part = probes.select(
+            "token",
+            F.lit(i).alias("row_id"),
+            _cms_bucket_col(i, F.col("token")).alias("bucket"),
+        )
+        pc = part if pc is None else pc.unionAll(part)
+    # the sketch is <= d*w rows by construction: broadcast-safe at any
+    # corpus size (the whole point of sketching the vocabulary)
+    est = (
+        pc.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cf"))
+    )
+    exact = tok.groupBy(F.col("w").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cf")
+    )
+    return est.join(exact, "token", "left").select(
+        "token",
+        F.coalesce("exact_cf", F.lit(0)).cast("long").alias("exact_cf"),
+        "est_cf",
+        (F.col("est_cf") - F.coalesce("exact_cf", F.lit(0)))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+# BPE pair statistics — the first step of byte-pair-encoding tokenizer
+# training: corpus-wide frequencies of ADJACENT symbol pairs inside
+# tokens, ranked. (Full BPE iterates merge→recount; the counting pass is
+# the distributed-scale part — each iteration is exactly this query over
+# the re-segmented corpus.) Pure array arithmetic per token + one grouped
+# count + TakeOrderedAndProject top-k: no UDFs, no corpus pair blowup
+# (pairs per token = len-1).
+_BPE_TOP_K = 20
+
+@register(
+    "bpe_pair_frequencies",
+    f"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT {_SQL_WORDS} AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), pairs AS (
+      SELECT p FROM (
+        SELECT list_transform(range(1, length(w)), i -> substr(w, i, 2)) AS ps
+        FROM tok WHERE length(w) >= 2
+      ), UNNEST(ps) AS t(p)
+    ), counted AS (
+      SELECT p AS pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY p
+    )
+    SELECT pair, n_occurrences, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rnk
+      FROM counted
+    ) WHERE rnk <= {_BPE_TOP_K}
+    """,
+    doc=(
+        f"BPE tokenizer-training pair statistics: top-{_BPE_TOP_K} adjacent "
+        "character pairs by corpus frequency (the counting pass of each "
+        "BPE merge iteration)"
+    ),
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_tokens(spark, sf_dir).select("w").filter(F.length("w") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    # top-k FIRST (compiles to TakeOrderedAndProject — per-partition heaps,
+    # never a global sort of the pair-frequency table), then the rank
+    # window runs over the k-row result only.
+    top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(_BPE_TOP_K)
+    w_rank = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w_rank).cast("int").alias("rnk"),
+    )
