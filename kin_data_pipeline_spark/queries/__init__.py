@@ -130,6 +130,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "acctbal_opportunity_q22",  # scalar-subquery threshold + anti join
     "countmin_token_estimates",  # oracle-exact count-min sketch + audit
     "bpe_pair_frequencies",  # BPE tokenizer-training pair counting pass
+    "priority_status_cube",  # CUBE subtotal lattice (A10 superset)
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

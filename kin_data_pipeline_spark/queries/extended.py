@@ -1378,3 +1378,45 @@ def acctbal_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_acctbal"),
     )
+
+# CUBE — the remaining grouping variant (ROLLUP walks nested prefixes,
+# GROUPING SETS picks explicit axes, CUBE emits ALL 2^k subtotal
+# combinations from one pass): priority x order-status with both marginal
+# totals and the grand total.
+@register(
+    "priority_status_cube",
+    """
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE subtotal lattice: all 2^k margin combinations in one pass (A10 superset)",
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping("o_orderpriority").alias("g_p"),
+            F.grouping("o_orderstatus").alias("g_s"),
+        )
+        .select(
+            F.when(F.col("g_p") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("g_s") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
