@@ -131,6 +131,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "countmin_token_estimates",  # oracle-exact count-min sketch + audit
     "bpe_pair_frequencies",  # BPE tokenizer-training pair counting pass
     "priority_status_cube",  # CUBE subtotal lattice (A10 superset)
+    "levenshtein_near_dup_verify",  # character-grain edit-distance verify
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

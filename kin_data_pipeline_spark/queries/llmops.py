@@ -2571,3 +2571,69 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w_rank).cast("int").alias("rnk"),
     )
+
+# Edit-distance verification over the LSH candidate pairs — completes the
+# dedup family (exact / Jaccard / containment / MinHash / SimHash /
+# embedding-cosine) with the CHARACTER-grain measure: token-set metrics
+# are blind to within-token edits and reorderings that Levenshtein sees.
+# Levenshtein is classic integer DP — bit-identical on both engines — and
+# is O(len_a * len_b) per pair, which is exactly why it runs only as a
+# pair-local VERIFY over LSH candidates (cost scales with the candidate
+# count, never corpus x corpus — the published dedup pattern: cheap
+# blocking, expensive verify).
+@register(
+    "levenshtein_near_dup_verify",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           CAST(length(da.text) AS BIGINT) AS len_a,
+           CAST(length(db.text) AS BIGINT) AS len_b,
+           ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / GREATEST(length(da.text), length(db.text)), 6)
+             AS edit_similarity
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+    doc=(
+        "character-grain edit-distance verify over the LSH candidate "
+        "pairs (pair-local Levenshtein DP; completes the dedup family)"
+    ),
+)
+def levenshtein_near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    j = cand.join(da, "doc_a").join(db, "doc_b")
+    dist = F.levenshtein("ta", "tb").cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.alias("edit_distance"),
+        F.length("ta").cast("long").alias("len_a"),
+        F.length("tb").cast("long").alias("len_b"),
+        F.round(
+            F.lit(1.0)
+            - dist.cast("double") / F.greatest(F.length("ta"), F.length("tb")),
+            6,
+        ).alias("edit_similarity"),
+    )

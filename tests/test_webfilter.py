@@ -171,3 +171,94 @@ def test_registrable_domain_agrees_with_suffix_reference(spark):
         parts = h.split(".")
         expect = h if len(parts) <= 2 else ".".join(parts[-2:])
         assert got[h] == expect
+
+def _cdc_chunks(spark, docs_rows):
+    """Run the CDC boundary/segmentation logic standalone over literal
+    (doc_id, text) rows, returning {(doc_id, chunk_hash)} instances."""
+    from pyspark.sql import Window, functions as F
+
+    from kin_data_pipeline_spark.queries.filtering import _CDC_G
+    from kin_data_pipeline_spark.queries.llmops import _h32
+
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), " ")).alias("i", "w"),
+    )
+    flagged = tok.withColumn("bnd", ((_h32(F.col("w")) % _CDC_G) == 0).cast("int"))
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("chunk_id", F.sum("bnd").over(w_doc))
+    chunks = numbered.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("c")
+    )
+    return {(r["doc_id"], r["c"]) for r in chunks.collect()}
+
+def test_cdc_chunking_resynchronizes_after_insertion(spark):
+    # THE property content-defined chunking exists for: prepend one token
+    # to a long document and the chunk set must stay almost identical
+    # (boundaries re-synchronize at the first content-defined cut), where
+    # fixed-width chunking would shift every boundary and share ~nothing.
+    import hashlib
+
+    words = [
+        "tok%d" % (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 97)
+        for i in range(400)
+    ]
+    base = " ".join(words)
+    edited = "inserted " + base
+    orig = {c for _d, c in _cdc_chunks(spark, [(1, base)])}
+    new = {c for _d, c in _cdc_chunks(spark, [(1, edited)])}
+    shared = len(orig & new)
+    # everything after the first boundary following the edit is identical;
+    # with ~400/16 = ~25 chunks, at most the first chunk differs
+    assert shared >= len(orig) - 1, (len(orig), len(new), shared)
+    # and the insertion produced at least one NEW chunk hash
+    assert new - orig
+
+def test_countmin_overcount_invariant_holds_for_every_token(spark, sf_dir):
+    # est >= exact must hold for ALL tokens, not just the registered
+    # probes: rebuild the sketch, probe the full vocabulary, assert the
+    # guarantee corpus-wide (the count-min correctness property).
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.queries.llmops import (
+        _CMS_ROWS,
+        _cms_bucket_col,
+        doc_tokens,
+    )
+
+    tok = doc_tokens(spark, sf_dir).select("w")
+    cells = None
+    for i in range(len(_CMS_ROWS)):
+        part = tok.select(
+            F.lit(i).alias("row_id"), _cms_bucket_col(i, F.col("w")).alias("bucket")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cf"))
+    pc = None
+    for i in range(len(_CMS_ROWS)):
+        part = vocab.select(
+            "w", "exact_cf", F.lit(i).alias("row_id"),
+            _cms_bucket_col(i, F.col("w")).alias("bucket"),
+        )
+        pc = part if pc is None else pc.unionAll(part)
+    est = (
+        pc.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("w", "exact_cf")
+        .agg(F.min("cnt").alias("est_cf"))
+    )
+    bad = est.filter(F.col("est_cf") < F.col("exact_cf")).count()
+    assert bad == 0
