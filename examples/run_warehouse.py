@@ -15,7 +15,9 @@ MIGRATION.md for the file-by-file mapping):
    data arrived;
 3. publishes every table as a SQL view and runs a reporting query;
 4. runs the corpus-release DAG (quality gate → near-dup survivors →
-   shards + substring-cleaned variant) and exports the training shards.
+   shards + substring-cleaned variant) and exports the training shards;
+5. snapshots the release, simulates a bad rewrite, and restores —
+   the zero-copy time-travel path (Catalog.snapshot/table_at/restore).
 """
 
 from __future__ import annotations
@@ -56,19 +58,19 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     runner = Runner(spark, catalog)
 
     models = build_kin_models(sf_dir)
-    print(f"[1/4] full refresh: {len(models)} models -> {wh}")
+    print(f"[1/5] full refresh: {len(models)} models -> {wh}")
     results = runner.run(models, RUN_DATE, build_type="full_refresh")
     total = sum(r.duration_sec or 0 for r in results)
     slowest = max(results, key=lambda r: r.duration_sec or 0)
     print(f"      built {len(results)} tables in {total:.1f}s "
           f"(slowest: {slowest.model}, {slowest.duration_sec or 0:.1f}s)")
 
-    print("[2/4] incremental pass (no new data -> watermark no-ops)")
+    print("[2/5] incremental pass (no new data -> watermark no-ops)")
     results = runner.run(models, RUN_DATE)
     print(f"      {sum(1 for r in results if r.action == 'incremental')} incremental, "
           f"{sum(1 for r in results if r.action == 'full')} full")
 
-    print("[3/4] SQL surface")
+    print("[3/5] SQL surface")
     catalog.publish_views()
     spark.sql(
         """
@@ -77,13 +79,26 @@ def _run(spark, sf_dir: str, wh: str) -> None:
         """
     ).show(truncate=False)
 
-    print("[4/4] corpus release")
+    print("[4/5] corpus release")
     runner.run(corpus_release_models(sf_dir), datetime.date(2024, 2, 1))
     for t in ("corpus_quality", "corpus_survivors", "corpus_shards", "corpus_clean"):
         print(f"      {t}: {catalog.table(t).count()} rows")
     out = wh + "/release"
     export_release(catalog, out)
     print(f"      shards exported to {out}")
+
+    print("[5/5] snapshot / time travel")
+    n0 = catalog.table("corpus_survivors").count()
+    catalog.snapshot("corpus_survivors", "release-1")
+    # simulate an operator error: the table is overwritten with one row
+    catalog.write_full(
+        "corpus_survivors", catalog.table("corpus_survivors").limit(1), date_col=None
+    )
+    broken = catalog.table("corpus_survivors").count()
+    at = catalog.table_at("corpus_survivors", "release-1").count()
+    catalog.restore("corpus_survivors", "release-1")
+    print(f"      {n0} rows -> bad rewrite left {broken} -> snapshot still "
+          f"{at} -> restored {catalog.table('corpus_survivors').count()}")
 
 if __name__ == "__main__":
     main()

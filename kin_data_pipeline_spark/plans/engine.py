@@ -709,6 +709,26 @@ class Catalog:
             raise ValueError(f"no snapshot '{name}@{tag}'")
         shutil.rmtree(snap)
 
+    def diff_snapshot(self, name: str, tag: str) -> tuple[DataFrame, DataFrame]:
+        """(added, removed) row sets of the LIVE table vs snapshot ``tag``
+        — the release-audit question "what changed since we tagged?" as two
+        distributed set differences (EXCEPT ALL, so duplicate-row
+        multiplicity differences surface instead of vanishing). Columns are
+        aligned by name first: an appended column (schema evolution) would
+        otherwise make positional EXCEPT compare the wrong fields; columns
+        present on only one side are a hard error — there is no meaningful
+        row diff across disjoint schemas."""
+        live = self.table(name)
+        old = self.table_at(name, tag)
+        if sorted(live.columns) != sorted(old.columns):
+            raise ValueError(
+                f"cannot diff '{name}' vs '{tag}': column sets differ "
+                f"({sorted(live.columns)} vs {sorted(old.columns)})"
+            )
+        cols = sorted(live.columns)
+        live_c, old_c = live.select(*cols), old.select(*cols)
+        return live_c.exceptAll(old_c), old_c.exceptAll(live_c)
+
 @dataclass
 class BuildContext:
     spark: SparkSession

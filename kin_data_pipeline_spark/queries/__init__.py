@@ -132,6 +132,7 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "bpe_pair_frequencies",  # BPE tokenizer-training pair counting pass
     "priority_status_cube",  # CUBE subtotal lattice (A10 superset)
     "levenshtein_near_dup_verify",  # character-grain edit-distance verify
+    "pq_compression_audit",  # product-quantization LUT ranking + exact audit
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -250,3 +250,167 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(5), 6).alias("recall_at_5"),
     )
+
+# Product quantization (PQ) audit — the ANN MEMORY story (Jégou, Douze &
+# Schmid, TPAMI 2011): each 64-dim vector compresses to m=4 one-byte
+# codes (one codeword per 16-dim subspace), and query-time scoring is a
+# lookup-table sum instead of a full dot product — at 100 TB this is the
+# difference between an index that fits executor memory and one that
+# doesn't (64 floats -> 4 bytes per vector, 64x). Deterministic stand-in
+# for k-means codebooks: the first 16 vectors' subvectors (both engines
+# derive the identical codebook from data, as with the IVF centroids).
+# Exactness: per-(query, subspace, codeword) LUT dot products are
+# micro-quantized to integers in the BOUNDED lut frame (|Q| x 4 x 16
+# rows); per-vector approximate scores are then exact integer sums of 4
+# LUT entries, so ranking is integer ordering. The exact cosine rides
+# along per result row, so the output exhibits the compression error
+# directly.
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (64-dim embeddings)
+_PQ_K = 16  # codewords per subspace
+_PQ_TOP = 5
+
+def _pq_slice_sql(col: str, s: int) -> str:
+    return f"list_slice({col}, {s * _PQ_SUBDIM + 1}, {(s + 1) * _PQ_SUBDIM})"
+
+@register(
+    "pq_compression_audit",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), sub AS (
+      {' UNION ALL '.join(f"SELECT vec_id, {s} AS s, {_pq_slice_sql('emb', s)} AS v FROM e" for s in range(_PQ_M))}
+    ), cb AS (
+      SELECT vec_id AS code_id, s, v AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ), assigned AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT sub.vec_id, sub.s, cb.code_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_dot_product(sub.v, sub.v)
+                          - 2 * list_dot_product(sub.v, cb.cv)
+                          + list_dot_product(cb.cv, cb.cv) ASC,
+                          cb.code_id ASC) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT q.vec_id AS query_id, cb.s, cb.code_id,
+             CAST(ROUND(list_dot_product(list_slice(q.emb, cb.s * {_PQ_SUBDIM} + 1, (cb.s + 1) * {_PQ_SUBDIM}), cb.cv) * 1000000, 0) AS BIGINT) AS d_micro
+      FROM (SELECT * FROM e WHERE vec_id < 20) q, cb
+    ), approx AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(l.d_micro) AS BIGINT) AS approx_dot_micro
+      FROM assigned a
+      JOIN lut l ON l.s = a.s AND l.code_id = a.code_id
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY approx_dot_micro DESC, neighbor_id ASC) AS rnk
+      FROM approx
+    )
+    SELECT r.query_id, r.neighbor_id, CAST(r.rnk AS INT) AS rnk,
+           r.approx_dot_micro,
+           ROUND(list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm), 6)
+             AS exact_cosine
+    FROM ranked r
+    JOIN e q ON q.vec_id = r.query_id
+    JOIN e n ON n.vec_id = r.neighbor_id
+    WHERE r.rnk <= {_PQ_TOP}
+    """,
+    doc=(
+        f"product-quantization audit: {_PQ_M}x{_PQ_SUBDIM}-dim subspaces, "
+        f"{_PQ_K} codewords, integer LUT-sum ranking with exact cosine "
+        "alongside (the 64x-compression ANN path)"
+    ),
+)
+def pq_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    sub = None
+    for s in range(_PQ_M):
+        part = e.select(
+            "vec_id",
+            F.lit(s).alias("s"),
+            F.slice("emb", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v"),
+        )
+        sub = part if sub is None else sub.unionAll(part)
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code_id"), "s", F.col("v").alias("cv")
+    )
+    # corpus subvectors x 16-codeword broadcast codebook, keyed on the
+    # subspace id: the PQ analog of IVF centroid assignment
+    joined = sub.join(F.broadcast(cb), "s")
+    d = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    assigned = (
+        joined.select("vec_id", "s", "code_id", d.alias("dist"))
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code_id", F.struct("dist", "code_id")).alias("code_id"))
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    lut = q.join(F.broadcast(cb), F.lit(True)).select(
+        "query_id",
+        "s",
+        "code_id",
+        F.round(
+            dot(
+                F.slice(
+                    "q_emb", F.col("s") * _PQ_SUBDIM + 1, F.lit(_PQ_SUBDIM)
+                ),
+                F.col("cv"),
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    approx = (
+        assigned.join(F.broadcast(lut), ["s", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").cast("long").alias("approx_dot_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot_micro"), F.asc("neighbor_id")
+    )
+    ranked = approx.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _PQ_TOP
+    )
+    qq = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    nn = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    return (
+        ranked.join(F.broadcast(qq), "query_id")
+        .join(nn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "approx_dot_micro",
+            F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
+            .alias("exact_cosine"),
+        )
+    )

@@ -99,3 +99,29 @@ def test_snapshot_dir_excluded_from_list_tables_after_many_tags(spark, cat):
     for i in range(3):
         cat.snapshot("t", f"v{i}")
     assert cat.list_tables() == ["t"]
+
+def test_diff_snapshot_reports_added_and_removed(spark, cat):
+    cat.write_full("t", _df(spark, 1, 2, 3), date_col=None)
+    cat.snapshot("t", "v1")
+    # remove 3, add 4 and a DUPLICATE of 2 (multiplicity must surface)
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            [(1, "r1"), (2, "r2"), (2, "r2"), (4, "r4")], "id long, s string"
+        ),
+        date_col=None,
+    )
+    added, removed = cat.diff_snapshot("t", "v1")
+    assert _rows(added) == [(2, "r2"), (4, "r4")]
+    assert _rows(removed) == [(3, "r3")]
+
+def test_diff_snapshot_refuses_schema_drift(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    cat.snapshot("t", "v1")
+    cat.write_full(
+        "t",
+        spark.createDataFrame([(1, "r1", 9)], "id long, s string, extra long"),
+        date_col=None,
+    )
+    with pytest.raises(ValueError, match="column sets differ"):
+        cat.diff_snapshot("t", "v1")
