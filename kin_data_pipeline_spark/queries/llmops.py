@@ -2394,6 +2394,12 @@ def near_dup_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # localCheckpoint truncates lineage (the star-contraction CC pattern,
+    # operators/dedup.py): without it iteration N's plan re-expands the
+    # banded self-join N more times — 64 scans / 107 exchanges in the
+    # compiled tree for 3 iterations, vs a linear plan over the
+    # checkpointed edge list.
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     deg = deg.select(F.col("src").alias("doc_id"), "deg")
     scores = deg.select("doc_id", F.lit(1000000).cast("long").alias("s"))

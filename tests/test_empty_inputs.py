@@ -130,3 +130,35 @@ def test_late_round3_additions_empty_input(spark, sf_dir):
         assert set(out.columns) == {
             "doc_id", "source", "text", "n_tokens", "n_dropped_chunks",
         }
+
+def test_wav_and_pq_empty_inputs(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.multimodal import (
+        synthesize_pcm_wav_df,
+        wav_sample_stats_df,
+    )
+
+    docs = _empty_docs(spark, sf_dir)
+    assert wav_sample_stats_df(synthesize_pcm_wav_df(docs, "doc_id")).count() == 0
+
+def test_prefix_filter_jaccard_empty_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _empty_docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words")
+    )
+    shingled = docs.select(
+        "doc_id", F.array_distinct(F.col("words")).alias("shingles")
+    )
+    assert prefix_filter_jaccard_pairs(shingled, 1, 2).count() == 0
+
+def test_snapshot_diff_of_unchanged_table_is_empty(spark, tmp_path):
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    cat.write_full("t", df, date_col=None)
+    cat.snapshot("t", "v1")
+    added, removed = cat.diff_snapshot("t", "v1")
+    assert added.count() == 0 and removed.count() == 0
