@@ -689,6 +689,11 @@ class Catalog:
                 "mutate the clone's source"
             )
         self._heal_compaction(name)
+        # snapshots are always plain-parquet (bucketed tables refuse to
+        # snapshot) — if the live table was made bucketed AFTER the tag, a
+        # surviving bucket sidecar would route table() through a bucketed
+        # scan over restored non-bucket-named files
+        self._drop_bucket_meta(name)
         root = self.path(name)
         staging = self.path(f"{name}.__compacting")
         shutil.rmtree(staging, ignore_errors=True)

@@ -125,3 +125,14 @@ def test_diff_snapshot_refuses_schema_drift(spark, cat):
     )
     with pytest.raises(ValueError, match="column sets differ"):
         cat.diff_snapshot("t", "v1")
+
+def test_restore_clears_interim_bucket_layout(spark, cat):
+    # snapshot plain -> convert the live table to bucketed -> restore the
+    # tag: a surviving bucket sidecar would route table() through a
+    # bucketed scan over restored non-bucket-named files
+    cat.write_full("t", _df(spark, 1, 2), date_col=None)
+    cat.snapshot("t", "v1")
+    cat.write_bucketed("t", _df(spark, 7, 8), bucket_cols=["id"], n_buckets=2)
+    assert _rows(cat.table("t")) == [(7, "r7"), (8, "r8")]
+    cat.restore("t", "v1")
+    assert _rows(cat.table("t")) == [(1, "r1"), (2, "r2")]
