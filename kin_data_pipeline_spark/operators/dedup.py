@@ -267,6 +267,31 @@ def prefix_filter_jaccard_pairs(
     )
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
     ranked = post.join(freq, "s")
+    return _prefix_filter_from_ranked(ranked, shingled, threshold_num, threshold_den)
+
+def prefix_filter_jaccard_pairs_from_lists(
+    lists: DataFrame,
+    shingled: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """``prefix_filter_jaccard_pairs`` fed from an ALREADY-GROUPED posting
+    list substrate (``grouped_posting_lists``: (s, docs, df)) — the
+    frequency groupBy + token-key join the generic entry pays are already
+    materialized there, so a pipeline that caches the lists (as the
+    registered queries do) derives the ranked token stream by one explode
+    and skips two shuffles."""
+    ranked = lists.select(
+        "s", F.col("df").alias("dfreq"), F.explode("docs").alias("d")
+    ).select("s", "dfreq", F.col("d.doc_id").alias("doc_id"), F.col("d.n_sh").alias("n_sh"))
+    return _prefix_filter_from_ranked(ranked, shingled, threshold_num, threshold_den)
+
+def _prefix_filter_from_ranked(
+    ranked: DataFrame,
+    shingled: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
     # L = n - ceil(num*n/den) + 1, all-integer
     prefix_len = (
         F.col("n_sh")
@@ -276,6 +301,9 @@ def prefix_filter_jaccard_pairs(
         ).cast("int")
         + 1
     )
+    # per-doc rarity-ordered prefix WITH POSITIONS: posexplode over the
+    # slice gives each prefix token its 1-based rank in the doc's global
+    # (dfreq, s) order — the input to PPJoin's positional filter below
     pre = (
         ranked.groupBy("doc_id")
         .agg(
@@ -285,29 +313,92 @@ def prefix_filter_jaccard_pairs(
         .select(
             "doc_id",
             "n_sh",
-            F.explode(
-                F.slice(
-                    F.transform("ord", lambda x: x["s"]), F.lit(1), prefix_len
-                )
-            ).alias("s"),
+            F.posexplode(F.slice(F.col("ord"), F.lit(1), prefix_len)).alias(
+                "p0", "t"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            (F.col("p0") + 1).alias("p"),
+            F.col("t.dfreq").alias("dfreq"),
+            F.col("t.s").alias("s"),
         )
     )
-    cand = (
-        pair_counts_from_lists(
-            pre.groupBy("s").agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("doc_id"), F.col("n_sh")))
-                ).alias("docs")
-            ),
-            df_cap=None,
+    # grouped pair events, carrying both positions and the token's global
+    # order key (dfreq, s)
+    ev_pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n_sh"].alias("na"),
+                        y["n_sh"].alias("nb"),
+                        x["p"].alias("pa"),
+                        y["p"].alias("pb"),
+                    ),
+                ),
+            )
         )
-        .select("doc_a", "doc_b", "na", "nb")
-        # length filter: J >= t forces t*max <= min — prunes before the
-        # verification joins ever see the pair
+    ).alias("e")
+    events = (
+        pre.groupBy("s")
+        .agg(
+            F.first("dfreq").alias("dfreq"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_sh", "p"))
+            ).alias("docs"),
+        )
+        .select("s", "dfreq", ev_pair)
+    )
+    # PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW'08): take each
+    # pair's MINIMAL shared prefix token under the global order. All
+    # shared tokens of the pair sort at-or-after it in BOTH docs (were an
+    # earlier shared token ordered before it, that token would itself sit
+    # inside both prefixes and be the generating minimum), so true overlap
+    # <= 1 + min(na - pa, nb - pb). Require that bound to reach the
+    # overlap threshold o_min = ceil(t/(1+t) * (na+nb)) — all-integer with
+    # t = num/den: o_min = ceil(num*(na+nb) / (num+den)).
+    cand = (
+        events.groupBy(
+            F.col("e.doc_a").alias("doc_a"), F.col("e.doc_b").alias("doc_b")
+        )
+        .agg(
+            F.min_by(
+                F.struct("e.pa", "e.pb", "e.na", "e.nb"), F.struct("dfreq", "s")
+            ).alias("m")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m.na").alias("na"),
+            F.col("m.nb").alias("nb"),
+            F.col("m.pa").alias("pa"),
+            F.col("m.pb").alias("pb"),
+        )
+        # length filter: J >= t forces t*max <= min
         .filter(
             F.lit(threshold_den) * F.least("na", "nb")
             >= F.lit(threshold_num) * F.greatest("na", "nb")
         )
+        # positional filter: suffix-overlap upper bound must reach o_min
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= F.floor(
+                (
+                    F.lit(threshold_num) * (F.col("na") + F.col("nb"))
+                    + threshold_num
+                    + threshold_den
+                    - 1
+                )
+                / F.lit(threshold_num + threshold_den)
+            )
+        )
+        .select("doc_a", "doc_b", "na", "nb")
     )
     full = shingled.select("doc_id", "shingles")
     v = cand.join(

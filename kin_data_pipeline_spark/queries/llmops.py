@@ -324,13 +324,21 @@ def ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from kin_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs_from_lists,
+    )
 
     # JACCARD_THRESHOLD as an exact rational: 0.5 = 1/2. The operator
     # takes num/den so prefix lengths are integer-exact (see its docstring).
+    # Fed from the session-cached grouped posting lists: the shingle
+    # frequency aggregation + token-key join are already materialized
+    # there, so the ranked stream is one explode instead of two shuffles.
     assert JACCARD_THRESHOLD == 0.5
-    return prefix_filter_jaccard_pairs(
-        shingled_documents(spark, sf_dir), threshold_num=1, threshold_den=2
+    return prefix_filter_jaccard_pairs_from_lists(
+        shingle_posting_lists(spark, sf_dir),
+        shingled_documents(spark, sf_dir),
+        threshold_num=1,
+        threshold_den=2,
     )
 
 def _minhash_sql_exprs() -> list[str]:
