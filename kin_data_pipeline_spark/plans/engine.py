@@ -632,7 +632,10 @@ class Catalog:
         Bucketed tables are refused: their layout lives in the session
         catalog, and a file-level snapshot would silently read back
         without the co-location guarantee the table was declared with."""
-        if "/" in tag or tag.startswith("."):
+        if "/" in tag or tag.startswith(".") or tag.endswith(".__staging"):
+            # the .__staging suffix is the atomic-publish scratch name: a
+            # tag colliding with it would be hidden by list_snapshots and
+            # silently rmtree'd by the next snapshot of the base tag
             raise ValueError(f"invalid snapshot tag {tag!r}")
         src = self.resolve(name)
         phys = os.path.basename(src)
@@ -698,14 +701,22 @@ class Catalog:
         staging = self.path(f"{name}.__compacting")
         shutil.rmtree(staging, ignore_errors=True)
         self._link_tree(os.path.join(snap, "data"), staging)
-        schema_p = os.path.join(snap, "schema.json")
-        if os.path.exists(schema_p):
-            shutil.copy2(schema_p, self._schema_sidecar(name))
         old = self.path(f"{name}.__precompact")
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(root):
             os.rename(root, old)
         os.rename(staging, root)
+        # schema sidecar swaps only AFTER the data rename: copying it first
+        # would leave a crash window (between sidecar copy and data swap)
+        # where _heal_compaction restores the PRE-restore data but table()
+        # reads it through the snapshot's schema — a post-snapshot column
+        # would be silently dropped. After the rename, a crash before this
+        # copy leaves snapshot data under the live schema, which the
+        # sidecar's null-fill read semantics handle (and a re-run of
+        # restore() converges).
+        schema_p = os.path.join(snap, "schema.json")
+        if os.path.exists(schema_p):
+            shutil.copy2(schema_p, self._schema_sidecar(name))
         shutil.rmtree(old, ignore_errors=True)
 
     def drop_snapshot(self, name: str, tag: str) -> None:

@@ -388,6 +388,32 @@ def document_bands(sig: DataFrame) -> DataFrame:
         bands = bands.unionByName(bf)
     return bands
 
+def _sql_lsh_cand_ctes() -> str:
+    """Shared sh/sig/bands/cand CTE prelude — the ONE SQL twin of the
+    Spark-side ``lsh_candidate_pairs`` substrate. Four oracles (LSH
+    candidates, calibration audit, PageRank, Levenshtein verify) splice
+    this in; a banding change edits exactly one generator on each side."""
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || "
+        f"CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
+        for bi, (r0, r1) in enumerate(LSH_BANDS)
+    )
+    return f"""sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      ), UNNEST(shingles) AS t(s)
+    ), sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {bands_sql}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )"""
+
 # MinHash signatures: min over shingles of universal-hash family values.
 @register(
     "minhash_signatures",
@@ -412,23 +438,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_candidates",
     f"""
-    WITH sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-      ), UNNEST(shingles) AS t(s)
-    ), sig AS (
-      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
-      FROM sh GROUP BY doc_id
-    ), bands AS (
-      {' UNION ALL '.join(
-        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-      )}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
+    WITH {_sql_lsh_cand_ctes()}
+    SELECT doc_a, doc_b FROM cand
     """,
     doc="MinHash-LSH banded bucket join → near-dup candidate pairs",
 )
@@ -446,23 +457,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_estimate_audit",
     f"""
-    WITH doc_sh AS (
+    WITH {_sql_lsh_cand_ctes()},
+    doc_sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-    ), sh AS (
-      SELECT doc_id, s FROM doc_sh, UNNEST(shingles) AS t(s)
-    ), sig AS (
-      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
-      FROM sh GROUP BY doc_id
-    ), bands AS (
-      {' UNION ALL '.join(
-        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-      )}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
            CAST({' + '.join(f'(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)' for i in range(len(MINHASH_PARAMS)))}
@@ -2360,24 +2357,7 @@ def _pr_sql() -> str:
 @register(
     "near_dup_pagerank_3iter",
     f"""
-    WITH sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-      ), UNNEST(shingles) AS t(s)
-    ), sig AS (
-      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
-      FROM sh GROUP BY doc_id
-    ), bands AS (
-      {' UNION ALL '.join(
-        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-      )}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ), edges AS (
+    WITH {_sql_lsh_cand_ctes()}, edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM cand
@@ -2598,24 +2578,7 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "levenshtein_near_dup_verify",
     f"""
-    WITH sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
-      ), UNNEST(shingles) AS t(s)
-    ), sig AS (
-      SELECT doc_id, {', '.join(_minhash_sql_exprs())}
-      FROM sh GROUP BY doc_id
-    ), bands AS (
-      {' UNION ALL '.join(
-        f"SELECT doc_id, {bi} AS band_id, CAST(mh{r0} AS VARCHAR) || ':' || CAST(mh{r1} AS VARCHAR) AS band_key FROM sig"
-        for bi, (r0, r1) in enumerate(LSH_BANDS)
-      )}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    )
+    WITH {_sql_lsh_cand_ctes()}
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
            CAST(length(da.text) AS BIGINT) AS len_a,

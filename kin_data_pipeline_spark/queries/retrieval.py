@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kin_data_pipeline_spark.queries.llmops import _IVF_K, _IVF_NPROBE, _IVF_STRIDE
 from kin_data_pipeline_spark.queries.registry import register
 from kin_data_pipeline_spark.sources.catalog import load_table
 
@@ -166,7 +167,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trade instead of asserting it.
 @register(
     "ivf_recall_audit",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -179,10 +180,10 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                           c.vec_id ASC) AS rnk
         FROM (SELECT * FROM e WHERE vec_id < 20) q
         JOIN e c ON c.vec_id <> q.vec_id
-      ) WHERE rnk <= 5
+      ) WHERE rnk <= {_IVF_K}
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
-      WHERE vec_id % 31 = 0
+      WHERE vec_id % {_IVF_STRIDE} = 0
     ), asg AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -200,7 +201,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) DESC,
                           c.cid ASC) AS rn
         FROM e, cent c WHERE e.vec_id < 20
-      ) WHERE rn <= 2
+      ) WHERE rn <= {_IVF_NPROBE}
     ), ivf AS (
       SELECT query_id, neighbor_id FROM (
         SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -211,14 +212,15 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
         JOIN e q ON q.vec_id = p.query_id
         JOIN e n ON n.vec_id = a.vec_id
-      ) WHERE rnk <= 5
+      ) WHERE rnk <= {_IVF_K}
     ), hits AS (
       SELECT b.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits
       FROM brute b LEFT JOIN ivf i
         ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
       GROUP BY b.query_id
     )
-    SELECT query_id, n_hits, ROUND(CAST(n_hits AS DOUBLE) / 5, 6) AS recall_at_5
+    SELECT query_id, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / {_IVF_K}, 6) AS recall_at_5
     FROM hits
     """,
     doc=(
@@ -248,7 +250,9 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id",
         "n_hits",
-        F.round(F.col("n_hits").cast("double") / F.lit(5), 6).alias("recall_at_5"),
+        F.round(F.col("n_hits").cast("double") / F.lit(_IVF_K), 6).alias(
+            "recall_at_5"
+        ),
     )
 
 # Product quantization (PQ) audit — the ANN MEMORY story (Jégou, Douze &

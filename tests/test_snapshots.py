@@ -90,6 +90,10 @@ def test_snapshot_guardrails(spark, cat):
         cat.snapshot("alias", "v1")
     with pytest.raises(ValueError, match="invalid snapshot tag"):
         cat.snapshot("src", "../escape")
+    # a tag colliding with the atomic-publish scratch suffix would be
+    # hidden by list_snapshots and rmtree'd by the next base-tag snapshot
+    with pytest.raises(ValueError, match="invalid snapshot tag"):
+        cat.snapshot("src", "x.__staging")
     # snapshot dirs never surface as tables
     assert "src.__snapshots" not in cat.list_tables()
     assert set(cat.list_tables()) == {"src", "alias"}
