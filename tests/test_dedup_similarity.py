@@ -274,3 +274,42 @@ def test_prefix_filter_equals_exact_expansion(spark, sf_dir):
         for r in ngram_jaccard_prefix_filtered(spark, sf_dir).collect()
     }
     assert pref == exact
+
+def test_prefix_filter_positional_bound_is_exact_on_random_corpora(spark):
+    # The PPJoin lemma, pinned: over seeded random corpora (skewed token
+    # frequencies, varied thresholds) the prefix+positional-filtered join
+    # must return EXACTLY the brute-force Jaccard pairs — the positional
+    # bound may only prune candidates that cannot qualify.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(0xC0FFEE)
+    for case in range(6):
+        num, den = rng.choice([(1, 2), (1, 3), (2, 3), (3, 4)])
+        n_docs = rng.randint(4, 14)
+        vocab = [f"t{i}" for i in range(rng.randint(5, 25))]
+        docs = []
+        for d in range(n_docs):
+            k = rng.randint(1, min(10, len(vocab)))
+            # skew: low-index tokens are hot
+            toks = sorted({rng.choice(vocab[: rng.randint(1, len(vocab))]) for _ in range(k)})
+            if toks:
+                docs.append((d, toks))
+        expected = set()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = set(docs[i][1]), set(docs[j][1])
+                inter = len(a & b)
+                if den * inter >= num * len(a | b):
+                    expected.add((docs[i][0], docs[j][0]))
+        sh = spark.createDataFrame(
+            docs, "doc_id long, shingles array<string>"
+        )
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_jaccard_pairs(sh, num, den).collect()
+        }
+        assert got == expected, (case, num, den, sorted(expected ^ got))
