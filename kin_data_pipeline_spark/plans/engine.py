@@ -593,6 +593,53 @@ class Catalog:
                 dropped += 1
         return dropped
 
+    def delete_by_keys(
+        self, name: str, key_col: str, keys: DataFrame | Sequence
+    ) -> int:
+        """Key-based erasure — the right-to-be-forgotten primitive a
+        training-data store needs beside date cleanup: drop every row
+        whose ``key_col`` appears in ``keys`` (a 1-column frame or a plain
+        sequence) and rewrite the table as an anti join. The key set is
+        policy-sized (a deletion request list), so it broadcasts; the
+        rewrite is one pass. At 100 TB, scope the rewrite by running this
+        against the affected date partitions only (pre-filter + partition
+        overwrite), and re-export any downstream shard whose manifest rows
+        changed. Refuses clone aliases for the same copy-on-write reason
+        as ``delete_where_date_ge``. Returns the number of rows removed.
+        """
+        if os.path.exists(self._clone_marker(name)):
+            raise ValueError(
+                f"'{name}' is a zero-copy clone; deleting through it would "
+                "mutate the clone's source"
+            )
+        if isinstance(keys, DataFrame):
+            df_keys = keys.select(F.col(keys.columns[0]).alias(key_col))
+        else:
+            df_keys = self.spark.createDataFrame(
+                [(str(k),) for k in keys], f"{key_col} string"
+            )
+        live = self.table(name)
+        if key_col not in live.columns:
+            raise ValueError(f"'{name}' has no column {key_col!r}")
+        key_cast = df_keys.select(
+            F.col(key_col).cast(dict(live.dtypes)[key_col]).alias(key_col)
+        )
+        # the rewrite reads the files it is about to overwrite —
+        # localCheckpoint materializes the survivors first so the
+        # overwrite never races its own input
+        survivors = live.join(F.broadcast(key_cast), key_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        before = live.count()
+        # preserve the table's partition-directory layout if it has one
+        part_col = None
+        root = self.resolve(name)
+        for entry in os.listdir(root) if os.path.isdir(root) else []:
+            if "=" in entry and os.path.isdir(os.path.join(root, entry)):
+                part_col = entry.split("=", 1)[0]
+                break
+        self.write_full(name, survivors, date_col=part_col)
+        return before - survivors.count()
+
     # --- snapshots / time travel ----------------------------------------
     # Tagged, immutable, zero-copy table versions — the warehouse feature
     # behind "query the table as of last week's release" and instant

@@ -140,3 +140,37 @@ def test_restore_clears_interim_bucket_layout(spark, cat):
     assert _rows(cat.table("t")) == [(7, "r7"), (8, "r8")]
     cat.restore("t", "v1")
     assert _rows(cat.table("t")) == [(1, "r1"), (2, "r2")]
+
+def test_delete_by_keys_list_and_frame(spark, cat):
+    cat.write_full("t", _df(spark, 1, 2, 3, 4), date_col=None)
+    removed = cat.delete_by_keys("t", "id", [2, 4])
+    assert removed == 2
+    assert _rows(cat.table("t")) == [(1, "r1"), (3, "r3")]
+    keys = spark.createDataFrame([(3,)], "id long")
+    assert cat.delete_by_keys("t", "id", keys) == 1
+    assert _rows(cat.table("t")) == [(1, "r1")]
+    # idempotent on absent keys
+    assert cat.delete_by_keys("t", "id", [99]) == 0
+
+def test_delete_by_keys_preserves_partition_layout(spark, cat):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")],
+        "id long, d string",
+    ).withColumn("d", F.to_date("d"))
+    cat.write_full("t", df, date_col="d")
+    assert cat.delete_by_keys("t", "id", [2]) == 1
+    assert sorted(r[0] for r in cat.table("t").select("id").collect()) == [1, 3]
+    parts = [e for e in os.listdir(cat.path("t")) if e.startswith("d=")]
+    assert sorted(parts) == ["d=2024-01-01", "d=2024-01-02"]
+
+def test_delete_by_keys_guardrails(spark, cat):
+    cat.write_full("src", _df(spark, 1), date_col=None)
+    cat.clone("alias", "src")
+    with pytest.raises(ValueError, match="clone"):
+        cat.delete_by_keys("alias", "id", [1])
+    with pytest.raises(ValueError, match="no column"):
+        cat.delete_by_keys("src", "nope", [1])
