@@ -23,6 +23,7 @@ import kin_data_pipeline_spark.queries.extended  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.retrieval  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.timeseries  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
 # so ordering is a coverage decision. Round-4 window goal: VERIFICATION
@@ -133,6 +134,9 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "priority_status_cube",  # CUBE subtotal lattice (A10 superset)
     "levenshtein_near_dup_verify",  # character-grain edit-distance verify
     "pq_compression_audit",  # product-quantization LUT ranking + exact audit
+    "gapfill_locf_interpolate",  # hypertable gap-fill: LOCF + linear interp
+    "rolling_zscore_anomalies",  # trailing 7d integer-exact |z|>2 flags
+    "hard_negative_candidates",  # contrastive-training cross-label top-k
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

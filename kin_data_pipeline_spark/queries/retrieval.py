@@ -418,3 +418,84 @@ def pq_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_cosine"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive / retrieval training (DPR, SimCSE
+# shape): for each query vector, the top-k most-similar vectors that carry a
+# DIFFERENT label and sit above a similarity floor — near the decision
+# boundary, which is where negatives carry training signal (random negatives
+# are trivially separable). Same linear corpus-scan-vs-broadcast-query-set
+# shape as embedding_knn_top5 (the documented BNLJ exemption); the band
+# filter runs BEFORE the per-query window, so the rank sees only boundary
+# candidates. At 100 TB the broadcast query set is replaced by the IVF cell
+# probe (embedding_ivf_ann_top5) feeding the identical band+rank tail.
+# ---------------------------------------------------------------------------
+_HN_FLOOR = 0.2  # exactly representable? 0.2 is the same IEEE literal both sides
+_HN_K = 5
+
+@register(
+    "hard_negative_candidates",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), sims AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS sim
+      FROM (SELECT * FROM e WHERE vec_id < 20) q
+      JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
+           ROUND(sim, 4) AS cosine_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM sims WHERE sim >= {_HN_FLOOR}
+    ) WHERE rnk <= {_HN_K}
+    """,
+    doc="contrastive-training hard negatives: cross-label top-k above a similarity floor",
+)
+def hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label")),
+    )
+    sims = joined.select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "sim"
+        ),
+    ).filter(F.col("sim") >= _HN_FLOOR)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("int").alias("neighbor_label"),
+            F.round("sim", 4).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -47,6 +47,7 @@ ALLOWED_BNLJ = {
     "bm25_doc_scores",  # |Q|-row term frame × 1-row corpus-stats frame
     "acctbal_opportunity_q22",  # scalar subquery: 1-row threshold × customers
     "pq_compression_audit",  # query set × 64-row codebook LUT (both bounded)
+    "hard_negative_candidates",  # corpus × broadcast query set (knn shape)
 }
 
 def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):

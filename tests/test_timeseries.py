@@ -1,0 +1,128 @@
+"""Semantic pins for the hypertable tier (queries/timeseries.py) and the
+hard-negative miner (queries/retrieval.py) — properties the oracle hash
+can't see on its own: spine contiguity, LOCF carry semantics, interpolation
+convexity, warmup/flag gating, and the negative-band contract."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries.registry import QUERIES
+
+@pytest.fixture(scope="module")
+def gapfill(spark, sf_dir):
+    rows = QUERIES["gapfill_locf_interpolate"].fn(spark, sf_dir).collect()
+    return sorted(rows, key=lambda r: (r.user_id, r.day))
+
+@pytest.fixture(scope="module")
+def zscore(spark, sf_dir):
+    rows = QUERIES["rolling_zscore_anomalies"].fn(spark, sf_dir).collect()
+    return sorted(rows, key=lambda r: (r.event_type, r.day))
+
+def test_gapfill_produces_gap_rows(gapfill):
+    assert any(not r.is_observed for r in gapfill), "fixture has no gaps — vacuous"
+    assert any(r.is_observed for r in gapfill)
+
+def test_gapfill_spine_is_contiguous_per_user(gapfill):
+    by_user: dict[int, list[datetime.date]] = {}
+    for r in gapfill:
+        by_user.setdefault(r.user_id, []).append(r.day)
+    for uid, days in by_user.items():
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span, f"user {uid}: {len(days)} rows over {span}-day span"
+        # endpoints of every span are observed (spine is min..max of observations)
+        assert days == sorted(days)
+
+def test_gapfill_span_endpoints_are_observed(gapfill):
+    by_user: dict[int, list] = {}
+    for r in gapfill:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        assert rows[0].is_observed and rows[-1].is_observed
+
+def test_gapfill_locf_carries_last_observation(gapfill):
+    last = {}
+    for r in gapfill:
+        if r.is_observed:
+            assert r.value_cents is not None
+            assert r.locf_cents == r.value_cents
+            assert r.interp_num == r.value_cents and r.interp_den == 1
+            last[r.user_id] = r.value_cents
+        else:
+            assert r.value_cents is None
+            assert r.locf_cents == last[r.user_id], "LOCF must carry forward"
+
+def test_gapfill_interpolation_is_convex_and_exact(gapfill):
+    by_user: dict[int, list] = {}
+    for r in gapfill:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        obs = [(i, r.value_cents) for i, r in enumerate(rows) if r.is_observed]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            for j in range(i0 + 1, i1):
+                r = rows[j]
+                # exact rational: num/den == v0 + (v1-v0)*(j-i0)/(i1-i0)
+                assert r.interp_den == i1 - i0
+                assert r.interp_num == v0 * (i1 - j) + v1 * (j - i0)
+                lo, hi = min(v0, v1), max(v0, v1)
+                assert lo * r.interp_den <= r.interp_num <= hi * r.interp_den
+                checked += 1
+    assert checked > 0, "no interior gap rows — vacuous"
+
+def test_zscore_window_warmup_and_cap(zscore):
+    by_type: dict[str, list] = {}
+    for r in zscore:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        for i, r in enumerate(rows):
+            assert r.n_window == min(i + 1, 7), (
+                "dense daily grid: n_window must ramp 1..7 then hold"
+            )
+
+def test_zscore_flag_matches_float_zscore(zscore):
+    fired = 0
+    for r in zscore:
+        if r.is_anomaly:
+            assert r.n_window == 7, "flag must not fire during warmup"
+            assert abs(r.zscore) > 2.0
+            fired += 1
+        elif r.n_window == 7 and r.zscore is not None:
+            # integer decision and float z agree away from the boundary
+            if abs(r.zscore) > 2.0 + 1e-9:
+                raise AssertionError(f"|z|={r.zscore} but flag not set: {r}")
+    assert fired >= 1, "no anomalies at this SF — vacuous fixture"
+
+def test_zscore_variance_identity(zscore):
+    # var_scaled = n·Σx² − (Σx)² ≥ 0 always (Cauchy–Schwarz); zero only if
+    # every value in the frame is identical.
+    for r in zscore:
+        assert r.var_scaled >= 0
+        if r.var_scaled == 0:
+            assert r.zscore is None
+
+def test_hard_negatives_contract(spark, sf_dir):
+    rows = QUERIES["hard_negative_candidates"].fn(spark, sf_dir).collect()
+    assert rows, "no hard negatives — vacuous"
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r.query_label != r.neighbor_label, "negatives must cross labels"
+        assert r.neighbor_id != r.query_id
+        assert 0.2 <= r.cosine_sim <= 1.0
+        per_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_query.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+def test_hard_negatives_are_below_near_dup_ceiling(spark, sf_dir):
+    # On this corpus cross-label cosine tops out well under near-dup range;
+    # the miner must never surface a same-label pair even at the top rank.
+    df = QUERIES["hard_negative_candidates"].fn(spark, sf_dir)
+    n_same = df.filter(F.col("query_label") == F.col("neighbor_label")).count()
+    assert n_same == 0
