@@ -1,0 +1,133 @@
+"""Catalog.apply_changelog — the CDC-consumer merge: per-key latest-wins
+compression of an I/U/D log, one anti-join + rewrite pass, idempotent
+reapply, clone copy-on-write, layout preservation."""
+
+from __future__ import annotations
+
+import pytest
+
+from kin_data_pipeline_spark.plans.engine import Catalog
+
+def _catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long",
+    )
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, v long, op string, seq long")
+
+def _rows(catalog, name):
+    return sorted(
+        (r.id, r.name, r.v) for r in catalog.table(name).collect()
+    )
+
+def test_changelog_insert_update_delete(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    log = _log(
+        spark,
+        [
+            (5, "e", 50, "I", 1),  # fresh insert
+            (2, "B", 21, "U", 2),  # update existing
+            (3, None, None, "D", 3),  # delete existing
+        ],
+    )
+    counts = c.apply_changelog("t", log, ["id"])
+    assert counts == {"upserts": 2, "deletes": 1}
+    assert _rows(c, "t") == [(1, "a", 10), (2, "B", 21), (4, "d", 40), (5, "e", 50)]
+
+def test_changelog_latest_wins_per_key(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    log = _log(
+        spark,
+        [
+            # key 1: updated twice then deleted — net effect is one delete
+            (1, "a1", 11, "U", 1),
+            (1, "a2", 12, "U", 2),
+            (1, None, None, "D", 3),
+            # key 9: deleted (no-op, absent) then re-inserted — insert wins
+            (9, None, None, "D", 1),
+            (9, "i", 90, "I", 2),
+            # key 2: two updates — only the later lands
+            (2, "old", 98, "U", 5),
+            (2, "new", 99, "U", 7),
+        ],
+    )
+    counts = c.apply_changelog("t", log, ["id"])
+    assert counts == {"upserts": 2, "deletes": 1}
+    assert _rows(c, "t") == [(2, "new", 99), (3, "c", 30), (4, "d", 40), (9, "i", 90)]
+
+def test_changelog_reapply_is_idempotent(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    log = _log(spark, [(2, "B", 21, "u", 2), (3, None, None, "d", 3), (6, "f", 60, "i", 1)])
+    c.apply_changelog("t", log, ["id"])
+    once = _rows(c, "t")
+    c.apply_changelog("t", log, ["id"])
+    assert _rows(c, "t") == once
+
+def test_changelog_bootstraps_missing_table(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    log = _log(spark, [(1, "a", 10, "I", 1), (2, None, None, "D", 1)])
+    counts = c.apply_changelog("t", log, ["id"])
+    assert counts == {"upserts": 1, "deletes": 1}
+    assert _rows(c, "t") == [(1, "a", 10)]
+
+def test_changelog_rejects_unknown_op_and_ambiguous_seq(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    with pytest.raises(ValueError, match="unknown changelog op"):
+        c.apply_changelog("t", _log(spark, [(1, "a", 1, "X", 1)]), ["id"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        c.apply_changelog(
+            "t",
+            _log(spark, [(1, "a", 1, "U", 7), (1, "b", 2, "D", 7)]),
+            ["id"],
+        )
+    # failed applies must not have touched the table
+    assert _rows(c, "t") == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+def test_changelog_rejects_schema_drift(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    drifted = spark.createDataFrame(
+        [(1, "a", "I", 1)], "id long, name string, op string, seq long"
+    )
+    with pytest.raises(ValueError, match="columns"):
+        c.apply_changelog("t", drifted, ["id"])
+
+def test_changelog_materializes_clone_copy_on_write(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("src", _base(spark), None)
+    c.clone("t", "src")
+    log = _log(spark, [(3, None, None, "D", 1)])
+    c.apply_changelog("t", log, ["id"])
+    # clone diverged; source untouched (Snowflake clone semantics)
+    assert _rows(c, "t") == [(1, "a", 10), (2, "b", 20), (4, "d", 40)]
+    assert _rows(c, "src") == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+def test_changelog_preserves_date_partition_layout(spark, tmp_path):
+    import os
+
+    c = _catalog(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10), (2, "2024-01-02", 20)],
+        "id long, d string, v long",
+    ).selectExpr("id", "CAST(d AS DATE) AS d", "v")
+    c.write_full("t", df, "d")
+    log = spark.createDataFrame(
+        [(3, "2024-01-03", 30, "I", 1)], "id long, d string, v long, op string, seq long"
+    ).selectExpr("id", "CAST(d AS DATE) AS d", "v", "op", "seq")
+    c.apply_changelog("t", log, ["id"], date_col="d")
+    parts = {e for e in os.listdir(c.path("t")) if e.startswith("d=")}
+    assert parts == {"d=2024-01-01", "d=2024-01-02", "d=2024-01-03"}
+    assert sorted((r.id, r.v) for r in c.table("t").collect()) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
