@@ -137,6 +137,9 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "gapfill_locf_interpolate",  # hypertable gap-fill: LOCF + linear interp
     "rolling_zscore_anomalies",  # trailing 7d integer-exact |z|>2 flags
     "hard_negative_candidates",  # contrastive-training cross-label top-k
+    "weekly_retention_cohorts",  # first-purchase cohort retention matrix
+    "weighted_doc_sample_top50",  # deterministic priority (weighted) sampling
+    "time_weighted_avg_per_user",  # TWAP: duration-weighted series average
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

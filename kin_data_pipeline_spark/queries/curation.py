@@ -1024,3 +1024,58 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_micro").cast("double") / F.sum("s_micro").over(w_all), 6
         ).alias("weight_alpha05"),
     )
+
+# Deterministic WEIGHTED sampling (priority sampling / exponential-keys
+# shape, integer-exact): each doc draws a uniform 32-bit key from its id
+# hash and competes with priority = key/weight — larger weights get
+# systematically smaller priorities, so the global k smallest form a
+# weighted-without-replacement sample (Duffield/Lund/Thorup priority
+# sampling; the deterministic sibling of A-ExpJ). Here weight = n_chars
+# (longer docs oversampled, the length-balanced shard shape). All integer:
+# priority = h·10⁶ DIV w ≤ 2³²·10⁶ < 2⁶². Selection compiles to
+# TakeOrderedAndProject (per-partition heaps, k-row driver merge) — the
+# rank window runs on the 50 selected rows only, never the corpus.
+@register(
+    "weighted_doc_sample_top50",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS BIGINT) AS h
+      FROM documents WHERE n_chars > 0
+    ), p AS (
+      SELECT doc_id, source, n_chars, (h * 1000000) // n_chars AS priority
+      FROM d
+    )
+    SELECT doc_id, source, n_chars, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority ASC, doc_id ASC) AS INT)
+             AS rnk
+    FROM p ORDER BY priority ASC, doc_id ASC LIMIT 50
+    """,
+    doc="deterministic weighted sampling: integer priority = hash/weight, global top-50",
+)
+def weighted_doc_sample_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .withColumn("priority", F.expr("h * 1000000 DIV n_chars"))
+    )
+    top = d.orderBy(F.asc("priority"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "priority",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

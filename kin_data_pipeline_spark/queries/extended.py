@@ -1432,3 +1432,65 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+# Cohort retention: the classic product-analytics matrix — users grouped by
+# first-purchase week, tracked by distinct activity in each later week.
+# Offsets divide exactly (both engines truncate weeks to Monday, so the day
+# delta between week starts is a multiple of 7); the rate is one division
+# over two integer counts. Scale shape: two aggregations over the distinct
+# (user, week) frame + a join back on user_id — the cohort table is
+# |users| rows and the output |cohorts| x |weeks|, both tiny next to events.
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH ua AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ), f AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM ua GROUP BY 1
+    ), j AS (
+      SELECT f.cohort_wk,
+             CAST(date_diff('day', f.cohort_wk, ua.wk) / 7 AS BIGINT) AS week_offset,
+             ua.user_id
+      FROM ua JOIN f ON ua.user_id = f.user_id
+    ), cs AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+    )
+    SELECT j.cohort_wk, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+           ANY_VALUE(cs.cohort_size) AS cohort_size,
+           ROUND(COUNT(DISTINCT user_id) * 1.0 / ANY_VALUE(cs.cohort_size), 6)
+             AS retention
+    FROM j JOIN cs ON j.cohort_wk = cs.cohort_wk
+    GROUP BY 1, 2
+    """,
+    doc="purchase-cohort weekly retention matrix (first-activity cohorts, distinct-active rates)",
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ua = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.trunc(F.to_date("ts"), "week").alias("wk"))
+        .distinct()
+    )
+    f = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = ua.join(f, "user_id").select(
+        "cohort_wk",
+        (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    cs = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        j.groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(cs), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

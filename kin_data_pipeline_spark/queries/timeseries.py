@@ -225,3 +225,52 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("n_window") == 7) & (dev * dev > 4 * var2)).alias("is_anomaly"),
     )
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): the irregular-series companion to gap-fill.
+# A plain AVG over observations overweights bursty periods; weighting each
+# observation by its holding duration (microseconds to the next observation,
+# exclusive of the open tail) gives the value's true time integral — the
+# TimescaleDB ``time_weight('locf', ...)`` / finance TWAP semantics. All
+# integer until one final division: Σ(cents·Δus) ≤ max_cents·span_us ≈
+# 5·10⁴·2.6·10¹² ≈ 1.3·10¹⁷ per user at sf0.1 — inside int64 for any
+# per-entity span below ~50 years. Partitions by user_id; one window pass.
+# ---------------------------------------------------------------------------
+@register(
+    "time_weighted_avg_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), o AS (
+      SELECT user_id, cents, t_us,
+             lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS nxt
+      FROM e
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(cents * (nxt - t_us)) AS BIGINT) AS twa_num,
+           CAST(SUM(nxt - t_us) AS BIGINT) AS twa_den,
+           ROUND((CAST(CAST(SUM(cents * (nxt - t_us)) AS BIGINT) AS DOUBLE)
+                  / CAST(SUM(nxt - t_us) AS BIGINT)) / 100.0, 6) AS twa_value
+    FROM o WHERE nxt IS NOT NULL GROUP BY user_id
+    """,
+    doc="time-weighted average per entity (duration-weighted LOCF integral, exact rational + one division)",
+)
+def time_weighted_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), _cents().alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    o = e.withColumn("nxt", F.lead("t_us").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dur = F.col("nxt") - F.col("t_us")
+    num = F.sum(F.col("cents") * dur).cast("long")
+    den = F.sum(dur).cast("long")
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        num.alias("twa_num"),
+        den.alias("twa_den"),
+        F.round((num.cast("double") / den) / 100.0, 6).alias("twa_value"),
+    )

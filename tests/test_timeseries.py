@@ -126,3 +126,58 @@ def test_hard_negatives_are_below_near_dup_ceiling(spark, sf_dir):
     df = QUERIES["hard_negative_candidates"].fn(spark, sf_dir)
     n_same = df.filter(F.col("query_label") == F.col("neighbor_label")).count()
     assert n_same == 0
+
+def test_twap_den_is_span_and_value_bounded(spark, sf_dir):
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    out = {
+        r.user_id: r
+        for r in QUERIES["time_weighted_avg_per_user"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(ts) AS t",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    spans: dict[int, list] = {}
+    for r in ev:
+        spans.setdefault(r.user_id, []).append(r)
+    for uid, rows in spans.items():
+        if len(rows) < 2:
+            assert uid not in out  # single-observation users have no interval
+            continue
+        ts = sorted(r.t for r in rows)
+        o = out[uid]
+        assert o.twa_den == ts[-1] - ts[0], "den must equal the observed span"
+        lo, hi = min(r.cents for r in rows), max(r.cents for r in rows)
+        assert lo * o.twa_den <= o.twa_num <= hi * o.twa_den
+        assert o.n_obs == len(rows) - 1
+
+def test_retention_cohort_contract(spark, sf_dir):
+    rows = QUERIES["weekly_retention_cohorts"].fn(spark, sf_dir).collect()
+    assert rows
+    week0 = {r.cohort_wk: r for r in rows if r.week_offset == 0}
+    by_cohort: dict = {}
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size
+        by_cohort.setdefault(r.cohort_wk, []).append(r)
+    for wk, rs in by_cohort.items():
+        # offset 0 is full by definition: every cohort member is active in
+        # their own first week
+        assert week0[wk].n_active == week0[wk].cohort_size
+        assert week0[wk].retention == 1.0
+
+def test_weighted_sample_contract(spark, sf_dir):
+    rows = sorted(
+        QUERIES["weighted_doc_sample_top50"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(rows) == 50
+    assert [r.rnk for r in rows] == list(range(1, 51))
+    pris = [r.priority for r in rows]
+    assert pris == sorted(pris)
+    assert all(r.n_chars > 0 and r.priority >= 0 for r in rows)
