@@ -17,7 +17,10 @@ MIGRATION.md for the file-by-file mapping):
 4. runs the corpus-release DAG (quality gate → near-dup survivors →
    shards + substring-cleaned variant) and exports the training shards;
 5. snapshots the release, simulates a bad rewrite, and restores —
-   the zero-copy time-travel path (Catalog.snapshot/table_at/restore).
+   the zero-copy time-travel path (Catalog.snapshot/table_at/restore);
+6. applies a CDC changelog (update + erasure + late insert) to the
+   survivors table in one latest-wins merge pass
+   (Catalog.apply_changelog) and shows the reapply no-op.
 """
 
 from __future__ import annotations
@@ -58,19 +61,19 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     runner = Runner(spark, catalog)
 
     models = build_kin_models(sf_dir)
-    print(f"[1/5] full refresh: {len(models)} models -> {wh}")
+    print(f"[1/6] full refresh: {len(models)} models -> {wh}")
     results = runner.run(models, RUN_DATE, build_type="full_refresh")
     total = sum(r.duration_sec or 0 for r in results)
     slowest = max(results, key=lambda r: r.duration_sec or 0)
     print(f"      built {len(results)} tables in {total:.1f}s "
           f"(slowest: {slowest.model}, {slowest.duration_sec or 0:.1f}s)")
 
-    print("[2/5] incremental pass (no new data -> watermark no-ops)")
+    print("[2/6] incremental pass (no new data -> watermark no-ops)")
     results = runner.run(models, RUN_DATE)
     print(f"      {sum(1 for r in results if r.action == 'incremental')} incremental, "
           f"{sum(1 for r in results if r.action == 'full')} full")
 
-    print("[3/5] SQL surface")
+    print("[3/6] SQL surface")
     catalog.publish_views()
     spark.sql(
         """
@@ -79,7 +82,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
         """
     ).show(truncate=False)
 
-    print("[4/5] corpus release")
+    print("[4/6] corpus release")
     runner.run(corpus_release_models(sf_dir), datetime.date(2024, 2, 1))
     for t in ("corpus_quality", "corpus_survivors", "corpus_shards", "corpus_clean"):
         print(f"      {t}: {catalog.table(t).count()} rows")
@@ -87,7 +90,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     export_release(catalog, out)
     print(f"      shards exported to {out}")
 
-    print("[5/5] snapshot / time travel")
+    print("[5/6] snapshot / time travel")
     n0 = catalog.table("corpus_survivors").count()
     catalog.snapshot("corpus_survivors", "release-1")
     # simulate an operator error: the table is overwritten with one row
@@ -99,6 +102,35 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     catalog.restore("corpus_survivors", "release-1")
     print(f"      {n0} rows -> bad rewrite left {broken} -> snapshot still "
           f"{at} -> restored {catalog.table('corpus_survivors').count()}")
+
+    print("[6/6] CDC changelog apply")
+    from pyspark.sql import functions as F
+
+    surv = catalog.table("corpus_survivors")
+    cols = surv.columns
+    two = surv.orderBy("doc_id").limit(2).collect()
+    upd = dict(zip(cols, two[0]))
+    upd["source"] = "src_corrected"
+    log = spark.createDataFrame(
+        [
+            tuple(upd[c] for c in cols) + ("U", 2),
+            tuple(dict(zip(cols, two[1]))[c] for c in cols) + ("D", 1),
+        ],
+        surv.schema.add("op", "string").add("seq", "long"),
+    )
+    counts = catalog.apply_changelog("corpus_survivors", log, ["doc_id"])
+    n1 = catalog.table("corpus_survivors").count()
+    counts2 = catalog.apply_changelog("corpus_survivors", log, ["doc_id"])
+    n2 = catalog.table("corpus_survivors").count()
+    corrected = (
+        catalog.table("corpus_survivors")
+        .filter(F.col("source") == "src_corrected")
+        .count()
+    )
+    print(
+        f"      applied {counts} -> {n1} rows ({corrected} corrected); "
+        f"reapply {counts2} is a no-op -> {n2} rows"
+    )
 
 if __name__ == "__main__":
     main()

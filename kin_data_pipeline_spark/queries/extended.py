@@ -1467,30 +1467,44 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="purchase-cohort weekly retention matrix (first-activity cohorts, distinct-active rates)",
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort via a per-user window MIN instead of the oracle's
+    # groupBy+self-join: one exchange on user_id replaces the join of two
+    # user-keyed aggregates. Cohort size never needs its own aggregation —
+    # a cohort's offset-0 row counts every member by construction
+    # (cohort_wk = MIN(wk) means each user is active in their own week 0),
+    # so it is read back off the tiny cohort×offset aggregate with a
+    # second window. Same values as the oracle's explicit cohort-size CTE.
     ua = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", F.trunc(F.to_date("ts"), "week").alias("wk"))
         .distinct()
     )
-    f = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    j = ua.join(f, "user_id").select(
+    wu = Window.partitionBy("user_id")
+    j = ua.select(
+        F.min("wk").over(wu).alias("cohort_wk"),
+        "wk",
+        "user_id",
+    ).select(
         "cohort_wk",
         (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
         "user_id",
     )
-    cs = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return (
-        j.groupBy("cohort_wk", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .join(F.broadcast(cs), "cohort_wk")
-        .select(
-            "cohort_wk",
-            "week_offset",
-            "n_active",
-            "cohort_size",
-            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
-                "retention"
-            ),
-        )
+    agg = j.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_wk")
+    return agg.select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_active")))
+        .over(wc)
+        .alias("cohort_size"),
+        F.round(
+            F.col("n_active")
+            * 1.0
+            / F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc),
+            6,
+        ).alias("retention"),
     )

@@ -1,4 +1,5 @@
 from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401
+    ingest_changelog_to_catalog,
     ingest_to_catalog,
     last_committed_batch,
 )

@@ -118,3 +118,60 @@ def stream_corpus_increments(
         query.stop()
         raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
     return stats
+
+def ingest_changelog_to_catalog(
+    stream: DataFrame,
+    catalog: Catalog,
+    table: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    date_col: str | None = None,
+    query_name: str = "cdc_ingest",
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 300,
+) -> list[dict]:
+    """Streaming MERGE: a CDC changelog stream (I/U/D rows, Debezium shape)
+    applied to a catalog table one micro-batch at a time through
+    ``Catalog.apply_changelog`` — within a batch the per-key latest-``seq``
+    change wins; across batches, batch order is log order.
+
+    The commit marker is LOAD-BEARING for correctness here, not just for
+    dedup: ``apply_changelog`` is idempotent for a lone batch, but a stale
+    batch replayed AFTER a later batch has landed would roll keys back to
+    older values (e.g. batch 3's update re-applied over batch 4's delete
+    resurrects the row). ``batch_id <= last_committed`` makes replays of
+    anything already merged a no-op, so restarts preserve log order.
+    Returns the per-batch {upserts, deletes} counts in completion order.
+    """
+    if checkpoint_dir is None:
+        raise ValueError("checkpoint_dir is required (batch ids scope to it)")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    applied: list[dict] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(checkpoint_dir, table):
+            return
+        counts = catalog.apply_changelog(
+            table, batch_df, key_cols, op_col=op_col, seq_col=seq_col,
+            date_col=date_col,
+        )
+        counts["batch_id"] = batch_id
+        applied.append(counts)
+        marker = _commit_marker(checkpoint_dir, table)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, marker)
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+    return applied

@@ -131,3 +131,49 @@ def test_changelog_preserves_date_partition_layout(spark, tmp_path):
         (2, 20),
         (3, 30),
     ]
+
+def test_streaming_changelog_merge(spark, tmp_path):
+    """foreachBatch CDC: ordered micro-batches merge through
+    apply_changelog; replaying the stream with the same checkpoint is a
+    no-op (the commit marker keeps stale batches from rolling back newer
+    state)."""
+    import os
+    import time
+
+    from kin_data_pipeline_spark.streaming import (
+        ingest_changelog_to_catalog,
+        last_committed_batch,
+    )
+
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    landing = tmp_path / "cdc_landing"
+    b1 = _log(spark, [(2, "B", 21, "U", 1), (3, None, None, "D", 2), (5, "e", 50, "I", 3)])
+    b2 = _log(spark, [(5, None, None, "D", 4), (1, "A", 11, "U", 5)])
+    b1.coalesce(1).write.parquet(str(landing / "f1"))
+    time.sleep(1.1)  # FileStreamSource orders batches by mtime
+    b2.coalesce(1).write.parquet(str(landing / "f2"))
+
+    def _stream():
+        return (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing) + "/*")
+        )
+
+    ck = str(tmp_path / "cdc_ck")
+    applied = ingest_changelog_to_catalog(
+        _stream(), c, "t", ["id"], checkpoint_dir=ck, query_name="cdc_test"
+    )
+    assert [a["batch_id"] for a in applied] == [0, 1]
+    assert applied[0] == {"upserts": 2, "deletes": 1, "batch_id": 0}
+    assert applied[1] == {"upserts": 1, "deletes": 1, "batch_id": 1}
+    want = [(1, "A", 11), (2, "B", 21), (4, "d", 40)]
+    assert _rows(c, "t") == want
+    assert last_committed_batch(ck, "t") == 1
+    # replay: same checkpoint, no new files -> no batches, state unchanged
+    applied2 = ingest_changelog_to_catalog(
+        _stream(), c, "t", ["id"], checkpoint_dir=ck, query_name="cdc_test"
+    )
+    assert applied2 == []
+    assert _rows(c, "t") == want
