@@ -98,55 +98,28 @@ def _cents():
     doc="hypertable gap-fill: per-entity daily spine + LOCF + exact-rational linear interpolation",
 )
 def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.timeseries import (
+        gapfill_locf_interpolate_frame,
+    )
+
     daily = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.sum(_cents()).alias("value_cents"))
     )
-    spine = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
-    g = spine.join(daily, ["user_id", "day"], "left")
-
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_day = F.when(F.col("value_cents").isNotNull(), F.col("day"))
-    f = g.select(
+    out = gapfill_locf_interpolate_frame(daily, "user_id", "day", "value_cents")
+    return out.select(
         "user_id",
         "day",
+        "is_observed",
         "value_cents",
-        F.last("value_cents", ignorenulls=True).over(w_prev).alias("locf_cents"),
-        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
-        F.first("value_cents", ignorenulls=True).over(w_next).alias("next_cents"),
-        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
-    )
-
-    den0 = F.datediff("next_day", "prev_day")
-    num = F.when(den0 == 0, F.col("value_cents")).otherwise(
-        F.col("locf_cents") * F.datediff("next_day", "day")
-        + F.col("next_cents") * F.datediff("day", "prev_day")
-    )
-    den = F.when(den0 == 0, F.lit(1)).otherwise(den0)
-    return f.select(
-        "user_id",
-        "day",
-        F.col("value_cents").isNotNull().alias("is_observed"),
-        "value_cents",
-        "locf_cents",
-        num.cast("long").alias("interp_num"),
-        den.cast("long").alias("interp_den"),
-        F.round((num.cast("double") / den) / 100.0, 6).alias("interp_value"),
+        F.col("locf").alias("locf_cents"),
+        "interp_num",
+        "interp_den",
+        F.round(
+            (F.col("interp_num").cast("double") / F.col("interp_den")) / 100.0, 6
+        ).alias("interp_value"),
     )
 
 # ---------------------------------------------------------------------------
@@ -258,19 +231,18 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="time-weighted average per entity (duration-weighted LOCF integral, exact rational + one division)",
 )
 def time_weighted_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.timeseries import time_weighted_avg
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("t_us"), _cents().alias("cents")
     )
-    w = Window.partitionBy("user_id").orderBy("t_us")
-    o = e.withColumn("nxt", F.lead("t_us").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
-    dur = F.col("nxt") - F.col("t_us")
-    num = F.sum(F.col("cents") * dur).cast("long")
-    den = F.sum(dur).cast("long")
-    return o.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        num.alias("twa_num"),
-        den.alias("twa_den"),
-        F.round((num.cast("double") / den) / 100.0, 6).alias("twa_value"),
+    out = time_weighted_avg(e, "user_id", "t_us", "cents")
+    return out.select(
+        "user_id",
+        "n_obs",
+        "twa_num",
+        "twa_den",
+        F.round(
+            (F.col("twa_num").cast("double") / F.col("twa_den")) / 100.0, 6
+        ).alias("twa_value"),
     )

@@ -162,3 +162,28 @@ def test_snapshot_diff_of_unchanged_table_is_empty(spark, tmp_path):
     cat.snapshot("t", "v1")
     added, removed = cat.diff_snapshot("t", "v1")
     assert added.count() == 0 and removed.count() == 0
+
+def test_timeseries_operators_empty_input(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.timeseries import (
+        gapfill_locf_interpolate_frame,
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.lit(1)).alias("v")
+    )
+    gf = gapfill_locf_interpolate_frame(daily, "user_id", "day", "v")
+    assert gf.count() == 0
+    assert gf.columns == [
+        "user_id", "day", "is_observed", "v", "locf", "interp_num", "interp_den",
+    ]
+    obs = ev.select("user_id", F.unix_micros("ts").alias("t"), F.lit(1).alias("v"))
+    twa = time_weighted_avg(obs, "user_id", "t", "v")
+    assert twa.count() == 0
+    assert twa.columns == ["user_id", "n_obs", "twa_num", "twa_den"]
+    # single-observation entities: still no output (no interval)
+    one = load_table(spark, sf_dir, "events").limit(1).select(
+        "user_id", F.unix_micros("ts").alias("t"), F.lit(1).alias("v")
+    )
+    assert time_weighted_avg(one, "user_id", "t", "v").count() == 0
