@@ -177,3 +177,35 @@ def test_streaming_changelog_merge(spark, tmp_path):
     )
     assert applied2 == []
     assert _rows(c, "t") == want
+
+def test_changelog_random_logs_match_reference_fold(spark, tmp_path):
+    """Seeded randomized sweep: arbitrary I/U/D logs over a small key space
+    must land exactly where a sequential per-seq fold of the log lands —
+    the latest-wins compression is an optimization, not a semantics
+    change."""
+    import random
+
+    rng = random.Random(23)
+    base_rows = [(k, f"n{k}", k * 10) for k in range(8)]
+    for trial in range(3):
+        c = Catalog(spark, str(tmp_path / f"wh_rand{trial}"))
+        c.write_full(
+            "t",
+            spark.createDataFrame(base_rows, "id long, name string, v long"),
+            None,
+        )
+        state = {k: (f"n{k}", k * 10) for k in range(8)}
+        log_rows = []
+        for seq in range(1, 41):
+            k = rng.randrange(0, 12)
+            op = rng.choice(["I", "U", "D"])
+            if op == "D":
+                log_rows.append((k, None, None, "D", seq))
+                state.pop(k, None)
+            else:
+                name, v = f"s{trial}_{seq}", seq * 100 + k
+                log_rows.append((k, name, v, op, seq))
+                state[k] = (name, v)
+        c.apply_changelog("t", _log(spark, log_rows), ["id"])
+        want = sorted((k, n, v) for k, (n, v) in state.items())
+        assert _rows(c, "t") == want, f"trial {trial} diverged"
