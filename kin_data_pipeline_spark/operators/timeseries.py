@@ -85,3 +85,49 @@ def time_weighted_avg(
         F.sum(F.col(value_col) * dur).cast("long").alias("twa_num"),
         F.sum(dur).cast("long").alias("twa_den"),
     )
+
+def rolling_zscore(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    value_col: str,
+    window_days: int = 7,
+    z_num: int = 2,
+    z_den: int = 1,
+) -> DataFrame:
+    """Trailing ``window_days`` z-score over an integer daily series, with
+    the |z| > z_num/z_den anomaly decision evaluated ENTIRELY in integers:
+    dev = n·x − Σx and n²σ² = n·Σx² − (Σx)², so |z| > t ⟺ z_den²·dev² >
+    z_num²·(n·Σx² − (Σx)²). The frame is RANGE over the epoch-day number —
+    calendar holes shrink n instead of silently stretching the window —
+    and the flag only fires on a full window. Returns (entity, day, value,
+    n_window, dev_scaled, var_scaled, is_anomaly)."""
+    d = df.withColumn("__dn", F.datediff(day_col, F.lit("1970-01-01")))
+    win = (
+        Window.partitionBy(entity_col)
+        .orderBy("__dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    x = F.col(value_col)
+    w = d.select(
+        entity_col,
+        day_col,
+        value_col,
+        F.count(F.lit(1)).over(win).cast("long").alias("n_window"),
+        F.sum(x).over(win).alias("__s1"),
+        F.sum(x * x).over(win).alias("__s2"),
+    )
+    dev = F.col("n_window") * x - F.col("__s1")
+    var2 = F.col("n_window") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    return w.select(
+        entity_col,
+        day_col,
+        value_col,
+        "n_window",
+        dev.cast("long").alias("dev_scaled"),
+        var2.cast("long").alias("var_scaled"),
+        (
+            (F.col("n_window") == window_days)
+            & (F.lit(z_den * z_den) * dev * dev > F.lit(z_num * z_num) * var2)
+        ).alias("is_anomaly"),
+    )

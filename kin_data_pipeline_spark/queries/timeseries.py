@@ -167,36 +167,29 @@ def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="trailing 7d z-score anomaly flags; integer-exact |z|>2 decision (dev² > 4·n²σ²)",
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.timeseries import rolling_zscore
+
     d = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.sum(_cents()).alias("value_cents"))
-        .withColumn("dn", F.datediff("day", F.lit("1970-01-01")))
     )
-    win = (
-        Window.partitionBy("event_type").orderBy("dn").rangeBetween(-6, 0)
+    out = rolling_zscore(
+        d, "event_type", "day", "value_cents", window_days=7, z_num=2, z_den=1
     )
-    w = d.select(
-        "event_type",
-        "day",
-        "value_cents",
-        F.count(F.lit(1)).over(win).cast("long").alias("n_window"),
-        F.sum("value_cents").over(win).alias("s1"),
-        F.sum(F.col("value_cents") * F.col("value_cents")).over(win).alias("s2"),
-    )
-    dev = F.col("n_window") * F.col("value_cents") - F.col("s1")
-    var2 = F.col("n_window") * F.col("s2") - F.col("s1") * F.col("s1")
-    return w.select(
+    dev = F.col("dev_scaled")
+    var2 = F.col("var_scaled")
+    return out.select(
         "event_type",
         "day",
         "value_cents",
         "n_window",
-        dev.cast("long").alias("dev_scaled"),
-        var2.cast("long").alias("var_scaled"),
-        F.when(var2 > 0, F.round(dev.cast("double") / F.sqrt(var2.cast("double")), 6)).alias(
-            "zscore"
-        ),
-        ((F.col("n_window") == 7) & (dev * dev > 4 * var2)).alias("is_anomaly"),
+        "dev_scaled",
+        "var_scaled",
+        F.when(
+            var2 > 0, F.round(dev.cast("double") / F.sqrt(var2.cast("double")), 6)
+        ).alias("zscore"),
+        "is_anomaly",
     )
 
 # ---------------------------------------------------------------------------

@@ -187,3 +187,22 @@ def test_timeseries_operators_empty_input(spark, sf_dir):
         "user_id", F.unix_micros("ts").alias("t"), F.lit(1).alias("v")
     )
     assert time_weighted_avg(one, "user_id", "t", "v").count() == 0
+
+def test_rolling_zscore_empty_and_sparse_calendar(spark, sf_dir):
+    from kin_data_pipeline_spark.operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 0")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.lit(1)).alias("v")
+    )
+    z = rolling_zscore(daily, "event_type", "day", "v")
+    assert z.count() == 0
+    # RANGE frame: a calendar hole must shrink n_window, never stretch it
+    sparse = spark.createDataFrame(
+        [("a", "2024-01-01", 10), ("a", "2024-01-02", 10), ("a", "2024-01-20", 10)],
+        "e string, d string, v long",
+    ).selectExpr("e", "CAST(d AS DATE) AS d", "v")
+    rows = {r.d.isoformat(): r for r in rolling_zscore(sparse, "e", "d", "v").collect()}
+    assert rows["2024-01-02"].n_window == 2
+    assert rows["2024-01-20"].n_window == 1, "gap must reset the RANGE frame"
+    assert not any(r.is_anomaly for r in rows.values())

@@ -181,3 +181,45 @@ def test_weighted_sample_contract(spark, sf_dir):
     pris = [r.priority for r in rows]
     assert pris == sorted(pris)
     assert all(r.n_chars > 0 and r.priority >= 0 for r in rows)
+
+def test_gapfill_random_series_match_reference(spark):
+    """Seeded randomized sweep of the gap-fill operator against a pure
+    Python reference: random sparse integer series per entity, exact
+    LOCF + rational-interpolation equality row by row."""
+    import random
+
+    from kin_data_pipeline_spark.operators.timeseries import (
+        gapfill_locf_interpolate_frame,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    expected = {}
+    base = datetime.date(2024, 3, 1)
+    for ent in range(6):
+        days = sorted(rng.sample(range(40), rng.randint(2, 10)))
+        vals = [rng.randint(0, 10_000) for _ in days]
+        for d, v in zip(days, vals):
+            rows.append((ent, (base + datetime.timedelta(days=d)).isoformat(), v))
+        obs = dict(zip(days, vals))
+        for d in range(days[0], days[-1] + 1):
+            day = base + datetime.timedelta(days=d)
+            prevs = [x for x in days if x <= d]
+            nexts = [x for x in days if x >= d]
+            dp, dn = prevs[-1], nexts[0]
+            if dn == dp:
+                num, den = obs[d], 1
+            else:
+                num = obs[dp] * (dn - d) + obs[dn] * (d - dp)
+                den = dn - dp
+            expected[(ent, day)] = (d in obs, obs.get(d), obs[dp], num, den)
+    daily = spark.createDataFrame(
+        rows, "ent long, d string, v long"
+    ).selectExpr("ent", "CAST(d AS DATE) AS d", "v")
+    got = gapfill_locf_interpolate_frame(daily, "ent", "d", "v").collect()
+    assert len(got) == len(expected)
+    for r in got:
+        is_obs, v, locf, num, den = expected[(r.ent, r.d)]
+        assert (r.is_observed, r.v, r.locf, r.interp_num, r.interp_den) == (
+            is_obs, v, locf, num, den,
+        ), f"mismatch at ({r.ent}, {r.d})"
