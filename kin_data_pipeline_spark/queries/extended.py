@@ -523,11 +523,14 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # Global top-10 via orderBy+limit (compiles to TakeOrderedAndProject:
+    # per-partition heaps + a 10-row driver merge) — a rank-window-then-
+    # filter over the per-order aggregate would single-partition-sort every
+    # qualifying order at 100 TB. The row_number window runs on the 10
+    # selected rows only.
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 10)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 # Approximate distinct (HLL++): sketches are engine-specific, so this is a
 # rows-only check (oracle omitted by design — the exact twin is

@@ -1332,11 +1332,14 @@ def term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = tok.groupBy(F.col("w").alias("term")).agg(
         F.count(F.lit(1)).alias("total_occurrences")
     )
+    # The term-frequency frame is VOCABULARY-sized (the unbounded class
+    # PLANS.md's boundary section tracks) — select the top-20 with
+    # orderBy+limit (TakeOrderedAndProject) and rank only those 20 rows;
+    # a global rank window here would single-partition-sort the vocabulary.
+    top = df_counts.orderBy(F.desc("doc_freq"), F.asc("term")).limit(20)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
-    ranked = (
-        df_counts.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 20)
-        .join(occ, "term")
+    ranked = top.withColumn("rnk", F.row_number().over(w).cast("int")).join(
+        occ, "term"
     )
     return ranked.select("term", "doc_freq", "total_occurrences", "rnk")
 

@@ -50,16 +50,59 @@ ALLOWED_BNLJ = {
     "hard_negative_candidates",  # corpus × broadcast query set (knn shape)
 }
 
-def test_no_cartesian_or_nested_loop_joins_anywhere(spark, sf_dir):
-    cartesian, bnlj = [], []
+# Global (unpartitioned) windows single-partition-sort their input — fine
+# only when the input is bounded by construction. Every entry documents the
+# bound; anything else showing a global windowspec is a scale bug (the class
+# that made shipping_priority_q3 / term_document_frequency rank-then-filter
+# over unbounded frames until round 4 rewrote them as TakeOrdered + rank).
+ALLOWED_GLOBAL_WINDOW = {
+    "bpe_pair_frequencies",  # rank over the k rows TakeOrdered selected
+    "shipping_priority_q3",  # rank over the 10 rows TakeOrdered selected
+    "term_document_frequency",  # rank over the 20 rows TakeOrdered selected
+    "weighted_doc_sample_top50",  # rank over the 50 sampled rows
+    "day_over_day_revenue",  # lag over the daily series (calendar-bounded)
+    "kin_daily_net_inflation",  # lag over the daily series (calendar-bounded)
+    "trailing_7d_revenue",  # RANGE frame over the daily series
+    "dsir_log_importance_scores",  # 4096-bucket hashed model (bounded)
+    "source_temperature_weights",  # per-source frame (|sources| rows)
+}
+
+def _global_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition(...) entries with no partition column: every
+    argument before the frame spec carries a sort direction (or the spec is
+    entirely empty)."""
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*?)specifiedwindowframe",
+        plan,
+    ):
+        head = m.group(1).strip().rstrip(",").strip()
+        parts = [p.strip() for p in head.split(",") if p.strip()]
+        if not parts or all((" ASC" in p or " DESC" in p) for p in parts):
+            out.append(head[:80] or "<empty spec>")
+    return out
+
+def test_no_cartesian_nested_loop_or_global_window_anywhere(spark, sf_dir):
+    cartesian, bnlj, gwin = [], [], []
+    seen_gwin = set()
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
             bnlj.append(name)
+        if _global_window_specs(plan):
+            seen_gwin.add(name)
+            if name not in ALLOWED_GLOBAL_WINDOW:
+                gwin.append(name)
     assert not cartesian, f"cartesian products in: {cartesian}"
     assert not bnlj, f"undocumented nested-loop joins in: {bnlj}"
+    assert not gwin, f"undocumented GLOBAL windows in: {gwin}"
+    # anti-rot: the exemption list must not outlive the windows it excuses
+    stale = sorted(ALLOWED_GLOBAL_WINDOW - seen_gwin)
+    assert not stale, f"global-window exemptions no longer needed: {stale}"
 
 def test_allowed_bnlj_list_is_current(spark, sf_dir):
     # The exemption list must not rot: every exempted query still exists
