@@ -648,6 +648,7 @@ class Catalog:
         op_col: str = "op",
         seq_col: str = "seq",
         date_col: str | None = None,
+        scope_partitions: bool = False,
     ) -> dict[str, int]:
         """Apply an insert/update/delete changelog in ONE merge pass — the
         CDC-consumer side of the warehouse (Debezium/binlog shape; the
@@ -665,11 +666,26 @@ class Catalog:
 
         Scale shape: the window + compression run on the changelog only
         (tiny next to the table); the table pays one broadcast anti join on
-        the touched keys and one rewrite, exactly like upsert_by_key. At
-        100 TB scope the pass per affected date partition. Cloned targets
-        materialize copy-on-write (Snowflake clone semantics), matching
-        upsert_by_key rather than the delete paths: MERGE is an
-        upsert-family mutation.
+        the touched keys and one rewrite, exactly like upsert_by_key.
+        Cloned targets materialize copy-on-write (Snowflake clone
+        semantics), matching upsert_by_key rather than the delete paths:
+        MERGE is an upsert-family mutation.
+
+        ``scope_partitions=True`` is the 100 TB form — hand-rolled
+        ``replaceWhere``: only the date partitions the changelog actually
+        touches (partitions holding a touched key, plus partitions the
+        upserts land in) are read, merged and swapped; every other
+        partition directory of the table is left byte-identical on disk.
+        Requires ``date_col`` on a physically date-partitioned table with
+        non-null partition values, and refuses clone aliases (a scoped
+        swap inside the source's directories would mutate the source —
+        materialize the clone first). The per-partition remove-then-move
+        swap is atomic per partition but not across partitions; a crash
+        mid-swap leaves already-swapped partitions new and the rest old
+        (reapplying the same changelog converges — the merge is
+        idempotent). Transactional formats (Delta/Iceberg) close that
+        window with a single commit. Returns an extra
+        ``partitions_rewritten`` count in scoped mode.
         """
         for c in (op_col, seq_col):
             if c not in changes.columns:
@@ -714,6 +730,11 @@ class Catalog:
                 f"columns {sorted(existing.columns)}"
             )
         touched = latest.select(*key_cols).distinct()
+        if scope_partitions:
+            return self._apply_changelog_scoped(
+                name, existing, touched, ups, data_cols, date_col,
+                n_upserts, n_deletes,
+            )
         survivors = existing.join(F.broadcast(touched), key_cols, "left_anti")
         merged = survivors.select(*data_cols).unionByName(ups)
         # staging + swap, bloom declaration riding through (upsert_by_key's
@@ -731,6 +752,91 @@ class Catalog:
         os.rename(staging, final)
         self._save_schema(name, merged)
         return {"upserts": n_upserts, "deletes": n_deletes}
+
+    def _apply_changelog_scoped(
+        self,
+        name: str,
+        existing: DataFrame,
+        touched: DataFrame,
+        ups: DataFrame,
+        data_cols: list[str],
+        date_col: str | None,
+        n_upserts: int,
+        n_deletes: int,
+    ) -> dict[str, int]:
+        """Partition-scoped MERGE (hand-rolled replaceWhere): see
+        apply_changelog. Swaps only the affected date partition dirs."""
+        if date_col is None:
+            raise ValueError("scope_partitions requires date_col")
+        if os.path.exists(self._clone_marker(name)):
+            raise ValueError(
+                f"'{name}' is a zero-copy clone; a partition-scoped apply "
+                "would swap directories inside its SOURCE. Materialize the "
+                "clone first (full apply_changelog / upsert_by_key)."
+            )
+        root = self.path(name)
+        on_disk = {
+            e for e in os.listdir(root)
+            if e.startswith(f"{date_col}=") and os.path.isdir(os.path.join(root, e))
+        }
+        if not on_disk:
+            raise ValueError(
+                f"'{name}' is not physically partitioned by {date_col!r}; "
+                "use scope_partitions=False"
+            )
+        # affected = partitions holding a touched key ∪ partitions upserts
+        # land in. Both frames are changelog-sized; the semi join prunes
+        # with the touched-key broadcast before the distinct.
+        affected_rows = (
+            existing.join(F.broadcast(touched), list(touched.columns), "left_semi")
+            .select(date_col)
+            .union(ups.select(date_col))
+            .distinct()
+            .collect()
+        )
+        vals = [r[0] for r in affected_rows]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"NULL {date_col!r} in the merge scope — partition values "
+                "must be non-null for a scoped apply"
+            )
+        if not vals:  # changelog touched nothing present and inserts nothing
+            return {
+                "upserts": n_upserts, "deletes": n_deletes,
+                "partitions_rewritten": 0,
+            }
+        scope = F.col(date_col).isin(vals)
+        survivors = existing.filter(scope).join(
+            F.broadcast(touched), list(touched.columns), "left_anti"
+        )
+        merged = survivors.select(*data_cols).unionByName(ups)
+        staging = self.path(f"{name}.__staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        cols, ndv = self._resolve_bloom(name, merged, None, None, store=False)
+        wtr = self._bloom_options(merged.write.mode("overwrite"), cols, ndv)
+        wtr.partitionBy(date_col).parquet(staging)
+        self._drop_bucket_meta(name)
+        new_dirs = {
+            e for e in os.listdir(staging)
+            if e.startswith(f"{date_col}=") and os.path.isdir(os.path.join(staging, e))
+        }
+        # a fully-deleted partition produces no staging dir but must still
+        # be removed from the table, so swap over the union of both views
+        affected_dirs = new_dirs | {f"{date_col}={v}" for v in map(str, vals)}
+        swapped = 0
+        for d in sorted(affected_dirs):
+            old = os.path.join(root, d)
+            new = os.path.join(staging, d)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(new):
+                os.rename(new, old)
+            swapped += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "upserts": n_upserts, "deletes": n_deletes,
+            "partitions_rewritten": swapped,
+        }
 
     # --- snapshots / time travel ----------------------------------------
     # Tagged, immutable, zero-copy table versions — the warehouse feature

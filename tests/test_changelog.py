@@ -209,3 +209,116 @@ def test_changelog_random_logs_match_reference_fold(spark, tmp_path):
         c.apply_changelog("t", _log(spark, log_rows), ["id"])
         want = sorted((k, n, v) for k, (n, v) in state.items())
         assert _rows(c, "t") == want, f"trial {trial} diverged"
+
+def _part_files(root):
+    import os
+
+    out = {}
+    for entry in os.listdir(root):
+        p = root + "/" + entry
+        if entry.startswith("d=") and os.path.isdir(p):
+            out[entry] = sorted(
+                (f, os.stat(p + "/" + f).st_mtime_ns, os.stat(p + "/" + f).st_ino)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+    return out
+
+def _dated(spark, rows):
+    return spark.createDataFrame(rows, "id long, d string, v long").selectExpr(
+        "id", "CAST(d AS DATE) AS d", "v"
+    )
+
+def _dated_log(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, d string, v long, op string, seq long"
+    ).selectExpr("id", "CAST(d AS DATE) AS d", "v", "op", "seq")
+
+def test_scoped_changelog_rewrites_only_affected_partitions(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    base = _dated(
+        spark,
+        [
+            (1, "2024-01-01", 10),
+            (2, "2024-01-01", 20),
+            (3, "2024-01-02", 30),
+            (4, "2024-01-03", 40),
+        ],
+    )
+    c.write_full("t", base, "d")
+    before = _part_files(c.path("t"))
+    log = _dated_log(
+        spark,
+        [
+            (2, "2024-01-01", 21, "U", 1),  # rewrite d=2024-01-01
+            (5, "2024-01-04", 50, "I", 2),  # NEW partition d=2024-01-04
+            (4, None, None, "D", 3),  # empty out d=2024-01-03 entirely
+        ],
+    )
+    counts = c.apply_changelog("t", log, ["id"], date_col="d", scope_partitions=True)
+    assert counts["upserts"] == 2 and counts["deletes"] == 1
+    assert counts["partitions_rewritten"] == 3
+    after = _part_files(c.path("t"))
+    # the untouched partition is byte-identical on disk (same inodes)
+    assert after["d=2024-01-02"] == before["d=2024-01-02"]
+    # the emptied partition directory is gone; the new one exists
+    assert "d=2024-01-03" not in after and "d=2024-01-04" in after
+    got = sorted((r.id, r.d.isoformat(), r.v) for r in c.table("t").collect())
+    assert got == [
+        (1, "2024-01-01", 10),
+        (2, "2024-01-01", 21),
+        (3, "2024-01-02", 30),
+        (5, "2024-01-04", 50),
+    ]
+
+def test_scoped_changelog_matches_full_apply(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    base_rows = [
+        (k, f"2024-01-{1 + k % 5:02d}", k * 10) for k in range(20)
+    ]
+    log_rows = []
+    for seq in range(1, 31):
+        k = rng.randrange(0, 26)
+        op = rng.choice(["I", "U", "D"])
+        if op == "D":
+            log_rows.append((k, None, None, "D", seq))
+        else:
+            log_rows.append((k, f"2024-01-{1 + k % 7:02d}", seq * 100 + k, op, seq))
+    ca = _catalog(spark, tmp_path / "a")
+    cb = _catalog(spark, tmp_path / "b")
+    for c in (ca, cb):
+        c.write_full("t", _dated(spark, base_rows), "d")
+    full = ca.apply_changelog("t", _dated_log(spark, log_rows), ["id"], date_col="d")
+    scoped = cb.apply_changelog(
+        "t", _dated_log(spark, log_rows), ["id"], date_col="d",
+        scope_partitions=True,
+    )
+    assert scoped["upserts"] == full["upserts"]
+    assert scoped["deletes"] == full["deletes"]
+    ra = sorted((r.id, r.d, r.v) for r in ca.table("t").collect())
+    rb = sorted((r.id, r.d, r.v) for r in cb.table("t").collect())
+    assert ra == rb
+
+def test_scoped_changelog_guards(spark, tmp_path):
+    c = _catalog(spark, tmp_path)
+    c.write_full("flat", _base(spark), None)  # not date-partitioned
+    log = _log(spark, [(1, "x", 1, "U", 1)])
+    with pytest.raises(ValueError, match="scope_partitions requires date_col"):
+        c.apply_changelog("flat", log, ["id"], scope_partitions=True)
+    with pytest.raises(ValueError, match="not physically partitioned"):
+        c.apply_changelog(
+            "flat", log, ["id"], date_col="name", scope_partitions=True
+        )
+    c.write_full("src", _dated(spark, [(1, "2024-01-01", 10)]), "d")
+    c.clone("alias", "src")
+    dlog = _dated_log(spark, [(1, "2024-01-01", 11, "U", 1)])
+    with pytest.raises(ValueError, match="zero-copy clone"):
+        c.apply_changelog(
+            "alias", dlog, ["id"], date_col="d", scope_partitions=True
+        )
+    nulld = _dated_log(spark, [(9, None, 99, "I", 1)])
+    c.write_full("t", _dated(spark, [(1, "2024-01-01", 10)]), "d")
+    with pytest.raises(ValueError, match="NULL"):
+        c.apply_changelog("t", nulld, ["id"], date_col="d", scope_partitions=True)
