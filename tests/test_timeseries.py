@@ -223,3 +223,26 @@ def test_gapfill_random_series_match_reference(spark):
         assert (r.is_observed, r.v, r.locf, r.interp_num, r.interp_den) == (
             is_obs, v, locf, num, den,
         ), f"mismatch at ({r.ent}, {r.d})"
+
+def test_twap_random_series_match_reference(spark):
+    """Seeded randomized sweep of time_weighted_avg against a pure Python
+    fold over irregular integer series."""
+    import random
+
+    from kin_data_pipeline_spark.operators.timeseries import time_weighted_avg
+
+    rng = random.Random(59)
+    rows, expected = [], {}
+    for ent in range(8):
+        n = rng.randint(1, 12)
+        ts = sorted(rng.sample(range(1, 100_000), n))
+        vs = [rng.randint(0, 5_000) for _ in ts]
+        for t, v in zip(ts, vs):
+            rows.append((ent, t, v))
+        if n >= 2:
+            num = sum(v * (t2 - t1) for (t1, v), t2 in zip(zip(ts, vs), ts[1:]))
+            expected[ent] = (n - 1, num, ts[-1] - ts[0])
+    obs = spark.createDataFrame(rows, "ent long, t long, v long")
+    got = {r.ent: (r.n_obs, r.twa_num, r.twa_den) for r in
+           time_weighted_avg(obs, "ent", "t", "v").collect()}
+    assert got == expected
