@@ -322,3 +322,24 @@ def test_scoped_changelog_guards(spark, tmp_path):
     c.write_full("t", _dated(spark, [(1, "2024-01-01", 10)]), "d")
     with pytest.raises(ValueError, match="NULL"):
         c.apply_changelog("t", nulld, ["id"], date_col="d", scope_partitions=True)
+
+def test_scoped_changelog_clears_stale_staging(spark, tmp_path):
+    """A crash between the staging write and the swap leaves
+    t.__staging on disk; the next scoped apply must discard it (stale
+    data) and complete cleanly."""
+    import os
+
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _dated(spark, [(1, "2024-01-01", 10), (2, "2024-01-02", 20)]), "d")
+    stale = c.path("t.__staging")
+    os.makedirs(stale + "/d=2024-01-09")
+    with open(stale + "/d=2024-01-09/junk.parquet", "w") as f:
+        f.write("not parquet")
+    log = _dated_log(spark, [(1, "2024-01-01", 11, "U", 1)])
+    counts = c.apply_changelog("t", log, ["id"], date_col="d", scope_partitions=True)
+    assert counts["partitions_rewritten"] == 1
+    assert not os.path.exists(stale)
+    got = sorted((r.id, r.d.isoformat(), r.v) for r in c.table("t").collect())
+    assert got == [(1, "2024-01-01", 11), (2, "2024-01-02", 20)]
+    # the stale junk partition never leaked into the table
+    assert "d=2024-01-09" not in set(os.listdir(c.path("t")))
