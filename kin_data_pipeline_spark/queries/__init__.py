@@ -26,90 +26,24 @@ import kin_data_pipeline_spark.queries.retrieval  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.timeseries  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
-# so ordering is a coverage decision. Round-4 window goal: VERIFICATION
-# CLOSURE — after this round, every one of the 149 registered queries has a
-# green (or rows-green) driver row in some round. The head is composed as:
-#   1..12  the 12 relational queries whose ONLY driver record is a round-1
-#          hash-FAIL (fixed in round 2, locally green ever since, but the
-#          driver's last word on them is FAIL — the rotation invariant used
-#          to count those FAIL rows as "covered", which is why they never
-#          rotated back; fixed this round, see tests/test_registry_window.py)
-#   13     sequence_packing_index — the one red r3 row; the bug was
-#          ORACLE-side (uncast DuckDB HUGEINT window sum -> decimal
-#          terminal), fixed + guarded by tests/test_oracle_schema_guard.py
-#   14..20 the 7 oracle-bearing ROUND4_WINDOW_BACKLOG queries (registered
-#          after the r3 window filled)
-#   21..23 the 3 rows-only sketch queries from the backlog (driver records
-#          the weaker rows-check; estimates are pinned against exact twins
-#          with published error bounds in tests/test_sketches.py)
-#   24..50 27 kin-chain representatives, facts first so the session frame
-#          cache warms in the order the chain reads it — cheap insurance
-#          that the chain (last driver-checked in r2) still hash-matches
-#          under the code that keeps evolving around it.
-ROUND4_WINDOW_HEAD = [
-    # r1-stale-red relational tier (fixed in r2, never re-windowed)
-    "pricing_summary",
-    "revenue_by_region",
-    "daily_order_revenue",
-    "weekly_order_revenue",
-    "monthly_order_revenue",
-    "day_over_day_revenue",
-    "daily_event_segments",
-    "entity_role_activity",
-    "lineitems_of_big_orders",
-    "multi_item_orders",
-    "top_customers_per_nation",
-    "user_day_purchase_vs_activity",
-    # the one red r3 row (oracle-side decimal bug, fixed this round)
-    "sequence_packing_index",
-    # round-3 backlog: oracle-bearing
-    "top_shingle_heavy_hitters",
-    "cross_source_dup_matrix",
-    "embedding_cell_outliers",
-    "per_domain_quality_profile",
-    "line_dedup_retention",
-    "dsir_importance_scores",
-    "source_vocab_overlap",
-    # round-3 backlog: rows-only sketch tier
-    "hll_user_rollup_weekly",
-    "approx_length_percentiles",
-    "streaming_approx_daily_users",
-    # kin representatives, chain order (facts warm the frame cache first)
-    "kin_fact_transactions",
-    "kin_fact_creations",
-    "kin_transactions_curated",
-    "kin_daily_transactions",
-    "kin_daily_counts_by_amount",
-    "kin_closing_balance_per_day",
-    "kin_daily_active_accounts_30d",
-    "kin_daily_aub_by_app",
-    "kin_daily_volatility_factor",
-    "kin_daily_payout",
-    "kin_weekly_payout_summary",
-    "kin_gc_dust_wallets",
-    "kin_multi_create_impacted",
-    "kin_average_balance_per_day",
-    "kin_daily_market_summary",
-    "kin_daily_net_inflation",
-    "kin_daily_creations_by_app",
-    "kin_weekly_transactions",
-    "kin_monthly_transactions",
-    "kin_daily_blocks",
-    "kin_daily_kre_summary",
-    "kin_daily_churn_volume",
-    "kin_daily_active_accounts_ecosystem",
-    "kin_daily_summary_by_app",
-    "kin_monthly_inactive_wallets",
-    "kin_account_balance_buckets",
-    "kin_daily_create_fee_payers",
-]
+# so ordering is a coverage decision. The manifests are round-agnostic
+# (VERDICT r4 ask #5): bump ROUND and recompose CURRENT_WINDOW_HEAD /
+# NEXT_WINDOW_BACKLOG each round — the invariants in
+# tests/test_registry_window.py key off CORRECTNESS-file discovery, so the
+# round prep is a data change only.
+ROUND = 5
 
-# Queries registered after the round-4 window filled go here at registration
-# time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the round-5 window.
-ROUND5_WINDOW_BACKLOG: list[str] = [
-    # round-4 additions (registered after the r4 window filled with the
-    # verification-closure set):
+# Round-5 window goal (VERDICT r4 ask #1): FULL verification closure — the
+# 30 queries registered after the r4 window filled (the declared r5 backlog,
+# all pre-verified at sf0.01) lead; then the 4 sketch queries, reworked this
+# round to emit exact-value + within-error-bound integer terminals so the
+# driver can finally hash-check them (ask #2, they replace their permanent
+# `err: no_oracle` rows); then 16 of the 27 queries whose last green driver
+# row is round 1 — the true oldest tier (the freshness padding of ask #6;
+# the remaining 11 r1 + the r2 kin long-tail are the round-6 padding pool,
+# forced by the max-staleness invariant).
+CURRENT_WINDOW_HEAD = [
+    # --- 1..30: the round-4 additions, never driver-checked (contractual head)
     "hashed_token_rarity_scores",   # bounded-vocab CCNet scoring
     "dsir_log_importance_scores",   # faithful DSIR log-ratio weights
     "png_pixel_stats",              # stdlib pixel-level PNG decode round trip
@@ -140,10 +74,38 @@ ROUND5_WINDOW_BACKLOG: list[str] = [
     "weekly_retention_cohorts",  # first-purchase cohort retention matrix
     "weighted_doc_sample_top50",  # deterministic priority (weighted) sampling
     "time_weighted_avg_per_user",  # TWAP: duration-weighted series average
+    # --- 31..34: the sketch tier, now oracle-bearing (exact + within_bound
+    #     terminals) — their prior driver rows were rows-only `no_oracle`
+    "hll_user_rollup_weekly",
+    "approx_length_percentiles",
+    "streaming_approx_daily_users",
+    "approx_daily_active_users",
+    # --- 35..50: freshness padding — 16 of the 27 queries last green in r1
+    "closing_value_per_user_day",
+    "customers_without_orders",
+    "daily_active_users",
+    "doc_quality_scores",
+    "embedding_knn_top5",
+    "exact_dedup_docs",
+    "lang_stopword_profile",
+    "latest_event_per_user",
+    "median_value_by_type",
+    "minhash_lsh_candidates",
+    "monthly_revenue_volatility",
+    "order_value_buckets",
+    "orders_high_watermark",
+    "purchase_with_last_view",
+    "trailing_7d_active_users",
+    "weekly_top3_buyers_json",
 ]
 
+# Queries registered after the current window filled go here at registration
+# time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
+# and must lead the next round's window.
+NEXT_WINDOW_BACKLOG: list[str] = []
+
 def _ordered() -> dict[str, QuerySpec]:
-    out = {n: QUERIES[n] for n in ROUND4_WINDOW_HEAD if n in QUERIES}
+    out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}
     out.update((n, s) for n, s in QUERIES.items() if n not in out)
     return out
 

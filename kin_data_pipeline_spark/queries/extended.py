@@ -532,15 +532,16 @@ def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
-# Approximate distinct (HLL++): sketches are engine-specific, so this is a
-# rows-only check (oracle omitted by design — the exact twin is
-# daily_active_users).
-@register(
-    "approx_daily_active_users",
-    None,
-    doc="approx_count_distinct daily actives — the at-scale opt-in variant of A2",
-)
-def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Approximate distinct (HLL++), driver-checkable (VERDICT r4 ask #2): the
+# estimate itself can never hash-match a DuckDB oracle (sketch internals are
+# engine-specific), so the registered terminals are the EXACT count plus an
+# integer `within_bound` flag computed in-query — the oracle recomputes the
+# exact side and emits a literal 1, so the hash verifies the estimate's
+# error bound end-to-end. The raw-estimate twin stays available unregistered
+# (`approx_daily_active_users_estimates`) for the sketch accuracy tests.
+def approx_daily_active_users_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
@@ -550,22 +551,59 @@ def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def _within(approx, exact, rel: float = 0.05, abs_floor: int = 2):
+    """Integer error-bound terminal: 1 iff |approx − exact| ≤
+    max(abs_floor, rel·exact). rel defaults to ≈6 standard errors of the
+    HLL/HLL++ configs used here (rsd 0.01 / lgK=14 → RSE ≈ 0.8%) — loose
+    enough to never flake, tight enough that a broken merge fails."""
+    bound = F.greatest(F.lit(float(abs_floor)), F.lit(rel) * exact)
+    return (F.abs(approx - exact) <= bound).cast("int")
+
+@register(
+    "approx_daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_active,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "approx_count_distinct daily actives audited in-query: exact count "
+        "+ integer within-error-bound terminal (hash-checkable sketch)"
+    ),
+)
+def approx_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = approx_daily_active_users_estimates(spark, sf_dir)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_active"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        F.col("exact_active").cast("long").alias("exact_active"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _within(F.col("approx_active"), F.col("exact_active")).alias(
+            "within_bound"
+        ),
+    )
+
 # Sketch re-aggregation (DataSketches HLL): the 100 TB rollup-mart pattern.
 # A day-grain mart stores one HLL sketch per (day) — built once from the raw
 # events — and every coarser grain (week, month, all-time) derives by
 # UNIONING the stored sketches, never rescanning raw data. Exact distinct
 # counts cannot re-aggregate (distinct-of-day ≠ sum-of-daily-distincts);
-# sketches make the rollup lattice one cheap merge per grain. Sketch bytes
-# are engine-specific, so rows-only at the driver; tests/test_sketches.py
-# pins the estimates against exact counts with the HLL error bound.
+# sketches make the rollup lattice one cheap merge per grain. The estimate
+# twin stays unregistered (sketch bytes are engine-specific); the registered
+# query audits the unioned estimate against the exact weekly distinct
+# in-query and emits (week, exact, within_bound) so the driver hash-checks
+# the rollup end-to-end (VERDICT r4 ask #2).
 _HLL_LGK = 14  # DataSketches HLL register count 2^14 → RSE ≈ 0.8%
 
-@register(
-    "hll_user_rollup_weekly",
-    None,
-    doc="day-grain HLL user sketches unioned to weekly distinct estimates (re-aggregatable mart)",
-)
-def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_user_rollup_weekly_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
@@ -586,17 +624,56 @@ def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
     )
 
+@register(
+    "hll_user_rollup_weekly",
+    """
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "day-grain HLL sketches unioned to weekly estimates, audited "
+        "in-query vs the exact weekly distinct (hash-checkable rollup mart)"
+    ),
+)
+def hll_user_rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = hll_user_rollup_weekly_estimates(spark, sf_dir)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "week_start").select(
+        "week_start",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "n_days",
+        "n_events",
+        _within(F.col("approx_users"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+
 # Approximate percentiles (KLL-style quantile summary behind
 # percentile_approx): the opt-in variant of the exact rank-selection in
 # doc_length_percentiles — at 100 TB the exact form's per-group sort gives
-# way to a mergeable one-pass summary. Rows-only (summary internals are
-# engine-specific); the error-bound test pins it against the exact twin.
-@register(
-    "approx_length_percentiles",
-    None,
-    doc="approx n_chars percentiles per source (mergeable quantile summary; exact twin: doc_length_percentiles)",
-)
-def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+# way to a mergeable one-pass summary. The raw estimates stay unregistered
+# (summary internals are engine-specific); the registered query audits them
+# in-query against the sketch's published rank-error bound and emits
+# all-integer terminals the driver can hash (VERDICT r4 ask #2): the exact
+# value at the integer rank ((n−1)·k) div d per percentile — integer
+# arithmetic on both engines, no float index hazard — plus within_bound = 1
+# iff every estimate lies between the exact values two rank-error windows
+# out (rank error ≤ n/accuracy at accuracy=10000).
+_PCT_RANKS = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+
+def approx_length_percentiles_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     pcts = [0.25, 0.5, 0.75, 0.9]
     return (
         load_table(spark, sf_dir, "documents")
@@ -613,6 +690,144 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[3].alias("p90"),
             "n_docs",
         )
+    )
+
+@register(
+    "approx_length_percentiles",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(MAX(CASE WHEN rn = ((n-1)*1)//4  THEN n_chars END) AS BIGINT) AS p25,
+           CAST(MAX(CASE WHEN rn = ((n-1)*1)//2  THEN n_chars END) AS BIGINT) AS p50,
+           CAST(MAX(CASE WHEN rn = ((n-1)*3)//4  THEN n_chars END) AS BIGINT) AS p75,
+           CAST(MAX(CASE WHEN rn = ((n-1)*9)//10 THEN n_chars END) AS BIGINT) AS p90,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(1 AS INT) AS within_bound
+    FROM ranked GROUP BY source
+    """,
+    doc=(
+        "percentile_approx audited in-query: exact integer-rank percentiles "
+        "per source + rank-error within_bound terminal (hash-checkable)"
+    ),
+)
+def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    # Partitioned-by-source window: the audit's per-source sort is the same
+    # shape as the exact twin doc_length_percentiles; the scale path is the
+    # unregistered mergeable-summary estimates above.
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("n_chars")
+            )
+            - 1
+        ).alias("rn"),
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # Per (source, percentile): the exact target rank and its ±slack
+    # audit ranks, all in integer arithmetic (`div`).
+    targets = (
+        counts.select(
+            "source",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("pname"),
+                            F.lit(k).alias("k"),
+                            F.lit(d).alias("d"),
+                        )
+                        for name, k, d in _PCT_RANKS
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            "source",
+            "n",
+            F.col("t.pname").alias("pname"),
+            F.expr("((n - 1) * t.k) div t.d").alias("idx"),
+            F.greatest(F.lit(2), F.expr("(2 * n) div 10000")).alias("slack"),
+        )
+        .select(
+            "source",
+            "pname",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("role"),
+                        F.greatest(F.lit(0), F.col("idx") - F.col("slack")).alias("rank"),
+                    ),
+                    F.struct(
+                        F.lit("mid").alias("role"), F.col("idx").alias("rank")
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("role"),
+                        F.least(F.col("n") - 1, F.col("idx") + F.col("slack")).alias("rank"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select(
+            F.col("source").alias("t_source"),
+            "pname",
+            F.col("r.role").alias("role"),
+            F.col("r.rank").alias("rank"),
+        )
+    )
+    # 12 audit ranks per source — broadcast them against the ranked corpus.
+    vals = (
+        ranked.join(
+            F.broadcast(targets),
+            (ranked.source == targets.t_source) & (ranked.rn == targets.rank),
+        )
+        .select("source", "pname", "role", "n_chars")
+        .groupBy("source", "pname")
+        .agg(
+            F.max(F.when(F.col("role") == "lo", F.col("n_chars"))).alias("lo_val"),
+            F.max(F.when(F.col("role") == "mid", F.col("n_chars"))).alias("mid_val"),
+            F.max(F.when(F.col("role") == "hi", F.col("n_chars"))).alias("hi_val"),
+        )
+    )
+    est_long = approx_length_percentiles_estimates(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pname"), F.col(name).alias("approx")
+                    )
+                    for name, _, _ in _PCT_RANKS
+                ]
+            )
+        ).alias("e"),
+    )
+    joined = est_long.select(
+        "source", "n_docs", F.col("e.pname").alias("pname"), F.col("e.approx").alias("approx")
+    ).join(vals, ["source", "pname"])
+    return joined.groupBy("source").agg(
+        *[
+            F.max(F.when(F.col("pname") == name, F.col("mid_val")))
+            .cast("long")
+            .alias(name)
+            for name, _, _ in _PCT_RANKS
+        ],
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.min(
+            (
+                (F.col("lo_val") <= F.col("approx"))
+                & (F.col("approx") <= F.col("hi_val"))
+            ).cast("int")
+        ).alias("within_bound"),
     )
 
 # Stateful streaming creates one state store per shuffle partition, and each
@@ -1188,14 +1403,14 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state is a per-register max, so the converged sketch is independent of
 # micro-batch order and equals the batch sketch over the same rows bit for
 # bit — tests/test_sketches.py pins streaming estimate == batch estimate
-# exactly, plus the usual error bound vs exact. Rows-only at the driver
-# (sketch internals are engine-specific).
-@register(
-    "streaming_approx_daily_users",
-    None,
-    doc="watermarked daily HLL distinct-user estimates built in-stream (sketch state, not user-id state)",
-)
-def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+# exactly. The registered query additionally audits the streamed estimates
+# against the exact batch distinct per day and emits
+# (day, exact_users, n_events, within_bound) so the driver hash-checks the
+# in-stream sketch end-to-end (VERDICT r4 ask #2); the raw streamed
+# estimates stay available via the unregistered twin below.
+def streaming_approx_daily_users_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from kin_data_pipeline_spark.streaming import stream_events_from_parquet
 
     spark = _stream_session(spark)
@@ -1216,6 +1431,36 @@ def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sunk = _run_to_memory(agg, sink, "complete")
     return sunk
+
+@register(
+    "streaming_approx_daily_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS INT) AS within_bound
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "watermarked in-stream daily HLL estimates audited vs the exact "
+        "batch distinct: exact count + within-bound terminal (hash-checkable)"
+    ),
+)
+def streaming_approx_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = streaming_approx_daily_users_estimates(spark, sf_dir)
+    exact = (
+        load_table(est.sparkSession, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "n_events",
+        _within(F.col("approx_users"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
 
 # TPC-H Q7 shape: bilateral nation-pair trade — the SAME dimension table
 # joined twice through two different fact paths (supplier nation vs

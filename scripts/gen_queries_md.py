@@ -15,8 +15,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 def main() -> None:
-    from kin_data_pipeline_spark.queries import QUERIES, ROUND4_WINDOW_HEAD
+    from kin_data_pipeline_spark.queries import CURRENT_WINDOW_HEAD, QUERIES, ROUND
 
+    n_oracles = sum(1 for s in QUERIES.values() if s.oracle)
     lines = [
         "# QUERIES — the registered operator inventory",
         "",
@@ -24,17 +25,21 @@ def main() -> None:
         "`python scripts/gen_queries_md.py`). One row per",
         "registered query: the driver runs the Spark callable and the DuckDB",
         "oracle side-by-side at sf0.01 and compares rows/schema/value-hash.",
-        f"{len(QUERIES)} queries, {sum(1 for s in QUERIES.values() if s.oracle)} oracles",
-        "(rows-only sketch checks — estimates are engine-specific, pinned "
-        "locally against exact twins: "
-        + ", ".join(f"`{n}`" for n, s in sorted(QUERIES.items()) if not s.oracle)
-        + ").",
-        "Entries marked `[w]` sit in the round-4 driver window (first 50).",
+        f"{len(QUERIES)} queries, {n_oracles} oracles"
+        + (
+            " (every registered query is oracle-checked; the sketch tier "
+            "emits exact-value + within-error-bound terminals)."
+            if n_oracles == len(QUERIES)
+            else " (rows-only: "
+            + ", ".join(f"`{n}`" for n, s in sorted(QUERIES.items()) if not s.oracle)
+            + ")."
+        ),
+        f"Entries marked `[w]` sit in the round-{ROUND} driver window (first 50).",
         "",
         "| Query | In | Description |",
         "|---|---|---|",
     ]
-    win = set(ROUND4_WINDOW_HEAD)
+    win = set(CURRENT_WINDOW_HEAD)
     for n, s in QUERIES.items():
         mark = "w" if n in win else ""
         doc = (s.doc or "").replace("|", "\\|")

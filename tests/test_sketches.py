@@ -1,17 +1,15 @@
-"""Sketch-tier accuracy pins: the rows-only registered queries (HLL
-distinct rollup, approximate percentiles) have no DuckDB oracle because
-sketch internals are engine-specific — so their ESTIMATES are pinned here
-against exact twins computed on the same data, with the published error
-bounds of each sketch.
+"""Sketch-tier accuracy pins. Since round 5 the REGISTERED sketch queries
+are driver-hash-checkable: they emit exact values plus an in-query integer
+``within_bound`` flag (VERDICT r4 ask #2), while the raw estimates live on
+as unregistered twins (`*_estimates`). This suite pins both layers:
 
-- DataSketches HLL at lgK=14: relative standard error ≈ 1.04/√2^14 ≈ 0.8%;
-  we assert within 5% (≈6 standard errors) per week — loose enough to never
-  flake, tight enough that a broken union (e.g. summing daily estimates
-  instead of merging sketches) fails by construction.
-- percentile_approx at accuracy=10000: rank error ≤ n/10000, which at test
-  corpus sizes (≤ 60k docs per source) is a handful of ranks — we assert
-  the approximate value lies between the exact values two rank-error
-  windows out.
+- the estimate twins against exact counts with each sketch's published
+  error bound (DataSketches HLL at lgK=14: RSE ≈ 1.04/√2^14 ≈ 0.8%, we
+  assert within 5% ≈ 6 standard errors; percentile_approx at
+  accuracy=10000: rank error ≤ n/10000, we allow two rank-error windows);
+- the registered audit queries' ``within_bound`` terminals — all 1 on the
+  test corpus — and their exact-value terminals against independent
+  recomputation.
 """
 
 from __future__ import annotations
@@ -19,13 +17,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.queries import QUERIES
+from kin_data_pipeline_spark.queries.extended import (
+    _PCT_RANKS,
+    approx_length_percentiles_estimates,
+    hll_user_rollup_weekly_estimates,
+    streaming_approx_daily_users_estimates,
+)
 from kin_data_pipeline_spark.sources.catalog import load_table
 
 
 def test_hll_weekly_rollup_matches_exact_within_bound(spark, sf_dir):
     approx = {
         r["week_start"]: (r["approx_users"], r["n_events"])
-        for r in QUERIES["hll_user_rollup_weekly"].fn(spark, sf_dir).collect()
+        for r in hll_user_rollup_weekly_estimates(spark, sf_dir).collect()
     }
     exact = {
         r["week_start"]: (r["exact_users"], r["n_events"])
@@ -63,7 +67,7 @@ def test_hll_rollup_is_a_true_sketch_union_not_a_sum(spark, sf_dir):
         .agg(F.sum("d"))
         .collect()[0][0]
     )
-    weekly = QUERIES["hll_user_rollup_weekly"].fn(spark, sf_dir).collect()
+    weekly = hll_user_rollup_weekly_estimates(spark, sf_dir).collect()
     est_total = sum(r["approx_users"] for r in weekly)
     exact_total = (
         load_table(spark, sf_dir, "events")
@@ -77,7 +81,7 @@ def test_hll_rollup_is_a_true_sketch_union_not_a_sum(spark, sf_dir):
 
 
 def test_approx_percentiles_within_rank_error(spark, sf_dir):
-    rows = QUERIES["approx_length_percentiles"].fn(spark, sf_dir).collect()
+    rows = approx_length_percentiles_estimates(spark, sf_dir).collect()
     docs = load_table(spark, sf_dir, "documents")
     for r in rows:
         vals = sorted(
@@ -107,7 +111,7 @@ def test_streaming_hll_equals_batch_sketch_exactly(spark, sf_dir):
 
     streamed = {
         r["day"]: (r["approx_users"], r["n_events"])
-        for r in QUERIES["streaming_approx_daily_users"].fn(spark, sf_dir).collect()
+        for r in streaming_approx_daily_users_estimates(spark, sf_dir).collect()
     }
     batch = {
         r["day"]: (r["approx_users"], r["n_events"])
@@ -135,3 +139,40 @@ def test_streaming_hll_equals_batch_sketch_exactly(spark, sf_dir):
     }
     for day, (est, _) in streamed.items():
         assert abs(est - exact[day]) <= max(2, 0.05 * exact[day]), day
+
+
+def test_registered_sketch_audits_all_within_bound(spark, sf_dir):
+    """The driver-checkable audit terminals: every row of every registered
+    sketch query carries within_bound == 1 on the test corpus — the same
+    claim the DuckDB oracle's literal 1 makes, proven Spark-side."""
+    for name in (
+        "approx_daily_active_users",
+        "hll_user_rollup_weekly",
+        "approx_length_percentiles",
+        "streaming_approx_daily_users",
+    ):
+        rows = QUERIES[name].fn(spark, sf_dir).collect()
+        assert rows, name
+        bad = [r for r in rows if r["within_bound"] != 1]
+        assert not bad, f"{name}: estimates outside bound on {bad[:3]}"
+
+
+def test_registered_percentile_audit_exact_values(spark, sf_dir):
+    """The exact integer-rank percentiles the audit emits match a direct
+    sorted-list selection at rank ((n-1)·k) div d."""
+    rows = {
+        r["source"]: r
+        for r in QUERIES["approx_length_percentiles"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    for source, r in rows.items():
+        vals = sorted(
+            x[0]
+            for x in docs.filter(F.col("source") == source)
+            .select("n_chars")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r["n_docs"]
+        for name, k, d in _PCT_RANKS:
+            assert r[name] == vals[((n - 1) * k) // d], (source, name)
