@@ -307,9 +307,22 @@ def test_scoped_changelog_guards(spark, tmp_path):
     log = _log(spark, [(1, "x", 1, "U", 1)])
     with pytest.raises(ValueError, match="scope_partitions requires date_col"):
         c.apply_changelog("flat", log, ["id"], scope_partitions=True)
-    with pytest.raises(ValueError, match="not physically partitioned"):
+    # string-typed partition columns are refused outright: Spark escapes
+    # special characters in partition dir names, so the scoped form's
+    # f"{col}={str(v)}" reconstruction could miss a fully-deleted partition
+    with pytest.raises(ValueError, match="date- or integer-typed"):
         c.apply_changelog(
             "flat", log, ["id"], date_col="name", scope_partitions=True
+        )
+    # date-typed but not physically partitioned by it
+    c.write_full("unpart", _dated(spark, [(1, "2024-01-01", 10)]), None)
+    with pytest.raises(ValueError, match="not physically partitioned"):
+        c.apply_changelog(
+            "unpart",
+            _dated_log(spark, [(1, "2024-01-01", 11, "U", 1)]),
+            ["id"],
+            date_col="d",
+            scope_partitions=True,
         )
     c.write_full("src", _dated(spark, [(1, "2024-01-01", 10)]), "d")
     c.clone("alias", "src")
@@ -343,3 +356,117 @@ def test_scoped_changelog_clears_stale_staging(spark, tmp_path):
     assert got == [(1, "2024-01-01", 11), (2, "2024-01-02", 20)]
     # the stale junk partition never leaked into the table
     assert "d=2024-01-09" not in set(os.listdir(c.path("t")))
+
+
+def test_changelog_rejects_null_op(spark, tmp_path):
+    """A NULL op must fail loudly: `~isin` is NULL for NULL input, so an
+    unguarded filter would let the row through validation, count it as an
+    upsert, yet exclude it from the survivors — silently deleting its key."""
+    c = _catalog(spark, tmp_path)
+    c.write_full("t", _base(spark), None)
+    with pytest.raises(ValueError, match="unknown changelog op"):
+        c.apply_changelog(
+            "t", _log(spark, [(2, "b2", 22, None, 1)]), ["id"]
+        )
+    # the table is untouched — key 2 still present with its original row
+    assert _rows(c, "t") == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+
+
+def _flaky_rename(monkeypatch, scope_prefix, fail_on):
+    """Patch the engine's os.rename to raise on the Nth rename under
+    ``scope_prefix`` — a deterministic crash injector for swap windows."""
+    import os as _os
+
+    import kin_data_pipeline_spark.plans.engine as eng
+
+    real = _os.rename
+    seen = {"n": 0}
+
+    def flaky(src, dst):
+        if str(src).startswith(scope_prefix):
+            seen["n"] += 1
+            if seen["n"] == fail_on:
+                raise RuntimeError("injected crash")
+        return real(src, dst)
+
+    monkeypatch.setattr(eng.os, "rename", flaky)
+    return seen
+
+
+def test_scoped_changelog_crash_mid_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """VERDICT r4 ask #4: kill the scoped apply BETWEEN two partition
+    swaps; the swap journal must roll the table forward to a consistent
+    state on the next catalog touch — no mixed old/new table persists."""
+    import json
+    import os
+
+    base_rows = [
+        (1, "2024-01-01", 10),
+        (2, "2024-01-02", 20),
+        (3, "2024-01-03", 30),
+    ]
+    log_rows = [
+        (1, "2024-01-01", 11, "U", 1),  # move d=2024-01-01
+        (3, None, None, "D", 2),        # delete all of d=2024-01-03
+        (4, "2024-01-04", 40, "I", 3),  # move (new) d=2024-01-04
+    ]
+    # twin catalog: the expected post-apply state via the full-table path
+    ct = _catalog(spark, tmp_path / "twin")
+    ct.write_full("t", _dated(spark, base_rows), "d")
+    ct.apply_changelog("t", _dated_log(spark, log_rows), ["id"], date_col="d")
+    expected = sorted((r.id, r.d.isoformat(), r.v) for r in ct.table("t").collect())
+
+    c = _catalog(spark, tmp_path / "wh")
+    c.write_full("t", _dated(spark, base_rows), "d")
+    # renames under the warehouse during the scoped apply:
+    #   1. journal tmp -> journal (the commit point)
+    #   2. staging d=2024-01-01 -> root (first partition move)
+    #   3. staging d=2024-01-04 -> root (second move)  <- crash here
+    seen = _flaky_rename(monkeypatch, str(tmp_path / "wh"), fail_on=3)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        c.apply_changelog(
+            "t", _dated_log(spark, log_rows), ["id"], date_col="d",
+            scope_partitions=True,
+        )
+    assert seen["n"] == 3
+    # crash state really is mid-swap: journal committed, table mixed
+    journal = c._swap_journal("t")
+    assert os.path.exists(journal)
+    parts = set(os.listdir(c.path("t")))
+    assert "d=2024-01-03" not in parts  # delete already executed
+    assert "d=2024-01-04" not in parts  # second move never happened
+    assert len(json.load(open(journal))["entries"]) == 3
+    # recovery: any catalog touch rolls the journal forward
+    c2 = _catalog(spark, tmp_path / "wh")
+    assert c2.exists("t")
+    assert not os.path.exists(journal)
+    assert not os.path.exists(c2.path("t.__staging"))
+    got = sorted((r.id, r.d.isoformat(), r.v) for r in c2.table("t").collect())
+    assert got == expected
+
+
+def test_changelog_full_apply_crash_mid_publish_heals(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the non-scoped apply now publishes via the compact()-style
+    rename-aside, so a crash between the two renames leaves the table
+    recoverable by _heal_compaction instead of absent with data stranded
+    in __staging."""
+    import os
+
+    c = _catalog(spark, tmp_path / "wh")
+    c.write_full("t", _base(spark), None)
+    log = _log(spark, [(2, "B", 21, "U", 1), (5, "e", 50, "I", 2)])
+    # renames under the warehouse: 1. root -> __precompact, 2. staging ->
+    # root  <- crash between them (the exact window ADVICE flagged)
+    _flaky_rename(monkeypatch, str(tmp_path / "wh"), fail_on=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        c.apply_changelog("t", log, ["id"])
+    assert not os.path.exists(c.path("t"))  # the crash window is real
+    assert os.path.exists(c.path("t.__precompact"))
+    # recovery: heal restores the pre-apply table; reapply converges
+    c2 = _catalog(spark, tmp_path / "wh")
+    assert c2.exists("t")
+    assert _rows(c2, "t") == [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+    c2.apply_changelog("t", log, ["id"])
+    assert _rows(c2, "t") == [
+        (1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "d", 40), (5, "e", 50),
+    ]

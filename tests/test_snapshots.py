@@ -90,6 +90,12 @@ def test_snapshot_guardrails(spark, cat):
         cat.snapshot("alias", "v1")
     with pytest.raises(ValueError, match="invalid snapshot tag"):
         cat.snapshot("src", "../escape")
+    # empty/whitespace tags would resolve os.path.join to the snapshots
+    # BASE dir — publishing AT the base and turning 'data'/'schema.json'
+    # into bogus list_snapshots entries
+    for bad in ("", "   "):
+        with pytest.raises(ValueError, match="invalid snapshot tag"):
+            cat.snapshot("src", bad)
     # a tag colliding with the atomic-publish scratch suffix would be
     # hidden by list_snapshots and rmtree'd by the next base-tag snapshot
     with pytest.raises(ValueError, match="invalid snapshot tag"):
