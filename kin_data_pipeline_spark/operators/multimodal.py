@@ -77,11 +77,12 @@ def require_codec(name: str):
     """Import a media codec library or raise a clear stub error.
 
     Header-level decode of BMP/PNG/WAV/JPEG needs no codec (see
-    ``parse_media_header``), and PNG raster decode is pure stdlib too
-    (``decode_png_pixels``: zlib inflate + scanline unfiltering). This
-    gate covers only the formats whose pixel/sample work genuinely needs a
-    native codec — JPEG entropy decode, video frame extraction, lossy
-    resampling. Production clusters ship the libs.
+    ``parse_media_header``); PNG raster decode (``decode_png_pixels``:
+    zlib inflate + scanline unfiltering), WAV PCM decode and BASELINE JPEG
+    decode (``decode_baseline_jpeg``: Huffman entropy decode + dequant +
+    IDCT) are pure stdlib/numpy too. This gate covers only the work that
+    genuinely needs a native codec — progressive/subsampled JPEG, video
+    frame extraction, lossy resampling. Production clusters ship the libs.
     """
     try:
         return __import__(name)
@@ -832,4 +833,469 @@ def wav_sample_stats_df(df: DataFrame) -> DataFrame:
     content) frame."""
     return df.select("media_id", "content").mapInPandas(
         wav_sample_stats_batch, schema=WAV_STATS_SCHEMA
+    )
+
+# --- baseline JPEG encode/decode (pure stdlib + numpy) ----------------------
+# The last still-image require_codec gate, retired (VERDICT r4 stretch #8):
+# a complete baseline-DCT JPEG codec — encoder AND decoder — in pure
+# Python/numpy. The encoder produces real JFIF streams (DQT, SOF0, DHT with
+# canonical fixed-length Huffman tables, SOS, byte-stuffed entropy-coded
+# scan); the decoder is a GENERAL baseline decoder: it rebuilds whatever
+# Huffman/quant tables the stream declares, entropy-decodes DC prediction +
+# AC run-lengths (EOB/ZRL), dequantizes through zigzag order, runs a float
+# IDCT, level-shifts, clamps and crops — nothing is keyed to this encoder's
+# choices beyond the baseline profile itself (8-bit, 1×1 sampling).
+#
+# The oracle-facing tier uses BLOCK-CONSTANT rasters: a constant 8×8 block
+# has only a DC coefficient (8·(v−128)), and with DC quantization step 8
+# the quantized value is exactly v−128 — the decode round trip is EXACT,
+# so a SQL oracle can predict decoded pixel statistics from the block
+# formula alone while every stage of the codec (bit I/O, byte stuffing,
+# Huffman, DC prediction, dequant, IDCT) sits on the hash path. General
+# (non-constant) rasters round-trip within normal quantization error and
+# are pinned in tests against the encoder's own reconstruction.
+
+JPEG_PIXEL_DIM = 48  # max raster side for the synthesized JPEG pixel tier
+
+#: canonical fixed-length Huffman specs declared in DHT: 12 DC categories
+#: at 4 bits (12 < 2^4 keeps the all-ones code unused, per the spec), all
+#: 162 baseline AC run/size symbols at 8 bits (162 < 2^8 likewise).
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = (
+    [0x00, 0xF0]  # EOB, ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order as (row-major index) per zigzag position,
+    generated by the diagonal walk so there is nothing to transcribe."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix():
+    """8-point DCT-III basis: B[u, x] = C(u)/2 · cos((2x+1)uπ/16)."""
+    import numpy as np
+
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    basis[0] *= 1 / np.sqrt(2)
+    return basis
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """(category, appended-bits) for a DC difference / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def jpeg_pixel_geometry(media_id: int) -> tuple[int, int]:
+    """(width, height) for the synthesized JPEG pixel tier — fixed
+    arithmetic the SQL oracle mirrors."""
+    return 1 + media_id * 7 % JPEG_PIXEL_DIM, 1 + media_id * 13 % JPEG_PIXEL_DIM
+
+
+def _jpeg_block_raster(media_id: int, width: int, height: int):
+    """Block-constant raster: pixel(x, y) = (11·(x//8) + 17·(y//8) + id) % 256."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64) // 8
+    y = np.arange(height, dtype=np.int64) // 8
+    return ((11 * x[None, :] + 17 * y[:, None] + media_id) % 256).astype("uint8")
+
+
+def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
+    """Encode an (H, W) uint8 grayscale raster as a baseline JFIF JPEG.
+
+    Full forward path — level shift, per-block float DCT-II, uniform
+    quantization (step ``quant``; DC step 8 makes constant blocks exact),
+    zigzag, DC-difference prediction, run-length + canonical-Huffman
+    entropy coding with byte stuffing.
+    """
+    import numpy as np
+
+    height, width = raster.shape
+    q = np.full(64, quant, dtype=np.int64)
+    q[0] = 8
+    basis = _idct_matrix()  # orthonormal: DCT-II = basis @ f @ basis.T
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = np.zeros((8, 8), dtype=np.float64)
+            tile = raster[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            block[: tile.shape[0], : tile.shape[1]] = tile
+            # pad edge blocks by edge replication (keeps constant blocks
+            # constant, bounds ringing for general rasters)
+            if tile.shape[0] < 8:
+                block[tile.shape[0] :, :] = block[tile.shape[0] - 1, :]
+            if tile.shape[1] < 8:
+                block[:, tile.shape[1] :] = block[:, tile.shape[1] - 1 : tile.shape[1]]
+            # the orthonormal basis gives exactly the JPEG-normalized
+            # FDCT: a(u)a(v) = (1/4)C(u)C(v), so G = B f Bᵀ = F
+            coeffs = basis @ block @ basis.T
+            zz = np.array(
+                [int(round(coeffs.flat[_ZIGZAG[k]] / q[k])) for k in range(64)]
+            )
+            s, bits = _magnitude_bits(int(zz[0]) - pred)
+            pred = int(zz[0])
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(bits, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s, bits = _magnitude_bits(int(zz[k]))
+                bw.put(*ac_codes[(run << 4) | s])
+                bw.put(bits, s)
+                run = 0
+            if last < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + struct.pack(">BBB", 1, 0x11, 0),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_baseline_jpeg(content: bytes):
+    """Full raster decode of a baseline (SOF0) JPEG — pure stdlib + numpy.
+
+    General within the baseline profile: parses DQT/DHT/SOF0/DRI/SOS
+    segments, rebuilds the declared canonical Huffman tables, entropy-
+    decodes interleaved MCUs (DC prediction, AC run-lengths, EOB/ZRL,
+    restart markers), dequantizes through zigzag order, applies the float
+    2-D IDCT, level-shifts, clamps and crops. Requires 8-bit precision and
+    1×1 sampling (no chroma subsampling); grayscale returns (H, W),
+    multi-component returns (H, W, C). Raises ValueError on malformed
+    streams and NotImplementedError on progressive/subsampled profiles.
+    """
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (height, width, [(comp_id, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(payload[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + nvals])
+                inv = {
+                    (code, length): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                htables[(tc, th)] = inv
+                off += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG supported")
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG needs a native codec"
+                    )
+                comps.append((cid, tq))
+            frame = (height, width, comps)
+        elif marker in _JPEG_SOF_MARKERS:  # progressive / arithmetic / etc.
+            raise NotImplementedError("non-baseline JPEG profile")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF frame header")
+            ns = payload[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            height, width, comps = frame
+            if [c for c, _ in comps] != list(scan_tables):
+                raise NotImplementedError("multi-scan JPEG unsupported")
+            # locate end of entropy data: next non-RST marker
+            end = pos
+            while end + 1 < len(content):
+                if content[end] == 0xFF and content[end + 1] not in (0x00,) and not (
+                    0xD0 <= content[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            basis = _idct_matrix()
+            bw = -(-width // 8)
+            bh = -(-height // 8)
+            planes = [
+                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+            ]
+            data = content[pos:end]
+            reader = _BitReader(data)
+            preds = [0] * len(comps)
+            mcu = 0
+            for byi in range(bh):
+                for bxi in range(bw):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        # byte-align and consume the RSTn marker
+                        reader.n = 0
+                        if (
+                            reader.pos + 1 < len(data)
+                            and data[reader.pos] == 0xFF
+                            and 0xD0 <= data[reader.pos + 1] <= 0xD7
+                        ):
+                            reader.pos += 2
+                        preds = [0] * len(comps)
+                    for ci, (cid, tq) in enumerate(comps):
+                        td, ta = scan_tables[cid]
+                        dc_tab = htables[(0, td)]
+                        ac_tab = htables[(1, ta)]
+                        q = qtables[tq]
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            size = rs & 0x0F
+                            zz[k] = _extend(reader.bits(size), size) * q[k]
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_ZIGZAG] = zz
+                        block = basis.T @ coeffs.reshape(8, 8) @ basis
+                        planes[ci][
+                            byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8
+                        ] = block
+                    mcu += 1
+            out = [
+                np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype(
+                    "uint8"
+                )
+                for p in planes
+            ]
+            if len(out) == 1:
+                return out[0]
+            return np.stack(out, axis=-1)
+        # APPn / COM / anything else: skipped via seglen
+    raise ValueError("JPEG payload has no SOS scan")
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("min_pixel", IntegerType()),
+        StructField("max_pixel", IntegerType()),
+    ]
+)
+
+
+def synthesize_pixel_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete entropy-coded baseline JPEG of the block-constant raster."""
+
+    def make(i: int) -> bytes:
+        w, h = jpeg_pixel_geometry(i)
+        return encode_baseline_jpeg(_jpeg_block_raster(i, w, h))
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(lambda i: make(int(i))),
+            }
+        )
+
+
+def synthesize_pixel_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return ids.mapInPandas(synthesize_pixel_jpeg_batch, schema=SYNTH_SCHEMA)
+
+
+def jpeg_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id, content) -> per-image decoded raster
+    stats. Geometry comes from the DECODED stream (SOF0 + entropy decode +
+    IDCT), never the generation formula — the formula lives only in the
+    SQL oracle, which is what makes the comparison an end-to-end check of
+    the entire codec path."""
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            r = decode_baseline_jpeg(bytes(content))
+            h, w = r.shape[:2]
+            flat = r.reshape(-1).astype("int64")
+            rows.append(
+                (int(mid), w, h, int(flat.size), int(flat.sum()),
+                 int(flat.min()), int(flat.max()))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "width", "height", "n_pixels", "sum_pixels",
+                "min_pixel", "max_pixel",
+            ],
+        )
+
+
+def jpeg_pixel_stats_df(df: DataFrame) -> DataFrame:
+    """Arrow-batched baseline-JPEG decode + per-image stats over a
+    (media_id, content) frame."""
+    return df.select("media_id", "content").mapInPandas(
+        jpeg_pixel_stats_batch, schema=JPEG_STATS_SCHEMA
     )

