@@ -37,6 +37,21 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .withColumn("__nrm", F.sqrt(_dot(emb, emb)))
     )
 
+#: Target sampled-centroid count for the IVF family. Fixed and small so the
+#: centroid broadcast is bounded BY CONSTRUCTION at any corpus size and the
+#: N x K assignment pass stays linear in N. (The round-4 stride-31 scheme
+#: made K grow as N/31: at 10x data the assignment did 100x the dot
+#: products — the sf1 superlinearity sweep's top-4 flags, all one cause.)
+IVF_CENTROID_TARGET = 64
+
+def ivf_centroid_stride(corpus: DataFrame, target: int = IVF_CENTROID_TARGET) -> int:
+    """Data-dependent centroid stride: ``max(1, N // target)`` keeps the
+    deterministic sample (``id % stride == 0``) at ~target..2·target
+    centroids at any N. One bounded count() action on the driver — the
+    same arithmetic the SQL oracles embed as a scalar subquery
+    (``(SELECT GREATEST(1, COUNT(*) // target) FROM embeddings)``)."""
+    return max(1, corpus.count() // target)
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,23 +254,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    centroid_stride: int = 31,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) cell probing.
 
     Centroids are sampled deterministically from the corpus itself
-    (``id % centroid_stride == 0`` — no training step, engine-reproducible).
-    Every vector joins its nearest centroid's inverted list (one N×K
-    broadcast pass — linear in N since K ≪ N); each query probes its
-    ``nprobe`` nearest cells and scores only those lists exactly.
+    (``id % centroid_stride == 0`` — no training step, engine-reproducible;
+    stride defaults to ``ivf_centroid_stride``, which keeps K bounded at
+    ~IVF_CENTROID_TARGET at ANY corpus size). Every vector joins its
+    nearest centroid's inverted list (one N×K broadcast pass — linear in N
+    since K is fixed); each query probes its ``nprobe`` nearest cells and
+    scores only those lists exactly.
 
-    The scale shape: assignment is a broadcast nested-loop over the tiny
-    centroid set, the probe is an equi-join on centroid id, and cell
-    occupancy (~N/K) bounds every per-key expansion. Raise
-    ``centroid_stride``'s inverse (more centroids) as N grows — K ≈ √N
-    keeps assignment and probing balanced.
+    The scale shape: assignment is a broadcast nested-loop over the
+    bounded centroid set, the probe is an equi-join on centroid id, and
+    cell occupancy (~N/K) bounds every per-key expansion; pair-forming
+    consumers cap it further (``cell_cap``).
     """
+    if centroid_stride is None:
+        centroid_stride = ivf_centroid_stride(corpus)
     e = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
@@ -312,13 +330,16 @@ def assign_cells(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_stride: int = 31,
+    centroid_stride: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment with deterministically sampled
     centroids (``id % centroid_stride == 0`` — the IVF scheme, no training
-    step). Returns ``(vid, cid)``. The cross join is only against the tiny
-    broadcast centroid set (K ≈ N/stride); everything else is linear.
+    step; stride defaults to the bounded-K ``ivf_centroid_stride``).
+    Returns ``(vid, cid)``. The cross join is only against the bounded
+    broadcast centroid set; everything else is linear.
     """
+    if centroid_stride is None:
+        centroid_stride = ivf_centroid_stride(corpus)
     e = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
@@ -342,7 +363,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    centroid_stride: int = 31,
+    centroid_stride: int | None = None,
     cell_cap: int | None = None,
     broadcast_embeddings: bool = False,
 ) -> DataFrame:
@@ -407,7 +428,7 @@ def semantic_dedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    centroid_stride: int = 31,
+    centroid_stride: int | None = None,
     cell_cap: int | None = None,
     broadcast_embeddings: bool = False,
 ) -> DataFrame:

@@ -1756,3 +1756,157 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+# Distribution-window family (W-superset): ntile / percent_rank / cume_dist
+# in one pass, partitioned by order month so the sort is bounded per
+# partition (a GLOBAL ntile would single-partition-sort the fact table at
+# 100 TB; month-scoped deciles are both the scale-sane and the
+# analytically-usual form). Ties are broken by o_orderkey so every rank
+# function is deterministic; the decile aggregate emits exact-decimal
+# revenue and the rank-function extremes, rounded once.
+@register(
+    "order_value_ntiles",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_totalprice,
+             NTILE(10) OVER (PARTITION BY date_trunc('month', o_orderdate)
+                             ORDER BY o_totalprice, o_orderkey) AS decile,
+             PERCENT_RANK() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                                  ORDER BY o_totalprice, o_orderkey) AS prank,
+             CUME_DIST() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                               ORDER BY o_totalprice, o_orderkey) AS cume
+      FROM orders
+    )
+    SELECT month, CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           ROUND(MIN(prank), 6) AS min_prank,
+           ROUND(MAX(prank), 6) AS max_prank,
+           ROUND(MAX(cume), 6) AS max_cume
+    FROM w GROUP BY 1, 2
+    """,
+    doc=(
+        "ntile/percent_rank/cume_dist distribution windows, month-"
+        "partitioned deciles with exact-decimal revenue"
+    ),
+)
+def order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.trunc(F.to_date("o_orderdate"), "month")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.groupBy("month", F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.min("prank"), 6).alias("min_prank"),
+        F.round(F.max("prank"), 6).alias("max_prank"),
+        F.round(F.max("cume"), 6).alias("max_cume"),
+    )
+
+# Full outer join (the one join kind the reference never uses — J-superset):
+# align two SPARSE per-entity daily aggregates where either side may be
+# absent, coalescing keys and classifying the match. The user-day purchase
+# and view series are genuinely sparse (unlike the dense event_type×day
+# grid), so all three segments occur. Scale shape: two partial aggs then
+# one shuffle-on-key full outer — no side is assumed broadcastable.
+@register(
+    "purchase_view_full_outer_daily",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_p
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), v AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_v
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+           COALESCE(p.day, v.day) AS day,
+           CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(v.n_v, 0) AS BIGINT) AS n_views,
+           CASE WHEN p.user_id IS NOT NULL AND v.user_id IS NOT NULL THEN 'both'
+                WHEN p.user_id IS NOT NULL THEN 'purchase_only'
+                ELSE 'view_only' END AS segment
+    FROM p FULL OUTER JOIN v ON p.user_id = v.user_id AND p.day = v.day
+    """,
+    doc=(
+        "full outer join of sparse per-user daily purchase vs view "
+        "aggregates with key coalescing and match classification"
+    ),
+)
+def purchase_view_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    vw = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_v"))
+    )
+    j = pur.join(vw, ["user_id", "day"], "full_outer")
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_p", F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce("n_v", F.lit(0)).cast("long").alias("n_views"),
+        F.when(F.col("n_p").isNotNull() & F.col("n_v").isNotNull(), "both")
+        .when(F.col("n_p").isNotNull(), "purchase_only")
+        .otherwise("view_only")
+        .alias("segment"),
+    )
+
+# Set-operation family (U-superset): INTERSECT / EXCEPT, which the
+# reference never uses (SURVEY §2.7). Customer lifecycle segmentation:
+# buyers of the early era vs the late era — retained (∩), churned (early
+# EXCEPT late), acquired (late EXCEPT early). Spark compiles INTERSECT to
+# a left-semi and EXCEPT to a left-anti over distinct inputs — the same
+# linear-shuffle shapes as J8/J9, no new scale risk.
+@register(
+    "customer_order_lifecycle_sets",
+    """
+    WITH a AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ), b AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+    )
+    SELECT o_custkey AS c_custkey, 'retained' AS segment
+    FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT o_custkey, 'churned' FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT o_custkey, 'acquired' FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    """,
+    doc=(
+        "INTERSECT/EXCEPT customer lifecycle segments (retained/churned/"
+        "acquired buyers across order eras)"
+    ),
+)
+def customer_order_lifecycle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), F.to_date("o_orderdate").alias("d")
+    )
+    a = o.filter(F.col("d") < F.lit("1998-01-01")).select("c_custkey").distinct()
+    b = o.filter(F.col("d") >= F.lit("1998-01-01")).select("c_custkey").distinct()
+    return (
+        a.intersect(b).select("c_custkey", F.lit("retained").alias("segment"))
+        .unionByName(
+            a.exceptAll(b).select("c_custkey", F.lit("churned").alias("segment"))
+        )
+        .unionByName(
+            b.exceptAll(a).select("c_custkey", F.lit("acquired").alias("segment"))
+        )
+    )

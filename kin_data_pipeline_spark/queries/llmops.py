@@ -1069,8 +1069,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus (vec_id % stride == 0), so BOTH engines derive the identical cell
 # structure from the data with no injected literals; assignment and probing
 # rank by exact cosine with (sim DESC, cid ASC) tiebreaks.
+#
+# The stride is DATA-DEPENDENT (max(1, N // target)) so the sampled
+# centroid count stays bounded (~target) at any corpus size: the round-4
+# fixed stride of 31 made K grow as N/31, turning the N x K assignment
+# quadratic — the sf1 superlinearity sweep flagged the whole cell family
+# at 40-70x for 10x data. Spark computes the stride with one bounded
+# count(); the oracle embeds the identical arithmetic as a scalar
+# subquery, so both engines still derive the same cells from the data.
 
-_IVF_STRIDE = 31
+_IVF_STRIDE_SQL = "(SELECT GREATEST(1, COUNT(*) // 64) FROM embeddings)"
 _IVF_NPROBE = 2
 _IVF_K = 5
 
@@ -1083,7 +1091,7 @@ _IVF_K = 5
       FROM embeddings
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
-      WHERE vec_id % {_IVF_STRIDE} = 0
+      WHERE vec_id % {_IVF_STRIDE_SQL} = 0
     ), asg AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -1124,7 +1132,7 @@ def embedding_ivf_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     out = ivf_topk(
-        emb, queries, k=_IVF_K, centroid_stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+        emb, queries, k=_IVF_K, centroid_stride=None, nprobe=_IVF_NPROBE
     )
     return out.select(
         "query_id",
@@ -1204,10 +1212,10 @@ def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell structure from the data (centroids = vec_id % stride == 0), so the
 # pair set is bit-comparable with no injected literals.
 
-_SEMD_STRIDE = 31
-_SEMD_THRESHOLD = 0.30  # near-orthogonal synthetic corpus: ~2.5% of
-# within-cell pairs clear 0.30 at every SF (probed 0.001/0.01/0.1), so the
-# query is non-trivial at the smoke, correctness, and bench scales alike.
+_SEMD_STRIDE_SQL = _IVF_STRIDE_SQL  # same bounded-K cell structure
+_SEMD_THRESHOLD = 0.30  # near-orthogonal synthetic corpus: a few percent
+# of within-cell pairs clear 0.30 at every SF, so the query is non-trivial
+# at the smoke, correctness, and bench scales alike.
 
 _SEMD_PAIRS_SQL = f"""
     WITH e AS (
@@ -1216,7 +1224,7 @@ _SEMD_PAIRS_SQL = f"""
       FROM embeddings
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
-      WHERE vec_id % {_SEMD_STRIDE} = 0
+      WHERE vec_id % {_SEMD_STRIDE_SQL} = 0
     ), asg AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
@@ -1253,7 +1261,7 @@ def semantic_dedup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = semantic_dedup_pairs(
         emb,
         threshold=_SEMD_THRESHOLD,
-        centroid_stride=_SEMD_STRIDE,
+        centroid_stride=None,
         broadcast_embeddings=True,
     )
     return pairs.select("id_a", "id_b", "cid", F.round("sim", 4).alias("cosine_sim"))
@@ -1281,7 +1289,7 @@ def semantic_dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     surv = semantic_dedup_survivors(
         emb,
         threshold=_SEMD_THRESHOLD,
-        centroid_stride=_SEMD_STRIDE,
+        centroid_stride=None,
         broadcast_embeddings=True,
     ).withColumn("survived", F.lit(1))
     return (
@@ -2052,7 +2060,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division, so parity is exact.
 
 _EVAL_K = 5
-_EVAL_SAMPLE_MOD = 50
+#: Data-dependent sample stride: a FIXED ~40-query eval set at any corpus
+#: size. The round-4 fixed mod of 50 made the query set grow as N/50, so
+#: the brute-force scan was N^2/50 — 70x wall time at 10x data in the sf1
+#: sweep. Same count()-based arithmetic on both engines.
+_EVAL_SAMPLE_SQL = "(SELECT GREATEST(1, COUNT(*) // 40) FROM embeddings)"
 
 @register(
     "knn_label_agreement",
@@ -2062,7 +2074,7 @@ _EVAL_SAMPLE_MOD = 50
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ), q AS (
-      SELECT * FROM e WHERE vec_id % {_EVAL_SAMPLE_MOD} = 0
+      SELECT * FROM e WHERE vec_id % {_EVAL_SAMPLE_SQL} = 0
     ), sims AS (
       SELECT q.vec_id AS query_id, q.label AS q_label,
              c.vec_id AS neighbor_id, c.label AS c_label,
@@ -2091,7 +2103,8 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
-    sample = emb.filter(F.col("vec_id") % _EVAL_SAMPLE_MOD == 0)
+    sample_mod = max(1, emb.count() // 40)
+    sample = emb.filter(F.col("vec_id") % sample_mod == 0)
     top = cosine_topk(emb, sample, k=_EVAL_K)
     lab_q = F.broadcast(labels.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
@@ -2335,7 +2348,7 @@ _OUTLIER_BOTTOM_K = 2
       FROM embeddings WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
-      WHERE vec_id % {_SEMD_STRIDE} = 0
+      WHERE vec_id % {_SEMD_STRIDE_SQL} = 0
     ), asg AS (
       SELECT vec_id, cid, csim FROM (
         SELECT e.vec_id, c.cid,
@@ -2365,7 +2378,10 @@ def embedding_cell_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(emb, "embedding").select(
         F.col("vec_id").alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
-    cent = e.filter(F.col("vid") % _SEMD_STRIDE == 0).select(
+    from kin_data_pipeline_spark.operators.similarity import ivf_centroid_stride
+
+    stride = ivf_centroid_stride(emb)
+    cent = e.filter(F.col("vid") % stride == 0).select(
         F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
     csim = F.aggregate(

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kin_data_pipeline_spark.queries.llmops import _IVF_K, _IVF_NPROBE, _IVF_STRIDE
+from kin_data_pipeline_spark.queries.llmops import _IVF_K, _IVF_NPROBE, _IVF_STRIDE_SQL
 from kin_data_pipeline_spark.queries.registry import register
 from kin_data_pipeline_spark.sources.catalog import load_table
 
@@ -183,7 +183,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rnk <= {_IVF_K}
     ), cent AS (
       SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM e
-      WHERE vec_id % {_IVF_STRIDE} = 0
+      WHERE vec_id % {_IVF_STRIDE_SQL} = 0
     ), asg AS (
       SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,

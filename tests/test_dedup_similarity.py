@@ -228,7 +228,7 @@ def test_semantic_dedup_pairs_are_within_cell_and_ordered(spark, sf_dir):
     pairs = semantic_dedup_pairs(emb, threshold=0.30, centroid_stride=31)
     rows = pairs.collect()
     assert rows, "corpus should contain same-cell pairs above 0.30"
-    cells = {r["vid"]: r["cid"] for r in assign_cells(emb).collect()}
+    cells = {r["vid"]: r["cid"] for r in assign_cells(emb, centroid_stride=31).collect()}
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert cells[r["id_a"]] == cells[r["id_b"]] == r["cid"]
@@ -243,7 +243,12 @@ def test_semantic_dedup_survivors_greedy_min_id(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = semantic_dedup_pairs(emb, threshold=0.30, centroid_stride=31)
     dropped = {r["id_b"] for r in pairs.collect()}
-    surv = {r["vec_id"] for r in semantic_dedup_survivors(emb, threshold=0.30).collect()}
+    surv = {
+        r["vec_id"]
+        for r in semantic_dedup_survivors(
+            emb, threshold=0.30, centroid_stride=31
+        ).collect()
+    }
     all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert surv == all_ids - dropped
 
