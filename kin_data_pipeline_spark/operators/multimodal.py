@@ -20,6 +20,7 @@ import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -897,15 +898,27 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _idct_matrix():
-    """8-point DCT-III basis: B[u, x] = C(u)/2 · cos((2x+1)uπ/16)."""
-    import numpy as np
+_IDCT_BASIS = None
 
-    u = np.arange(8).reshape(-1, 1)
-    x = np.arange(8).reshape(1, -1)
-    basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    basis[0] *= 1 / np.sqrt(2)
-    return basis
+
+@lru_cache(maxsize=8)
+def _huff_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
+    return _huff_codes(list(bits), list(vals))
+
+
+def _idct_matrix():
+    """8-point DCT-III basis: B[u, x] = C(u)/2 · cos((2x+1)uπ/16).
+    Memoized — codec workers call this once per image."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(-1, 1)
+        x = np.arange(8).reshape(1, -1)
+        basis = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        basis[0] *= 1 / np.sqrt(2)
+        _IDCT_BASIS = basis
+    return _IDCT_BASIS
 
 
 class _BitWriter:
@@ -969,49 +982,47 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     q = np.full(64, quant, dtype=np.int64)
     q[0] = 8
     basis = _idct_matrix()  # orthonormal: DCT-II = basis @ f @ basis.T
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
+
+    # Forward transform for ALL blocks in one batched pass: edge-replicate
+    # to full 8x8 tiles (keeps constant blocks constant, bounds ringing for
+    # general rasters), blockize row-major, batched DCT-II, then zigzag +
+    # uniform quantization vectorized over the whole block stack. The
+    # orthonormal basis gives exactly the JPEG-normalized FDCT:
+    # a(u)a(v) = (1/4)C(u)C(v), so G = B f Bᵀ = F.
+    nbh, nbw = -(-height // 8), -(-width // 8)
+    f = raster.astype(np.float64) - 128.0
+    padded = np.pad(f, ((0, nbh * 8 - height), (0, nbw * 8 - width)), mode="edge")
+    blocks = padded.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = basis @ blocks @ basis.T
+    # np.round is round-half-even, same as Python round() on floats
+    zzq = np.round(coeffs.reshape(-1, 64)[:, _ZIGZAG] / q[None, :]).astype(np.int64)
 
     bw = _BitWriter()
     pred = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = np.zeros((8, 8), dtype=np.float64)
-            tile = raster[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            block[: tile.shape[0], : tile.shape[1]] = tile
-            # pad edge blocks by edge replication (keeps constant blocks
-            # constant, bounds ringing for general rasters)
-            if tile.shape[0] < 8:
-                block[tile.shape[0] :, :] = block[tile.shape[0] - 1, :]
-            if tile.shape[1] < 8:
-                block[:, tile.shape[1] :] = block[:, tile.shape[1] - 1 : tile.shape[1]]
-            # the orthonormal basis gives exactly the JPEG-normalized
-            # FDCT: a(u)a(v) = (1/4)C(u)C(v), so G = B f Bᵀ = F
-            coeffs = basis @ block @ basis.T
-            zz = np.array(
-                [int(round(coeffs.flat[_ZIGZAG[k]] / q[k])) for k in range(64)]
-            )
-            s, bits = _magnitude_bits(int(zz[0]) - pred)
-            pred = int(zz[0])
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(bits, s)
+    for zz in zzq:
+        s, bits = _magnitude_bits(int(zz[0]) - pred)
+        pred = int(zz[0])
+        bw.put(*dc_codes[s])
+        if s:
+            bw.put(bits, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            s, bits = _magnitude_bits(int(zz[k]))
+            bw.put(*ac_codes[(run << 4) | s])
+            bw.put(bits, s)
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s, bits = _magnitude_bits(int(zz[k]))
-                bw.put(*ac_codes[(run << 4) | s])
-                bw.put(bits, s)
-                run = 0
-            if last < 63:
-                bw.put(*ac_codes[0x00])  # EOB
+        if last < 63:
+            bw.put(*ac_codes[0x00])  # EOB
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, 2 + len(payload)) + payload
@@ -1031,43 +1042,89 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
 
 
 class _BitReader:
+    """Accumulator bit reader over byte-stuffed JPEG entropy data.
+
+    Refills lazily and only as far as a read needs, so the byte cursor
+    never runs ahead of the logical bit position by more than the peek
+    window; a 0xFF followed by an RSTn marker stops the refill (instead
+    of raising) so 16-bit Huffman peeks near a restart boundary pad with
+    zeros and the byte-aligned marker skip in the scan loop still finds
+    ``data[pos] == 0xFF``.
+    """
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream exhausted")
-            byte = self.data[self.pos]
-            self.pos += 1
+    def _fill(self, need: int) -> None:
+        data, ln = self.data, len(self.data)
+        while self.n < need:
+            if self.pos >= ln:
+                return
+            byte = data[self.pos]
             if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                nxt = data[self.pos + 1] if self.pos + 1 < ln else None
+                if nxt == 0x00:
+                    self.pos += 2  # unstuff
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    return  # restart marker: end of this entropy segment
+                else:
                     raise ValueError("unexpected marker inside entropy data")
-                self.pos += 1  # skip stuffed 0x00
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
 
     def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
+        if count == 0:
+            return 0
+        if self.n < count:
+            self._fill(count)
+            if self.n < count:
+                raise ValueError("JPEG entropy stream exhausted")
+        self.n -= count
+        v = (self.acc >> self.n) & ((1 << count) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
+    def bit(self) -> int:
+        return self.bits(1)
 
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG scan")
+    def peek16(self) -> int:
+        self._fill(16)
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        return (self.acc << (16 - self.n)) & 0xFFFF
+
+
+@lru_cache(maxsize=64)
+def _huff_lut(bits: tuple, vals: tuple) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead decode tables for one canonical Huffman table:
+    (symbol, code length) per possible 16-bit window, length 0 = invalid
+    code. Cached per declared table spec — JPEG streams from the same
+    producer redeclare identical DHT segments per image."""
+    import numpy as np
+
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    lng = np.zeros(1 << 16, dtype=np.int32)
+    for symbol, (code, length) in _huff_codes(list(bits), list(vals)).items():
+        start = code << (16 - length)
+        count = 1 << (16 - length)
+        sym[start : start + count] = symbol
+        lng[start : start + count] = length
+    return sym.tolist(), lng.tolist()
+
+
+def _huff_decode(reader: _BitReader, table: tuple[list[int], list[int]]) -> int:
+    sym, lng = table
+    v = reader.peek16()
+    length = lng[v]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG scan")
+    reader.bits(length)  # consume exactly the matched code
+    return sym[v]
 
 
 def _extend(bits: int, s: int) -> int:
@@ -1094,7 +1151,7 @@ def decode_baseline_jpeg(content: bytes):
         raise ValueError("not a JPEG payload")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None  # (height, width, [(comp_id, tq)])
     restart_interval = 0
     while pos + 4 <= len(content):
@@ -1119,14 +1176,10 @@ def decode_baseline_jpeg(content: bytes):
             off = 0
             while off < len(payload):
                 tc, th = payload[off] >> 4, payload[off] & 0x0F
-                bits = list(payload[off + 1 : off + 17])
+                bits = tuple(payload[off + 1 : off + 17])
                 nvals = sum(bits)
-                vals = list(payload[off + 17 : off + 17 + nvals])
-                inv = {
-                    (code, length): sym
-                    for sym, (code, length) in _huff_codes(bits, vals).items()
-                }
-                htables[(tc, th)] = inv
+                vals = tuple(payload[off + 17 : off + 17 + nvals])
+                htables[(tc, th)] = _huff_lut(bits, vals)
                 off += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
             precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
@@ -1167,9 +1220,11 @@ def decode_baseline_jpeg(content: bytes):
             basis = _idct_matrix()
             bw = -(-width // 8)
             bh = -(-height // 8)
-            planes = [
-                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
-            ]
+            # dequantized zigzag-order coefficients per component, blocks in
+            # MCU row-major order; the IDCT runs ONCE, batched over the whole
+            # stack, after the entropy scan (the scan itself is inherently
+            # serial — DC prediction and run-lengths chain block to block)
+            zzs = [np.zeros((bh * bw, 64), dtype=np.float64) for _ in comps]
             data = content[pos:end]
             reader = _BitReader(data)
             preds = [0] * len(comps)
@@ -1194,7 +1249,7 @@ def decode_baseline_jpeg(content: bytes):
                         s = _huff_decode(reader, dc_tab)
                         diff = _extend(reader.bits(s), s) if s else 0
                         preds[ci] += diff
-                        zz = np.zeros(64, dtype=np.float64)
+                        zz = zzs[ci][mcu]
                         zz[0] = preds[ci] * q[0]
                         k = 1
                         while k < 64:
@@ -1210,13 +1265,17 @@ def decode_baseline_jpeg(content: bytes):
                             size = rs & 0x0F
                             zz[k] = _extend(reader.bits(size), size) * q[k]
                             k += 1
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[_ZIGZAG] = zz
-                        block = basis.T @ coeffs.reshape(8, 8) @ basis
-                        planes[ci][
-                            byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8
-                        ] = block
                     mcu += 1
+            planes = []
+            for zzc in zzs:
+                coeffs = np.zeros((bh * bw, 64), dtype=np.float64)
+                coeffs[:, _ZIGZAG] = zzc
+                blocks = basis.T @ coeffs.reshape(-1, 8, 8) @ basis
+                planes.append(
+                    blocks.reshape(bh, bw, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw * 8)
+                )
             out = [
                 np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype(
                     "uint8"

@@ -494,6 +494,49 @@ def test_jpeg_decode_rejects_malformed():
         mm.decode_baseline_jpeg(bytes(data))
 
 
+def test_jpeg_restart_markers_decode():
+    """DRI/RSTn handling: a scan split into per-MCU restart segments
+    (DC predictor reset, byte-aligned RSTn between MCUs) decodes exactly.
+    The encoder never emits restarts, so the stream is composed by hand
+    from three independently encoded 8x8 blocks."""
+    import struct as _struct
+
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    blocks = [np.full((8, 8), v, dtype="uint8") for v in (40, 200, 133)]
+    entropy = []
+    template = None
+    for b in blocks:
+        data = mm.encode_baseline_jpeg(b)
+        i = data.index(b"\xff\xda")
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        entropy.append(data[i + 2 + seglen : -2])  # scan bytes, EOI dropped
+        if template is None:
+            template = bytearray(data[: i + 2 + seglen])  # headers + SOS
+    # patch SOF geometry 8x8 -> 24 wide x 8 high (3 MCUs in one row)
+    sof = template.index(b"\xff\xc0")
+    _struct.pack_into(">HH", template, sof + 5, 8, 24)
+    # declare restart interval 1 ahead of the SOS segment
+    sos = template.index(b"\xff\xda")
+    dri = _struct.pack(">HHH", 0xFFDD, 4, 1)
+    stream = (
+        bytes(template[:sos])
+        + dri
+        + bytes(template[sos:])
+        + entropy[0]
+        + b"\xff\xd0"
+        + entropy[1]
+        + b"\xff\xd1"
+        + entropy[2]
+        + b"\xff\xd9"
+    )
+    dec = mm.decode_baseline_jpeg(stream)
+    assert dec.shape == (8, 24)
+    assert np.array_equal(dec, np.hstack(blocks))
+
+
 def test_jpeg_entropy_stream_survives_byte_stuffing():
     """Payloads whose entropy data contains 0xFF bytes must round-trip:
     the encoder stuffs 0x00 after each, the reader unstuffs. Dense random
