@@ -107,6 +107,8 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "order_value_ntiles",  # ntile/percent_rank/cume_dist distribution windows
     "purchase_view_full_outer_daily",  # full outer join, key coalescing
     "customer_order_lifecycle_sets",  # INTERSECT/EXCEPT lifecycle segments
+    "customer_rolling_order_stats",  # bounded sliding ROWS frame
+    "small_quantity_revenue_q17",  # TPC-H Q17 decorrelated-average shape
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -1910,3 +1910,119 @@ def customer_order_lifecycle_sets(spark: SparkSession, sf_dir: str) -> DataFrame
             b.exceptAll(a).select("c_custkey", F.lit("acquired").alias("segment"))
         )
     )
+
+# Bounded sliding ROWS frame (W-superset): every existing window uses
+# either an unbounded-growing frame or a lag; a `ROWS BETWEEN k PRECEDING`
+# frame exercises the sliding-buffer physical form. Per-customer 3-order
+# rolling average spend, exact integer cents inside the frame, one final
+# fixed-order double division. Partitioned by customer — no global sort.
+@register(
+    "customer_rolling_order_stats",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, order_date,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll3_cents,
+           CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll3_n,
+           ROUND(CAST(SUM(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / (COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                 / 100.0, 6) AS roll3_avg_price
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)
+    """,
+    doc=(
+        "bounded sliding ROWS frame: per-customer 3-order rolling average "
+        "spend with exact-cents frame arithmetic"
+    ),
+)
+def customer_rolling_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    roll_sum = F.sum("cents").over(frame)
+    roll_n = F.count(F.lit(1)).over(frame)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        roll_sum.cast("long").alias("roll3_cents"),
+        roll_n.cast("long").alias("roll3_n"),
+        F.round(
+            roll_sum.cast("double") / roll_n / F.lit(100.0), 6
+        ).alias("roll3_avg_price"),
+    )
+
+# Correlated-average shape (TPC-H Q17): lineitems whose quantity is below
+# 20% of their part's average quantity. The correlated scalar subquery
+# decorrelates to a per-part aggregate + equi-join — the shape written out
+# explicitly here so both engines run it identically. The 0.2·avg
+# threshold is exact integer arithmetic (quantities are integral):
+# qty < sum/(5·n) ⟺ 5·qty·n < sum — no float comparison at the boundary.
+# Scale: per-part agg and join-back co-partition on l_partkey (one
+# shuffle), the filtered part dim broadcasts.
+@register(
+    "small_quantity_revenue_q17",
+    """
+    WITH pq AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_li
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM((CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT)
+                AS BIGINT) AS small_revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_size <= 10
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pq.n_li < pq.sum_qty
+    GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q17 shape: small-quantity lineitems vs the part's average "
+        "quantity (decorrelated per-part agg, exact integer threshold)"
+    ),
+)
+def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_brand")
+    )
+    j = li.join(per_part, "l_partkey").join(
+        part, F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        j.filter(5 * F.col("qty") * F.col("n_li") < F.col("sum_qty"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.sum("cents").cast("long").alias("small_revenue_cents"),
+        )
+    )
