@@ -104,7 +104,6 @@ CURRENT_WINDOW_HEAD = [
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
     "jpeg_pixel_stats",  # baseline-JPEG entropy decode round trip (r5 stretch)
-    "order_value_ntiles",  # ntile/percent_rank/cume_dist distribution windows
     "purchase_view_full_outer_daily",  # full outer join, key coalescing
     "customer_order_lifecycle_sets",  # INTERSECT/EXCEPT lifecycle segments
     "customer_rolling_order_stats",  # bounded sliding ROWS frame

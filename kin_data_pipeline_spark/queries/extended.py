@@ -1757,62 +1757,6 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("retention"),
     )
 
-# Distribution-window family (W-superset): ntile / percent_rank / cume_dist
-# in one pass, partitioned by order month so the sort is bounded per
-# partition (a GLOBAL ntile would single-partition-sort the fact table at
-# 100 TB; month-scoped deciles are both the scale-sane and the
-# analytically-usual form). Ties are broken by o_orderkey so every rank
-# function is deterministic; the decile aggregate emits exact-decimal
-# revenue and the rank-function extremes, rounded once.
-@register(
-    "order_value_ntiles",
-    """
-    WITH w AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             o_totalprice,
-             NTILE(10) OVER (PARTITION BY date_trunc('month', o_orderdate)
-                             ORDER BY o_totalprice, o_orderkey) AS decile,
-             PERCENT_RANK() OVER (PARTITION BY date_trunc('month', o_orderdate)
-                                  ORDER BY o_totalprice, o_orderkey) AS prank,
-             CUME_DIST() OVER (PARTITION BY date_trunc('month', o_orderdate)
-                               ORDER BY o_totalprice, o_orderkey) AS cume
-      FROM orders
-    )
-    SELECT month, CAST(decile AS INT) AS decile,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           ROUND(MIN(prank), 6) AS min_prank,
-           ROUND(MAX(prank), 6) AS max_prank,
-           ROUND(MAX(cume), 6) AS max_cume
-    FROM w GROUP BY 1, 2
-    """,
-    doc=(
-        "ntile/percent_rank/cume_dist distribution windows, month-"
-        "partitioned deciles with exact-decimal revenue"
-    ),
-)
-def order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy(F.trunc(F.to_date("o_orderdate"), "month")).orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    ranked = o.select(
-        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
-        "o_totalprice",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("prank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
-    return ranked.groupBy("month", F.col("decile").cast("int").alias("decile")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
-        F.round(F.min("prank"), 6).alias("min_prank"),
-        F.round(F.max("prank"), 6).alias("max_prank"),
-        F.round(F.max("cume"), 6).alias("max_cume"),
-    )
-
 # Full outer join (the one join kind the reference never uses — J-superset):
 # align two SPARSE per-entity daily aggregates where either side may be
 # absent, coalescing keys and classifying the match. The user-day purchase
