@@ -5,13 +5,16 @@ store URIs) beside typed metadata structs; every transform is Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
 
 Header-level decode (dimensions, channel count, sample geometry) is REAL for
-BMP / PNG / WAV / JPEG payloads: ``parse_media_header`` does magic-byte sniffing +
-struct parsing of the actual container headers, no external codec needed.
-Pixel/sample-level work (full image decode, audio resample, video frame
-extraction) still needs libraries absent from this container — those steps
-remain behind ``require_codec``; the deterministic fake decoder is kept for
-opaque (non-media) payloads so the batching plumbing stays testable on any
-bytes.
+BMP / PNG / WAV / JPEG / AVI payloads: ``parse_media_header`` does magic-byte
+sniffing + struct parsing of the actual container headers, no external codec
+needed. Pixel/sample-level decode is ALSO real, pure stdlib/numpy, for the
+generated formats: PNG (zlib + scanline unfilter), WAV (16-bit PCM),
+baseline JPEG (Huffman + dequant + IDCT) and AVI-MJPG video (RIFF container
+parse + sampled-frame JPEG decode). ``require_codec`` remains only for
+real-world codecs this container cannot express — progressive/subsampled
+JPEG, interframe video (H.264 etc.), lossy resampling; the deterministic
+fake decoder is kept for opaque (non-media) payloads so the batching
+plumbing stays testable on any bytes.
 """
 
 from __future__ import annotations
@@ -77,13 +80,14 @@ DECODED_HEADER_SCHEMA = StructType(
 def require_codec(name: str):
     """Import a media codec library or raise a clear stub error.
 
-    Header-level decode of BMP/PNG/WAV/JPEG needs no codec (see
+    Header-level decode of BMP/PNG/WAV/JPEG/AVI needs no codec (see
     ``parse_media_header``); PNG raster decode (``decode_png_pixels``:
-    zlib inflate + scanline unfiltering), WAV PCM decode and BASELINE JPEG
+    zlib inflate + scanline unfiltering), WAV PCM decode, BASELINE JPEG
     decode (``decode_baseline_jpeg``: Huffman entropy decode + dequant +
-    IDCT) are pure stdlib/numpy too. This gate covers only the work that
-    genuinely needs a native codec — progressive/subsampled JPEG, video
-    frame extraction, lossy resampling. Production clusters ship the libs.
+    IDCT) and AVI-MJPG frame extraction (``parse_avi_mjpeg``) are pure
+    stdlib/numpy too. This gate covers only the work that genuinely needs
+    a native codec — progressive/subsampled JPEG, interframe video (H.264
+    etc.), lossy resampling. Production clusters ship the libs.
     """
     try:
         return __import__(name)
@@ -238,9 +242,20 @@ def synthesize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             }
         )
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Id rows destined for CPU-heavy Arrow codec stages, spread across the
+    session's full parallelism. The testdata tables arrive as one small
+    parquet file = ONE input partition, which would serialize every
+    mapInPandas codec worker onto a single core; at cluster scale the ids
+    come pre-partitioned from a large table and the repartition is a
+    cheap narrow-row shuffle either way."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def synthesize_media_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Attach deterministic BMP/PNG/WAV/JPEG payloads to an id column."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_media_batch, schema=SYNTH_SCHEMA)
 
 # --- real header-level decode ----------------------------------------------
@@ -294,6 +309,12 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
             seg_len = struct.unpack_from(">H", content, off + 2)[0]
             off += 2 + seg_len
         raise ValueError("JPEG payload has no SOF frame header")
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI " and len(content) >= 72:
+        # geometry lives in the MainAVIHeader inside LIST('hdrl'); delegate
+        # to the full chunk walker and surface raster geometry (frame count
+        # is recoverable via parse_avi_mjpeg for consumers that need it)
+        _, width, height, _ = parse_avi_mjpeg(content)
+        return "video/x-msvideo", width, height, 1
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         # Walk RIFF chunks — fmt/data need not be adjacent OR ordered in
         # the wild, so collect both before computing frames (a data chunk
@@ -394,8 +415,9 @@ def frame_sample_plan(
     """Video frame-sampling plan: pick ``sample_count`` evenly-spaced frame
     indices per clip from its frame count — pure JVM array math
     (``sequence``/``transform``), one row per clip with the index array.
-    The byte-level frame extraction consuming this plan is part of the
-    stubbed codec step (``require_codec('av')`` on a production image).
+    ``video_frame_stats_batch`` consumes this plan for real on AVI-MJPG
+    clips (container parse + sampled-frame JPEG decode); interframe codecs
+    (H.264 etc.) route through ``require_codec('av')``.
 
     Clips shorter than ``sample_count`` keep every frame exactly once.
     """
@@ -429,10 +451,10 @@ def resize_plan(df: DataFrame, max_side: int) -> DataFrame:
 
 # --- pixel-level PNG decode (pure stdlib: zlib + struct + numpy) -----------
 # PNG IDAT is zlib (RFC 1950) and the scanline filters are spec §9 integer
-# arithmetic — the raster path needs NO external codec. This retires the
-# NotImplementedError gate for the generated formats: require_codec remains
-# only for JPEG entropy decode and video (formats whose rasters genuinely
-# need libjpeg/libav).
+# arithmetic — the raster path needs NO external codec. Baseline-JPEG and
+# AVI-MJPG video decode are likewise stdlib/numpy (see the sections below):
+# require_codec remains only for real-world profiles (progressive JPEG,
+# interframe video) that genuinely need libjpeg/libav.
 #
 # The encoder below exists so the path is a checked ROUND TRIP rather than
 # a parser of its own output's happy path: rasters are deterministic
@@ -662,7 +684,7 @@ def synthesize_pixel_png_batch(
         )
 
 def synthesize_pixel_png_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pixel_png_batch, schema=SYNTH_SCHEMA)
 
 def png_pixel_stats_df(df: DataFrame) -> DataFrame:
@@ -826,7 +848,7 @@ def synthesize_pcm_wav_batch(
         )
 
 def synthesize_pcm_wav_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pcm_wav_batch, schema=SYNTH_SCHEMA)
 
 def wav_sample_stats_df(df: DataFrame) -> DataFrame:
@@ -1323,7 +1345,7 @@ def synthesize_pixel_jpeg_batch(
 
 
 def synthesize_pixel_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pixel_jpeg_batch, schema=SYNTH_SCHEMA)
 
 
@@ -1358,3 +1380,270 @@ def jpeg_pixel_stats_df(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         jpeg_pixel_stats_batch, schema=JPEG_STATS_SCHEMA
     )
+
+
+# --- video tier: minimal AVI-MJPEG container (pure stdlib) ------------------
+# The frames are baseline JPEGs from the codec above, wrapped in a
+# spec-correct RIFF/AVI 1.0 container (public layout: 'hdrl' LIST with
+# avih/strh/strf headers, 'movi' LIST of '00dc' frame chunks, 'idx1'
+# index). Video frame sampling + extraction + decode is therefore REAL
+# end-to-end for the synthesized tier; ``require_codec('av')`` remains
+# only for real-world interframe codecs (H.264 etc.). Reference parity
+# note: the reference pipeline has no media path at all — this tier is
+# part of the training-data superset, mirroring jpeg/png/wav above.
+
+AVI_PIXEL_DIM = 32  # max frame side for the synthesized video tier
+AVI_MAX_FRAMES = 7  # clips carry 1..AVI_MAX_FRAMES frames
+
+
+def avi_clip_geometry(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — fixed arithmetic the SQL oracle mirrors."""
+    return (
+        1 + media_id * 7 % AVI_PIXEL_DIM,
+        1 + media_id * 13 % AVI_PIXEL_DIM,
+        1 + media_id % AVI_MAX_FRAMES,
+    )
+
+
+def _avi_frame_raster(media_id: int, frame: int, width: int, height: int):
+    """Block-constant per-frame raster:
+    pixel(x, y) = (11·(x//8) + 17·(y//8) + id + 29·frame) % 256."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64) // 8
+    y = np.arange(height, dtype=np.int64) // 8
+    return (
+        (11 * x[None, :] + 17 * y[:, None] + media_id + 29 * frame) % 256
+    ).astype("uint8")
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Wrap JPEG frame payloads as a minimal valid AVI-MJPG file.
+
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    '00dc'×n) idx1) with real header structs: MainAVIHeader (frame count,
+    geometry, AVIF_HASINDEX), AVIStreamHeader ('vids'/'MJPG', scale/rate =
+    1/fps), BITMAPINFOHEADER (MJPG biCompression), and an idx1 whose
+    offsets are relative to the 'movi' fourcc per the common convention.
+    """
+    max_frame = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0,
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,  # one stream
+        max_frame,
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4h",
+            0,  # dwFlags
+            0,
+            0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate
+            0,  # dwStart
+            len(frames),  # dwLength (frames)
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality: driver default
+            0,  # dwSampleSize: varies per frame
+            0,
+            0,
+            width,
+            height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", 0, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(_riff_chunk(b"strh", strh)) + len(_riff_chunk(b"strf", strf))
+    ) + b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_payload = b"hdrl" + _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_payload)) + hdrl_payload
+    movi_payload = b"movi"
+    index = []
+    for fr in frames:
+        index.append((len(movi_payload), len(fr)))
+        movi_payload += _riff_chunk(b"00dc", fr)
+    movi = b"LIST" + struct.pack("<I", len(movi_payload)) + movi_payload
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, ln) for off, ln in index
+        ),
+    )
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def parse_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an AVI container: (n_frames, width, height, frame payloads).
+
+    Walks the RIFF chunk stream generically (even-offset padding, LIST
+    recursion for hdrl/movi), reads geometry and frame count from the
+    MainAVIHeader, and collects the ``NNdc`` compressed-video frame chunks
+    in stream order. Raises ValueError on non-AVI / truncated payloads or
+    an avih frame count that disagrees with the movi chunk list.
+    """
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    end = min(8 + riff_size, len(content))
+    pos = 12
+    n_frames = width = height = None
+    frames: list[bytes] = []
+    while pos + 8 <= end:
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if fourcc == b"LIST" and body[:4] == b"hdrl":
+            sp = 4
+            while sp + 8 <= len(body):
+                sc = body[sp : sp + 4]
+                (ssz,) = struct.unpack_from("<I", body, sp + 4)
+                if sc == b"avih" and ssz >= 40:
+                    vals = struct.unpack_from("<10I", body, sp + 8)
+                    n_frames, width, height = vals[4], vals[8], vals[9]
+                sp += 8 + ssz + (ssz & 1)
+        elif fourcc == b"LIST" and body[:4] == b"movi":
+            sp = 4
+            while sp + 8 <= len(body):
+                sc = body[sp : sp + 4]
+                (ssz,) = struct.unpack_from("<I", body, sp + 4)
+                if sc[2:4] in (b"dc", b"db"):  # compressed / uncompressed video
+                    frames.append(body[sp + 8 : sp + 8 + ssz])
+                sp += 8 + ssz + (ssz & 1)
+        pos += 8 + size + (size & 1)
+    if n_frames is None:
+        raise ValueError("AVI payload missing avih header")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"AVI frame count mismatch: avih declares {n_frames}, "
+            f"movi holds {len(frames)}"
+        )
+    return n_frames, width, height, frames
+
+
+AVI_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("sum_pixels", LongType()),
+        StructField("min_pixel", IntegerType()),
+        StructField("max_pixel", IntegerType()),
+    ]
+)
+
+
+def synthesize_avi_mjpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete AVI-MJPG clip of block-constant baseline-JPEG frames."""
+
+    def make(i: int) -> bytes:
+        w, h, n = avi_clip_geometry(i)
+        return encode_avi_mjpeg(
+            [encode_baseline_jpeg(_avi_frame_raster(i, f, w, h)) for f in range(n)],
+            w,
+            h,
+        )
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "video/x-msvideo",
+                "content": pdf["media_id"].map(lambda i: make(int(i))),
+            }
+        )
+
+
+def synthesize_avi_mjpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(synthesize_avi_mjpeg_batch, schema=SYNTH_SCHEMA)
+
+
+def avi_header_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: container header parse only (no frame decode),
+    carrying the payload through for the downstream sampled extraction."""
+    for pdf in batches:
+        parsed = pdf["content"].map(lambda b: parse_avi_mjpeg(bytes(b)))
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "content": pdf["content"],
+                "n_frames": parsed.map(lambda t: t[0]),
+                "width": parsed.map(lambda t: t[1]),
+                "height": parsed.map(lambda t: t[2]),
+            }
+        )
+
+
+def video_frame_stats_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id, content, frame_indices) -> decoded
+    pixel stats over ONLY the sampled frames. Geometry and pixels come from
+    the container + entropy decode, never the generation formula — the
+    formula lives in the SQL oracle, making the comparison an end-to-end
+    check of container parse, frame extraction and the JPEG codec."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "media_id", "n_frames", "width", "height",
+            "n_sampled", "sum_pixels", "min_pixel", "max_pixel",
+        )}
+        for mid, content, idxs in zip(
+            pdf["media_id"], pdf["content"], pdf["frame_indices"]
+        ):
+            n_frames, width, height, frames = parse_avi_mjpeg(bytes(content))
+            rasters = [
+                decode_baseline_jpeg(frames[int(i)]).astype(np.int64)
+                for i in idxs
+            ]
+            stacked = np.stack(rasters) if rasters else np.zeros((0, 0, 0))
+            out["media_id"].append(int(mid))
+            out["n_frames"].append(n_frames)
+            out["width"].append(width)
+            out["height"].append(height)
+            out["n_sampled"].append(len(rasters))
+            out["sum_pixels"].append(int(stacked.sum()))
+            out["min_pixel"].append(int(stacked.min()) if rasters else 0)
+            out["max_pixel"].append(int(stacked.max()) if rasters else 0)
+        yield pd.DataFrame(out)

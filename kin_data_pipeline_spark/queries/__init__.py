@@ -108,6 +108,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "customer_order_lifecycle_sets",  # INTERSECT/EXCEPT lifecycle segments
     "customer_rolling_order_stats",  # bounded sliding ROWS frame
     "small_quantity_revenue_q17",  # TPC-H Q17 decorrelated-average shape
+    "video_frame_stats",  # AVI-MJPG container + sampled-frame decode
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -1949,6 +1949,88 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# Video tier — pixel-level frame decode of synthesized AVI-MJPG clips
+# (reference: no media path at all; training-data superset). Real
+# end-to-end: RIFF/AVI container parse (avih geometry, movi '00dc' frame
+# chunks), JVM-side uniform frame sampling (frame_sample_plan:
+# sequence/transform array math, floor(i·n/take)), then entropy decode of
+# ONLY the sampled frames through the baseline-JPEG codec. Frames are
+# block-constant so the decode round trip is exact and the oracle can
+# predict every sampled pixel from the generation formula — a defect in
+# container writing/parsing, the sampling arithmetic, frame extraction or
+# the codec breaks the hash.
+@register(
+    "video_frame_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 32 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 32 AS INT) AS height,
+             CAST(1 + doc_id % 7 AS INT) AS n_frames
+      FROM documents
+    ), s AS (
+      SELECT g.*, LEAST(g.n_frames, 4) AS n_sampled FROM g
+    ), fr AS (
+      SELECT s.*, CAST((i.i * s.n_frames) // s.n_sampled AS INT) AS frame_idx
+      FROM s, UNNEST(range(0, s.n_sampled)) AS i(i)
+    ), px AS (
+      SELECT fr.media_id, fr.width, fr.height, fr.n_frames, fr.n_sampled,
+             (11 * (x.x // 8) + 17 * (y.y // 8) + fr.media_id
+              + 29 * fr.frame_idx) % 256 AS v
+      FROM fr,
+           UNNEST(range(0, fr.width)) AS x(x),
+           UNNEST(range(0, fr.height)) AS y(y)
+    )
+    SELECT media_id,
+           CAST(ANY_VALUE(n_frames) AS INT) AS n_frames,
+           ANY_VALUE(width) AS width, ANY_VALUE(height) AS height,
+           CAST(ANY_VALUE(n_sampled) AS INT) AS n_sampled,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS min_pixel,
+           CAST(MAX(v) AS INT) AS max_pixel,
+           ROUND(SUM(v) * 1.0 / COUNT(*), 6) AS mean_pixel
+    FROM px GROUP BY media_id
+    """,
+    doc=(
+        "AVI-MJPG video tier: container parse + uniform frame sampling + "
+        "baseline-JPEG decode of sampled frames -> per-clip pixel stats; "
+        "oracle predicts from the per-frame block-constant formula"
+    ),
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        AVI_HEADER_SCHEMA,
+        VIDEO_STATS_SCHEMA,
+        avi_header_batch,
+        frame_sample_plan,
+        synthesize_avi_mjpeg_df,
+        video_frame_stats_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = synthesize_avi_mjpeg_df(docs, "doc_id")
+    hdr = clips.mapInPandas(avi_header_batch, schema=AVI_HEADER_SCHEMA)
+    planned = frame_sample_plan(hdr, "n_frames", sample_count=4)
+    stats = planned.select("media_id", "content", "frame_indices").mapInPandas(
+        video_frame_stats_batch, schema=VIDEO_STATS_SCHEMA
+    )
+    return stats.select(
+        "media_id",
+        "n_frames",
+        "width",
+        "height",
+        "n_sampled",
+        "sum_pixels",
+        "min_pixel",
+        "max_pixel",
+        F.round(
+            F.col("sum_pixels")
+            * 1.0
+            / (F.col("n_sampled") * F.col("width") * F.col("height")),
+            6,
+        ).alias("mean_pixel"),
+    )
+
 # SimHash near-dup pairs — tier-4 pairing: band the 16-bit signature into
 # two 16-bit buckets (a pair within Hamming distance 1 must agree on at
 # least one band by pigeonhole), equi-join on (band, value) — linear

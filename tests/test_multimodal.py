@@ -581,3 +581,94 @@ def test_jpeg_pixel_stats_distributed(spark, sf_dir):
         assert row["sum_pixels"] == int(r.sum())
         assert row["min_pixel"] == int(r.min())
         assert row["max_pixel"] == int(r.max())
+
+
+def test_avi_mjpeg_round_trip_matches_formula():
+    """Container write -> parse -> per-frame JPEG decode recovers every
+    block-constant frame raster exactly (the tier the SQL oracle predicts)."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    for i in (0, 1, 6, 7, 31, 32, 97):
+        w, h, n = mm.avi_clip_geometry(i)
+        frames = [
+            mm.encode_baseline_jpeg(mm._avi_frame_raster(i, f, w, h))
+            for f in range(n)
+        ]
+        avi = mm.encode_avi_mjpeg(frames, w, h)
+        nf, pw, ph, got = mm.parse_avi_mjpeg(avi)
+        assert (nf, pw, ph) == (n, w, h)
+        for f, payload in enumerate(got):
+            dec = mm.decode_baseline_jpeg(payload)
+            assert np.array_equal(dec, mm._avi_frame_raster(i, f, w, h)), (i, f)
+
+
+def test_avi_parse_rejects_malformed():
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        mm.parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    w, h, n = mm.avi_clip_geometry(3)
+    frames = [
+        mm.encode_baseline_jpeg(mm._avi_frame_raster(3, f, w, h)) for f in range(n)
+    ]
+    avi = bytearray(mm.encode_avi_mjpeg(frames, w, h))
+    # corrupt the avih frame count -> loud mismatch, not silent truncation
+    i = avi.index(b"avih")
+    import struct as _struct
+
+    _struct.pack_into("<I", avi, i + 8 + 16, n + 2)
+    with _pytest.raises(ValueError, match="frame count mismatch"):
+        mm.parse_avi_mjpeg(bytes(avi))
+    # headers without any hdrl/avih at all
+    with _pytest.raises(ValueError, match="missing avih"):
+        mm.parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_parse_media_header_recognizes_avi():
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    w, h, n = mm.avi_clip_geometry(11)
+    frames = [
+        mm.encode_baseline_jpeg(mm._avi_frame_raster(11, f, w, h))
+        for f in range(n)
+    ]
+    avi = mm.encode_avi_mjpeg(frames, w, h)
+    assert mm.parse_media_header(avi) == ("video/x-msvideo", w, h, 1)
+
+
+def test_video_frame_stats_distributed(spark, sf_dir):
+    """Synthesize -> header parse -> frame_sample_plan -> sampled decode,
+    checked against a driver-side replay of the same sampling arithmetic."""
+    from kin_data_pipeline_spark.operators.multimodal import (
+        AVI_HEADER_SCHEMA,
+        VIDEO_STATS_SCHEMA,
+        _avi_frame_raster,
+        avi_clip_geometry,
+        avi_header_batch,
+        frame_sample_plan,
+        synthesize_avi_mjpeg_df,
+        video_frame_stats_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    clips = synthesize_avi_mjpeg_df(docs, "doc_id")
+    hdr = clips.mapInPandas(avi_header_batch, schema=AVI_HEADER_SCHEMA)
+    planned = frame_sample_plan(hdr, "n_frames", sample_count=4)
+    stats = planned.select("media_id", "content", "frame_indices").mapInPandas(
+        video_frame_stats_batch, schema=VIDEO_STATS_SCHEMA
+    )
+    for row in stats.collect():
+        i = row["media_id"]
+        w, h, n = avi_clip_geometry(i)
+        take = min(n, 4)
+        idxs = [k * n // take for k in range(take)]
+        total = sum(
+            int(_avi_frame_raster(i, f, w, h).astype("int64").sum()) for f in idxs
+        )
+        assert (row["n_frames"], row["width"], row["height"]) == (n, w, h)
+        assert row["n_sampled"] == take
+        assert row["sum_pixels"] == total
