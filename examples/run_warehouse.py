@@ -61,19 +61,19 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     runner = Runner(spark, catalog)
 
     models = build_kin_models(sf_dir)
-    print(f"[1/6] full refresh: {len(models)} models -> {wh}")
+    print(f"[1/7] full refresh: {len(models)} models -> {wh}")
     results = runner.run(models, RUN_DATE, build_type="full_refresh")
     total = sum(r.duration_sec or 0 for r in results)
     slowest = max(results, key=lambda r: r.duration_sec or 0)
     print(f"      built {len(results)} tables in {total:.1f}s "
           f"(slowest: {slowest.model}, {slowest.duration_sec or 0:.1f}s)")
 
-    print("[2/6] incremental pass (no new data -> watermark no-ops)")
+    print("[2/7] incremental pass (no new data -> watermark no-ops)")
     results = runner.run(models, RUN_DATE)
     print(f"      {sum(1 for r in results if r.action == 'incremental')} incremental, "
           f"{sum(1 for r in results if r.action == 'full')} full")
 
-    print("[3/6] SQL surface")
+    print("[3/7] SQL surface")
     catalog.publish_views()
     spark.sql(
         """
@@ -82,7 +82,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
         """
     ).show(truncate=False)
 
-    print("[4/6] corpus release")
+    print("[4/7] corpus release")
     runner.run(corpus_release_models(sf_dir), datetime.date(2024, 2, 1))
     for t in ("corpus_quality", "corpus_survivors", "corpus_shards", "corpus_clean"):
         print(f"      {t}: {catalog.table(t).count()} rows")
@@ -90,7 +90,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     export_release(catalog, out)
     print(f"      shards exported to {out}")
 
-    print("[5/6] snapshot / time travel")
+    print("[5/7] snapshot / time travel")
     n0 = catalog.table("corpus_survivors").count()
     catalog.snapshot("corpus_survivors", "release-1")
     # simulate an operator error: the table is overwritten with one row
@@ -103,7 +103,7 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     print(f"      {n0} rows -> bad rewrite left {broken} -> snapshot still "
           f"{at} -> restored {catalog.table('corpus_survivors').count()}")
 
-    print("[6/6] CDC changelog apply")
+    print("[6/7] CDC changelog apply")
     from pyspark.sql import functions as F
 
     surv = catalog.table("corpus_survivors")
@@ -130,6 +130,14 @@ def _run(spark, sf_dir: str, wh: str) -> None:
     print(
         f"      applied {counts} -> {n1} rows ({corrected} corrected); "
         f"reapply {counts2} is a no-op -> {n2} rows"
+    )
+
+    print("[7/7] maintenance vacuum")
+    catalog.snapshot("corpus_survivors", "pre_vacuum")
+    report = catalog.vacuum(keep_snapshots=1, min_age_s=0.0)
+    print(
+        f"      swept {len(report['scratch_removed'])} orphans; snapshots "
+        f"pruned to newest per table: {report['snapshots_dropped']}"
     )
 
 if __name__ == "__main__":

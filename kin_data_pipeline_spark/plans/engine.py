@@ -1075,6 +1075,65 @@ class Catalog:
             raise ValueError(f"no snapshot '{name}@{tag}'")
         shutil.rmtree(snap)
 
+    def vacuum(
+        self,
+        name: str | None = None,
+        keep_snapshots: int | None = None,
+        min_age_s: float = 3600.0,
+    ) -> dict:
+        """Warehouse maintenance sweep — the lakehouse VACUUM analogue.
+
+        Per table (all tables by default): first HEAL — resolve any
+        crashed rename-aside or scoped-swap state exactly as the write
+        paths would on their next touch — then remove ORPHANED scratch
+        directories (``__staging`` / ``__compacting`` and half-published
+        snapshot staging) older than ``min_age_s`` seconds, and optionally
+        prune each table's snapshots down to the ``keep_snapshots`` most
+        recent by publish time.
+
+        The age guard is the retention check that keeps a concurrent live
+        operation's scratch safe (the same policy shape as a lakehouse
+        VACUUM retention window); like any VACUUM, run it from a
+        maintenance window, not concurrently with writers on the same
+        tables. Healing runs regardless of age — it only ever rolls a
+        crashed swap to a consistent state, never discards data.
+
+        Returns ``{"scratch_removed": [...], "snapshots_dropped":
+        {table: [tags]}}``.
+        """
+        import time as _time
+
+        targets = [name] if name is not None else self.list_tables()
+        report: dict = {"scratch_removed": [], "snapshots_dropped": {}}
+        now = _time.time()
+        for t in targets:
+            self._heal_compaction(t)  # also rolls forward scoped swaps
+            for suffix in ("__staging", "__compacting"):
+                d = self.path(f"{t}.{suffix}")
+                if os.path.isdir(d) and now - os.path.getmtime(d) >= min_age_s:
+                    shutil.rmtree(d)
+                    report["scratch_removed"].append(os.path.basename(d))
+            snap_base = self._snapshot_dir(t)
+            if not os.path.isdir(snap_base):
+                continue
+            for entry in os.listdir(snap_base):
+                if entry.endswith(".__staging"):
+                    d = os.path.join(snap_base, entry)
+                    if now - os.path.getmtime(d) >= min_age_s:
+                        shutil.rmtree(d)
+                        report["scratch_removed"].append(
+                            f"{t}.__snapshots/{entry}"
+                        )
+            if keep_snapshots is not None:
+                tags = self.list_snapshots(t)
+                tags.sort(
+                    key=lambda tg: os.path.getmtime(self._snapshot_dir(t, tg))
+                )
+                for tg in tags[: max(0, len(tags) - keep_snapshots)]:
+                    self.drop_snapshot(t, tg)
+                    report["snapshots_dropped"].setdefault(t, []).append(tg)
+        return report
+
     def diff_snapshot(self, name: str, tag: str) -> tuple[DataFrame, DataFrame]:
         """(added, removed) row sets of the LIVE table vs snapshot ``tag``
         — the release-audit question "what changed since we tagged?" as two

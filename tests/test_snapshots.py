@@ -180,3 +180,56 @@ def test_delete_by_keys_guardrails(spark, cat):
         cat.delete_by_keys("alias", "id", [1])
     with pytest.raises(ValueError, match="no column"):
         cat.delete_by_keys("src", "nope", [1])
+
+
+def test_vacuum_prunes_snapshots_to_keep_last(spark, cat):
+    import time
+
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    for i in range(4):
+        cat.snapshot("t", f"v{i}")
+        time.sleep(0.05)  # distinct publish mtimes for the retention order
+    report = cat.vacuum("t", keep_snapshots=2, min_age_s=0.0)
+    assert report["snapshots_dropped"] == {"t": ["v0", "v1"]}
+    assert cat.list_snapshots("t") == ["v2", "v3"]
+    # the kept snapshots still read
+    assert _rows(cat.table_at("t", "v3")) == [(1, "r1")]
+
+
+def test_vacuum_sweeps_aged_orphan_scratch_but_spares_fresh(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    stale = cat.path("t.__staging")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk"), "w") as f:
+        f.write("x")
+    # fresh scratch (age 0) survives a retention-guarded vacuum ...
+    assert cat.vacuum("t", min_age_s=3600.0)["scratch_removed"] == []
+    assert os.path.isdir(stale)
+    # ... and is swept once it is older than the retention window
+    report = cat.vacuum("t", min_age_s=0.0)
+    assert report["scratch_removed"] == ["t.__staging"]
+    assert not os.path.exists(stale)
+    assert _rows(cat.table("t")) == [(1, "r1")]
+
+
+def test_vacuum_heals_crashed_swap_before_sweeping(spark, cat):
+    import shutil
+
+    cat.write_full("t", _df(spark, 1, 2), date_col=None)
+    # simulate a crash inside the rename-aside window: root renamed away,
+    # staging never renamed in
+    os.rename(cat.path("t"), cat.path("t.__precompact"))
+    assert not os.path.exists(cat.path("t"))
+    cat.vacuum("t", min_age_s=0.0)
+    assert _rows(cat.table("t")) == [(1, "r1"), (2, "r2")]
+    assert not os.path.exists(cat.path("t.__precompact"))
+
+
+def test_vacuum_sweeps_half_published_snapshot_staging(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    cat.snapshot("t", "good")
+    half = cat._snapshot_dir("t", "bad") + ".__staging"
+    os.makedirs(os.path.join(half, "data"))
+    report = cat.vacuum("t", min_age_s=0.0)
+    assert report["scratch_removed"] == ["t.__snapshots/bad.__staging"]
+    assert cat.list_snapshots("t") == ["good"]
