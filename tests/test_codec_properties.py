@@ -1,0 +1,80 @@
+"""Property-based codec checks (hypothesis): the JPEG encoder/decoder pair
+and the AVI container must hold their contracts on ARBITRARY inputs, not
+just the synthesized oracle tier — shapes, error bounds, and container
+losslessness are invariants, so they are stated as properties."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kin_data_pipeline_spark.operators import multimodal as mm
+
+_dims = st.integers(min_value=1, max_value=48)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=_dims,
+    w=_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_any_raster_bounded_error(h, w, seed):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, 256, (h, w)).astype("uint8")
+    blob = mm.encode_baseline_jpeg(r)
+    mime, pw, ph, nc = mm.parse_media_header(blob)
+    assert (mime, pw, ph, nc) == ("image/jpeg", w, h, 1)
+    dec = mm.decode_baseline_jpeg(blob)
+    assert dec.shape == r.shape and dec.dtype == np.dtype("uint8")
+    err = np.abs(dec.astype(int) - r.astype(int))
+    # uniform quantization (AC step 8, DC step 8) bounds the block error;
+    # 96 is a loose deterministic ceiling — the EXACT contract lives in
+    # the block-constant property below
+    assert int(err.max()) <= 96
+    assert float(err.mean()) <= 16.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bh=st.integers(min_value=1, max_value=6),
+    bw=st.integers(min_value=1, max_value=6),
+    crop_y=st.integers(min_value=0, max_value=7),
+    crop_x=st.integers(min_value=0, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_block_constant_is_exact(bh, bw, crop_y, crop_x, seed):
+    """Any raster that is constant within every 8x8 tile (arbitrary values,
+    arbitrary non-multiple-of-8 crop) must round-trip EXACTLY: constant
+    blocks quantize to a lone DC coefficient with step 8, which the
+    level-shifted decode recovers bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, (bh, bw)).astype("uint8")
+    full = np.kron(vals, np.ones((8, 8), dtype="uint8"))
+    h = bh * 8 - crop_y
+    w = bw * 8 - crop_x
+    if h == 0 or w == 0:
+        return
+    r = full[:h, :w]
+    dec = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
+    assert np.array_equal(dec, r)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    frames=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=0, max_size=12
+    ),
+    w=_dims,
+    h=_dims,
+)
+def test_avi_container_is_lossless_around_payloads(frames, w, h):
+    """The container is pure framing: parse(encode(frames)) returns the
+    byte-identical payload list (odd-length chunks exercise RIFF even-
+    offset padding), and the declared geometry survives."""
+    avi = mm.encode_avi_mjpeg(frames, w, h)
+    nf, pw, ph, got = mm.parse_avi_mjpeg(avi)
+    assert (nf, pw, ph) == (len(frames), w, h)
+    assert [bytes(g) for g in got] == [bytes(f) for f in frames]
+    assert mm.parse_media_header(avi) == ("video/x-msvideo", w, h, 1)
