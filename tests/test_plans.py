@@ -190,3 +190,54 @@ def test_redaction_stats_partial_aggregates(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     read = plan.split("ReadSchema:", 1)[1][:200]
     assert "props" in read and "value" not in read
+
+
+def test_full_outer_daily_aggregates_before_join(spark, sf_dir):
+    # both event streams reduce to per-(user, day) counts BEFORE the full
+    # outer join — the join carries two aggregated frames, never raw events
+    plan = _plan(spark, sf_dir, "purchase_view_full_outer_daily")
+    assert "FullOuter" in plan
+    assert plan.count("Scan parquet") == 2
+    join_pos = plan.index("FullOuter")
+    # each side shows a partial aggregate below the join
+    assert plan[join_pos:].count("HashAggregate") >= 2
+
+
+def test_set_ops_compile_to_semi_and_counted_difference(spark, sf_dir):
+    # INTERSECT -> null-safe left-semi join; EXCEPT ALL -> the counted-
+    # difference form (sum of +1/-1 multiplicities + replicaterows), both
+    # linear-shuffle shapes — never a cartesian expansion
+    plan = _plan(spark, sf_dir, "customer_order_lifecycle_sets")
+    assert "LeftSemi" in plan
+    assert "replicaterows" in plan.lower()
+
+
+def test_rolling_frame_single_window_single_exchange(spark, sf_dir):
+    # the bounded ROWS frame + row_number fuse into ONE window operator
+    # over ONE hash exchange on the partition key — no global sort
+    plan = _plan(spark, sf_dir, "customer_rolling_order_stats")
+    assert plan.count("Window ") == 1
+    assert plan.count("Exchange ") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_q17_part_dim_broadcasts(spark, sf_dir):
+    # the filtered part dim must reach the lineitem probe as a broadcast
+    # hash join (the per-part aggregate side is AQE's choice — broadcast
+    # here, co-partitioned shuffle at scale)
+    plan = _plan(spark, sf_dir, "small_quantity_revenue_q17")
+    broadcast_lines = [
+        line for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "p_partkey" in line
+    ]
+    assert broadcast_lines, "part dim fell out of the broadcast join"
+
+
+def test_video_pipeline_one_scan_three_arrow_stages(spark, sf_dir):
+    # synthesize -> header parse -> sampled decode is three Arrow-batched
+    # stages over ONE scan of the id column, spread across the session's
+    # parallelism before the codec work (the single-row-group guard)
+    plan = _plan(spark, sf_dir, "video_frame_stats")
+    assert plan.count("MapInPandas") == 3
+    assert plan.count("Scan parquet") == 1
+    assert "RoundRobinPartitioning" in plan
