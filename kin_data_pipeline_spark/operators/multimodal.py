@@ -310,10 +310,13 @@ def parse_media_header(content: bytes) -> tuple[str, int, int, int]:
             off += 2 + seg_len
         raise ValueError("JPEG payload has no SOF frame header")
     if content[:4] == b"RIFF" and content[8:12] == b"AVI " and len(content) >= 72:
-        # geometry lives in the MainAVIHeader inside LIST('hdrl'); delegate
-        # to the full chunk walker and surface raster geometry (frame count
-        # is recoverable via parse_avi_mjpeg for consumers that need it)
-        _, width, height, _ = parse_avi_mjpeg(content)
+        # geometry lives in the MainAVIHeader inside LIST('hdrl') — the
+        # hdrl-only walk (parse_avi_header) never touches the movi frame
+        # chunks, so header SNIFFING stays O(header) on large clips and
+        # tolerates avih/movi count disagreements (real-world AVIs with
+        # audio streams or padding chunks); the strict cross-checking
+        # walker is parse_avi_mjpeg, for consumers about to decode
+        _, width, height = parse_avi_header(content)
         return "video/x-msvideo", width, height, 1
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         # Walk RIFF chunks — fmt/data need not be adjacent OR ordered in
@@ -894,11 +897,19 @@ _JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0
 
 def _jpeg_zigzag() -> list[int]:
     """Zigzag scan order as (row-major index) per zigzag position,
-    generated by the diagonal walk so there is nothing to transcribe."""
+    generated by the diagonal walk so there is nothing to transcribe.
+
+    Direction parity per ITU T.81 Figure 5: the walk leaves (0,0) moving
+    RIGHT then descends the first anti-diagonal, i.e. ODD diagonals
+    (row+col odd) run top-right → bottom-left and EVEN diagonals run
+    bottom-left → top-right. (An inverted parity yields the TRANSPOSED
+    table — self-consistent between this encoder/decoder pair but wrong
+    against every real-world codec; pinned against the transcribed
+    standard table in tests.)"""
     order = []
     for s in range(15):
         diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
-        if s % 2 == 0:
+        if s % 2 == 1:
             diag.reverse()
         order.extend(r * 8 + c for r, c in diag)
     return order
@@ -982,12 +993,10 @@ def jpeg_pixel_geometry(media_id: int) -> tuple[int, int]:
 
 
 def _jpeg_block_raster(media_id: int, width: int, height: int):
-    """Block-constant raster: pixel(x, y) = (11·(x//8) + 17·(y//8) + id) % 256."""
-    import numpy as np
-
-    x = np.arange(width, dtype=np.int64) // 8
-    y = np.arange(height, dtype=np.int64) // 8
-    return ((11 * x[None, :] + 17 * y[:, None] + media_id) % 256).astype("uint8")
+    """Block-constant raster: pixel(x, y) = (11·(x//8) + 17·(y//8) + id) % 256
+    — the AVI tier's per-frame formula at frame 0 (ONE formula to keep in
+    lockstep with the two SQL oracles, not two copies)."""
+    return _avi_frame_raster(media_id, 0, width, height)
 
 
 def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
@@ -1495,6 +1504,34 @@ def encode_avi_mjpeg(
     )
     riff_payload = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def parse_avi_header(content: bytes) -> tuple[int, int, int]:
+    """Header-only AVI parse: (n_frames, width, height) from the
+    MainAVIHeader, stopping at the first avih — never walks the movi
+    frame chunks, so it is O(header bytes) regardless of clip size and
+    does not enforce the avih-vs-movi frame-count cross-check (which a
+    decode consumer wants, but a sniffing consumer must tolerate)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", content, 4)
+    end = min(8 + riff_size, len(content))
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        if fourcc == b"LIST" and content[pos + 8 : pos + 12] == b"hdrl":
+            body = content[pos + 8 : pos + 8 + size]
+            sp = 4
+            while sp + 8 <= len(body):
+                sc = body[sp : sp + 4]
+                (ssz,) = struct.unpack_from("<I", body, sp + 4)
+                if sc == b"avih" and ssz >= 40:
+                    vals = struct.unpack_from("<10I", body, sp + 8)
+                    return vals[4], vals[8], vals[9]
+                sp += 8 + ssz + (ssz & 1)
+        pos += 8 + size + (size & 1)
+    raise ValueError("AVI payload missing avih header")
 
 
 def parse_avi_mjpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:

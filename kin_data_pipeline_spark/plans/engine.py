@@ -1113,6 +1113,14 @@ class Catalog:
                 if os.path.isdir(d) and now - os.path.getmtime(d) >= min_age_s:
                     shutil.rmtree(d)
                     report["scratch_removed"].append(os.path.basename(d))
+            # a crash between writing the journal tmp and its rename leaves
+            # {name}.__swapjournal.json.tmp behind — no heal path reads it
+            # (only the committed journal name matters), so it is vacuum's
+            # to sweep
+            jt = self._swap_journal(t) + ".tmp"
+            if os.path.isfile(jt) and now - os.path.getmtime(jt) >= min_age_s:
+                os.remove(jt)
+                report["scratch_removed"].append(os.path.basename(jt))
             snap_base = self._snapshot_dir(t)
             if not os.path.isdir(snap_base):
                 continue

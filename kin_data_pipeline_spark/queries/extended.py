@@ -1777,8 +1777,12 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(p.day, v.day) AS day,
            CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_purchases,
            CAST(COALESCE(v.n_v, 0) AS BIGINT) AS n_views,
-           CASE WHEN p.user_id IS NOT NULL AND v.user_id IS NOT NULL THEN 'both'
-                WHEN p.user_id IS NOT NULL THEN 'purchase_only'
+           -- keyed off the COUNT columns (never NULL on a matched side),
+           -- not the key columns: a NULL user_id purchase row would make
+           -- p.user_id IS NULL on a genuinely purchase-only group and
+           -- misclassify it, diverging from the Spark side
+           CASE WHEN p.n_p IS NOT NULL AND v.n_v IS NOT NULL THEN 'both'
+                WHEN p.n_p IS NOT NULL THEN 'purchase_only'
                 ELSE 'view_only' END AS segment
     FROM p FULL OUTER JOIN v ON p.user_id = v.user_id AND p.day = v.day
     """,

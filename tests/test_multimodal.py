@@ -494,6 +494,28 @@ def test_jpeg_decode_rejects_malformed():
         mm.decode_baseline_jpeg(bytes(data))
 
 
+def test_jpeg_zigzag_matches_itu_t81():
+    """The generated scan order must equal the ITU T.81 standard table
+    (transcribed here independently). An inverted diagonal parity yields
+    the TRANSPOSE — self-consistent between this encoder/decoder pair, so
+    round-trip tests cannot catch it, but wrong against every real-world
+    codec; this pin is what keeps the 'general baseline decoder' claim
+    true for external streams."""
+    from kin_data_pipeline_spark.operators.multimodal import _ZIGZAG
+
+    STANDARD = [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert _ZIGZAG == STANDARD
+
+
 def test_jpeg_restart_markers_decode():
     """DRI/RSTn handling: a scan split into per-MCU restart segments
     (DC predictor reset, byte-aligned RSTn between MCUs) decodes exactly.

@@ -233,3 +233,13 @@ def test_vacuum_sweeps_half_published_snapshot_staging(spark, cat):
     report = cat.vacuum("t", min_age_s=0.0)
     assert report["scratch_removed"] == ["t.__snapshots/bad.__staging"]
     assert cat.list_snapshots("t") == ["good"]
+
+
+def test_vacuum_sweeps_orphaned_journal_tmp(spark, cat):
+    cat.write_full("t", _df(spark, 1), date_col=None)
+    jt = cat._swap_journal("t") + ".tmp"
+    with open(jt, "w") as f:
+        f.write('{"entries": []}')
+    report = cat.vacuum("t", min_age_s=0.0)
+    assert os.path.basename(jt) in report["scratch_removed"]
+    assert not os.path.exists(jt)
