@@ -22,6 +22,7 @@ import datetime
 import json
 import os
 import shutil
+import threading
 import warnings
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -31,6 +32,14 @@ from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.functions.compat import date_trunc
 from kin_data_pipeline_spark.plans.model import CADENCE_UNITS, Model, topo_sort
+
+#: Serializes the check-then-CREATE registration of bucketed tables in the
+#: shared session catalog — two run_concurrent workers reading the same
+#: bucketed upstream for the first time must not both issue the DDL (the
+#: loser would abort its wave with TABLE_OR_VIEW_ALREADY_EXISTS). Same
+#: discipline as sources.catalog's frame-cache lock.
+_BUCKET_DDL_LOCK = threading.Lock()
+
 
 class Catalog:
     """Filesystem-backed table catalog (one directory per table)."""
@@ -314,8 +323,31 @@ class Catalog:
         bloom_ndv: int | None = None,
     ) -> None:
         self._heal_compaction(name)
+        # Appending to a clone alias materializes it copy-on-write FIRST
+        # (Snowflake clone semantics, same as upsert_by_key): dropping the
+        # marker and appending into a fresh empty directory would silently
+        # replace the aliased data with just the delta.
+        if os.path.exists(self._clone_marker(name)):
+            base = self.table(name)  # resolves the alias to the source data
+            self.write_full(name, base, date_col, bloom_cols, bloom_ndv)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
+        # An append must never NARROW the recorded schema: plain parquet
+        # accepts any frame, but the sidecar is authoritative for reads —
+        # recording a frame that lacks an existing column would silently
+        # drop that column from every subsequent read of the older files.
+        # Appends may ADD columns (older files null-fill through the
+        # explicit-schema read).
+        sidecar = self._schema_sidecar(name)
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                recorded = {fld["name"] for fld in json.load(f)["fields"]}
+            missing = recorded - set(df.columns)
+            if missing:
+                raise ValueError(
+                    f"append to '{name}' lacks recorded columns "
+                    f"{sorted(missing)}; appends may add columns, never drop"
+                )
         cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
         w = self._bloom_options(df.write.mode("append"), cols, ndv)
         if date_col is not None:
@@ -430,39 +462,45 @@ class Catalog:
         with open(sidecar) as f:
             meta = json.load(f)
         ident = self._bucket_ident(name)
-        if self.spark.catalog.tableExists(ident):
-            # the session catalog is shared by every Catalog instance in the
-            # session — a same-named table from ANOTHER warehouse dir must
-            # not be served silently. Verify the registered location.
-            loc_rows = [
-                r
-                for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect()
-                if r[0] == "Location"
-            ]
-            registered = loc_rows[0][1] if loc_rows else ""
-            expected = "file:" + os.path.abspath(self.path(name))
-            if registered.rstrip("/") != expected.rstrip("/"):
-                self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        if not self.spark.catalog.tableExists(ident):
-            with open(self._schema_sidecar(name)) as f:
-                from pyspark.sql.types import StructType
+        with _BUCKET_DDL_LOCK:
+            if self.spark.catalog.tableExists(ident):
+                # the session catalog is shared by every Catalog instance in
+                # the session — a same-named table from ANOTHER warehouse dir
+                # must not be served silently. Verify the registered location.
+                loc_rows = [
+                    r
+                    for r in self.spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {ident}"
+                    ).collect()
+                    if r[0] == "Location"
+                ]
+                registered = loc_rows[0][1] if loc_rows else ""
+                expected = "file:" + os.path.abspath(self.path(name))
+                if registered.rstrip("/") != expected.rstrip("/"):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            if not self.spark.catalog.tableExists(ident):
+                with open(self._schema_sidecar(name)) as f:
+                    from pyspark.sql.types import StructType
 
-                schema = StructType.fromJson(json.loads(f.read()))
-            cols = ", ".join(
-                f"`{fld.name}` {fld.dataType.simpleString()}" for fld in schema.fields
-            )
-            bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
-            sort_clause = (
-                " SORTED BY (" + ", ".join(f"`{c}`" for c in meta["sort_cols"]) + ")"
-                if meta["sort_cols"]
-                else ""
-            )
-            self.spark.sql(
-                f"CREATE TABLE {ident} ({cols}) USING parquet "
-                f"CLUSTERED BY ({bcols}){sort_clause} "
-                f"INTO {meta['n_buckets']} BUCKETS "
-                f"LOCATION '{self.path(name)}'"
-            )
+                    schema = StructType.fromJson(json.loads(f.read()))
+                cols = ", ".join(
+                    f"`{fld.name}` {fld.dataType.simpleString()}"
+                    for fld in schema.fields
+                )
+                bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
+                sort_clause = (
+                    " SORTED BY ("
+                    + ", ".join(f"`{c}`" for c in meta["sort_cols"])
+                    + ")"
+                    if meta["sort_cols"]
+                    else ""
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {ident} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({bcols}){sort_clause} "
+                    f"INTO {meta['n_buckets']} BUCKETS "
+                    f"LOCATION '{self.path(name)}'"
+                )
         return self.spark.table(ident)
 
     def clone(self, name: str, source: str) -> None:
@@ -651,6 +689,11 @@ class Catalog:
             if not entry.startswith(f"{date_col}="):
                 continue
             val = entry.split("=", 1)[1]
+            if val == "__HIVE_DEFAULT_PARTITION__":
+                # NULL partition values get this directory name; a NULL
+                # date is never >= cutoff, and parsing it would abort the
+                # whole cleanup on one bad row
+                continue
             if datetime.date.fromisoformat(val) >= cutoff:
                 shutil.rmtree(os.path.join(root, entry))
                 dropped += 1
@@ -674,6 +717,15 @@ class Catalog:
             raise ValueError(
                 f"'{name}' is a zero-copy clone; deleting through it would "
                 "mutate the clone's source"
+            )
+        if os.path.exists(self._bucket_sidecar(name)):
+            # same refusal as compact(): the anti-join rewrite below goes
+            # through write_full, which would silently replace the declared
+            # co-located-join layout with plain parquet
+            raise ValueError(
+                f"'{name}' is bucketed; key erasure would rewrite it as "
+                "plain parquet and drop the bucket layout — compact to a "
+                "plain table first or rewrite through write_bucketed"
             )
         if isinstance(keys, DataFrame):
             df_keys = keys.select(F.col(keys.columns[0]).alias(key_col))
@@ -754,6 +806,16 @@ class Catalog:
         for c in (op_col, seq_col):
             if c not in changes.columns:
                 raise ValueError(f"changelog is missing column {c!r}")
+        if os.path.exists(
+            self._bucket_sidecar(os.path.basename(self.resolve(name)))
+        ):
+            # same refusal as compact(): the merge rewrite would silently
+            # replace the declared co-located-join layout with plain parquet
+            raise ValueError(
+                f"'{name}' is bucketed; a changelog merge would rewrite it "
+                "as plain parquet and drop the bucket layout — compact to a "
+                "plain table first or rewrite through write_bucketed"
+            )
         data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
         op = F.upper(F.col(op_col))
         # NULL must be flagged explicitly: `~isin` evaluates to NULL for a
@@ -855,6 +917,25 @@ class Catalog:
                 f"partition column; {date_col!r} is {dt.simpleString()} "
                 "(string values are escaped in partition dir names)"
             )
+        # A scoped apply rewrites SOME partitions and leaves the rest — so
+        # the changelog's dtypes must match the table's exactly. A widening
+        # changelog (int→long) would leave swapped partitions physically
+        # typed differently from both the untouched ones and the schema
+        # sidecar; the UNSCOPED path is safe for that case because it
+        # rewrites everything and re-records the merged schema.
+        existing_types = dict(existing.select(*data_cols).dtypes)
+        ups_types = dict(ups.select(*data_cols).dtypes)
+        drift = {
+            c: (existing_types[c], ups_types[c])
+            for c in data_cols
+            if existing_types[c] != ups_types[c]
+        }
+        if drift:
+            raise ValueError(
+                f"scoped apply to '{name}' would change column types "
+                f"{drift}; use scope_partitions=False (full rewrite re-"
+                "records the merged schema) or cast the changelog first"
+            )
         if os.path.exists(self._clone_marker(name)):
             raise ValueError(
                 f"'{name}' is a zero-copy clone; a partition-scoped apply "
@@ -928,6 +1009,17 @@ class Catalog:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, journal)
+        # fsync the CONTAINING directory too: the file fsync above makes the
+        # journal's bytes durable, but the rename is a directory-entry
+        # update — without this, a power loss could persist some partition
+        # renames (different directory, no cross-dir ordering guarantee)
+        # while losing the journal entry, recreating the mixed-table state
+        # the journal exists to close
+        dfd = os.open(self.warehouse_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         self._heal_scoped_swap(name)  # execute the journal (replay == run)
         return {
             "upserts": n_upserts, "deletes": n_deletes,
@@ -1103,7 +1195,25 @@ class Catalog:
         """
         import time as _time
 
-        targets = [name] if name is not None else self.list_tables()
+        if name is not None:
+            targets: Sequence[str] = [name]
+        else:
+            # list_tables() cannot see a table whose ROOT directory is
+            # absent mid-crashed-swap (only scratch/journal entries remain)
+            # — exactly the tables that most need healing. Derive extra
+            # names from the scratch artifacts themselves.
+            found = set(self.list_tables())
+            for entry in os.listdir(self.warehouse_dir):
+                for suf in (
+                    ".__precompact",
+                    ".__compacting",
+                    ".__staging",
+                    ".__swapjournal.json",
+                    ".__swapjournal.json.tmp",
+                ):
+                    if entry.endswith(suf):
+                        found.add(entry[: -len(suf)])
+            targets = sorted(found)
         report: dict = {"scratch_removed": [], "snapshots_dropped": {}}
         now = _time.time()
         for t in targets:
@@ -1284,6 +1394,7 @@ class Runner:
             build_type == "full_refresh"
             or m.bucket_by  # bucketed layout cannot be appended to (Model.bucket_by)
             or m.zorder_by  # z-ordered layout is rebuilt whole (Model.zorder_by)
+            or m.date_col is None  # no watermark axis — always a full rewrite
             or not self.catalog.exists(m.name)
         ):
             action = "full"
@@ -1333,7 +1444,6 @@ class Runner:
         results.append(
             RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
         )
-        return results
 
     def run_concurrent(
         self,

@@ -470,3 +470,35 @@ def test_changelog_full_apply_crash_mid_publish_heals(spark, tmp_path, monkeypat
     assert _rows(c2, "t") == [
         (1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "d", 40), (5, "e", 50),
     ]
+
+
+def test_scoped_apply_refuses_dtype_drift(spark, tmp_path):
+    """A widening changelog (int->long) through the SCOPED path would leave
+    swapped partitions physically typed differently from untouched ones and
+    from the schema sidecar — it must raise, directing to the full rewrite."""
+    import datetime
+
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, 10, datetime.date(2024, 1, 1)), (2, 20, datetime.date(2024, 1, 2))],
+        "id long, amount int, date_key date",
+    )
+    catalog.write_full("t", base, "date_key")
+    widened = spark.createDataFrame(
+        [(1, 99, datetime.date(2024, 1, 1), "U", 1)],
+        "id long, amount long, date_key date, op string, seq long",
+    )
+    with _pytest.raises(ValueError, match="column types"):
+        catalog.apply_changelog(
+            "t", widened, ["id"], date_col="date_key", scope_partitions=True
+        )
+    # the UNSCOPED path handles the same changelog (full rewrite re-records
+    # the merged schema)
+    counts = catalog.apply_changelog("t", widened, ["id"], date_col="date_key")
+    assert counts["upserts"] == 1
+    got = {r["id"]: r["amount"] for r in catalog.table("t").collect()}
+    assert got == {1: 99, 2: 20}

@@ -304,3 +304,101 @@ def test_data_quality_checks_single_pass(spark, sf_dir):
     # debugging path: violating rows are exactly the non-accepted ones
     viol = C.violations(ev, C.accepted_values("event_type", ["purchase"]))
     assert viol.count() == bad["accepted_values(event_type, ['purchase'])"]
+
+
+def test_incremental_run_of_undated_model_stays_full(spark, sf_dir, tmp_path):
+    """A model with date_col=None has no watermark axis: an incremental
+    Runner pass must fall back to a full rewrite, never call
+    high_watermark(None) (which would crash the whole DAG on pass two)."""
+    def totals(ctx):
+        return (
+            load_table(ctx.spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    models = [Model("event_totals", totals, cadence="daily", date_col=None)]
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, catalog)
+    d = datetime.date(2024, 2, 1)
+    first = runner.run(models, d, "incremental")
+    second = runner.run(models, d, "incremental")
+    assert [r.action for r in first] == ["full"]
+    assert [r.action for r in second] == ["full"]
+    assert catalog.table("event_totals").count() > 0
+
+
+def test_append_into_clone_materializes_copy_on_write(spark, sf_dir, tmp_path):
+    """write_append on a clone alias must materialize the aliased data
+    first (Snowflake clone semantics, same as upsert) — never drop the
+    marker and leave a table holding only the delta."""
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a", datetime.date(2024, 1, 1)), (2, "b", datetime.date(2024, 1, 2))],
+        "id long, s string, date_key date",
+    )
+    catalog.write_full("src", base, "date_key")
+    catalog.clone("t", "src")
+    delta = spark.createDataFrame(
+        [(3, "c", datetime.date(2024, 1, 3))], "id long, s string, date_key date"
+    )
+    catalog.write_append("t", delta, "date_key")
+    got = sorted(r["id"] for r in catalog.table("t").collect())
+    assert got == [1, 2, 3]
+    # and the source is untouched
+    assert sorted(r["id"] for r in catalog.table("src").collect()) == [1, 2]
+
+
+def test_append_refuses_to_narrow_recorded_schema(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    full = spark.createDataFrame([(1, "a", 5.0)], "id long, s string, v double")
+    catalog.write_full("t", full, date_col=None)
+    narrow = spark.createDataFrame([(2, "b")], "id long, s string")
+    with pytest.raises(ValueError, match="lacks recorded columns"):
+        catalog.write_append("t", narrow, date_col=None)
+    # widening appends stay legal (older files null-fill the new column)
+    wide = spark.createDataFrame(
+        [(3, "c", 7.0, "x")], "id long, s string, v double, extra string"
+    )
+    catalog.write_append("t", wide, date_col=None)
+    cols = set(catalog.table("t").columns)
+    assert cols == {"id", "s", "v", "extra"}
+    assert catalog.table("t").count() == 2
+
+
+def test_cleanup_skips_null_date_partition(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 2, 1)), (3, None)],
+        "id long, date_key date",
+    )
+    catalog.write_full("t", df, "date_key")
+    dropped = catalog.delete_where_date_ge("t", "date_key", datetime.date(2024, 2, 1))
+    assert dropped == 1
+    got = sorted((r["id"], r["date_key"]) for r in catalog.table("t").collect())
+    assert got == [(1, datetime.date(2024, 1, 1)), (3, None)]
+
+
+def test_erasure_and_changelog_refuse_bucketed_layout(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    catalog.write_bucketed("t", df, ["id"], 4)
+    with pytest.raises(ValueError, match="bucketed"):
+        catalog.delete_by_keys("t", "id", [1])
+    log = spark.createDataFrame([(1, "z", "U", 1)], "id long, s string, op string, seq long")
+    with pytest.raises(ValueError, match="bucketed"):
+        catalog.apply_changelog("t", log, ["id"])
+
+
+def test_vacuum_heals_tables_visible_only_through_scratch(spark, tmp_path):
+    import os as _os
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    catalog.write_full("t", df, date_col=None)
+    # crash window: root renamed away, staging never renamed in — the
+    # table is now INVISIBLE to list_tables (only dotted entries remain)
+    _os.rename(catalog.path("t"), catalog.path("t.__precompact"))
+    assert "t" not in catalog.list_tables()
+    catalog.vacuum(min_age_s=0.0)  # all-tables mode must still find it
+    assert sorted(r["id"] for r in catalog.table("t").collect()) == [1]
