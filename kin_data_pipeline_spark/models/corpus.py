@@ -70,13 +70,11 @@ def _survivors(ctx) -> DataFrame:
     )
 
     q = ctx.table("corpus_quality")
-    words = F.split(F.trim(F.col("text")), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - SHINGLE_K),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
-        )
-    )
+    # the ONE short-doc-safe shingle expression (operators.dedup.shingles)
+    # instead of a third local copy of the higher-order-function block
+    from kin_data_pipeline_spark.operators.dedup import shingles as _shingles
+
+    shingles = _shingles(F.col("text"), SHINGLE_K)
     postings = q.select(
         "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("s")
     )

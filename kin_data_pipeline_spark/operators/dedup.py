@@ -34,14 +34,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles via JVM higher-order functions (no UDF)."""
+    """Distinct k-word shingles via JVM higher-order functions (no UDF).
+
+    Documents with fewer than ``k`` words yield an EMPTY array — the same
+    semantics as the DuckDB oracles' ``range(1, len - k + 2)`` (empty when
+    start > stop). Without the guard, ``sequence(0, size - k)`` generates a
+    DESCENDING sequence through index 0 and ``slice`` aborts the job
+    (SQL array indices start at 1).
+    """
     w = F.split(F.trim(F.col(col) if isinstance(col, str) else col), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
-        )
-    )
+    return F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 #: tokens per non-overlapping chunk for line-grain exact substring dedup —
 #: the ONE declaration shared by the stats query (line_dedup_retention /
@@ -686,6 +696,14 @@ def _star_contraction(
         )
         if row["max_h"] is None or (row["max_h"] <= 1 and row["both"] == 0):
             break
+    else:
+        # exhausting max_iters without the star-forest probe passing means
+        # the intermediate edges are NOT (root, member) pairs — emitting
+        # them would silently fracture cluster labels. Same loud-failure
+        # contract as connected_components' iteration cap.
+        raise RuntimeError(
+            f"star contraction did not converge within {max_iters} rounds"
+        )
     return e, rounds
 
 def connected_components_star(
@@ -710,4 +728,16 @@ def connected_components_star(
     roots = stars.select(
         F.col("lo").alias("node"), F.col("lo").alias("cluster_id")
     ).distinct()
-    return members.unionByName(roots).distinct()
+    labeled = members.unionByName(roots).distinct()
+    # label-prop contract parity: a node whose ONLY edges are self-loops is
+    # still "incident to an edge" and labels itself. The contraction filters
+    # self-loops, so re-attach such nodes as singleton roots — anti-joined
+    # against the labeled set, because a node with BOTH a self-loop and a
+    # real edge already carries its component label.
+    loops = (
+        edges.filter(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("node"), F.col(a_col).alias("cluster_id"))
+        .distinct()
+        .join(labeled.select("node"), "node", "left_anti")
+    )
+    return labeled.unionByName(loops)

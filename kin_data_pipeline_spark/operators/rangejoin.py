@@ -41,10 +41,13 @@ def trailing_window_agg(
 ) -> DataFrame:
     """Per-day trailing-``days`` aggregates via a RANGE window frame.
 
-    ``df`` must be at (partition_by, date_col) grain or finer; we first
-    aggregate to daily grain (map-side partial agg) so the window frame
-    slides over one row per day — the frame scan is O(days) per row.
-    ``aggs`` maps output name → aggregate over the *daily* columns.
+    PRECONDITION: ``df`` must already be AT (partition_by, date_col) daily
+    grain — this helper adds the window columns only and performs no
+    aggregation itself. Callers pre-aggregate (see queries/relational.py's
+    daily rollups), which keeps the frame sliding over one row per day so
+    the frame scan is O(days) per row; feeding event-grain input would
+    yield per-row output with row-weighted (not day-weighted) averages.
+    ``aggs`` maps output name → aggregate over the daily columns.
 
     INVARIANT: with empty ``partition_by`` the window sorts on a single
     partition, which is correct ONLY for day-grain series (≤ a few thousand
@@ -119,6 +122,15 @@ def asof_join(
     lookback, ``daily_active_user_balance_by_app.sql:26-27``).
     """
     on = list(on)
+    collide = set(value_cols) & set(left.columns)
+    if collide:
+        # a left column named like a value_col would feed its own (stale)
+        # values into the ignorenulls carry-forward and be attached as if
+        # it were a right-side observation — silent corruption, so refuse
+        raise ValueError(
+            f"asof_join value_cols {sorted(collide)} already exist on the "
+            "left frame; drop or rename them before joining"
+        )
     lhs = left.withColumn("__t", F.col(left_time)).withColumn("__is_left", F.lit(1))
     rhs = (
         right.select(

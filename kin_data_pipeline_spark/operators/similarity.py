@@ -52,6 +52,16 @@ def ivf_centroid_stride(corpus: DataFrame, target: int = IVF_CENTROID_TARGET) ->
     (``(SELECT GREATEST(1, COUNT(*) // target) FROM embeddings)``)."""
     return max(1, corpus.count() // target)
 
+def _normalized(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, emb, nrm) projection of with_norm — the frame every IVF-family
+    stage consumes. Built ONCE per operator call and threaded through
+    ``assign_cells`` so assignment and probing share a single corpus scan +
+    normalization pass instead of re-deriving it (the self-join recompute
+    trap, at 100 TB = a second full corpus read)."""
+    return with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
+    )
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,16 +284,15 @@ def ivf_topk(
     """
     if centroid_stride is None:
         centroid_stride = ivf_centroid_stride(corpus)
-    e = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
-    )
+    e = _normalized(corpus, id_col, vec_col)
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
         F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
     sim_to_cent = _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
     rank_w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
-    # corpus→cell assignment: the shared max_by hash-aggregate operator
-    assign = assign_cells(corpus, id_col, vec_col, centroid_stride)
+    # corpus→cell assignment: the shared max_by hash-aggregate operator,
+    # fed the SAME normalized frame (one corpus scan serves both sides)
+    assign = assign_cells(corpus, id_col, vec_col, centroid_stride, normalized=e)
     qe = with_norm(queries, vec_col).select(
         F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
     )
@@ -331,18 +340,19 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_stride: int | None = None,
+    normalized: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment with deterministically sampled
     centroids (``id % centroid_stride == 0`` — the IVF scheme, no training
     step; stride defaults to the bounded-K ``ivf_centroid_stride``).
     Returns ``(vid, cid)``. The cross join is only against the bounded
-    broadcast centroid set; everything else is linear.
+    broadcast centroid set; everything else is linear. Callers that already
+    hold the ``_normalized`` frame pass it via ``normalized`` so assignment
+    shares their corpus scan instead of re-deriving it.
     """
     if centroid_stride is None:
         centroid_stride = ivf_centroid_stride(corpus)
-    e = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
-    )
+    e = normalized if normalized is not None else _normalized(corpus, id_col, vec_col)
     cent = e.filter(F.col("vid") % centroid_stride == 0).select(
         F.col("vid").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
@@ -385,10 +395,8 @@ def semantic_dedup_pairs(
 
     Returns ``(id_a, id_b, cid, sim)`` with ``id_a < id_b``.
     """
-    e = with_norm(df, vec_col).select(
-        F.col(id_col).alias("vid"), F.col("__emb").alias("emb"), F.col("__nrm").alias("nrm")
-    )
-    assign = assign_cells(df, id_col, vec_col, centroid_stride)
+    e = _normalized(df, id_col, vec_col)
+    assign = assign_cells(df, id_col, vec_col, centroid_stride, normalized=e)
     lists = assign.groupBy("cid").agg(
         F.array_sort(F.collect_list("vid")).alias("vids"),
         F.count(F.lit(1)).alias("occ"),

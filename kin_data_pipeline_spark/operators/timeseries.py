@@ -108,7 +108,10 @@ def rolling_zscore(
         .orderBy("__dn")
         .rangeBetween(-(window_days - 1), 0)
     )
-    x = F.col(value_col)
+    # square in 64-bit regardless of the input's integer width: an
+    # IntegerType series overflows x*x at |x| >= 46341 (ANSI abort, or a
+    # silently wrong anomaly flag with ANSI off)
+    x = F.col(value_col).cast("long")
     w = d.select(
         entity_col,
         day_col,

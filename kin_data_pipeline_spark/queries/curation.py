@@ -248,10 +248,17 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("words")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-    )
+    # guarded like operators.dedup.shingles: a 1-word doc must yield an
+    # empty bigram list (oracle range semantics), not abort on element_at(0)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     d = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         (F.size(w) - 1).cast("long").alias("n_bigrams"),

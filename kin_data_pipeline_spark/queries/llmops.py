@@ -57,14 +57,19 @@ def _with_words(df, col="text"):
     return df.withColumn("words", _words(col))
 
 def _shingles_of_words(words_col="words"):
-    """Distinct k-word shingles over a materialized words array."""
+    """Distinct k-word shingles over a materialized words array. Sub-k-word
+    docs yield an EMPTY array (oracle ``range`` semantics) — unguarded,
+    ``sequence(0, size - k)`` descends through 0 and ``slice`` aborts."""
     w = F.col(words_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
-        )
-    )
+    return F.when(
+        F.size(w) >= SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - SHINGLE_K),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_K)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 # --- session-scoped text substrates ---------------------------------------
 # Six registered queries re-derive the same k-shingle substrate (two Jaccard

@@ -318,3 +318,50 @@ def test_prefix_filter_positional_bound_is_exact_on_random_corpora(spark):
             for r in prefix_filter_jaccard_pairs(sh, num, den).collect()
         }
         assert got == expected, (case, num, den, sorted(expected ^ got))
+
+
+def test_shingles_empty_for_sub_k_docs(spark):
+    """Sub-k-word docs yield an EMPTY shingle array (the DuckDB oracles'
+    range() semantics) — unguarded, sequence(0, size-k) descends through
+    index 0 and slice() aborts the job."""
+    from kin_data_pipeline_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [("hello world",), ("one",), ("a b c d",)], "text string"
+    )
+    got = df.select(shingles("text", 3).alias("sh")).collect()
+    assert [r["sh"] for r in got] == [[], [], ["a b c", "b c d"]]
+
+
+def test_star_cc_labels_self_loop_only_nodes(spark):
+    """connected_components_star honors the label-prop contract: a node
+    whose only edges are self-loops still labels itself; a node with both
+    a self-loop and a real edge carries its component label exactly once."""
+    from kin_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "doc_a long, doc_b long"
+    )
+    star = {(r["node"], r["cluster_id"]) for r in connected_components_star(edges).collect()}
+    prop = {(r["node"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    assert star == prop == {(7, 7), (1, 1), (2, 1)}
+
+
+def test_asof_join_refuses_value_col_collision(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators.rangejoin import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 5), 999)], "k long, t date, balance long"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1), 10)], "k long, t date, balance long"
+    )
+    with _pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(left, right, ["k"], "t", "t", ["balance"])

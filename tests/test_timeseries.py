@@ -246,3 +246,23 @@ def test_twap_random_series_match_reference(spark):
     got = {r.ent: (r.n_obs, r.twa_num, r.twa_den) for r in
            time_weighted_avg(obs, "ent", "t", "v").collect()}
     assert got == expected
+
+
+def test_rolling_zscore_survives_int_typed_values(spark):
+    """An IntegerType value column must not overflow the x*x square
+    (46341^2 > 2^31): the operator squares in 64-bit."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from kin_data_pipeline_spark.operators.timeseries import rolling_zscore
+
+    rows = [
+        ("e", datetime.date(2024, 1, d), 100000 + d) for d in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "entity string, day date, value int").withColumn(
+        "value", F.col("value").cast("int")
+    )
+    out = rolling_zscore(df, "entity", "day", "value", window_days=7).collect()
+    assert len(out) == 7
+    assert all(r["var_scaled"] >= 0 for r in out)
