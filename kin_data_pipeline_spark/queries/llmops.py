@@ -89,6 +89,11 @@ def _cached_substrate(spark, sf_dir: str, kind: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     with _FRAME_CACHE_LOCK:
         if key not in _SUBSTRATE_CACHE:
+            # same stale-app purge as sources.catalog.frame_cached: keys
+            # from stopped applications are unreachable but would pin
+            # their frames for the process lifetime
+            for sk in [k for k in _SUBSTRATE_CACHE if k[0] != key[0]]:
+                del _SUBSTRATE_CACHE[sk]
             _SUBSTRATE_CACHE[key] = build().cache()
         return _SUBSTRATE_CACHE[key]
 

@@ -99,6 +99,13 @@ def frame_cached(spark: SparkSession, name: str, *key, build) -> DataFrame:
     k = (spark.sparkContext.applicationId, name, *key)
     with _FRAME_CACHE_LOCK:
         if k not in _FRAME_CACHE:
+            # purge entries from STOPPED applications on insert: stale appId
+            # keys are unreachable forever (the key embeds the appId) but
+            # would pin their DataFrames + dead-JVM references for the
+            # process lifetime in a long-lived host (test suite, notebook)
+            stale = [sk for sk in _FRAME_CACHE if sk[0] != k[0]]
+            for sk in stale:
+                del _FRAME_CACHE[sk]
             _FRAME_CACHE[k] = build().cache()
         return _FRAME_CACHE[k]
 

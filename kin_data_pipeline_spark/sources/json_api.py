@@ -37,7 +37,25 @@ def dim_from_json_payload(
 ) -> DataFrame:
     """Flatten a JSON array payload into the ``dim_kin_app`` shape
     (external_endpoint_data_seed.py:144-149: id, name, status,
-    public_wallet, created_date, updated_date)."""
+    public_wallet, created_date, updated_date).
+
+    Malformed payloads raise: ``from_json`` returns NULL for unparseable
+    input (an HTML error page, a truncated response) and ``explode(NULL)``
+    emits zero rows — which would SILENTLY seed an empty dim and drop
+    every downstream join row. The reference's PARSE_JSON errors on
+    malformed input; this mirrors that with a driver-side parse check
+    (the payload is one bounded API response, not distributed data).
+    """
+    import json as _json
+
+    try:
+        parsed = _json.loads(payload)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(f"dim payload is not valid JSON: {exc}") from exc
+    if not isinstance(parsed, list):
+        raise ValueError(
+            f"dim payload must be a JSON array, got {type(parsed).__name__}"
+        )
     raw = spark.createDataFrame([(payload,)], "payload string")
     exploded = raw.select(
         F.explode(F.from_json("payload", APP_PAYLOAD_SCHEMA)).alias("value")

@@ -2,6 +2,7 @@ from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     ingest_changelog_to_catalog,
     ingest_to_catalog,
     last_committed_batch,
+    stream_corpus_increments,
 )
 from kin_data_pipeline_spark.streaming.rollup import (  # noqa: F401
     daily_rollup_stream,

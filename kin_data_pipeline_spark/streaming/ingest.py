@@ -37,6 +37,31 @@ def last_committed_batch(checkpoint_dir: str, table: str) -> int:
     with open(marker) as f:
         return json.load(f)["batch_id"]
 
+def _mark_committed(checkpoint_dir: str, table: str, batch_id: int) -> None:
+    """Record ``batch_id`` as committed via atomic replace — the ONE
+    implementation of the exactly-once marker write (a durability fix here,
+    e.g. an fsync, reaches every sink at once instead of drifting)."""
+    marker = _commit_marker(checkpoint_dir, table)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    os.replace(tmp, marker)  # atomic: never a torn/corrupt marker
+
+def _run_available_now(
+    stream: DataFrame, sink, query_name: str, checkpoint_dir: str, timeout_s: int
+) -> None:
+    """Drive a foreachBatch sink to completion under availableNow."""
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+
 def ingest_to_catalog(
     stream: DataFrame,
     catalog: Catalog,
@@ -54,22 +79,9 @@ def ingest_to_catalog(
         if batch_id <= last_committed_batch(checkpoint_dir, table):
             return  # replayed batch after restart — already on disk
         catalog.write_append(table, batch_df, date_col)
-        marker = _commit_marker(checkpoint_dir, table)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, marker)  # atomic: never a torn/corrupt marker
+        _mark_committed(checkpoint_dir, table, batch_id)
 
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+    _run_available_now(stream, _sink, query_name, checkpoint_dir, timeout_s)
 
 def stream_corpus_increments(
     stream: DataFrame,
@@ -101,22 +113,9 @@ def stream_corpus_increments(
         result = ingest_increment(batch_df.sparkSession, catalog, batch_df)
         result["batch_id"] = batch_id
         stats.append(result)
-        marker = _commit_marker(checkpoint_dir, table)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, marker)
+        _mark_committed(checkpoint_dir, table, batch_id)
 
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+    _run_available_now(stream, _sink, query_name, checkpoint_dir, timeout_s)
     return stats
 
 def ingest_changelog_to_catalog(
@@ -158,20 +157,7 @@ def ingest_changelog_to_catalog(
         )
         counts["batch_id"] = batch_id
         applied.append(counts)
-        marker = _commit_marker(checkpoint_dir, table)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, marker)
+        _mark_committed(checkpoint_dir, table, batch_id)
 
-    query = (
-        stream.writeStream.foreachBatch(_sink)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not query.awaitTermination(timeout_s):
-        query.stop()
-        raise RuntimeError(f"{query_name} did not finish in {timeout_s}s")
+    _run_available_now(stream, _sink, query_name, checkpoint_dir, timeout_s)
     return applied

@@ -30,6 +30,11 @@ def stream_events_from_parquet(
 
     import pyarrow.parquet as pq
 
+    # Pin UTC like the batch twin (sources.catalog.load_table): windowing
+    # and w.start→date casts are session-TZ-dependent, and the DuckDB
+    # oracles are UTC-naive — an unpinned caller session would shift every
+    # day window by its TZ offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     # The file source wants a directory of arriving files; expose the single
     # testdata file through a symlinked staging dir (production points at a
@@ -39,10 +44,16 @@ def stream_events_from_parquet(
     os.makedirs(staging, exist_ok=True)
     link = os.path.join(staging, "events.parquet")
     # lexists, not exists: a broken symlink must be detected (exists follows
-    # the link); a stale link pointing at a different corpus is recreated
-    # rather than silently streaming the old data.
+    # the link). ANY stale entry — a link to a different corpus, OR a
+    # non-symlink file/dir someone copied in — is replaced rather than
+    # silently streamed as old/wrong data.
     if os.path.lexists(link):
-        if os.path.islink(link) and os.readlink(link) != path:
+        if not os.path.islink(link):
+            import shutil
+
+            (shutil.rmtree if os.path.isdir(link) else os.remove)(link)
+            os.symlink(path, link)
+        elif os.readlink(link) != path:
             os.remove(link)
             os.symlink(path, link)
     else:
@@ -56,14 +67,32 @@ def stream_events_from_parquet(
     # for caller-supplied schemas: a ns column the caller reads as LONG is
     # still rebuilt into a timestamp (declaring it anything else is the
     # caller taking over unit conversion explicitly).
+    from kin_data_pipeline_spark.sources.catalog import _timestamp_cols
+
     arrow = pq.read_schema(path)
-    ns_cols = [
-        f.name
-        for f in arrow
-        if str(f.type).startswith("timestamp") and f.type.unit == "ns"
-    ]
+    # ONE authoritative footer probe (shared with the batch reader) — a
+    # second local copy of the ns-column classification would drift
+    ns_cols, _ = _timestamp_cols(path)
     nanos: list[str] = []
     if schema is None:
+        # explicit arrow→Spark type map, raising on anything unmapped: a
+        # silent STRING fallback would mistype int32/date/decimal columns
+        # and make streaming answers diverge from the batch read of the
+        # same file ('10' < '9', concatenating sums) with no error
+        scalar_map = {
+            "int8": "TINYINT",
+            "int16": "SMALLINT",
+            "int32": "INT",
+            "int64": "LONG",
+            "float": "FLOAT",
+            "double": "DOUBLE",
+            "bool": "BOOLEAN",
+            "string": "STRING",
+            "large_string": "STRING",
+            "binary": "BINARY",
+            "large_binary": "BINARY",
+            "date32[day]": "DATE",
+        }
         fields = []
         for f in arrow:
             t = str(f.type)
@@ -73,12 +102,15 @@ def stream_events_from_parquet(
                     nanos.append(f.name)
                 else:
                     fields.append(f"`{f.name}` TIMESTAMP")
-            elif t in ("int64",):
-                fields.append(f"`{f.name}` LONG")
-            elif t == "double":
-                fields.append(f"`{f.name}` DOUBLE")
+            elif t.startswith("decimal128(") or t.startswith("decimal("):
+                fields.append(f"`{f.name}` DECIMAL{t[t.index('('):]}")
+            elif t in scalar_map:
+                fields.append(f"`{f.name}` {scalar_map[t]}")
             else:
-                fields.append(f"`{f.name}` STRING")
+                raise ValueError(
+                    f"stream_events_from_parquet cannot infer a Spark type "
+                    f"for column {f.name!r} ({t}); pass an explicit schema"
+                )
         schema = ", ".join(fields)
     elif ns_cols:
         from pyspark.sql.types import LongType, StructType
@@ -148,7 +180,10 @@ def running_balance_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     integral = value_type.upper() in ("LONG", "BIGINT", "INT", "INTEGER")
-    out_schema = f"{key_col} LONG, balance {value_type}, n_events LONG"
+    # the key's output type follows the INPUT frame — hardcoding LONG would
+    # reject (or corrupt) string keys like the kin wallet ids
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"`{key_col}` {key_type}, balance {value_type}, n_events LONG"
     state_schema = f"balance {value_type}, n_events LONG"
 
     def update(key, pdfs, state: GroupState):
