@@ -210,17 +210,13 @@ AMOUNT_BUCKET_EDGES_QUARK = [100_000, 1_000_000, 10_000_000, 100_000_000, 1_000_
 AMOUNT_BUCKET_LABELS = ["0-1", "1-10", "10-100", "100-1000", "1000-10000", "10000+"]
 
 def daily_counts_by_amount(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    from kin_data_pipeline_spark.functions.compat import bucketize
+
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    expr = F.when(
-        F.col("amount_quark") <= AMOUNT_BUCKET_EDGES_QUARK[0],
-        F.lit(AMOUNT_BUCKET_LABELS[0]),
+    # the compat-layer P8 helper — identical chained CASE, one owner
+    expr = bucketize(
+        F.col("amount_quark"), AMOUNT_BUCKET_EDGES_QUARK, AMOUNT_BUCKET_LABELS
     )
-    for i in range(1, len(AMOUNT_BUCKET_EDGES_QUARK)):
-        expr = expr.when(
-            F.col("amount_quark") <= AMOUNT_BUCKET_EDGES_QUARK[i],
-            F.lit(AMOUNT_BUCKET_LABELS[i]),
-        )
-    expr = expr.otherwise(F.lit(AMOUNT_BUCKET_LABELS[-1]))
     return (
         f.withColumn("amount_bucket", expr)
         .groupBy("date_key", "amount_bucket")
@@ -303,8 +299,12 @@ def daily_active_accounts_30d(spark: SparkSession, sf_dir: str, run_date=RUN_DAT
     )
 
 # kre_mart/.../daily_active_user_balance_by_app.sql:18-73 — KRE AUB:
-# wallets with ≥3 spend txns in the trailing 30d per app, valued at their
-# most recent observed balance in the window, capped at 100k Kin per user.
+# wallets with ≥3 spend txns in the trailing 30d per app (au_filtered also
+# drops the null-appindex bucket, `app_id != 0`, :34-36), valued at their
+# most recent CLOSING balance in the window (closing_dates/wallet_balances
+# :38-60 read closing_account_balance_per_day — to-side and creation
+# observations count, not just the last spend's from_balance), capped at
+# 100k Kin per user.
 
 def daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     return _cached(
@@ -318,11 +318,10 @@ def daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=
 def _daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
     spend = f.filter(F.col("txn_type").isin(2, 3)).select(
-        "date_key",
-        "app_id",
-        F.col("from_wallet").alias("wallet_id"),
-        F.unix_micros("txn_ts").alias("obs_us"),
-        F.coalesce("from_balance_quark", F.lit(0)).alias("balance_quark"),
+        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    )
+    spine = f.select("date_key").distinct().select(
+        F.col("date_key").alias("spine_day")
     )
     # Every spend observation is visible to spine days [d, d+29].
     exploded = spend.withColumn(
@@ -334,23 +333,47 @@ def _daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date
                 F.expr("interval 1 day"),
             )
         ),
+    ).join(spine, "spine_day", "inner")
+    active = (
+        exploded.groupBy("spine_day", "app_id", "wallet_id")
+        .agg(F.count(F.lit(1)).alias("n_spend_txns"))
+        # :34-36 au_filtered: ≥3 spends AND not the null-appindex bucket
+        .filter((F.col("n_spend_txns") >= 3) & (F.col("app_id") != 0))
     )
-    spine = f.select("date_key").distinct().select(
-        F.col("date_key").alias("spine_day")
+    # Valuation (:38-60): the wallet's most recent CLOSING balance within
+    # the same 30-day lookback — the closing table sees to-side and
+    # creation observations, not just spends. Scale shape: semi-scope the
+    # closing rows to active wallets BEFORE the 30× spine explode.
+    bal = closing_account_balance_per_day(spark, sf_dir, run_date).select(
+        "date_key", "wallet_id", "closing_balance_quark"
     )
-    windowed = exploded.join(spine, "spine_day", "inner")
-    per_wallet = windowed.groupBy("spine_day", "app_id", "wallet_id").agg(
-        F.count(F.lit(1)).alias("n_spend_txns"),
-        # most recent balance in the window: lexicographic (ts, balance) —
-        # the timestamp already encodes the day
-        F.max(F.struct("obs_us", "balance_quark"))[
-            "balance_quark"
-        ].alias("last_balance_quark"),
+    bal = bal.join(active.select("wallet_id").distinct(), "wallet_id", "left_semi")
+    bal_win = bal.withColumn(
+        "spine_day",
+        F.explode(
+            F.sequence(
+                F.col("date_key"),
+                F.date_add(F.col("date_key"), 29),
+                F.expr("interval 1 day"),
+            )
+        ),
+    ).join(spine, "spine_day", "inner")
+    last_bal = bal_win.groupBy("spine_day", "wallet_id").agg(
+        # argmax by balance date — one closing row per (date, wallet), so
+        # the lexicographic struct max is unambiguous
+        F.max(F.struct("date_key", "closing_balance_quark"))[
+            "closing_balance_quark"
+        ].alias("last_balance_quark")
     )
-    active = per_wallet.filter(F.col("n_spend_txns") >= 3)  # :34 threshold
-    agg = active.groupBy(F.col("spine_day").alias("date_key"), "app_id").agg(
-        F.count(F.lit(1)).alias("active_users"),
-        F.sum("last_balance_quark").cast("long").alias("aub_quark"),
+    # "By definition, this will always be true" (:44): an active wallet's
+    # own spends put closing observations inside the window — inner join.
+    agg = (
+        active.join(last_bal, ["spine_day", "wallet_id"])
+        .groupBy(F.col("spine_day").alias("date_key"), "app_id")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("last_balance_quark").cast("long").alias("aub_quark"),
+        )
     )
     capped = F.when(
         F.col("aub_quark") > F.col("active_users") * AUB_CAP_QUARKS_PER_USER,
@@ -487,9 +510,16 @@ def _daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
     second = pre.filter(F.col("payout_rank") == 2).select(
         "date_key", F.col("app_aub_share").alias("s2")
     )
-    # post_monopoly_share_adjustments (:36-71)
+    # post_monopoly_share_adjustments (:36-71). Deviation from the
+    # reference, per SURVEY §2.11: daily_kin_payout.sql:115 inner-joins
+    # the rank-2 extract, silently dropping any day with fewer than two
+    # ranked apps — exactly the monopoly days (share = 1.0) the cascade
+    # targets. Here a missing rank-2 is a LEFT join with share 0: the
+    # rank-1 cap still applies (s1 = 1.0 → adjusted 2/3) and the day
+    # stays in the payout (and so in daily_kre_summary downstream).
     adj = (
-        top.join(second, "date_key")
+        top.join(second, "date_key", "left")
+        .withColumn("s2", F.coalesce("s2", F.lit(0.0)))
         .withColumn(
             "s1_adj_initial",
             F.when(
@@ -673,21 +703,26 @@ def gc_dust_wallets(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Data
     )
 
 # metabase_mart/daily_models/gc/multi_create_impacted_accounts.sql:5-42 —
-# HAVING multi-instruction creates (A7) → Agora-paid (P4) → impacted
-# accounts (J8 semi) → currently-dust accounts (W3 rank=1).
+# HAVING multi-instruction creates (A7, counted over ALL creation rows of
+# a transaction — abnormal_creates :3-10 has no fee_payer predicate) →
+# impacted accounts = the AGORA-PAID rows of those transactions (:12-21,
+# the fee_payer filter applies at the ACCOUNT step, not the count) →
+# currently-dust accounts (W3 rank=1).
 
 def multi_create_impacted_accounts(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     cr = fact_kin_creations(spark, sf_dir, run_date)
     multi = (
-        cr.filter(F.col("fee_payer") == ka.AGORA_FEE_PAYER)
-        .groupBy("tx_id")
-        .agg(F.count(F.lit(1)).alias("instruction_count"))
+        cr.groupBy("tx_id")
+        .agg(F.count("instr_idx").alias("instruction_count"))
         .filter(F.col("instruction_count") > 1)  # HAVING (:5-10)
         .select("tx_id")
     )
-    impacted = cr.join(multi, "tx_id", "left_semi").select(
-        F.col("account_id").alias("wallet_id")
-    ).distinct()
+    impacted = (
+        cr.join(multi, "tx_id", "left_semi")
+        .filter(F.col("fee_payer") == ka.AGORA_FEE_PAYER)  # :19-20
+        .select(F.col("account_id").alias("wallet_id"))
+        .distinct()
+    )
     latest = gc_dust_wallets(spark, sf_dir, run_date)
     return latest.join(impacted, "wallet_id", "left_semi")
 
@@ -806,24 +841,37 @@ def daily_account_creates_by_program(spark: SparkSession, sf_dir: str, run_date=
 # metabase_mart/weekly_models/reporting/weekly_kin_transactions.sql:4 and
 # monthly twin — cadence rollups from the fact (complete periods only).
 
-def _period_kin_transactions(spark, sf_dir, run_date, unit: str, period_days) -> DataFrame:
+def _period_kin_transactions(spark, sf_dir, run_date, unit: str, complete_before) -> DataFrame:
+    """metabase_mart/{weekly,monthly}_models/reporting/
+    {weekly,monthly}_kin_transactions.sql — (period, app_id) rollups of the
+    daily transactions mart, COMPLETE periods only (`where date_key <
+    date_trunc(unit, current_date)` — the same boundary constants as the
+    app_txn_summary cadence family). Counts/amounts sum the daily mart's
+    per-(day, app) counts and amounts; since those are themselves sums over
+    the fact, the rollup aggregates the fact directly on the exact quark
+    base with ONE final Kin division (sum-of-daily-sums == direct sum,
+    without accumulating per-day float divisions)."""
+    prefix = "weekly" if unit == "week" else "monthly"
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    out = (
-        f.groupBy(F.trunc("date_key", unit).alias("period"))
+    agg = (
+        f.filter(F.col("date_key") < F.lit(complete_before))
+        .groupBy(F.trunc("date_key", unit).alias("period"), "app_id")
         .agg(
-            F.count(F.lit(1)).alias("total_count"),
-            F.sum("amount_quark").cast("long").alias("total_volume_quark"),
-            _kin(F.sum("amount_quark")).alias("total_volume_kin"),
-            F.countDistinct("from_wallet").alias("active_wallets"),
+            F.count(F.lit(1)).alias(f"{prefix}_count"),
+            F.sum("amount_quark").cast("long").alias("volume_quark"),
+            _kin(F.sum("amount_quark")).alias(f"{prefix}_amount"),
         )
     )
-    return out
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return agg.join(F.broadcast(app), "app_id", "left")
 
 def weekly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _period_kin_transactions(spark, sf_dir, run_date, "week", 7)
+    return _period_kin_transactions(spark, sf_dir, run_date, "week", WEEK_COMPLETE_BEFORE)
 
 def monthly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    return _period_kin_transactions(spark, sf_dir, run_date, "month", None)
+    return _period_kin_transactions(spark, sf_dir, run_date, "month", MONTH_COMPLETE_BEFORE)
 
 # data_studio_mart/.../kin_transactions_curated.sql:4-23 — pure rename
 # projection (P1). Deviation §2.11 fixed: the reference selects a

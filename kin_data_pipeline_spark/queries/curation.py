@@ -436,20 +436,23 @@ def sequence_packing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    b = F.lit(_PACK_BUDGET)
     last_tok = F.greatest(
         F.col("start_offset"), F.col("start_offset") + F.col("n_tokens") - 1
     )
+    o = o.withColumn("__last_tok", last_tok)
+    # integer DIV, never floor(double division): exact at any offset
+    # magnitude (float division rounds past 2^53), pairing with the
+    # oracle's `//` per the cross-engine house rule
+    first_chunk = F.expr(f"start_offset DIV {_PACK_BUDGET}")
+    last_chunk = F.expr(f"__last_tok DIV {_PACK_BUDGET}")
     return o.select(
         "doc_id",
         "source",
         "n_tokens",
         "start_offset",
-        F.floor(F.col("start_offset") / b).alias("first_chunk"),
-        F.floor(last_tok / b).alias("last_chunk"),
-        (F.floor(last_tok / b) - F.floor(F.col("start_offset") / b) + 1).alias(
-            "n_chunks"
-        ),
+        first_chunk.alias("first_chunk"),
+        last_chunk.alias("last_chunk"),
+        (last_chunk - first_chunk + 1).alias("n_chunks"),
     )
 
 # ---------------------------------------------------------------------------

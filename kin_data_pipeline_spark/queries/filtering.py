@@ -402,17 +402,12 @@ def repeated_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="keep highest-quality member per near-dup cluster; per-source survivor accounting",
 )
 def dedup_keep_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import connected_components_star
-    from kin_data_pipeline_spark.queries.llmops import ngram_jaccard_capped
+    from kin_data_pipeline_spark.queries.llmops import near_dup_labels
 
-    labels = _cached_substrate(
-        spark,
-        sf_dir,
-        "near_dup_labels",
-        lambda: connected_components_star(
-            ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
-        ),
-    )
+    # the one owner of the 'near_dup_labels' substrate key (single-owner
+    # rule: two call sites with their own build lambdas under one key would
+    # hand whichever ran second the first one's frame)
+    labels = near_dup_labels(spark, sf_dir)
     d = _with_words(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",

@@ -86,41 +86,52 @@ closing AS (
 )
 """
 
+# Faithful to daily_active_user_balance_by_app.sql: au_filtered keeps
+# wallets with >= 3 spends per (day, app) AND app_id != 0 (:34-36); each
+# wallet is valued at its most recent CLOSING balance within the same
+# 30-day lookback (:38-60 — closing_account_balance_per_day, so to-side
+# and creation observations count). Requires CLOSING_SQL (and therefore
+# FACT_CREATIONS_SQL) in the composition.
 AUB_SQL = """
 spend AS (
-  SELECT date_key, app_id, from_wallet AS wallet_id, epoch_us(txn_ts) AS obs_us,
-         COALESCE(from_balance_quark, 0) AS balance_quark
+  SELECT date_key, app_id, from_wallet AS wallet_id
   FROM fact_kin_transaction WHERE txn_type IN (2, 3)
 ),
 aub_spine AS (SELECT DISTINCT date_key AS spine_day FROM fact_kin_transaction),
-aub_win AS (
-  SELECT s.spine_day, sp.* FROM aub_spine s
+aub_active AS (
+  SELECT s.spine_day, sp.app_id, sp.wallet_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spend_txns
+  FROM aub_spine s
   JOIN spend sp ON sp.date_key BETWEEN s.spine_day - 29 AND s.spine_day
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 3
 ),
-aub_per_wallet AS (
-  WITH cnt AS (
-    SELECT spine_day, app_id, wallet_id, CAST(COUNT(*) AS BIGINT) AS n_spend_txns
-    FROM aub_win GROUP BY 1, 2, 3
-  ), m1 AS (
-    SELECT spine_day, app_id, wallet_id, MAX(obs_us) AS mu FROM aub_win GROUP BY 1, 2, 3
-  ), m2 AS (
-    SELECT w.spine_day, w.app_id, w.wallet_id, MAX(w.balance_quark) AS last_balance_quark
-    FROM aub_win w JOIN m1 ON w.spine_day = m1.spine_day AND w.app_id = m1.app_id
-      AND w.wallet_id = m1.wallet_id AND w.obs_us = m1.mu
-    GROUP BY 1, 2, 3
+aub_balwin AS (
+  SELECT s.spine_day, c.wallet_id, c.date_key AS bal_date, c.closing_balance_quark
+  FROM aub_spine s
+  JOIN closing c ON c.date_key BETWEEN s.spine_day - 29 AND s.spine_day
+),
+aub_balance AS (
+  WITH mb AS (
+    SELECT spine_day, wallet_id, MAX(bal_date) AS bd
+    FROM aub_balwin GROUP BY 1, 2
   )
-  SELECT cnt.*, m2.last_balance_quark FROM cnt
-  JOIN m2 ON cnt.spine_day = m2.spine_day AND cnt.app_id = m2.app_id
-    AND cnt.wallet_id = m2.wallet_id
+  SELECT b.spine_day, b.wallet_id, b.closing_balance_quark AS last_balance_quark
+  FROM aub_balwin b
+  JOIN mb ON b.spine_day = mb.spine_day AND b.wallet_id = mb.wallet_id
+    AND b.bal_date = mb.bd
 ),
 aub AS (
-  SELECT spine_day AS date_key, app_id,
+  SELECT a.spine_day AS date_key, a.app_id,
          CAST(COUNT(*) AS BIGINT) AS active_users,
-         CAST(SUM(last_balance_quark) AS BIGINT) AS aub_quark,
-         CAST(CASE WHEN SUM(last_balance_quark) > COUNT(*) * 10000000000
+         CAST(SUM(bal.last_balance_quark) AS BIGINT) AS aub_quark,
+         CAST(CASE WHEN SUM(bal.last_balance_quark) > COUNT(*) * 10000000000
                    THEN COUNT(*) * 10000000000
-                   ELSE SUM(last_balance_quark) END AS BIGINT) AS capped_aub_quark
-  FROM aub_per_wallet WHERE n_spend_txns >= 3
+                   ELSE SUM(bal.last_balance_quark) END AS BIGINT) AS capped_aub_quark
+  FROM aub_active a
+  JOIN aub_balance bal
+    ON a.spine_day = bal.spine_day AND a.wallet_id = bal.wallet_id
+  WHERE a.app_id != 0
   GROUP BY 1, 2
 )
 """
@@ -169,18 +180,22 @@ payout_pre AS (
   FROM payout_pre0
 ),
 payout_adj AS (
-  SELECT t.date_key, t.s1, sec.s2,
+  SELECT t.date_key, t.s1, COALESCE(sec.s2, 0.0) AS s2,
          CASE WHEN t.s1 > 0.5
               THEN 0.5 + ((t.s1 - 0.5) / 0.5) * ((2.0 / 3.0) - (1.0 / 2.0))
               ELSE t.s1 END AS s1_adj_initial,
-         CASE WHEN s1_adj_initial + sec.s2 > 0.9
-              THEN (sec.s2 / (t.s1 + sec.s2)) * 0.9
-              ELSE sec.s2 END AS s2_adj,
-         CASE WHEN s1_adj_initial < (s1_adj_initial / (s1_adj_initial + sec.s2)) * 0.9
+         CASE WHEN s1_adj_initial + COALESCE(sec.s2, 0.0) > 0.9
+              THEN (COALESCE(sec.s2, 0.0) / (t.s1 + COALESCE(sec.s2, 0.0))) * 0.9
+              ELSE COALESCE(sec.s2, 0.0) END AS s2_adj,
+         CASE WHEN s1_adj_initial
+                   < (s1_adj_initial / (s1_adj_initial + COALESCE(sec.s2, 0.0))) * 0.9
               THEN s1_adj_initial
-              ELSE (s1_adj_initial / (s1_adj_initial + sec.s2)) * 0.9 END AS s1_adj
+              ELSE (s1_adj_initial / (s1_adj_initial + COALESCE(sec.s2, 0.0))) * 0.9
+              END AS s1_adj
   FROM (SELECT date_key, app_aub_share AS s1 FROM payout_pre WHERE payout_rank = 1) t
-  JOIN (SELECT date_key, app_aub_share AS s2 FROM payout_pre WHERE payout_rank = 2) sec
+  -- deviation per SURVEY 2.11: a day with ONE ranked app keeps its payout
+  -- row (missing rank-2 = share 0) instead of being inner-join-dropped
+  LEFT JOIN (SELECT date_key, app_aub_share AS s2 FROM payout_pre WHERE payout_rank = 2) sec
     ON t.date_key = sec.date_key
 ),
 payout_staged AS (
@@ -379,7 +394,7 @@ GROUP BY 1, 2
 
 register(
     "kin_daily_aub_by_app",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL)
     + f"""
 SELECT date_key, app_id, active_users, aub_quark, capped_aub_quark,
        {KIN('capped_aub_quark')} AS capped_aub_kin
@@ -396,7 +411,7 @@ register(
 
 register(
     "kin_daily_payout",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL)
     + "\nSELECT * FROM payout",
     doc="KRE payout monopoly cascade: rank + share caps + redistribution (W1/J7)",
 )(_q(M.daily_kin_payout))
@@ -430,7 +445,7 @@ kwb AS (
 
 register(
     "kin_weekly_payout_summary",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
     + """
 , kw_ranked AS (
   SELECT k.*, dka.name AS app_name,
@@ -463,11 +478,13 @@ register(
     + """
 , multi AS (
   SELECT tx_id FROM fact_kin_creations
-  WHERE fee_payer = 'AgoraFeePayer11111'
-  GROUP BY tx_id HAVING COUNT(*) > 1
+  GROUP BY tx_id HAVING COUNT(instr_idx) > 1
 ), impacted AS (
+  -- fee_payer applies at the ACCOUNT step, never the instruction count
+  -- (multi_create_impacted_accounts.sql steps 1-2)
   SELECT DISTINCT account_id AS wallet_id FROM fact_kin_creations
   WHERE tx_id IN (SELECT tx_id FROM multi)
+    AND fee_payer = 'AgoraFeePayer11111'
 )
 SELECT g.* FROM gc g WHERE g.wallet_id IN (SELECT wallet_id FROM impacted)
 """,
@@ -547,28 +564,36 @@ register(
     "kin_weekly_transactions",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT CAST(date_trunc('week', date_key) AS DATE) AS period,
-       CAST(COUNT(*) AS BIGINT) AS total_count,
-       CAST(SUM(amount_quark) AS BIGINT) AS total_volume_quark,
-       {KIN('SUM(amount_quark)')} AS total_volume_kin,
-       CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
-FROM fact_kin_transaction GROUP BY 1
+SELECT CAST(date_trunc('week', t.date_key) AS DATE) AS period,
+       t.app_id,
+       CAST(COUNT(*) AS BIGINT) AS weekly_count,
+       CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(t.amount_quark)')} AS weekly_amount,
+       ANY_VALUE(a.name) AS app_name
+FROM fact_kin_transaction t
+LEFT JOIN dim_kin_app a ON t.app_id = a.id
+WHERE t.date_key < DATE '2024-01-29'
+GROUP BY 1, 2
 """,
-    doc="weekly cadence rollup (Monday weeks)",
+    doc="weekly (period, app) cadence rollup — complete Monday weeks only",
 )(_q(M.weekly_kin_transactions))
 
 register(
     "kin_monthly_transactions",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT CAST(date_trunc('month', date_key) AS DATE) AS period,
-       CAST(COUNT(*) AS BIGINT) AS total_count,
-       CAST(SUM(amount_quark) AS BIGINT) AS total_volume_quark,
-       {KIN('SUM(amount_quark)')} AS total_volume_kin,
-       CAST(COUNT(DISTINCT from_wallet) AS BIGINT) AS active_wallets
-FROM fact_kin_transaction GROUP BY 1
+SELECT CAST(date_trunc('month', t.date_key) AS DATE) AS period,
+       t.app_id,
+       CAST(COUNT(*) AS BIGINT) AS monthly_count,
+       CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(t.amount_quark)')} AS monthly_amount,
+       ANY_VALUE(a.name) AS app_name
+FROM fact_kin_transaction t
+LEFT JOIN dim_kin_app a ON t.app_id = a.id
+WHERE t.date_key < DATE '2024-02-01'
+GROUP BY 1, 2
 """,
-    doc="monthly cadence rollup",
+    doc="monthly (period, app) cadence rollup — complete months only",
 )(_q(M.monthly_kin_transactions))
 
 register(
@@ -612,7 +637,7 @@ FROM fact_kin_transaction GROUP BY 1, 2, 3
 
 register(
     "kin_daily_kre_summary",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, DAILY_TXN_MART_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, DAILY_TXN_MART_SQL)
     + _ACTIVES_OBS_SQL
     + f", kre_mu AS ({_actives_select(29, False)})"
     + f"""
@@ -815,7 +840,7 @@ register(
 
 register(
     "kin_kre_weekly_payout",
-    _with(*_BASE, FACT_TXN_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, KRE_WEEKLY_BASE_SQL)
     + """
 SELECT k.date_key, k.app_id,
        CAST(k.kin_quanta AS DOUBLE) / 10000.0 AS weekly_kin_payout,

@@ -1551,6 +1551,22 @@ sh AS (
     )
 """
 
+def near_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached star-contraction cluster labels (node, cluster_id) — the ONE
+    owner of the ``near_dup_labels`` substrate key; every consumer
+    (near_dup_clusters, filtering.dedup_keep_best_survivors) must come
+    through here, per the single-owner rule in ``doc_tokens``."""
+    from kin_data_pipeline_spark.operators.dedup import connected_components_star
+
+    return _cached_substrate(
+        spark,
+        sf_dir,
+        "near_dup_labels",
+        lambda: connected_components_star(
+            ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
+        ),
+    )
+
 @register(
     "near_dup_clusters",
     f"""
@@ -1573,22 +1589,13 @@ sh AS (
     doc="transitive near-dup clusters via min-label propagation (connected components)",
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kin_data_pipeline_spark.operators.dedup import connected_components_star
-
     # Star contraction, not plain label propagation: O(log n) rounds even
     # if boilerplate overlap chains documents into a long path (label
     # propagation is O(diameter) and raises past its round budget). The
     # contraction materializes per round (localCheckpoint), so the label
     # frame is cached like the other substrates — the survivor-stats query
     # reuses it instead of re-running the iterations.
-    labels = _cached_substrate(
-        spark,
-        sf_dir,
-        "near_dup_labels",
-        lambda: connected_components_star(
-            ngram_jaccard_capped(spark, sf_dir), "doc_a", "doc_b"
-        ),
-    )
+    labels = near_dup_labels(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
