@@ -12,11 +12,29 @@ def test_payout_shares_sum_to_one(spark, sf_dir):
     sums = payout.groupBy("date_key").agg(
         F.sum("pre_monopoly_share").alias("pre_sum"),
         F.sum("post_monopoly_app_share").alias("post_sum"),
+        F.count(F.lit(1)).alias("n_apps"),
     )
-    for r in sums.collect():
+    rows = sums.collect()
+    assert any(r["n_apps"] == 1 for r in rows), "fixture should exercise a monopoly day"
+    for r in rows:
         assert abs(r["pre_sum"] - 1.0) < 1e-4, f"pre shares sum {r['pre_sum']}"
-        # post-monopoly redistribution must also conserve the pool
-        assert abs(r["post_sum"] - 1.0) < 1e-4, f"post shares sum {r['post_sum']}"
+        # The monopoly cascade only WITHHOLDS pool, never creates it: the
+        # single-app cap pays exactly 2/3 with nobody to take the residual,
+        # and the reference's double-monopoly branch (s1_adj_initial + s2 >
+        # 0.9) uses INCONSISTENT denominators for s1_adj vs s2_adj
+        # (daily_kin_payout.sql:46-60 — faithfully ported), so its post sum
+        # lands slightly under 1 rather than exactly 1. Pool conservation
+        # as an equality only holds when no cap fires.
+        assert r["post_sum"] <= r["pre_sum"] + 1e-4, (
+            f"cascade created pool: {r['post_sum']}"
+        )
+        if r["n_apps"] == 1:
+            # share 1.0 adjusts to exactly 2/3
+            assert abs(r["post_sum"] - 2.0 / 3.0) < 1e-4, (
+                f"monopoly-day share {r['post_sum']}"
+            )
+        else:
+            assert r["post_sum"] > 0.85, f"post shares sum {r['post_sum']}"
 
 def test_capped_aub_respects_user_cap(spark, sf_dir):
     aub = M.daily_active_user_balance_by_app(spark, sf_dir)
