@@ -41,8 +41,17 @@ RUN_DATE = datetime.date(2024, 1, 31)
 # the fact/AUB/VF/actives frames across queries turns ~10 rebuilds into 1
 # (same effect the materialized warehouse has in production).
 
-def _cached(spark: SparkSession, name: str, sf_dir: str, run_date, build) -> DataFrame:
-    return frame_cached(spark, name, sf_dir, str(run_date), build=build)
+def _cached(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    run_date,
+    build,
+    truncate: bool = False,
+) -> DataFrame:
+    return frame_cached(
+        spark, name, sf_dir, str(run_date), build=build, truncate=truncate
+    )
 KRE_DAILY_POOL = 250_000_000.0  # daily_kin_payout.sql:27-29 hardcoded pool
 QUARKS_PER_KIN = 100_000
 AUB_CAP_QUARKS_PER_USER = 100_000 * QUARKS_PER_KIN  # 100k Kin cap, :67-69
@@ -260,6 +269,7 @@ def closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=R
         sf_dir,
         run_date,
         lambda: _closing_account_balance_per_day(spark, sf_dir, run_date),
+        truncate=True,  # day/app-grain, many consumers: cut lineage
     )
 
 def _closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
@@ -313,6 +323,7 @@ def daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=
         sf_dir,
         run_date,
         lambda: _daily_active_user_balance_by_app(spark, sf_dir, run_date),
+        truncate=True,  # day/app-grain, many consumers: cut lineage
     )
 
 def _daily_active_user_balance_by_app(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
@@ -406,6 +417,7 @@ def daily_volatility_factor(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
         sf_dir,
         run_date,
         lambda: _daily_volatility_factor(spark, sf_dir, run_date),
+        truncate=True,  # day/app-grain, many consumers: cut lineage
     )
 
 def _daily_volatility_factor(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
@@ -463,6 +475,7 @@ def daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Dat
         sf_dir,
         run_date,
         lambda: _daily_kin_payout(spark, sf_dir, run_date),
+        truncate=True,  # day/app-grain, many consumers: cut lineage
     )
 
 def _daily_kin_payout(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
@@ -1246,6 +1259,7 @@ def _kre_weekly_payout_base(spark, sf_dir, run_date) -> DataFrame:
         sf_dir,
         run_date,
         lambda: _build_kre_weekly_payout_base(spark, sf_dir, run_date),
+        truncate=True,  # day/app-grain, many consumers: cut lineage
     )
 
 def _build_kre_weekly_payout_base(spark, sf_dir, run_date) -> DataFrame:
@@ -1455,6 +1469,24 @@ def _build_actives_obs(spark, sf_dir, run_date) -> DataFrame:
     return spend.unionByName(earn).distinct()
 
 def _active_accounts_breakdown(
+    spark, sf_dir, run_date, days: int, by_app: bool
+) -> DataFrame:
+    # Day-grain output with many consumers (the cadence twins, both summary
+    # marts, the KRE summary): cache the RESULT, not just the exploded obs,
+    # so each consumer reuses the countDistinct aggregation instead of
+    # re-running it over the 30× exploded wallet-grain frame.
+    return _cached(
+        spark,
+        f"actives_breakdown_{days}d_{'app' if by_app else 'eco'}",
+        sf_dir,
+        run_date,
+        lambda: _build_active_accounts_breakdown(
+            spark, sf_dir, run_date, days, by_app
+        ),
+        truncate=True,
+    )
+
+def _build_active_accounts_breakdown(
     spark, sf_dir, run_date, days: int, by_app: bool
 ) -> DataFrame:
     """users/spenders/earners distinct counts — the whole reference

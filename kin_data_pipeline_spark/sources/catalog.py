@@ -91,11 +91,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FRAME_CACHE: dict[tuple, DataFrame] = {}
 _FRAME_CACHE_LOCK = __import__("threading").RLock()
 
-def frame_cached(spark: SparkSession, name: str, *key, build) -> DataFrame:
+def frame_cached(
+    spark: SparkSession, name: str, *key, build, truncate: bool = False
+) -> DataFrame:
     """Build-once, cache, and reuse a DataFrame within one Spark app.
     Lock-guarded so concurrent DAG materialization (Runner.run_concurrent)
     never double-builds a shared substrate frame. Reentrant: substrate
-    builders call other cached builders inside their ``build`` closure."""
+    builders call other cached builders inside their ``build`` closure.
+
+    ``truncate=True`` cuts the logical lineage at the substrate boundary
+    (``localCheckpoint`` instead of ``cache``): a ``.cache()`` frame keeps
+    its full logical plan, so EVERY downstream action re-runs Catalyst
+    analysis over the whole upstream tree even though execution hits the
+    InMemoryRelation — for deep chains (the KRE payout cascade) that
+    re-analysis costs seconds per consumer query. Checkpointing replaces
+    the plan with a LogicalRDD, so consumers plan against a leaf. Use it
+    for small, many-consumer substrates (day/app grain); keep ``cache``
+    for wide frames where losing size statistics could demote a broadcast.
+    Lazy (``eager=False``): the first toucher pays materialization, same
+    billing as the cache path."""
     k = (spark.sparkContext.applicationId, name, *key)
     with _FRAME_CACHE_LOCK:
         if k not in _FRAME_CACHE:
@@ -106,7 +120,10 @@ def frame_cached(spark: SparkSession, name: str, *key, build) -> DataFrame:
             stale = [sk for sk in _FRAME_CACHE if sk[0] != k[0]]
             for sk in stale:
                 del _FRAME_CACHE[sk]
-            _FRAME_CACHE[k] = build().cache()
+            built = build()
+            _FRAME_CACHE[k] = (
+                built.localCheckpoint(eager=False) if truncate else built.cache()
+            )
         return _FRAME_CACHE[k]
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
