@@ -1,0 +1,77 @@
+"""Plan fingerprints: a content hash per registered query that changes when
+the query's SEMANTICS change, so the verification-staleness invariant can be
+code-aware (VERDICT r5 ask #4).
+
+Round 5 proved the failure mode: the KRE/AUB chain was semantically
+reworked AFTER its round-4 green driver rows, so those rows certified code
+that no longer existed, and nothing forced the chain back into a
+verification window. The fix is a manifest (`PLAN_MANIFEST.json`) recording,
+per query, a normalized hash of its analyzed logical plan and the round the
+hash last changed (`since`). A green driver row only counts as coverage if
+its round is >= the query's `since` round.
+
+Hashing rules:
+- The hash covers the query DataFrame's ANALYZED logical plan plus the
+  pre-truncation plans of every shared substrate frame the query's build
+  registered (``truncate=True`` substrates appear downstream as LogicalRDD
+  leaves, which would otherwise hide substrate logic changes). The frame
+  cache is cleared before each query's build so the substrate inventory is
+  per-query, not first-toucher-order.
+- Plan strings are normalized: expression IDs (``#123``), object addresses,
+  RDD ids and Python-object reprs vary per session and are stripped; what
+  remains is the operator tree, column names, types, and literals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kin_data_pipeline_spark.sources.catalog import (
+    frame_cache_clear,
+    frame_cache_source_frames,
+)
+
+MANIFEST_PATH = "PLAN_MANIFEST.json"
+
+_NORMALIZE_PATTERNS = [
+    (re.compile(r"#\d+"), "#_"),  # expression IDs
+    (re.compile(r"0x[0-9a-fA-F]+"), "0x_"),  # object addresses in reprs
+    (re.compile(r"@[0-9a-f]{6,}"), "@_"),  # JVM object hashes
+    (re.compile(r"ExistingRDD\[\d+\]"), "ExistingRDD[_]"),
+    (re.compile(r"MapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[_]"),
+    (re.compile(r"<function [^>]*>"), "<function _>"),
+    (re.compile(r"<lambda>[^,)\s]*"), "<lambda>"),
+    # Scan ExistingRDD rows carry an RDD-lineage description after the
+    # column list on some plans; the column list itself is kept.
+    (re.compile(r"cachedrdd-\d+"), "cachedrdd-_"),
+]
+
+
+def normalize_plan(text: str) -> str:
+    for pat, repl in _NORMALIZE_PATTERNS:
+        text = pat.sub(repl, text)
+    return text
+
+
+def _analyzed(df: DataFrame) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def query_fingerprint(spark: SparkSession, fn, sf_dir: str) -> str:
+    """Normalized semantic hash of one registered query at ``sf_dir``.
+
+    Clears the substrate frame cache first so every substrate the query
+    depends on is (re)built and captured; the hash is over the query's own
+    analyzed plan plus each substrate's pre-truncation analyzed plan,
+    keyed by substrate name so renames register as changes.
+    """
+    frame_cache_clear(spark)
+    df = fn(spark, sf_dir)
+    parts = ["query:" + normalize_plan(_analyzed(df))]
+    for name, sub in sorted(frame_cache_source_frames(spark).items()):
+        parts.append(f"substrate {name}:" + normalize_plan(_analyzed(sub)))
+    digest = hashlib.sha256("\n".join(parts).encode()).hexdigest()
+    return digest[:16]

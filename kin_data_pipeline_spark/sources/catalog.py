@@ -91,6 +91,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FRAME_CACHE: dict[tuple, DataFrame] = {}
 _FRAME_CACHE_LOCK = __import__("threading").RLock()
 
+def frame_cache_names(spark: SparkSession) -> set:
+    """Names of the substrate frames registered for this Spark app — a
+    read-only probe so the bench can attribute shared-substrate first-toucher
+    costs to the query that triggered each build."""
+    app_id = spark.sparkContext.applicationId
+    with _FRAME_CACHE_LOCK:
+        return {k[1] for k in _FRAME_CACHE if k[0] == app_id}
+
+# Pre-truncation substrate plans, for the plan-fingerprint manifest
+# (scripts/gen_plan_manifest.py): a truncate=True frame exposes only a
+# LogicalRDD leaf downstream, so fingerprinting a consumer query would be
+# blind to changes in the substrate's own logic without this side record.
+_FRAME_SOURCE_FRAMES: dict[tuple, DataFrame] = {}
+
+def frame_cache_source_frames(spark: SparkSession) -> dict:
+    """name -> the substrate DataFrame as built (BEFORE cache/checkpoint
+    wrapping), for this Spark app."""
+    app_id = spark.sparkContext.applicationId
+    with _FRAME_CACHE_LOCK:
+        return {k[1]: df for k, df in _FRAME_SOURCE_FRAMES.items() if k[0] == app_id}
+
+def frame_cache_clear(spark: SparkSession) -> None:
+    """Drop this app's substrate registry (fingerprinting only: forces the
+    next query build to re-register every substrate it depends on, so the
+    dependency inventory is per-query instead of first-toucher-order)."""
+    app_id = spark.sparkContext.applicationId
+    with _FRAME_CACHE_LOCK:
+        for k in [k for k in _FRAME_CACHE if k[0] == app_id]:
+            del _FRAME_CACHE[k]
+        for k in [k for k in _FRAME_SOURCE_FRAMES if k[0] == app_id]:
+            del _FRAME_SOURCE_FRAMES[k]
+
 def frame_cached(
     spark: SparkSession, name: str, *key, build, truncate: bool = False
 ) -> DataFrame:
@@ -120,7 +152,9 @@ def frame_cached(
             stale = [sk for sk in _FRAME_CACHE if sk[0] != k[0]]
             for sk in stale:
                 del _FRAME_CACHE[sk]
+                _FRAME_SOURCE_FRAMES.pop(sk, None)
             built = build()
+            _FRAME_SOURCE_FRAMES[k] = built
             _FRAME_CACHE[k] = (
                 built.localCheckpoint(eager=False) if truncate else built.cache()
             )
