@@ -47,6 +47,9 @@ _NORMALIZE_PATTERNS = [
     # Scan ExistingRDD rows carry an RDD-lineage description after the
     # column list on some plans; the column list itself is kept.
     (re.compile(r"cachedrdd-\d+"), "cachedrdd-_"),
+    # Media-tier builds repartition to SESSION parallelism (_spread_ids);
+    # the width is an environment property, not query semantics.
+    (re.compile(r"Repartition \d+"), "Repartition _"),
 ]
 
 

@@ -35,18 +35,32 @@ MAX_STALENESS = 4
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _plan_since() -> dict[str, int]:
+    """query -> round its plan fingerprint last changed (PLAN_MANIFEST.json,
+    maintained by scripts/gen_plan_manifest.py). A green driver row older
+    than this round certifies code that no longer exists and must not count
+    as coverage (VERDICT r5 ask #4 — the KRE-rework blind spot)."""
+    with open(os.path.join(_REPO, "PLAN_MANIFEST.json")) as f:
+        return {k: int(v) for k, v in json.load(f)["since"].items()}
+
+
 def _green_rounds() -> dict[str, int]:
-    """query -> latest round with a GREEN driver CORRECTNESS row.
+    """query -> latest round with a GREEN driver CORRECTNESS row whose round
+    is >= the query's plan-fingerprint `since` round (code-aware: rows that
+    predate a semantic rework do not count).
 
     Green = hash_match true, or (historic rows-only sketch rows, rounds
     1-4) err == 'no_oracle' with spark_rows > 0.
     """
+    since = _plan_since()
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
+            if rnd < since.get(name, 1):
+                continue
             if row.get("hash_match") or (
                 row.get("err") == "no_oracle" and row.get("spark_rows", 0) > 0
             ):
