@@ -55,6 +55,7 @@ def _cached(
 KRE_DAILY_POOL = 250_000_000.0  # daily_kin_payout.sql:27-29 hardcoded pool
 QUARKS_PER_KIN = 100_000
 AUB_CAP_QUARKS_PER_USER = 100_000 * QUARKS_PER_KIN  # 100k Kin cap, :67-69
+CHURN_LOOKBACK_DAYS = 40  # daily_churn_volume.sql:9,47
 GC_DUST_QUARKS = 500 * QUARKS_PER_KIN  # "effectively empty" threshold
 GC_CUTOFF = datetime.date(2024, 1, 20)  # month-end analog for the GC window
 
@@ -92,6 +93,7 @@ def _fact_kin_transaction(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -
         "block",
         F.col("transactionid").alias("transaction_id"),
         F.col("instructionidx").alias("instruction_idx"),
+        "memo",  # :27 — kept for the curated export (memo_text)
         F.coalesce("amount", F.lit(0)).alias("amount_quark"),  # :26
         _kin(F.coalesce("amount", F.lit(0))).alias("amount_kin"),
         F.col("fromaccount").alias("from_wallet"),
@@ -215,8 +217,28 @@ def _daily_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
 
 # metabase_mart/.../daily_kin_transaction_counts_by_amount.sql:5-13 (P8).
 
-AMOUNT_BUCKET_EDGES_QUARK = [100_000, 1_000_000, 10_000_000, 100_000_000, 1_000_000_000]
-AMOUNT_BUCKET_LABELS = ["0-1", "1-10", "10-100", "100-1000", "1000-10000", "10000+"]
+# daily_kin_transaction_counts_by_amount.sql:5-13 — the reference's Kin
+# ranges are half-open [lower, upper); amounts are exact quark integers, so
+# "< upper" is "<= upper−1" and the compat bucketize (inclusive upper
+# bounds) expresses the same CASE chain. Everything below 1 Kin — including
+# the NULL amounts the fact COALESCEs to 0 — is 'N/A' (:13).
+AMOUNT_BUCKET_EDGES_QUARK = [
+    99_999,  # < 1 Kin → 'N/A'
+    199_999,  # [1, 2)
+    99_999_999,  # [2, 1000)
+    999_999_999,  # [1000, 10000)
+    9_999_999_999,  # [10000, 100000)
+    99_999_999_999,  # [100000, 1000000)
+]
+AMOUNT_BUCKET_LABELS = [
+    "N/A",
+    "1-2",
+    "2-1000",
+    "1001-10000",
+    "10001-100000",
+    "100001-1000000",
+    "1000001+",
+]
 
 def daily_counts_by_amount(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     from kin_data_pipeline_spark.functions.compat import bucketize
@@ -227,12 +249,9 @@ def daily_counts_by_amount(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) 
         F.col("amount_quark"), AMOUNT_BUCKET_EDGES_QUARK, AMOUNT_BUCKET_LABELS
     )
     return (
-        f.withColumn("amount_bucket", expr)
-        .groupBy("date_key", "amount_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_txns"),
-            _kin(F.sum("amount_quark")).alias("volume_kin"),
-        )
+        f.withColumn("amount_range", expr)
+        .groupBy("date_key", "amount_range")
+        .agg(F.count(F.lit(1)).alias("transaction_count"))
     )
 
 # ---------------------------------------------------------------------------
@@ -241,25 +260,42 @@ def daily_counts_by_amount(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) 
 # as an unpivot (J6), last-timestamp balance with max-on-tie (A5).
 
 def closing_balance_observations(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    """Balance observations feeding the closing-balance mart, per
+    closing_account_balance_per_day.sql:33-86:
+
+    - NULL balances count as 0 observations (the reference fact COALESCEs
+      balances to 0, fact_kin_transaction.sql:30,35, and the closing CASE
+      coalesces again :71-76) — they are NOT dropped.
+    - The balance CASE (:68-76) evaluates from-side before to-side per
+      joined row, so a self-transfer contributes only its from-balance.
+    - Transaction observations outrank creation observations at the same
+      closing timestamp: the creation branch of the CASE is reachable only
+      when the transaction join missed (kt IS NULL), because both joins
+      fan out row-wise and the from/to branches fire first. `obs_tier`
+      encodes that priority (1 = transaction, 0 = creation).
+    """
     f = fact_kin_transaction(spark, sf_dir, run_date)
     frm = f.select(
         "date_key",
         F.col("from_wallet").alias("wallet_id"),
         F.col("txn_ts").alias("obs_ts"),
-        F.col("from_balance_quark").alias("balance_quark"),
-    ).filter(F.col("balance_quark").isNotNull())
-    to = f.select(
+        F.coalesce("from_balance_quark", F.lit(0)).alias("balance_quark"),
+        F.lit(1).alias("obs_tier"),
+    )
+    to = f.filter(F.col("to_wallet") != F.col("from_wallet")).select(
         "date_key",
         F.col("to_wallet").alias("wallet_id"),
         F.col("txn_ts").alias("obs_ts"),
-        F.col("to_balance_quark").alias("balance_quark"),
-    ).filter(F.col("balance_quark").isNotNull())
+        F.coalesce("to_balance_quark", F.lit(0)).alias("balance_quark"),
+        F.lit(1).alias("obs_tier"),
+    )
     cr = fact_kin_creations(spark, sf_dir, run_date).select(
         "date_key",
         F.col("account_id").alias("wallet_id"),
         F.col("created_ts").alias("obs_ts"),
-        F.col("balance_quark"),
-    ).filter(F.col("balance_quark").isNotNull())
+        F.coalesce("balance_quark", F.lit(0)).alias("balance_quark"),
+        F.lit(0).alias("obs_tier"),
+    )
     return frm.unionByName(to).unionByName(cr).distinct()  # bare UNION (U1)
 
 def closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
@@ -274,15 +310,13 @@ def closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=R
 
 def _closing_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     obs = closing_balance_observations(spark, sf_dir, run_date)
-    # Latest observation per wallet/day; ties on the timestamp take the max
-    # balance (:54-89) — one lexicographic max(struct) pass, no join-back.
+    # Latest observation per wallet/day (:54-63); at the closing timestamp
+    # transaction observations beat creation ones, then ties take the max
+    # balance (:64-89) — one lexicographic max(struct) pass, no join-back.
+    best = F.max(F.struct("obs_ts", "obs_tier", "balance_quark"))
     return obs.groupBy("date_key", "wallet_id").agg(
-        F.max(F.struct("obs_ts", "balance_quark"))["balance_quark"].alias(
-            "closing_balance_quark"
-        ),
-        _kin(
-            F.max(F.struct("obs_ts", "balance_quark"))["balance_quark"]
-        ).alias("closing_balance_kin"),
+        best["balance_quark"].alias("closing_balance_quark"),
+        _kin(best["balance_quark"]).alias("closing_balance_kin"),
     )
 
 # ---------------------------------------------------------------------------
@@ -715,12 +749,19 @@ def gc_dust_wallets(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Data
         "closing_balance_quark",
     )
 
-# metabase_mart/daily_models/gc/multi_create_impacted_accounts.sql:5-42 —
-# HAVING multi-instruction creates (A7, counted over ALL creation rows of
-# a transaction — abnormal_creates :3-10 has no fee_payer predicate) →
-# impacted accounts = the AGORA-PAID rows of those transactions (:12-21,
-# the fee_payer filter applies at the ACCOUNT step, not the count) →
-# currently-dust accounts (W3 rank=1).
+# metabase_mart/daily_models/gc/multi_create_impacted_accounts.sql:1-46 —
+# Step 1 (:3-10): HAVING multi-instruction creates (A7, counted over ALL
+# creation rows of a transaction — no fee_payer predicate there).
+# Step 2 (:12-21): impacted accounts = DISTINCT account_id of the
+# AGORA-PAID rows of those transactions (the fee_payer filter applies at
+# the ACCOUNT step, not the count).
+# Step 3 (:22-33): closure candidates = impacted accounts with a
+# closing_balance <= 0 row. The dense_rank/balance_rank=1 filter keeps one
+# row per wallet, but every ranked wallet HAS a rank-1 row, so the wallet
+# set is "ever zeroed", NOT "currently zero" — replicated as-is.
+# Step 4 (:34-45): output = every CREATION ROW of those accounts as
+# (run date, account_id, account_owner) — creation-row multiplicity is
+# preserved (`select *` over the creations scan, no DISTINCT).
 
 def multi_create_impacted_accounts(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     cr = fact_kin_creations(spark, sf_dir, run_date)
@@ -736,29 +777,52 @@ def multi_create_impacted_accounts(spark: SparkSession, sf_dir: str, run_date=RU
         .select(F.col("account_id").alias("wallet_id"))
         .distinct()
     )
-    latest = gc_dust_wallets(spark, sf_dir, run_date)
-    return latest.join(impacted, "wallet_id", "left_semi")
+    zeroed = (
+        closing_account_balance_per_day(spark, sf_dir, run_date)
+        .filter(F.col("closing_balance_quark") <= 0)  # :31
+        .join(impacted, "wallet_id", "left_semi")
+        .select(F.col("wallet_id").alias("account_id"))
+        .distinct()
+    )
+    return cr.join(zeroed, "account_id", "left_semi").select(
+        F.lit(run_date).alias("date_key"),  # current_date as date_key (:39)
+        "account_id",
+        "account_owner",
+    )
 
-# kre_mart/.../average_account_balance_per_day.sql:22-34 — UNION ALL of the
-# from-side and to-side balance streams (U2), then per-day averages.
+# metabase_mart/.../accounts/average_account_balance_per_day.sql:1-42 —
+# per-(date, wallet) role averages (from-side :2-11, to-side :12-20),
+# UNION ALL (U2, :22-34 — both role rows kept deliberately), then the avg
+# of the one-or-two role averages (:36-41). The reference fact's balances
+# are COALESCEd to 0 (fact_kin_transaction.sql:30,35), so NULL raw
+# balances participate as zeros. Exactness: each role average is one
+# double division of exact integers (sum-quark / (count × 1e5)); the final
+# avg of two doubles is (f+t)/2 — addition is commutative, so both engines
+# agree bit-for-bit; ROUND(…, 6) terminal.
 
 def average_account_balance_per_day(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    frm = f.select(
-        "date_key", F.col("from_balance_quark").alias("balance_quark")
-    ).filter(F.col("balance_quark").isNotNull())
-    to = f.select(
-        "date_key", F.col("to_balance_quark").alias("balance_quark")
-    ).filter(F.col("balance_quark").isNotNull())
-    both = frm.unionByName(to)  # UNION ALL — keeps duplicates deliberately
-    return both.groupBy("date_key").agg(
-        F.count(F.lit(1)).alias("n_observations"),
+
+    def _role_avg(wallet_col: str, balance_col: str) -> DataFrame:
+        return (
+            f.groupBy("date_key", F.col(wallet_col).alias("wallet_id"))
+            .agg(
+                (
+                    F.sum(F.coalesce(balance_col, F.lit(0)))
+                    .cast("long")
+                    .cast("double")
+                    / (F.count(F.lit(1)) * 100000).cast("double")
+                ).alias("balance_average")
+            )
+        )
+
+    both = _role_avg("from_wallet", "from_balance_quark").unionByName(
+        _role_avg("to_wallet", "to_balance_quark")
+    )  # UNION ALL — keeps both role rows deliberately (:28)
+    return both.groupBy("date_key", "wallet_id").agg(
         F.round(
-            F.sum("balance_quark").cast("long") * 1.0
-            / F.count(F.lit(1))
-            / 100000.0,
-            6,
-        ).alias("avg_balance_kin"),
+            F.sum("balance_average") / F.count(F.lit(1)), 6
+        ).alias("account_balance_average")
     )
 
 # metabase_mart/.../daily_market_summary.sql:4-9 analog — price dim joined
@@ -769,10 +833,10 @@ def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) ->
     dim_kin_price projection: price, market cap, trade volume, and
     circulating supply = market_caps / prices (:8). The cents→USD
     conversions and the cap/price ratio are single correctly-rounded
-    divisions of exact integers — identical on both engines."""
-    price = ka.dim_kin_price(spark, sf_dir).filter(
-        F.col("date_key") < F.lit(run_date)
-    )
+    divisions of exact integers — identical on both engines. The reference
+    applies NO complete-day guard here (`where True`, :11) — the
+    in-progress day ships; replicated."""
+    price = ka.dim_kin_price(spark, sf_dir)
     return price.select(
         "date_key",
         (F.col("price_cents").cast("double") / 100.0).alias("kin_price"),
@@ -784,31 +848,82 @@ def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) ->
         ).alias("kin_circulating_supply"),
     )
 
-# metabase_mart/.../daily_net_inflation.sql:43-54 — prev-day self-join
-# rewritten as F.lag (J7), inflation/deflation flag (P7/P8).
+# metabase_mart/.../summary_stats/daily_net_inflation.sql:1-56 —
+#   net_inflation = daily_payout − (balance_d − balance_{d−1}) − churn_d
+# where payout = Σ post_monopoly_payout (kre_mart.daily_kin_payout, :2-11),
+# balance = Σ closing_balance per day (:13-23), churn = Σ churned wallet
+# balances per day (:24-35); every input is cut to complete days
+# (date_key < run − lookback), the day-before balance comes from a second
+# LEFT join at d−1 (:53-54, J7), missing sides IFNULL to 0 (:43-45), and
+# the flag is 'Inflation'/'Contraction'/'None' by sign (:46-51). Exactness:
+# payout rides as 1e-4-Kin quanta ints (×10 → 1e-5 grid), balances/churn as
+# quark ints, so net_inflation is one exact integer expression with a
+# single final /1e5 — the doubles the reference sums are order-dependent.
+# `lookback_days` defaults to the reference's hardcoded 40 (:9); the
+# registered query passes 7 for the 30-day driver fixture (churn note).
 
-def daily_net_inflation(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    cr = (
-        fact_kin_creations(spark, sf_dir, run_date)
+def daily_net_inflation(
+    spark: SparkSession,
+    sf_dir: str,
+    run_date=RUN_DATE,
+    lookback_days: int = CHURN_LOOKBACK_DAYS,
+) -> DataFrame:
+    cutoff = run_date - datetime.timedelta(days=lookback_days)
+    pay = (
+        daily_kin_payout(spark, sf_dir, run_date)
+        .filter(F.col("date_key") < F.lit(cutoff))
         .groupBy("date_key")
-        .agg(F.sum(F.coalesce("balance_quark", F.lit(0))).cast("long").alias("minted_quark"))
-    )
-    w = Window.orderBy("date_key")
-    return cr.select(
-        "date_key",
-        "minted_quark",
-        F.coalesce(F.lag("minted_quark").over(w), F.lit(0)).alias(
-            "prev_minted_quark"
-        ),
-        (F.col("minted_quark") - F.coalesce(F.lag("minted_quark").over(w), F.lit(0)))
-        .alias("net_change_quark"),
-        F.when(
-            F.col("minted_quark")
-            >= F.coalesce(F.lag("minted_quark").over(w), F.lit(0)),
-            F.lit("inflation"),
+        .agg(
+            F.sum(F.round(F.col("post_monopoly_payout") * 10000).cast("long"))
+            .cast("long")
+            .alias("payout_quanta")
         )
-        .otherwise(F.lit("deflation"))
-        .alias("direction"),
+    )
+    bal = (
+        closing_account_balance_per_day(spark, sf_dir, run_date)
+        .filter(F.col("date_key") < F.lit(cutoff))
+        .groupBy("date_key")
+        .agg(F.sum("closing_balance_quark").cast("long").alias("balance_quark"))
+    )
+    churn = (
+        daily_churn_volume(spark, sf_dir, run_date, lookback_days=lookback_days)
+        .filter(F.col("date_key") < F.lit(cutoff))
+        .groupBy("date_key")
+        .agg(F.sum("balance_quark").cast("long").alias("churn_quark"))
+    )
+    prev = bal.select(
+        F.date_add("date_key", 1).alias("date_key"),
+        F.col("balance_quark").alias("prev_balance_quark"),
+    )
+    j = (
+        pay.join(bal, "date_key", "left")
+        .join(prev, "date_key", "left")
+        .join(churn, "date_key", "left")
+        .select(
+            "date_key",
+            F.col("payout_quanta"),
+            F.coalesce("balance_quark", F.lit(0)).alias("balance_quark"),
+            F.coalesce("prev_balance_quark", F.lit(0)).alias("prev_balance_quark"),
+            F.coalesce("churn_quark", F.lit(0)).alias("churn_quark"),
+        )
+        .withColumn(
+            "net_inflation_quark",
+            F.col("payout_quanta") * 10
+            - (F.col("balance_quark") - F.col("prev_balance_quark"))
+            - F.col("churn_quark"),
+        )
+    )
+    return j.select(
+        "date_key",
+        (F.col("payout_quanta").cast("double") / 10000.0).alias("daily_payout"),
+        _kin(F.col("balance_quark")).alias("current_balance"),
+        _kin(F.col("prev_balance_quark")).alias("prev_balance"),
+        _kin(F.col("churn_quark")).alias("churn_amount"),
+        _kin(F.col("net_inflation_quark")).alias("net_inflation"),
+        F.when(F.col("net_inflation_quark") > 0, F.lit("Inflation"))
+        .when(F.col("net_inflation_quark") < 0, F.lit("Contraction"))
+        .otherwise(F.lit("None"))
+        .alias("inflation_flag"),
     )
 
 # ---------------------------------------------------------------------------
@@ -868,7 +983,7 @@ def _period_kin_transactions(spark, sf_dir, run_date, unit: str, complete_before
     f = fact_kin_transaction(spark, sf_dir, run_date)
     agg = (
         f.filter(F.col("date_key") < F.lit(complete_before))
-        .groupBy(F.trunc("date_key", unit).alias("period"), "app_id")
+        .groupBy(F.trunc("date_key", unit).alias("date_key"), "app_id")
         .agg(
             F.count(F.lit(1)).alias(f"{prefix}_count"),
             F.sum("amount_quark").cast("long").alias("volume_quark"),
@@ -886,49 +1001,74 @@ def weekly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
 def monthly_kin_transactions(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     return _period_kin_transactions(spark, sf_dir, run_date, "month", MONTH_COMPLETE_BEFORE)
 
-# data_studio_mart/.../kin_transactions_curated.sql:4-23 — pure rename
-# projection (P1). Deviation §2.11 fixed: the reference selects a
-# `tx_status` column the fact never produces; here the fact's filter
-# guarantees status='Ok', exposed as a literal.
-
 def kin_transactions_curated(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    return f.select(
-        F.col("date_key").alias("transaction_date"),
-        F.col("id").alias("event_id"),
-        F.col("transaction_id").alias("tx_hash"),
-        F.col("amount_kin").alias("kin_amount"),
-        F.col("from_wallet").alias("sender"),
-        F.col("to_wallet").alias("receiver"),
-        F.col("app_id").alias("application_id"),
-        F.col("txn_type").alias("transaction_type"),
-        F.lit("Ok").alias("tx_status"),
+    # data_studio_mart/.../transactions/kin_transactions_curated.sql:2-33 —
+    # the full rename projection (:4-24), app-attributed rows only
+    # (`app_id != 0`, :31). Deviations (SURVEY §2.11): transaction_status
+    # is a real literal 'Ok' (the reference selects a tx_status column its
+    # fact never produces — every fact row IS status Ok); fee is the
+    # 1e9-divided SOL value; the synthetic feed has no account-owner
+    # fields, so source_owner/destination_owner are typed NULLs.
+    null_str = F.lit(None).cast("string")
+    return f.filter(F.col("app_id") != 0).select(
+        F.col("id").alias("transaction_id"),
+        F.col("transaction_id").alias("transaction_hash"),
+        "date_key",
+        "app_id",
+        F.lit("Ok").alias("transaction_status"),
+        F.col("txn_type").alias("type"),
+        F.col("amount_kin").alias("amount"),
+        F.col("amount_quark").alias("quarks"),
+        "block",
+        F.col("instruction_idx").alias("instruction_offset"),
+        F.col("memo").alias("memo_text"),
+        F.col("txn_ts").alias("date_time"),
+        F.col("from_wallet").alias("source"),
+        null_str.alias("source_owner"),
+        _kin(F.coalesce("from_balance_quark", F.lit(0))).alias("source_balance"),
+        F.col("to_wallet").alias("destination"),
+        null_str.alias("destination_owner"),
+        _kin(F.coalesce("to_balance_quark", F.lit(0))).alias(
+            "destination_balance"
+        ),
+        F.col("fee_payer").alias("subsidizer"),
+        F.col("fee_sol").alias("fee"),
     )
 
 # kin_data/daily_models/api/daily_kin_blocks.sql:2-13 — count(distinct block).
 
 def daily_kin_blocks(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    # metabase_mart/.../summary_stats/daily_kin_blocks.sql:2-13 — exactly
+    # (date_key, block_count); no other columns in the reference mart.
     f = fact_kin_transaction(spark, sf_dir, run_date)
     return f.groupBy("date_key").agg(
-        F.countDistinct("block").alias("n_blocks"),
-        F.count(F.lit(1)).alias("n_txns"),
-        F.round(
-            F.count(F.lit(1)) * 1.0 / F.countDistinct("block"), 6
-        ).alias("txns_per_block"),
+        F.countDistinct("block").alias("block_count"),
     )
 
 # metabase_mart/.../app_transaction_summary_from_account_by_day.sql:2-13 —
 # finest-grain mart (date, app, wallet).
 
 def app_txn_summary_from_account_daily(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
+    return _app_txn_summary_daily(spark, sf_dir, run_date, "from_wallet")
+
+def _app_txn_summary_daily(spark, sf_dir, run_date, wallet_col: str) -> DataFrame:
+    # app_transaction_summary_{from,to}_account_by_day.sql:2-18 — grain
+    # (date, app, wallet); reference columns transaction_count / amount
+    # (Kin) / app_name (LEFT dim join, :16-17); volume_quark rides as the
+    # exact integer the cadence rollups re-aggregate.
     f = fact_kin_transaction(spark, sf_dir, run_date)
-    return f.groupBy(
-        "date_key", "app_id", F.col("from_wallet").alias("wallet_id")
+    g = f.groupBy(
+        "date_key", "app_id", F.col(wallet_col).alias("wallet_id")
     ).agg(
-        F.count(F.lit(1)).alias("n_txns"),
+        F.count(F.lit(1)).alias("transaction_count"),
         F.sum("amount_quark").cast("long").alias("volume_quark"),
-        _kin(F.sum("amount_quark")).alias("volume_kin"),
+        _kin(F.sum("amount_quark")).alias("amount"),
     )
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
+    )
+    return g.join(F.broadcast(app), "app_id", "left")
 
 # kre_mart/.../daily_kre_summary.sql:2-83 analog — ecosystem-day rollup
 # joining the KRE marts (J1 date-key alignment of derived series).
@@ -1014,62 +1154,118 @@ def daily_kre_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> Da
         )
     )
 
-# metabase_mart/.../daily_account_create_fee_payers analog — creation cost
-# accounting per fee payer (A1 + exact lamport-summed SOL fees).
+# metabase_mart/.../creates/daily_account_create_fee_payers.sql:1-40 —
+# (date, app, fee_payer)-grain creation cost accounting: counts, the
+# transaction-fee and creation-fee sums kept SEPARATE (:9-10), USD legs
+# from a LEFT join to dim_solana_price (:57 — a missing price day leaves
+# the USD columns NULL, not 0), and app_name from the app dim (:56). Fees
+# sum exact lamports (order-free) and convert once; each USD value is one
+# exact cross-multiply (lamports × price_cents / 1e11).
 
 def daily_create_fee_payers(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
     cr = fact_kin_creations(spark, sf_dir, run_date)
-    # Sum exact lamports (order-free), convert once at the edge: summing the
-    # per-row SOL doubles would be aggregation-order-dependent.
-    return cr.groupBy("date_key", "fee_payer").agg(
-        F.count(F.lit(1)).alias("n_creations"),
-        (
-            F.sum(F.col("fee_lamports") + F.col("create_fee_lamports"))
-            .cast("long")
-            .cast("double")
-            / F.lit(1_000_000_000.0)
-        ).alias("total_sol_paid"),
+    g = cr.groupBy("date_key", "app_id", "fee_payer").agg(
+        F.count(F.lit(1)).alias("daily_transactions"),
+        F.sum("fee_lamports").cast("long").alias("txn_fee_lamports"),
+        F.sum("create_fee_lamports").cast("long").alias("create_fee_lamports_sum"),
     )
-
-# kre_mart/.../daily_churn_volume.sql:45-48 — wallets with no activity in
-# the following N days; volume they take with them (J5 forward window).
-
-CHURN_HORIZON_DAYS = 7
-
-def daily_churn_volume(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    f = fact_kin_transaction(spark, sf_dir, run_date)
-    wd = (
-        f.groupBy("date_key", F.col("from_wallet").alias("wallet_id"))
-        .agg(F.sum("amount_quark").cast("long").alias("day_volume_quark"))
+    app = ka.dim_kin_app(spark, sf_dir).select(
+        F.col("id").alias("app_id"), F.col("name").alias("app_name")
     )
-    w = Window.partitionBy("wallet_id").orderBy(F.col("date_key").asc())
-    flagged = wd.withColumn("next_day", F.lead("date_key").over(w))
-    churned = flagged.filter(
-        (
-            F.col("next_day").isNull()
-            | (F.datediff("next_day", "date_key") > CHURN_HORIZON_DAYS)
+    sol = ka.dim_solana_price(spark, sf_dir).select("date_key", "sol_price_cents")
+    usd = lambda c: (  # noqa: E731
+        F.col(c).cast("double") * F.col("sol_price_cents").cast("double") / F.lit(1e11)
+    )
+    return (
+        g.join(F.broadcast(app), "app_id", "left")
+        .join(sol, "date_key", "left")
+        .select(
+            "date_key",
+            "app_id",
+            "fee_payer",
+            "daily_transactions",
+            (F.col("txn_fee_lamports").cast("double") / F.lit(1e9)).alias(
+                "daily_transaction_fees_sol"
+            ),
+            usd("txn_fee_lamports").alias("daily_transaction_fees_usd"),
+            (F.col("create_fee_lamports_sum").cast("double") / F.lit(1e9)).alias(
+                "daily_creation_fees_sol"
+            ),
+            usd("create_fee_lamports_sum").alias("daily_creation_fees_usd"),
+            "app_name",
         )
-        # censor rows whose horizon has not elapsed before run_date
-        & (F.date_add("date_key", CHURN_HORIZON_DAYS) < F.lit(run_date))
     )
-    return churned.groupBy("date_key").agg(
-        F.count(F.lit(1)).alias("churned_wallets"),
-        F.sum("day_volume_quark").cast("long").alias("churned_volume_quark"),
-        _kin(F.sum("day_volume_quark")).alias("churned_volume_kin"),
+
+# metabase_mart/.../summary_stats/daily_churn_volume.sql:1-56 — wallet-grain
+# churn: for each complete day d (date_key < run − lookback, :9), the
+# from-side transactors of app-attributed (app_id != 0, :20) transactions
+# that have a closing-balance row that day (:14-22) and NO closing-balance
+# observation in (d, d+lookback] (:45-48, the null-producing left range
+# join, J5/J10). Output grain is (date_key, app_id, wallet_id, balance) —
+# the reference stores wallet rows, not an aggregate; a wallet transacting
+# under several apps the same day appears once per app. The reference
+# hardcodes lookback = 40 days ("based on the amount of dates we have to
+# look back on"); `lookback_days` keeps that default, and the registered
+# query passes 7 because the driver fixture spans only 30 days (2024-01-01
+# .. 2024-01-30, run 2024-01-31) — at 40 every day would be censored.
+
+def daily_churn_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    run_date=RUN_DATE,
+    lookback_days: int = CHURN_LOOKBACK_DAYS,
+) -> DataFrame:
+    f = fact_kin_transaction(spark, sf_dir, run_date)
+    bal = closing_account_balance_per_day(spark, sf_dir, run_date)
+    cutoff = run_date - datetime.timedelta(days=lookback_days)
+    # distinct_dates (:2-12): complete days only
+    dates = (
+        f.select("date_key").distinct().filter(F.col("date_key") < F.lit(cutoff))
+    )
+    # transacted_accounts (:13-26): from-side wallets of app txns that have
+    # a balance row the same day, at (date, app, wallet) grain
+    txn = (
+        f.filter(F.col("app_id") != 0)
+        .join(dates, "date_key", "left_semi")
+        .select("date_key", "app_id", F.col("from_wallet").alias("wallet_id"))
+    )
+    transacted = (
+        txn.join(bal.select("date_key", "wallet_id"), ["date_key", "wallet_id"])
+        .groupBy("date_key", "app_id", "wallet_id")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    # accounts_with_balances (:27-37): attach the day's closing balance
+    awb = transacted.join(
+        bal.select(
+            "date_key", "wallet_id", "closing_balance_quark", "closing_balance_kin"
+        ),
+        ["date_key", "wallet_id"],
+    )
+    # daily_churn_summary (:38-52): no balance observation in (d, d+lookback]
+    future = bal.select(
+        F.col("date_key").alias("f_date"), F.col("wallet_id").alias("f_wallet")
+    )
+    churned = awb.join(
+        future,
+        (F.col("wallet_id") == F.col("f_wallet"))
+        & (F.col("f_date") > F.col("date_key"))
+        & (F.col("f_date") <= F.date_add("date_key", lookback_days)),
+        "left_anti",
+    )
+    return churned.select(
+        "date_key",
+        "app_id",
+        "wallet_id",
+        F.col("closing_balance_quark").alias("balance_quark"),
+        F.col("closing_balance_kin").alias("balance_kin"),
     )
 
 # metabase_mart/.../app_transaction_summary_to_account_by_day.sql — the
 # to-account twin of the from-account mart.
 
 def app_txn_summary_to_account_daily(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) -> DataFrame:
-    f = fact_kin_transaction(spark, sf_dir, run_date)
-    return f.groupBy(
-        "date_key", "app_id", F.col("to_wallet").alias("wallet_id")
-    ).agg(
-        F.count(F.lit(1)).alias("n_txns"),
-        F.sum("amount_quark").cast("long").alias("volume_quark"),
-        _kin(F.sum("amount_quark")).alias("volume_kin"),
-    )
+    return _app_txn_summary_daily(spark, sf_dir, run_date, "to_wallet")
 
 # metabase_mart/.../active_accounts/daily/daily_active_accounts_ecosystem.sql
 # — per-day users/spenders/earners distinct counts (the faithful 3-column
@@ -1566,25 +1762,29 @@ def _period_app_txn_summary(spark, sf_dir, run_date, side: str, unit: str, compl
         if side == "from"
         else app_txn_summary_to_account_daily(spark, sf_dir, run_date)
     )
+    # app_transaction_summary_{from,to}_account_by_{week,month}.sql:2-17 —
+    # the reference sums the DAILY mart's columns per period and re-joins
+    # the app dim; output column names date_key / transaction_count /
+    # amount / app_name match it, quark rides as the exact substrate.
     agg = (
         daily.filter(F.col("date_key") < F.lit(complete_before))
-        .groupBy(F.trunc("date_key", unit).alias("period"), "app_id", "wallet_id")
+        .groupBy(F.trunc("date_key", unit).alias("date_key"), "app_id", "wallet_id")
         .agg(
-            F.sum("n_txns").cast("long").alias("transaction_count"),
+            F.sum("transaction_count").cast("long").alias("transaction_count"),
             F.sum("volume_quark").cast("long").alias("volume_quark"),
-            _kin(F.sum("volume_quark")).alias("volume_kin"),
+            _kin(F.sum("volume_quark")).alias("amount"),
         )
     )
     app = ka.dim_kin_app(spark, sf_dir).select(
         F.col("id").alias("app_id"), F.col("name").alias("app_name")
     )
     return agg.join(F.broadcast(app), "app_id", "left").select(
-        "period",
+        "date_key",
         "app_id",
         "wallet_id",
         "transaction_count",
         "volume_quark",
-        "volume_kin",
+        "amount",
         "app_name",
     )
 

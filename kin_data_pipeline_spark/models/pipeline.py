@@ -139,17 +139,16 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         _k("daily_kin_transactions"),
         _k("daily_counts_by_amount"),
         _k("daily_kin_blocks"),
-        _k("daily_net_inflation"),
+        _k("daily_net_inflation",
+           deps=("daily_kin_payout", "closing_account_balance_per_day",
+                 "daily_churn_volume")),
         _k("daily_market_summary"),
-        _k("kin_transactions_curated", date_col="transaction_date"),
-        _k("weekly_kin_transactions", cadence="weekly", date_col="period",
-           deps=(FACT_T,)),
-        _k("monthly_kin_transactions", cadence="monthly", date_col="period",
-           deps=(FACT_T,)),
+        _k("kin_transactions_curated"),
+        _k("weekly_kin_transactions", cadence="weekly", deps=(FACT_T,)),
+        _k("monthly_kin_transactions", cadence="monthly", deps=(FACT_T,)),
         # --- balances chain (kre_mart active_user_and_vf) ---
         _k("closing_account_balance_per_day", deps=(FACT_T, FACT_C)),
-        _k("average_account_balance_per_day",
-           deps=("closing_account_balance_per_day",)),
+        _k("average_account_balance_per_day", deps=(FACT_T,)),
         _k("account_balance_buckets_app",
            deps=("closing_account_balance_per_day",)),
         _k("daily_active_user_balance_by_app",
@@ -178,14 +177,10 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         # --- account transaction summaries ---
         _k("app_txn_summary_from_account_daily"),
         _k("app_txn_summary_to_account_daily"),
-        _k("weekly_app_txn_summary_from_account", cadence="weekly",
-           date_col="period"),
-        _k("monthly_app_txn_summary_from_account", cadence="monthly",
-           date_col="period"),
-        _k("weekly_app_txn_summary_to_account", cadence="weekly",
-           date_col="period"),
-        _k("monthly_app_txn_summary_to_account", cadence="monthly",
-           date_col="period"),
+        _k("weekly_app_txn_summary_from_account", cadence="weekly"),
+        _k("monthly_app_txn_summary_from_account", cadence="monthly"),
+        _k("weekly_app_txn_summary_to_account", cadence="weekly"),
+        _k("monthly_app_txn_summary_to_account", cadence="monthly"),
         # --- creates family ---
         _k("daily_kin_creations_by_app", deps=(FACT_C,)),
         _k("daily_create_fee_payers", deps=(FACT_C,)),
@@ -193,9 +188,8 @@ def build_kin_models(sf_dir: str) -> list[Model]:
         _k("daily_account_creates_by_close_authority", deps=(FACT_C,)),
         _k("daily_account_creates_by_program", deps=(FACT_C,)),
         # --- garbage collection / churn ---
-        _k("daily_churn_volume"),
-        _k("multi_create_impacted_accounts", date_col="last_seen_date",
-           deps=(FACT_C,)),
+        _k("daily_churn_volume", deps=(FACT_T, "closing_account_balance_per_day")),
+        _k("multi_create_impacted_accounts", deps=(FACT_C, "closing_account_balance_per_day")),
         _k("gc_dust_wallets", cadence="monthly", date_col="last_seen_date",
            deps=("closing_account_balance_per_day",)),
         _k("monthly_inactive_wallets", cadence="monthly",

@@ -33,13 +33,19 @@ import kin_data_pipeline_spark.queries.timeseries  # noqa: F401,E402
 # round prep is a data change only.
 ROUND = 6
 
-# Round-6 window goal (VERDICT r5 ask #1): lead with the 6 r5 backlog
-# queries (never driver-checked, judge-pre-verified at sf0.01); then the 9
-# KRE/AUB-chain queries whose implementations were semantically reworked
-# AFTER their last green driver rows (commit 1797515 — their r2/r4 rows
-# certify code that no longer exists); then the staleness tier: all 11
-# remaining r1-green queries (at the MAX_STALENESS bound this round), the
-# 22 r2-green kin long-tail + misc, and 2 oldest-r3 fillers.
+# Round-6 window (VERDICT r5 asks #1 + #3): the round-6 fidelity pass
+# re-read every remaining reference model clause-by-clause and re-ported
+# the drifted ones (closing-balance NULL→0 + priority tiers, wallet-grain
+# churn, payout−Δbalance−churn net inflation, avg-of-role-avgs balance,
+# (date,app,fee_payer) fee costs, ever-zeroed multi-create output, curated
+# projection, counts-by-amount ranges, blocks/app-summary contracts).
+# PLAN_MANIFEST.json advanced `since` to 6 for the 37 fingerprint-changed
+# kin queries, so they are all effectively never-green and lead the
+# window: the 6 r5-backlog media/relational queries first, then the 33
+# value- or contract-changed kin queries (the 4 weekly/monthly app-txn
+# rollups — rename-only rollups of re-verified daily marts — wait in
+# NEXT_WINDOW_BACKLOG), then the 11 r1-green queries at the staleness
+# bound.
 CURRENT_WINDOW_HEAD = [
     # --- 1..6: the r5 backlog, never driver-checked (contractual head)
     "jpeg_pixel_stats",  # baseline-JPEG entropy decode round trip
@@ -48,7 +54,8 @@ CURRENT_WINDOW_HEAD = [
     "customer_order_lifecycle_sets",  # INTERSECT/EXCEPT lifecycle segments
     "customer_rolling_order_stats",  # bounded sliding ROWS frame
     "small_quantity_revenue_q17",  # TPC-H Q17 decorrelated-average shape
-    # --- 7..15: the KRE/AUB chain, reworked post-green (commit 1797515)
+    # --- 7..15: the KRE/AUB chain (reworked in r5 post-green, values
+    #     shifted again by the r6 closing-balance fidelity fix)
     "kin_daily_aub_by_app",
     "kin_daily_payout",
     "kin_weekly_payout_summary",
@@ -58,7 +65,32 @@ CURRENT_WINDOW_HEAD = [
     "kin_monthly_transactions",
     "kin_multi_create_impacted",
     "kin_daily_counts_by_amount",
-    # --- 16..26: the 11 queries last green in r1 (staleness bound hit)
+    # --- 16..39: the remaining round-6 fidelity-pass queries (since = 6)
+    "kin_closing_balance_per_day",
+    "kin_average_balance_per_day",
+    "kin_daily_churn_volume",
+    "kin_daily_net_inflation",
+    "kin_daily_create_fee_payers",
+    "kin_transactions_curated",
+    "kin_daily_blocks",
+    "kin_daily_market_summary",
+    "kin_account_balance_buckets",
+    "kin_gc_dust_wallets",
+    "kin_monthly_inactive_wallets",
+    "kin_fact_transactions",
+    "kin_daily_transactions",
+    "kin_daily_active_accounts_30d",
+    "kin_daily_active_accounts_app",
+    "kin_daily_active_accounts_ecosystem",
+    "kin_weekly_active_accounts_app",
+    "kin_weekly_active_accounts_ecosystem",
+    "kin_monthly_active_accounts_app",
+    "kin_monthly_active_accounts_ecosystem",
+    "kin_daily_summary_by_app",
+    "kin_daily_summary_ecosystem",
+    "kin_app_txn_summary_from_account_daily",
+    "kin_app_txn_summary_to_account_daily",
+    # --- 40..50: the 11 queries last green in r1 (staleness bound hit)
     "embedding_lsh_ann_top5",
     "language_id_confusion",
     "minhash_signatures",
@@ -70,38 +102,20 @@ CURRENT_WINDOW_HEAD = [
     "simhash_signatures",
     "term_document_frequency",
     "token_counts_by_source",
-    # --- 27..48: the r2-green long-tail (stale next round otherwise)
-    "kin_app_txn_summary_from_account_daily",
-    "kin_app_txn_summary_from_account_monthly",
-    "kin_app_txn_summary_from_account_weekly",
-    "kin_app_txn_summary_to_account_daily",
-    "kin_app_txn_summary_to_account_monthly",
-    "kin_app_txn_summary_to_account_weekly",
-    "kin_daily_account_creates_by_close_authority",
-    "kin_daily_account_creates_by_program",
-    "kin_daily_account_creates_by_type",
-    "kin_daily_account_summary_by_app",
-    "kin_daily_account_summary_ecosystem",
-    "kin_daily_active_accounts_app",
-    "kin_daily_summary_ecosystem",
-    "kin_monthly_active_accounts_app",
-    "kin_monthly_active_accounts_ecosystem",
-    "kin_weekly_active_accounts_app",
-    "kin_weekly_active_accounts_ecosystem",
-    "media_metadata_stats",
-    "near_dup_clusters",
-    "ngram_jaccard_capped",
-    "streaming_daily_rollup",
-    "trailing_7d_revenue",
-    # --- 49..50: oldest-r3 fillers (rotation head of the r3 tier)
-    "api_dim_seed",
-    "api_timeseries_seed",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window.
-NEXT_WINDOW_BACKLOG: list[str] = []
+# and must lead the next round's window. This round: the 4 cadence rollups
+# of the re-verified daily app-txn marts — their round-6 change is the
+# reference column contract (date_key/transaction_count/amount/app_name),
+# not the aggregation, and the window is full.
+NEXT_WINDOW_BACKLOG: list[str] = [
+    "kin_app_txn_summary_from_account_weekly",
+    "kin_app_txn_summary_from_account_monthly",
+    "kin_app_txn_summary_to_account_weekly",
+    "kin_app_txn_summary_to_account_monthly",
+]
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}

@@ -50,6 +50,10 @@ _NORMALIZE_PATTERNS = [
     # Media-tier builds repartition to SESSION parallelism (_spread_ids);
     # the width is an environment property, not query semantics.
     (re.compile(r"Repartition \d+"), "Repartition _"),
+    # Higher-order-function lambda variables are numbered by a
+    # session-global counter (`lambda x_5` on a fresh session, `lambda
+    # x_21` after other HOF queries ran) — strip the counter.
+    (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1__"),
 ]
 
 

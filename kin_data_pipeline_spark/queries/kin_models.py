@@ -27,6 +27,7 @@ fact_kin_transaction AS (
     CAST(date_trunc('day', date) AS DATE) AS date_key,
     make_timestamp(timestamp * 1000000) AS txn_ts,
     id, block, transactionid AS transaction_id, instructionidx AS instruction_idx,
+    memo,
     COALESCE(amount, 0) AS amount_quark,
     {KIN('COALESCE(amount, 0)')} AS amount_kin,
     fromaccount AS from_wallet, toaccount AS to_wallet,
@@ -62,29 +63,65 @@ fact_kin_creations AS (
 )
 """
 
+# closing_account_balance_per_day.sql:33-89 — NULL balances ride as 0
+# (the reference fact COALESCEs, the closing CASE coalesces again); the
+# per-row CASE evaluates from-side before to-side (self-transfers
+# contribute only from_balance) and the creation branch is reachable only
+# when no transaction matched at the closing timestamp, so transaction
+# observations outrank creation ones (obs_tier). Latest timestamp wins,
+# then tier, then max balance — one lexicographic struct-MAX.
 CLOSING_SQL = """
 closing_obs AS (
   SELECT DISTINCT * FROM (
-    SELECT date_key, from_wallet AS wallet_id, txn_ts AS obs_ts, from_balance_quark AS balance_quark
-    FROM fact_kin_transaction WHERE from_balance_quark IS NOT NULL
+    SELECT date_key, from_wallet AS wallet_id, txn_ts AS obs_ts,
+           COALESCE(from_balance_quark, 0) AS balance_quark, 1 AS obs_tier
+    FROM fact_kin_transaction
     UNION ALL
-    SELECT date_key, to_wallet, txn_ts, to_balance_quark
-    FROM fact_kin_transaction WHERE to_balance_quark IS NOT NULL
+    SELECT date_key, to_wallet, txn_ts, COALESCE(to_balance_quark, 0), 1
+    FROM fact_kin_transaction WHERE to_wallet <> from_wallet
     UNION ALL
-    SELECT date_key, account_id, created_ts, balance_quark
-    FROM fact_kin_creations WHERE balance_quark IS NOT NULL
+    SELECT date_key, account_id, created_ts, COALESCE(balance_quark, 0), 0
+    FROM fact_kin_creations
   )
 ),
 closing AS (
-  WITH mx AS (
-    SELECT date_key, wallet_id, MAX(obs_ts) AS mts FROM closing_obs GROUP BY 1, 2
-  )
-  SELECT m.date_key, m.wallet_id, MAX(o.balance_quark) AS closing_balance_quark
-  FROM mx m JOIN closing_obs o
-    ON o.date_key = m.date_key AND o.wallet_id = m.wallet_id AND o.obs_ts = m.mts
+  SELECT date_key, wallet_id,
+         struct_extract(MAX(ROW(obs_ts, obs_tier, balance_quark)), 3) AS closing_balance_quark
+  FROM closing_obs
   GROUP BY 1, 2
 )
 """
+
+# daily_churn_volume.sql:1-56 with lookback = 7 instead of the reference's
+# hardcoded 40 — the driver fixture spans 30 days, so at 40 every day is
+# censored and the mart is vacuously empty; the code path is identical and
+# the model's default stays 40 (CHURN_LOOKBACK_DAYS).
+CHURN_SQL = f"""
+churn_dates AS (
+  SELECT DISTINCT date_key FROM fact_kin_transaction WHERE date_key < {RUN} - 7
+),
+churn_transacted AS (
+  SELECT t.date_key, t.app_id, b.wallet_id
+  FROM churn_dates d
+  JOIN fact_kin_transaction t ON d.date_key = t.date_key
+  JOIN closing b ON t.date_key = b.date_key AND t.from_wallet = b.wallet_id
+  WHERE t.app_id != 0
+  GROUP BY 1, 2, 3
+),
+churn_awb AS (
+  SELECT ta.date_key, ta.app_id, ta.wallet_id, b.closing_balance_quark
+  FROM churn_transacted ta
+  JOIN closing b ON ta.date_key = b.date_key AND ta.wallet_id = b.wallet_id
+),
+churn_summary AS (
+  SELECT a.date_key, a.app_id, a.wallet_id, a.closing_balance_quark
+  FROM churn_awb a
+  LEFT JOIN closing f ON f.wallet_id = a.wallet_id
+    AND f.date_key > a.date_key AND f.date_key <= a.date_key + 7
+  WHERE f.wallet_id IS NULL
+)
+"""
+
 
 # Faithful to daily_active_user_balance_by_app.sql: au_filtered keeps
 # wallets with >= 3 spends per (day, app) AND app_id != 0 (:34-36); each
@@ -350,19 +387,19 @@ FROM daily_txn_mart m LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
 register(
     "kin_daily_counts_by_amount",
     _with(*_BASE, FACT_TXN_SQL)
-    + f"""
+    + """
 SELECT date_key,
-  CASE WHEN amount_quark <= 100000 THEN '0-1'
-       WHEN amount_quark <= 1000000 THEN '1-10'
-       WHEN amount_quark <= 10000000 THEN '10-100'
-       WHEN amount_quark <= 100000000 THEN '100-1000'
-       WHEN amount_quark <= 1000000000 THEN '1000-10000'
-       ELSE '10000+' END AS amount_bucket,
-  CAST(COUNT(*) AS BIGINT) AS n_txns,
-  {KIN('SUM(amount_quark)')} AS volume_kin
+  CASE WHEN amount_quark <= 99999 THEN 'N/A'
+       WHEN amount_quark <= 199999 THEN '1-2'
+       WHEN amount_quark <= 99999999 THEN '2-1000'
+       WHEN amount_quark <= 999999999 THEN '1001-10000'
+       WHEN amount_quark <= 9999999999 THEN '10001-100000'
+       WHEN amount_quark <= 99999999999 THEN '100001-1000000'
+       ELSE '1000001+' END AS amount_range,
+  CAST(COUNT(*) AS BIGINT) AS transaction_count
 FROM fact_kin_transaction GROUP BY 1, 2
 """,
-    doc="amount-histogram bucketing on the fact (P8)",
+    doc="amount-histogram bucketing on the fact (P8, daily_kin_transaction_counts_by_amount.sql:5-13 ranges)",
 )(_q(M.daily_counts_by_amount))
 
 register(
@@ -474,8 +511,8 @@ register(
 
 register(
     "kin_multi_create_impacted",
-    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, GC_SQL)
-    + """
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL)
+    + f"""
 , multi AS (
   SELECT tx_id FROM fact_kin_creations
   GROUP BY tx_id HAVING COUNT(instr_idx) > 1
@@ -485,26 +522,43 @@ register(
   SELECT DISTINCT account_id AS wallet_id FROM fact_kin_creations
   WHERE tx_id IN (SELECT tx_id FROM multi)
     AND fee_payer = 'AgoraFeePayer11111'
+), zeroed AS (
+  -- step 3: ever-zeroed impacted wallets (every ranked wallet has a
+  -- rank-1 row, so balance_rank = 1 does not narrow the wallet set)
+  SELECT DISTINCT wallet_id FROM closing
+  WHERE closing_balance_quark <= 0
+    AND wallet_id IN (SELECT wallet_id FROM impacted)
 )
-SELECT g.* FROM gc g WHERE g.wallet_id IN (SELECT wallet_id FROM impacted)
+-- step 4: every creation row of those accounts, run date stamped
+SELECT {RUN} AS date_key, c.account_id, c.account_owner
+FROM fact_kin_creations c
+WHERE c.account_id IN (SELECT wallet_id FROM zeroed)
 """,
-    doc="multi-create GC chain: HAVING (A7) + semi joins (J8) + rank=1 (W3)",
+    doc="multi-create GC chain: HAVING (A7) + semi joins (J8); ever-zeroed wallets, creation-row multiplicity (multi_create_impacted_accounts.sql:1-46)",
 )(_q(M.multi_create_impacted_accounts))
 
 register(
     "kin_average_balance_per_day",
     _with(*_BASE, FACT_TXN_SQL)
     + """
-, both_sides AS (
-  SELECT date_key, from_balance_quark AS balance_quark FROM fact_kin_transaction WHERE from_balance_quark IS NOT NULL
+, role_avgs AS (
+  -- from-side per-(date, wallet) average (:2-11); NULL balances are the
+  -- fact's COALESCEd zeros
+  SELECT date_key, from_wallet AS wallet_id,
+         CAST(CAST(SUM(COALESCE(from_balance_quark, 0)) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * 100000 AS DOUBLE) AS balance_average
+  FROM fact_kin_transaction GROUP BY 1, 2
   UNION ALL
-  SELECT date_key, to_balance_quark FROM fact_kin_transaction WHERE to_balance_quark IS NOT NULL
+  SELECT date_key, to_wallet,
+         CAST(CAST(SUM(COALESCE(to_balance_quark, 0)) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * 100000 AS DOUBLE)
+  FROM fact_kin_transaction GROUP BY 1, 2
 )
-SELECT date_key, CAST(COUNT(*) AS BIGINT) AS n_observations,
-       ROUND(CAST(SUM(balance_quark) AS BIGINT) * 1.0 / COUNT(*) / 100000.0, 6) AS avg_balance_kin
-FROM both_sides GROUP BY date_key
+SELECT date_key, wallet_id,
+       ROUND(SUM(balance_average) / COUNT(*), 6) AS account_balance_average
+FROM role_avgs GROUP BY 1, 2
 """,
-    doc="UNION ALL from/to balance averages (U2)",
+    doc="per-(date, wallet) role averages, UNION ALL, avg-of-avgs (average_account_balance_per_day.sql:1-42)",
 )(_q(M.average_account_balance_per_day))
 
 register(
@@ -516,28 +570,55 @@ SELECT date_key,
        CAST(market_cap_cents AS DOUBLE) / 100.0 AS kin_market_cap,
        CAST(volume_cents AS DOUBLE) / 100.0 AS kin_trade_volume,
        CAST(market_cap_cents AS DOUBLE) / CAST(price_cents AS DOUBLE) AS kin_circulating_supply
-FROM dim_kin_price WHERE date_key < {RUN}
+FROM dim_kin_price
 """,
-    doc="market dim projection: price/cap/volume/supply (daily_market_summary.sql:1-19)",
+    doc="market dim projection, no complete-day guard (daily_market_summary.sql:1-19, `where True`)",
 )(_q(M.daily_market_summary))
 
 register(
     "kin_daily_net_inflation",
-    _with(*_BASE, FACT_CREATIONS_SQL)
-    + """
-, minted AS (
-  SELECT date_key, CAST(SUM(COALESCE(balance_quark, 0)) AS BIGINT) AS minted_quark
-  FROM fact_kin_creations GROUP BY 1
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, AUB_SQL, VF_SQL, PAYOUT_SQL, CHURN_SQL)
+    + f"""
+, ni_pay AS (
+  SELECT date_key,
+         CAST(SUM(CAST(round(post_monopoly_payout * 10000) AS BIGINT)) AS BIGINT) AS payout_quanta
+  FROM payout WHERE date_key < {RUN} - 7 GROUP BY 1
+),
+ni_bal AS (
+  SELECT date_key, CAST(SUM(closing_balance_quark) AS BIGINT) AS balance_quark
+  FROM closing WHERE date_key < {RUN} - 7 GROUP BY 1
+),
+ni_churn AS (
+  SELECT date_key, CAST(SUM(closing_balance_quark) AS BIGINT) AS churn_quark
+  FROM churn_summary WHERE date_key < {RUN} - 7 GROUP BY 1
+),
+ni AS (
+  SELECT p.date_key,
+         p.payout_quanta,
+         COALESCE(ub.balance_quark, 0) AS balance_quark,
+         COALESCE(prev.balance_quark, 0) AS prev_balance_quark,
+         COALESCE(c.churn_quark, 0) AS churn_quark,
+         p.payout_quanta * 10
+           - (COALESCE(ub.balance_quark, 0) - COALESCE(prev.balance_quark, 0))
+           - COALESCE(c.churn_quark, 0) AS net_inflation_quark
+  FROM ni_pay p
+  LEFT JOIN ni_bal ub ON p.date_key = ub.date_key
+  LEFT JOIN ni_bal prev ON p.date_key - 1 = prev.date_key
+  LEFT JOIN ni_churn c ON p.date_key = c.date_key
 )
-SELECT date_key, minted_quark,
-       COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0) AS prev_minted_quark,
-       minted_quark - COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0) AS net_change_quark,
-       CASE WHEN minted_quark >= COALESCE(LAG(minted_quark) OVER (ORDER BY date_key), 0)
-            THEN 'inflation' ELSE 'deflation' END AS direction
-FROM minted
+SELECT date_key,
+       CAST(payout_quanta AS DOUBLE) / 10000.0 AS daily_payout,
+       {KIN('balance_quark')} AS current_balance,
+       {KIN('prev_balance_quark')} AS prev_balance,
+       {KIN('churn_quark')} AS churn_amount,
+       {KIN('net_inflation_quark')} AS net_inflation,
+       CASE WHEN net_inflation_quark > 0 THEN 'Inflation'
+            WHEN net_inflation_quark < 0 THEN 'Contraction'
+            ELSE 'None' END AS inflation_flag
+FROM ni
 """,
-    doc="prev-day lag + inflation flag (J7 rewrite)",
-)(_q(M.daily_net_inflation))
+    doc="payout − Δbalance − churn with IFNULL-0 sides and prev-day left join (daily_net_inflation.sql:1-56, lookback 7 for the 30-day fixture)",
+)(lambda spark, sf_dir: M.daily_net_inflation(spark, sf_dir, M.RUN_DATE, lookback_days=7))
 
 # ---------------------------------------------------------------------------
 # Phase-2 model family (SURVEY §7): creates, cadence rollups, curated
@@ -564,7 +645,7 @@ register(
     "kin_weekly_transactions",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT CAST(date_trunc('week', t.date_key) AS DATE) AS period,
+SELECT CAST(date_trunc('week', t.date_key) AS DATE) AS date_key,
        t.app_id,
        CAST(COUNT(*) AS BIGINT) AS weekly_count,
        CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
@@ -582,7 +663,7 @@ register(
     "kin_monthly_transactions",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT CAST(date_trunc('month', t.date_key) AS DATE) AS period,
+SELECT CAST(date_trunc('month', t.date_key) AS DATE) AS date_key,
        t.app_id,
        CAST(COUNT(*) AS BIGINT) AS monthly_count,
        CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
@@ -599,14 +680,23 @@ GROUP BY 1, 2
 register(
     "kin_transactions_curated",
     _with(*_BASE, FACT_TXN_SQL)
-    + """
-SELECT date_key AS transaction_date, id AS event_id, transaction_id AS tx_hash,
-       amount_kin AS kin_amount, from_wallet AS sender, to_wallet AS receiver,
-       app_id AS application_id, txn_type AS transaction_type,
-       'Ok' AS tx_status
+    + f"""
+SELECT id AS transaction_id, transaction_id AS transaction_hash,
+       date_key, app_id,
+       'Ok' AS transaction_status,
+       txn_type AS type,
+       amount_kin AS amount, amount_quark AS quarks,
+       block, instruction_idx AS instruction_offset, memo AS memo_text,
+       txn_ts AS date_time,
+       from_wallet AS source, CAST(NULL AS VARCHAR) AS source_owner,
+       {KIN('COALESCE(from_balance_quark, 0)')} AS source_balance,
+       to_wallet AS destination, CAST(NULL AS VARCHAR) AS destination_owner,
+       {KIN('COALESCE(to_balance_quark, 0)')} AS destination_balance,
+       fee_payer AS subsidizer, fee_sol AS fee
 FROM fact_kin_transaction
+WHERE app_id != 0
 """,
-    doc="curated rename projection (P1; fixes the reference's phantom tx_status column)",
+    doc="curated rename projection, app rows only (kin_transactions_curated.sql:2-33; phantom tx_status + fee divisor per SURVEY 2.11; no owner fields in the synthetic feed)",
 )(_q(M.kin_transactions_curated))
 
 register(
@@ -614,23 +704,23 @@ register(
     _with(*_BASE, FACT_TXN_SQL)
     + """
 SELECT date_key,
-       CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
-       CAST(COUNT(*) AS BIGINT) AS n_txns,
-       ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT block), 6) AS txns_per_block
+       CAST(COUNT(DISTINCT block) AS BIGINT) AS block_count
 FROM fact_kin_transaction GROUP BY 1
 """,
-    doc="count(distinct block) per day (A2, daily_kin_blocks.sql:5)",
+    doc="count(distinct block) per day (A2, daily_kin_blocks.sql:2-13 — exactly two columns)",
 )(_q(M.daily_kin_blocks))
 
 register(
     "kin_app_txn_summary_from_account_daily",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT date_key, app_id, from_wallet AS wallet_id,
-       CAST(COUNT(*) AS BIGINT) AS n_txns,
-       CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
-       {KIN('SUM(amount_quark)')} AS volume_kin
-FROM fact_kin_transaction GROUP BY 1, 2, 3
+SELECT t.date_key, t.app_id, t.from_wallet AS wallet_id,
+       CAST(COUNT(*) AS BIGINT) AS transaction_count,
+       CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(t.amount_quark)')} AS amount,
+       ANY_VALUE(dka.name) AS app_name
+FROM fact_kin_transaction t LEFT JOIN dim_kin_app dka ON t.app_id = dka.id
+GROUP BY 1, 2, 3
 """,
     doc="finest-grain (date, app, wallet) mart (A1 multi-key)",
 )(_q(M.app_txn_summary_from_account_daily))
@@ -684,48 +774,51 @@ register(
     "kin_daily_create_fee_payers",
     _with(*_BASE, FACT_CREATIONS_SQL)
     + """
-SELECT date_key, fee_payer,
-       CAST(COUNT(*) AS BIGINT) AS n_creations,
-       CAST(CAST(SUM(fee_lamports + create_fee_lamports) AS BIGINT) AS DOUBLE)
-         / 1000000000.0 AS total_sol_paid
-FROM fact_kin_creations GROUP BY 1, 2
+, fp AS (
+  SELECT date_key, app_id, fee_payer,
+         CAST(COUNT(*) AS BIGINT) AS daily_transactions,
+         CAST(SUM(fee_lamports) AS BIGINT) AS txn_fee_lamports,
+         CAST(SUM(create_fee_lamports) AS BIGINT) AS create_fee_lamports_sum
+  FROM fact_kin_creations GROUP BY 1, 2, 3
+)
+SELECT fp.date_key, fp.app_id, fp.fee_payer, fp.daily_transactions,
+       CAST(fp.txn_fee_lamports AS DOUBLE) / 1e9 AS daily_transaction_fees_sol,
+       CAST(fp.txn_fee_lamports AS DOUBLE) * CAST(sp.sol_price_cents AS DOUBLE) / 1e11
+         AS daily_transaction_fees_usd,
+       CAST(fp.create_fee_lamports_sum AS DOUBLE) / 1e9 AS daily_creation_fees_sol,
+       CAST(fp.create_fee_lamports_sum AS DOUBLE) * CAST(sp.sol_price_cents AS DOUBLE) / 1e11
+         AS daily_creation_fees_usd,
+       dka.name AS app_name
+FROM fp
+LEFT JOIN dim_kin_app dka ON fp.app_id = dka.id
+LEFT JOIN dim_solana_price sp ON fp.date_key = sp.date_key
 """,
-    doc="creation cost accounting per fee payer (A1 + decimal SOL fees)",
+    doc="(date, app, fee_payer) creation costs, split fees + USD legs (daily_account_create_fee_payers.sql:1-40)",
 )(_q(M.daily_create_fee_payers))
 
 register(
     "kin_daily_churn_volume",
-    _with(*_BASE, FACT_TXN_SQL)
+    _with(*_BASE, FACT_TXN_SQL, FACT_CREATIONS_SQL, CLOSING_SQL, CHURN_SQL)
     + f"""
-, wallet_days AS (
-  SELECT date_key, from_wallet AS wallet_id,
-         CAST(SUM(amount_quark) AS BIGINT) AS day_volume_quark
-  FROM fact_kin_transaction GROUP BY 1, 2
-), flagged AS (
-  SELECT *, LEAD(date_key) OVER (PARTITION BY wallet_id ORDER BY date_key) AS next_day
-  FROM wallet_days
-)
-SELECT date_key,
-       CAST(COUNT(*) AS BIGINT) AS churned_wallets,
-       CAST(SUM(day_volume_quark) AS BIGINT) AS churned_volume_quark,
-       {KIN('SUM(day_volume_quark)')} AS churned_volume_kin
-FROM flagged
-WHERE (next_day IS NULL OR next_day - date_key > 7)
-  AND date_key + 7 < {RUN}
-GROUP BY 1
+SELECT date_key, app_id, wallet_id,
+       closing_balance_quark AS balance_quark,
+       {KIN('closing_balance_quark')} AS balance_kin
+FROM churn_summary
 """,
-    doc="forward-window churn volume (J5 lead rewrite, censored horizon)",
-)(_q(M.daily_churn_volume))
+    doc="wallet-grain churn: app transactors with no balance row in (d, d+N] (daily_churn_volume.sql:1-56, J5/J10)",
+)(lambda spark, sf_dir: M.daily_churn_volume(spark, sf_dir, M.RUN_DATE, lookback_days=7))
 
 register(
     "kin_app_txn_summary_to_account_daily",
     _with(*_BASE, FACT_TXN_SQL)
     + f"""
-SELECT date_key, app_id, to_wallet AS wallet_id,
-       CAST(COUNT(*) AS BIGINT) AS n_txns,
-       CAST(SUM(amount_quark) AS BIGINT) AS volume_quark,
-       {KIN('SUM(amount_quark)')} AS volume_kin
-FROM fact_kin_transaction GROUP BY 1, 2, 3
+SELECT t.date_key, t.app_id, t.to_wallet AS wallet_id,
+       CAST(COUNT(*) AS BIGINT) AS transaction_count,
+       CAST(SUM(t.amount_quark) AS BIGINT) AS volume_quark,
+       {KIN('SUM(t.amount_quark)')} AS amount,
+       ANY_VALUE(dka.name) AS app_name
+FROM fact_kin_transaction t LEFT JOIN dim_kin_app dka ON t.app_id = dka.id
+GROUP BY 1, 2, 3
 """,
     doc="to-account twin of the fine-grain mart",
 )(_q(M.app_txn_summary_to_account_daily))
@@ -934,7 +1027,7 @@ register(
 
 _PERIOD_SUMMARY_SQL = """
 , ps AS (
-  SELECT CAST(date_trunc('{unit}', date_key) AS DATE) AS period, app_id,
+  SELECT CAST(date_trunc('{unit}', date_key) AS DATE) AS date_key, app_id,
          {wallet} AS wallet_id,
          CAST(COUNT(*) AS BIGINT) AS transaction_count,
          CAST(SUM(amount_quark) AS BIGINT) AS volume_quark
@@ -942,8 +1035,8 @@ _PERIOD_SUMMARY_SQL = """
   WHERE date_key < DATE '{before}'
   GROUP BY 1, 2, 3
 )
-SELECT ps.period, ps.app_id, ps.wallet_id, ps.transaction_count, ps.volume_quark,
-       {kin} AS volume_kin, dka.name AS app_name
+SELECT ps.date_key, ps.app_id, ps.wallet_id, ps.transaction_count, ps.volume_quark,
+       {kin} AS amount, dka.name AS app_name
 FROM ps LEFT JOIN dim_kin_app dka ON ps.app_id = dka.id
 """
 

@@ -61,7 +61,6 @@ ALLOWED_GLOBAL_WINDOW = {
     "term_document_frequency",  # rank over the 20 rows TakeOrdered selected
     "weighted_doc_sample_top50",  # rank over the 50 sampled rows
     "day_over_day_revenue",  # lag over the daily series (calendar-bounded)
-    "kin_daily_net_inflation",  # lag over the daily series (calendar-bounded)
     "trailing_7d_revenue",  # RANGE frame over the daily series
     "dsir_log_importance_scores",  # 4096-bucket hashed model (bounded)
     "source_temperature_weights",  # per-source frame (|sources| rows)
