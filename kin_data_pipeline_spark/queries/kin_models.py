@@ -92,13 +92,15 @@ closing AS (
 )
 """
 
-# daily_churn_volume.sql:1-56 with lookback = 7 instead of the reference's
-# hardcoded 40 — the driver fixture spans 30 days, so at 40 every day is
-# censored and the mart is vacuously empty; the code path is identical and
-# the model's default stays 40 (CHURN_LOOKBACK_DAYS).
+# daily_churn_volume.sql:1-56 with lookback = 2 instead of the reference's
+# hardcoded 40 — the driver fixture spans 30 dense days over 40 wallets, so
+# at 40 every day is censored and at 7 every wallet re-observes within the
+# horizon (vacuously empty either way); 2 is the largest horizon that
+# yields non-trivial churn rows at every SF. The code path is identical
+# and the model's default stays 40 (CHURN_LOOKBACK_DAYS).
 CHURN_SQL = f"""
 churn_dates AS (
-  SELECT DISTINCT date_key FROM fact_kin_transaction WHERE date_key < {RUN} - 7
+  SELECT DISTINCT date_key FROM fact_kin_transaction WHERE date_key < {RUN} - 2
 ),
 churn_transacted AS (
   SELECT t.date_key, t.app_id, b.wallet_id
@@ -117,7 +119,7 @@ churn_summary AS (
   SELECT a.date_key, a.app_id, a.wallet_id, a.closing_balance_quark
   FROM churn_awb a
   LEFT JOIN closing f ON f.wallet_id = a.wallet_id
-    AND f.date_key > a.date_key AND f.date_key <= a.date_key + 7
+    AND f.date_key > a.date_key AND f.date_key <= a.date_key + 2
   WHERE f.wallet_id IS NULL
 )
 """
@@ -582,15 +584,15 @@ register(
 , ni_pay AS (
   SELECT date_key,
          CAST(SUM(CAST(round(post_monopoly_payout * 10000) AS BIGINT)) AS BIGINT) AS payout_quanta
-  FROM payout WHERE date_key < {RUN} - 7 GROUP BY 1
+  FROM payout WHERE date_key < {RUN} - 2 GROUP BY 1
 ),
 ni_bal AS (
   SELECT date_key, CAST(SUM(closing_balance_quark) AS BIGINT) AS balance_quark
-  FROM closing WHERE date_key < {RUN} - 7 GROUP BY 1
+  FROM closing WHERE date_key < {RUN} - 2 GROUP BY 1
 ),
 ni_churn AS (
   SELECT date_key, CAST(SUM(closing_balance_quark) AS BIGINT) AS churn_quark
-  FROM churn_summary WHERE date_key < {RUN} - 7 GROUP BY 1
+  FROM churn_summary WHERE date_key < {RUN} - 2 GROUP BY 1
 ),
 ni AS (
   SELECT p.date_key,
@@ -617,8 +619,8 @@ SELECT date_key,
             ELSE 'None' END AS inflation_flag
 FROM ni
 """,
-    doc="payout − Δbalance − churn with IFNULL-0 sides and prev-day left join (daily_net_inflation.sql:1-56, lookback 7 for the 30-day fixture)",
-)(lambda spark, sf_dir: M.daily_net_inflation(spark, sf_dir, M.RUN_DATE, lookback_days=7))
+    doc="payout − Δbalance − churn with IFNULL-0 sides and prev-day left join (daily_net_inflation.sql:1-56, lookback 2 for the 30-day fixture)",
+)(lambda spark, sf_dir: M.daily_net_inflation(spark, sf_dir, M.RUN_DATE, lookback_days=2))
 
 # ---------------------------------------------------------------------------
 # Phase-2 model family (SURVEY §7): creates, cadence rollups, curated
@@ -806,7 +808,7 @@ SELECT date_key, app_id, wallet_id,
 FROM churn_summary
 """,
     doc="wallet-grain churn: app transactors with no balance row in (d, d+N] (daily_churn_volume.sql:1-56, J5/J10)",
-)(lambda spark, sf_dir: M.daily_churn_volume(spark, sf_dir, M.RUN_DATE, lookback_days=7))
+)(lambda spark, sf_dir: M.daily_churn_volume(spark, sf_dir, M.RUN_DATE, lookback_days=2))
 
 register(
     "kin_app_txn_summary_to_account_daily",
