@@ -10,8 +10,10 @@ sniffing + struct parsing of the actual container headers, no external codec
 needed. Pixel/sample-level decode is ALSO real, pure stdlib/numpy, for the
 generated formats: PNG (zlib + scanline unfilter), WAV (16-bit PCM),
 baseline JPEG (Huffman + dequant + IDCT) and AVI-MJPG video (RIFF container
-parse + sampled-frame JPEG decode). ``require_codec`` remains only for
-real-world codecs this container cannot express — progressive/subsampled
+parse + sampled-frame JPEG decode; spectral-selection progressive JPEG).
+``require_codec`` remains only for
+real-world codecs this container cannot express — successive-approximation
+progressive or subsampled
 JPEG, interframe video (H.264 etc.), lossy resampling; the deterministic
 fake decoder is kept for opaque (non-media) payloads so the batching
 plumbing stays testable on any bytes.
@@ -894,6 +896,15 @@ _JPEG_AC_VALS = (
 )
 _JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
+#: progressive AC table: EOBn symbols (r<<4 | 0 for r = 0..14, T.81 G.1.2.2)
+#: join ZRL and the run/size pairs; 176 symbols < 2^8 still fits 8 bits.
+_JPEG_AC_VALS_PROG = (
+    [r << 4 for r in range(15)]  # EOB1..EOB16384 (r = 0..14)
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS_PROG), 0, 0, 0, 0, 0, 0, 0, 0]
+
 
 def _jpeg_zigzag() -> list[int]:
     """Zigzag scan order as (row-major index) per zigzag position,
@@ -999,6 +1010,53 @@ def _jpeg_block_raster(media_id: int, width: int, height: int):
     return _avi_frame_raster(media_id, 0, width, height)
 
 
+def _jpeg_forward_blocks(raster, quant: int):
+    """Shared forward path for both encoders: level shift, batched per-block
+    float DCT-II, zigzag, uniform quantization. Returns (zzq, q, h, w).
+
+    Forward transform for ALL blocks in one batched pass: edge-replicate
+    to full 8x8 tiles (keeps constant blocks constant, bounds ringing for
+    general rasters), blockize row-major, batched DCT-II, then zigzag +
+    uniform quantization vectorized over the whole block stack. The
+    orthonormal basis gives exactly the JPEG-normalized FDCT:
+    a(u)a(v) = (1/4)C(u)C(v), so G = B f Bᵀ = F. DC step 8 makes constant
+    blocks exact.
+    """
+    import numpy as np
+
+    height, width = raster.shape
+    q = np.full(64, quant, dtype=np.int64)
+    q[0] = 8
+    basis = _idct_matrix()  # orthonormal: DCT-II = basis @ f @ basis.T
+    nbh, nbw = -(-height // 8), -(-width // 8)
+    f = raster.astype(np.float64) - 128.0
+    padded = np.pad(f, ((0, nbh * 8 - height), (0, nbw * 8 - width)), mode="edge")
+    blocks = padded.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = basis @ blocks @ basis.T
+    # np.round is round-half-even, same as Python round() on floats
+    zzq = np.round(coeffs.reshape(-1, 64)[:, _ZIGZAG] / q[None, :]).astype(np.int64)
+    return zzq, q, height, width
+
+
+def _jpeg_segments(q, height: int, width: int, sof_marker: int) -> tuple[bytes, bytes, bytes]:
+    """(DQT, SOFn, DHT) header segments shared by both encoders."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, height, width, 1) + struct.pack(">BBB", 1, 0x11, 0),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    return dqt, sof, dht
+
+
 def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     """Encode an (H, W) uint8 grayscale raster as a baseline JFIF JPEG.
 
@@ -1009,26 +1067,9 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     """
     import numpy as np
 
-    height, width = raster.shape
-    q = np.full(64, quant, dtype=np.int64)
-    q[0] = 8
-    basis = _idct_matrix()  # orthonormal: DCT-II = basis @ f @ basis.T
+    zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
-
-    # Forward transform for ALL blocks in one batched pass: edge-replicate
-    # to full 8x8 tiles (keeps constant blocks constant, bounds ringing for
-    # general rasters), blockize row-major, batched DCT-II, then zigzag +
-    # uniform quantization vectorized over the whole block stack. The
-    # orthonormal basis gives exactly the JPEG-normalized FDCT:
-    # a(u)a(v) = (1/4)C(u)C(v), so G = B f Bᵀ = F.
-    nbh, nbw = -(-height // 8), -(-width // 8)
-    f = raster.astype(np.float64) - 128.0
-    padded = np.pad(f, ((0, nbh * 8 - height), (0, nbw * 8 - width)), mode="edge")
-    blocks = padded.reshape(nbh, 8, nbw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    coeffs = basis @ blocks @ basis.T
-    # np.round is round-half-even, same as Python round() on floats
-    zzq = np.round(coeffs.reshape(-1, 64)[:, _ZIGZAG] / q[None, :]).astype(np.int64)
 
     bw = _BitWriter()
     pred = 0
@@ -1055,21 +1096,98 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
         if last < 63:
             bw.put(*ac_codes[0x00])  # EOB
 
+    dqt, sof, dht = _jpeg_segments(q, height, width, 0xFFC0)
+    sos = struct.pack(">HH", 0xFFDA, 2 + 6) + struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0)
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
+    """Encode an (H, W) uint8 grayscale raster as a PROGRESSIVE (SOF2)
+    JFIF JPEG using spectral selection at full precision: scan 1 carries
+    every block's DC coefficient (Ss=Se=0), scan 2 the whole AC band
+    (Ss=1, Se=63). No successive approximation (Ah=Al=0) — that is the
+    profile the decoder accepts, and it is a legal ITU T.81 progressive
+    stream (Annex G spectral-selection-only mode).
+
+    The AC scan uses progressive EOBn coding: runs of blocks whose band is
+    entirely zero collapse into one EOBRUN symbol (category r, r appended
+    bits), so block-constant rasters compress the whole AC band into a few
+    bytes — and the decoder's EOBRUN path is exercised end-to-end.
+    """
+    import numpy as np
+
+    zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(
+        tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
+    )
+
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, 2 + len(payload)) + payload
 
-    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, height, width, 1) + struct.pack(">BBB", 1, 0x11, 0),
-    )
+    # Scan 1: DC, Ss=0 Se=0 Ah=0 Al=0 — baseline-identical DC coding.
+    bw1 = _BitWriter()
+    pred = 0
+    for zz in zzq:
+        sz, bits = _magnitude_bits(int(zz[0]) - pred)
+        pred = int(zz[0])
+        bw1.put(*dc_codes[sz])
+        if sz:
+            bw1.put(bits, sz)
+    sos1 = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
+
+    # Scan 2: AC band 1..63 with EOBRUN accumulation.
+    bw2 = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        bw2.put(*ac_codes[r << 4])
+        if r:
+            bw2.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in zzq:
+        nz = np.nonzero(zz[1:])[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBn category cap (r <= 14)
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        last = int(nz[-1]) + 1
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw2.put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            sz, bits = _magnitude_bits(int(zz[k]))
+            bw2.put(*ac_codes[(run << 4) | sz])
+            bw2.put(bits, sz)
+            run = 0
+        if last < 63:
+            eobrun += 1  # this block ends early — start a new EOB run
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    sos2 = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 1, 63, 0))
+
+    dqt, sof, _dht = _jpeg_segments(q, height, width, 0xFFC2)
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS_PROG) + bytes(_JPEG_AC_VALS_PROG),
     )
-    sos = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos1 + bw1.flush() + sos2 + bw2.flush() + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -1167,14 +1285,17 @@ def _extend(bits: int, s: int) -> int:
 def decode_baseline_jpeg(content: bytes):
     """Full raster decode of a baseline (SOF0) JPEG — pure stdlib + numpy.
 
-    General within the baseline profile: parses DQT/DHT/SOF0/DRI/SOS
+    General within the Huffman-DCT profiles: parses DQT/DHT/SOF/DRI/SOS
     segments, rebuilds the declared canonical Huffman tables, entropy-
     decodes interleaved MCUs (DC prediction, AC run-lengths, EOB/ZRL,
     restart markers), dequantizes through zigzag order, applies the float
-    2-D IDCT, level-shifts, clamps and crops. Requires 8-bit precision and
-    1×1 sampling (no chroma subsampling); grayscale returns (H, W),
-    multi-component returns (H, W, C). Raises ValueError on malformed
-    streams and NotImplementedError on progressive/subsampled profiles.
+    2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND
+    spectral-selection progressive (SOF2, any DC/AC band scan script with
+    EOBn runs, Ah=Al=0) are both supported; the remaining honest gates are
+    successive-approximation progressive scans, chroma subsampling, and
+    non-Huffman/non-8-bit profiles (NotImplementedError). Grayscale
+    returns (H, W), multi-component (H, W, C); ValueError on malformed
+    streams.
     """
     import numpy as np
 
@@ -1185,6 +1306,9 @@ def decode_baseline_jpeg(content: bytes):
     htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None  # (height, width, [(comp_id, tq)])
     restart_interval = 0
+    progressive = False
+    scanned = False
+    zzs: list = []
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
@@ -1212,10 +1336,10 @@ def decode_baseline_jpeg(content: bytes):
                 vals = tuple(payload[off + 17 : off + 17 + nvals])
                 htables[(tc, th)] = _huff_lut(bits, vals)
                 off += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline DCT
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit DCT JPEG supported")
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
@@ -1225,8 +1349,15 @@ def decode_baseline_jpeg(content: bytes):
                     )
                 comps.append((cid, tq))
             frame = (height, width, comps)
-        elif marker in _JPEG_SOF_MARKERS:  # progressive / arithmetic / etc.
-            raise NotImplementedError("non-baseline JPEG profile")
+            progressive = marker == 0xC2
+            nbw, nbh = -(-width // 8), -(-height // 8)
+            # raw (unquantized) zigzag coefficients per component, blocks
+            # row-major; scans accumulate here, dequant + IDCT run once at
+            # the end (progressive spectral selection fills the bands
+            # scan by scan)
+            zzs = [np.zeros((nbh * nbw, 64), dtype=np.int64) for _ in comps]
+        elif marker in _JPEG_SOF_MARKERS:  # arithmetic / lossless / hierarchical
+            raise NotImplementedError("non-DCT-Huffman JPEG profile")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -1237,9 +1368,10 @@ def decode_baseline_jpeg(content: bytes):
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
             height, width, comps = frame
-            if [c for c, _ in comps] != list(scan_tables):
-                raise NotImplementedError("multi-scan JPEG unsupported")
+            cindex = {cid: i for i, (cid, _) in enumerate(comps)}
             # locate end of entropy data: next non-RST marker
             end = pos
             while end + 1 < len(content):
@@ -1248,20 +1380,16 @@ def decode_baseline_jpeg(content: bytes):
                 ):
                     break
                 end += 1
-            basis = _idct_matrix()
-            bw = -(-width // 8)
-            bh = -(-height // 8)
-            # dequantized zigzag-order coefficients per component, blocks in
-            # MCU row-major order; the IDCT runs ONCE, batched over the whole
-            # stack, after the entropy scan (the scan itself is inherently
-            # serial — DC prediction and run-lengths chain block to block)
-            zzs = [np.zeros((bh * bw, 64), dtype=np.float64) for _ in comps]
             data = content[pos:end]
             reader = _BitReader(data)
-            preds = [0] * len(comps)
-            mcu = 0
-            for byi in range(bh):
-                for bxi in range(bw):
+            nblocks = zzs[0].shape[0]
+            if not progressive:
+                if [c for c, _ in comps] != list(scan_tables):
+                    raise NotImplementedError("multi-scan baseline JPEG unsupported")
+                if ah or al:
+                    raise ValueError("baseline scan with approximation bits")
+                preds = [0] * len(comps)
+                for mcu in range(nblocks):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         # byte-align and consume the RSTn marker
                         reader.n = 0
@@ -1272,16 +1400,15 @@ def decode_baseline_jpeg(content: bytes):
                         ):
                             reader.pos += 2
                         preds = [0] * len(comps)
-                    for ci, (cid, tq) in enumerate(comps):
+                    for ci, (cid, _tq) in enumerate(comps):
                         td, ta = scan_tables[cid]
                         dc_tab = htables[(0, td)]
                         ac_tab = htables[(1, ta)]
-                        q = qtables[tq]
-                        s = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.bits(s), s) if s else 0
+                        sz = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.bits(sz), sz) if sz else 0
                         preds[ci] += diff
                         zz = zzs[ci][mcu]
-                        zz[0] = preds[ci] * q[0]
+                        zz[0] = preds[ci]
                         k = 1
                         while k < 64:
                             rs = _huff_decode(reader, ac_tab)
@@ -1294,30 +1421,110 @@ def decode_baseline_jpeg(content: bytes):
                             if k > 63:
                                 raise ValueError("AC run past end of block")
                             size = rs & 0x0F
-                            zz[k] = _extend(reader.bits(size), size) * q[k]
+                            zz[k] = _extend(reader.bits(size), size)
                             k += 1
-                    mcu += 1
-            planes = []
-            for zzc in zzs:
-                coeffs = np.zeros((bh * bw, 64), dtype=np.float64)
-                coeffs[:, _ZIGZAG] = zzc
-                blocks = basis.T @ coeffs.reshape(-1, 8, 8) @ basis
-                planes.append(
-                    blocks.reshape(bh, bw, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw * 8)
-                )
-            out = [
-                np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype(
-                    "uint8"
-                )
-                for p in planes
-            ]
-            if len(out) == 1:
-                return out[0]
-            return np.stack(out, axis=-1)
+                scanned = True
+            else:
+                # Progressive, spectral selection at full precision.
+                # Successive approximation (Ah/Al != 0) stays gated — the
+                # synthesized tier never emits it and refining it honestly
+                # needs the correction-bit path of a native codec.
+                if ah or al:
+                    raise NotImplementedError(
+                        "successive-approximation progressive JPEG needs a "
+                        "native codec"
+                    )
+                if ss == 0:
+                    # DC scan (interleaved over the scan components)
+                    if se != 0:
+                        raise ValueError("progressive DC scan with Se != 0")
+                    scomps = [(cindex[cs], scan_tables[cs][0]) for cs in scan_tables]
+                    preds = [0] * len(scomps)
+                    for mcu in range(nblocks):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            reader.n = 0
+                            if (
+                                reader.pos + 1 < len(data)
+                                and data[reader.pos] == 0xFF
+                                and 0xD0 <= data[reader.pos + 1] <= 0xD7
+                            ):
+                                reader.pos += 2
+                            preds = [0] * len(scomps)
+                        for si, (ci, td) in enumerate(scomps):
+                            sz = _huff_decode(reader, htables[(0, td)])
+                            diff = _extend(reader.bits(sz), sz) if sz else 0
+                            preds[si] += diff
+                            zzs[ci][mcu][0] = preds[si]
+                else:
+                    # AC band scan: always single-component, with EOBn runs
+                    if ns != 1:
+                        raise ValueError("progressive AC scan must be single-component")
+                    (cs,) = scan_tables
+                    ci = cindex[cs]
+                    ac_tab = htables[(1, scan_tables[cs][1])]
+                    eobrun = 0
+                    for blk in range(nblocks):
+                        if restart_interval and blk and blk % restart_interval == 0:
+                            reader.n = 0
+                            if (
+                                reader.pos + 1 < len(data)
+                                and data[reader.pos] == 0xFF
+                                and 0xD0 <= data[reader.pos + 1] <= 0xD7
+                            ):
+                                reader.pos += 2
+                            eobrun = 0
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        zz = zzs[ci][blk]
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                # EOBn: run of 2^r + bits blocks ends here,
+                                # this block included
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past end of band")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                scanned = True
+            pos = end
+            continue
+        elif marker == 0xD9:  # EOI
+            break
         # APPn / COM / anything else: skipped via seglen
-    raise ValueError("JPEG payload has no SOS scan")
+    if frame is None or not scanned:
+        raise ValueError("JPEG payload has no SOS scan")
+    height, width, comps = frame
+    nbw, nbh = -(-width // 8), -(-height // 8)
+    basis = _idct_matrix()
+    planes = []
+    for (cid, tq), zzc in zip(comps, zzs):
+        q = np.asarray(qtables[tq], dtype=np.float64)
+        coeffs = np.zeros((nbh * nbw, 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = zzc * q[None, :]
+        blocks = basis.T @ coeffs.reshape(-1, 8, 8) @ basis
+        planes.append(
+            blocks.reshape(nbh, nbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbh * 8, nbw * 8)
+        )
+    out = [
+        np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype("uint8")
+        for p in planes
+    ]
+    if len(out) == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
 
 
 JPEG_STATS_SCHEMA = StructType(
@@ -1356,6 +1563,36 @@ def synthesize_pixel_jpeg_batch(
 def synthesize_pixel_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pixel_jpeg_batch, schema=SYNTH_SCHEMA)
+
+
+def synthesize_pixel_progressive_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete entropy-coded PROGRESSIVE (SOF2, spectral-selection) JPEG of
+    the same block-constant raster as the baseline tier."""
+
+    def make(i: int) -> bytes:
+        w, h = jpeg_pixel_geometry(i)
+        return encode_progressive_jpeg(_jpeg_block_raster(i, w, h))
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(lambda i: make(int(i))),
+            }
+        )
+
+
+def synthesize_pixel_progressive_jpeg_df(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(
+        synthesize_pixel_progressive_jpeg_batch, schema=SYNTH_SCHEMA
+    )
 
 
 def jpeg_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

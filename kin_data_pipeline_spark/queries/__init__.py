@@ -111,6 +111,7 @@ CURRENT_WINDOW_HEAD = [
 # reference column contract (date_key/transaction_count/amount/app_name),
 # not the aggregation, and the window is full.
 NEXT_WINDOW_BACKLOG: list[str] = [
+    "progressive_jpeg_pixel_stats",  # SOF2 spectral-selection decode (r6 stretch)
     "kin_app_txn_summary_from_account_weekly",
     "kin_app_txn_summary_from_account_monthly",
     "kin_app_txn_summary_to_account_weekly",

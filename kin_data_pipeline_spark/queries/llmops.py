@@ -1966,6 +1966,66 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# Progressive-JPEG twin (VERDICT r5 stretch #8): the same block-constant
+# rasters encoded as SOF2 spectral-selection streams — a DC scan for every
+# block, then the whole 1..63 AC band as a second scan coded with
+# progressive EOBn run symbols (block-constant rasters collapse the entire
+# AC scan into a single EOBRUN). The decoder is the same general
+# multi-scan path production streams would take; only
+# successive-approximation scans remain gated. Identical oracle: the
+# decode is still mathematically exact for DC-only blocks.
+@register(
+    "progressive_jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS sum_pixels,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS min_pixel,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS max_pixel,
+           ROUND(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                 * 1.0 / COUNT(*), 6) AS mean_pixel
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "progressive (SOF2 spectral-selection) JPEG pixel decode — DC scan "
+        "+ EOBn-coded AC band scan through the general multi-scan decoder; "
+        "same exact block-formula oracle as the baseline tier"
+    ),
+)
+def progressive_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        jpeg_pixel_stats_df,
+        synthesize_pixel_progressive_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_pixel_stats_df(synthesize_pixel_progressive_jpeg_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        "min_pixel",
+        "max_pixel",
+        F.round(F.col("sum_pixels") * 1.0 / F.col("n_pixels"), 6).alias(
+            "mean_pixel"
+        ),
+    )
+
 # Video tier — pixel-level frame decode of synthesized AVI-MJPG clips
 # (reference: no media path at all; training-data superset). Real
 # end-to-end: RIFF/AVI container parse (avih geometry, movi '00dc' frame

@@ -485,12 +485,74 @@ def test_jpeg_decode_rejects_malformed():
     # header-only tier payloads (no scan) must be a loud error, not pixels
     with _pytest.raises(ValueError, match="no SOS scan"):
         mm.decode_baseline_jpeg(mm._make_jpeg(8, 8, 1))
-    # progressive profile gates to NotImplementedError
+    # a SOF2 frame whose scan still claims the full baseline band as a
+    # "DC" scan is malformed progressive, not quietly decodable
     r = mm._jpeg_block_raster(1, 8, 8)
     data = bytearray(mm.encode_baseline_jpeg(r))
     sof = data.index(b"\xff\xc0")
     data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with _pytest.raises(NotImplementedError, match="non-baseline"):
+    with _pytest.raises(ValueError, match="DC scan with Se"):
+        mm.decode_baseline_jpeg(bytes(data))
+    # arithmetic coding (SOF9) stays gated
+    data[sof + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="non-DCT-Huffman"):
+        mm.decode_baseline_jpeg(bytes(data))
+
+
+def test_progressive_jpeg_round_trip_matches_baseline():
+    """Spectral-selection progressive streams (DC scan + EOBn-coded AC
+    band scan) must decode to EXACTLY the pixels the baseline encoding of
+    the same raster yields — same coefficients, different scan script."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for mid in (0, 3, 17, 46):
+        w, h = mm.jpeg_pixel_geometry(mid)
+        r = mm._jpeg_block_raster(mid, w, h)
+        prog = mm.decode_baseline_jpeg(mm.encode_progressive_jpeg(r))
+        assert (prog == r).all()  # block-constant: mathematically exact
+    for _ in range(6):
+        hh, ww = rng.randint(1, 70), rng.randint(1, 70)
+        r = rng.randint(0, 256, size=(hh, ww)).astype("uint8")
+        base = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
+        prog = mm.decode_baseline_jpeg(mm.encode_progressive_jpeg(r))
+        assert (base == prog).all()
+
+
+def test_progressive_jpeg_eobrun_spans_blocks():
+    """A constant raster has zero AC everywhere, so the encoder collapses
+    the whole AC scan into one EOBn symbol — the stream must be smaller
+    than its baseline twin (which spends one EOB per block) and still
+    decode exactly."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    r = np.full((64, 64), 77, dtype="uint8")  # 64 blocks, all-zero AC
+    prog = mm.encode_progressive_jpeg(r)
+    base = mm.encode_baseline_jpeg(r)
+    assert len(prog) < len(base)
+    assert (mm.decode_baseline_jpeg(prog) == r).all()
+
+
+def test_progressive_jpeg_successive_approximation_stays_gated():
+    """Ah/Al != 0 (successive approximation) is the remaining honest
+    still-image gate — a refinement scan must raise, never return pixels
+    quietly missing low-order bits."""
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    r = mm._jpeg_block_raster(2, 16, 16)
+    data = bytearray(mm.encode_progressive_jpeg(r))
+    # patch the AC scan's Ah/Al byte (last byte of the 2nd SOS payload)
+    first = data.index(b"\xff\xda")
+    second = data.index(b"\xff\xda", first + 2)
+    # SOS: marker(2) + len(2) + ns(1) + comp(2) + Ss + Se + AhAl
+    data[second + 4 + 1 + 2 + 2] = 0x01  # Al = 1
+    with _pytest.raises(NotImplementedError, match="successive-approximation"):
         mm.decode_baseline_jpeg(bytes(data))
 
 
