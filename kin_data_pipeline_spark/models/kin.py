@@ -860,7 +860,7 @@ def daily_market_summary(spark: SparkSession, sf_dir: str, run_date=RUN_DATE) ->
 # quark ints, so net_inflation is one exact integer expression with a
 # single final /1e5 — the doubles the reference sums are order-dependent.
 # `lookback_days` defaults to the reference's hardcoded 40 (:9); the
-# registered query passes 7 for the 30-day driver fixture (churn note).
+# registered query passes 2 for the 30-day driver fixture (churn note).
 
 def daily_net_inflation(
     spark: SparkSession,
@@ -1206,8 +1206,9 @@ def daily_create_fee_payers(spark: SparkSession, sf_dir: str, run_date=RUN_DATE)
 # under several apps the same day appears once per app. The reference
 # hardcodes lookback = 40 days ("based on the amount of dates we have to
 # look back on"); `lookback_days` keeps that default, and the registered
-# query passes 7 because the driver fixture spans only 30 days (2024-01-01
-# .. 2024-01-30, run 2024-01-31) — at 40 every day would be censored.
+# query passes 2 — the driver fixture spans only 30 dense days over 40
+# wallets (run 2024-01-31), so 40 censors every day and at 7 every wallet
+# re-observes within the horizon (vacuously empty either way).
 
 def daily_churn_volume(
     spark: SparkSession,

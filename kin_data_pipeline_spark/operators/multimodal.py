@@ -1038,21 +1038,24 @@ def _jpeg_forward_blocks(raster, quant: int):
     return zzq, q, height, width
 
 
-def _jpeg_segments(q, height: int, width: int, sof_marker: int) -> tuple[bytes, bytes, bytes]:
-    """(DQT, SOFn, DHT) header segments shared by both encoders."""
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, 2 + len(payload)) + payload
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, 2 + len(payload)) + payload
 
-    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
-    sof = seg(
+def _jpeg_segments(
+    q, height: int, width: int, sof_marker: int, ac_bits, ac_vals
+) -> tuple[bytes, bytes, bytes]:
+    """(DQT, SOFn, DHT) header segments shared by both encoders; the AC
+    Huffman table differs (progressive declares the EOBn symbols)."""
+    dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = _jpeg_seg(
         sof_marker,
         struct.pack(">BHHB", 8, height, width, 1) + struct.pack(">BBB", 1, 0x11, 0),
     )
-    dht = seg(
+    dht = _jpeg_seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
     )
     return dqt, sof, dht
 
@@ -1096,8 +1099,10 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
         if last < 63:
             bw.put(*ac_codes[0x00])  # EOB
 
-    dqt, sof, dht = _jpeg_segments(q, height, width, 0xFFC0)
-    sos = struct.pack(">HH", 0xFFDA, 2 + 6) + struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0)
+    dqt, sof, dht = _jpeg_segments(
+        q, height, width, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
+    )
+    sos = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
@@ -1122,9 +1127,6 @@ def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
         tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
     )
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, 2 + len(payload)) + payload
-
     # Scan 1: DC, Ss=0 Se=0 Ah=0 Al=0 — baseline-identical DC coding.
     bw1 = _BitWriter()
     pred = 0
@@ -1134,7 +1136,7 @@ def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
         bw1.put(*dc_codes[sz])
         if sz:
             bw1.put(bits, sz)
-    sos1 = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
+    sos1 = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
 
     # Scan 2: AC band 1..63 with EOBRUN accumulation.
     bw2 = _BitWriter()
@@ -1176,13 +1178,10 @@ def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
             if eobrun == 0x7FFF:
                 flush_eobrun()
     flush_eobrun()
-    sos2 = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 1, 63, 0))
+    sos2 = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 1, 63, 0))
 
-    dqt, sof, _dht = _jpeg_segments(q, height, width, 0xFFC2)
-    dht = seg(
-        0xFFC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS_PROG) + bytes(_JPEG_AC_VALS_PROG),
+    dqt, sof, dht = _jpeg_segments(
+        q, height, width, 0xFFC2, _JPEG_AC_BITS_PROG, _JPEG_AC_VALS_PROG
     )
     return (
         b"\xff\xd8" + dqt + sof + dht
@@ -1246,6 +1245,19 @@ class _BitReader:
         if self.n >= 16:
             return (self.acc >> (self.n - 16)) & 0xFFFF
         return (self.acc << (16 - self.n)) & 0xFFFF
+
+    def skip_restart(self) -> None:
+        """Byte-align and consume an RSTn marker at a restart boundary —
+        shared by every scan loop (baseline, progressive DC, progressive
+        AC); per-scan decode state (DC predictors, EOB runs) is the
+        caller's to reset."""
+        self.n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
 
 
 @lru_cache(maxsize=64)
@@ -1391,14 +1403,7 @@ def decode_baseline_jpeg(content: bytes):
                 preds = [0] * len(comps)
                 for mcu in range(nblocks):
                     if restart_interval and mcu and mcu % restart_interval == 0:
-                        # byte-align and consume the RSTn marker
-                        reader.n = 0
-                        if (
-                            reader.pos + 1 < len(data)
-                            and data[reader.pos] == 0xFF
-                            and 0xD0 <= data[reader.pos + 1] <= 0xD7
-                        ):
-                            reader.pos += 2
+                        reader.skip_restart()
                         preds = [0] * len(comps)
                     for ci, (cid, _tq) in enumerate(comps):
                         td, ta = scan_tables[cid]
@@ -1442,13 +1447,7 @@ def decode_baseline_jpeg(content: bytes):
                     preds = [0] * len(scomps)
                     for mcu in range(nblocks):
                         if restart_interval and mcu and mcu % restart_interval == 0:
-                            reader.n = 0
-                            if (
-                                reader.pos + 1 < len(data)
-                                and data[reader.pos] == 0xFF
-                                and 0xD0 <= data[reader.pos + 1] <= 0xD7
-                            ):
-                                reader.pos += 2
+                            reader.skip_restart()
                             preds = [0] * len(scomps)
                         for si, (ci, td) in enumerate(scomps):
                             sz = _huff_decode(reader, htables[(0, td)])
@@ -1465,13 +1464,7 @@ def decode_baseline_jpeg(content: bytes):
                     eobrun = 0
                     for blk in range(nblocks):
                         if restart_interval and blk and blk % restart_interval == 0:
-                            reader.n = 0
-                            if (
-                                reader.pos + 1 < len(data)
-                                and data[reader.pos] == 0xFF
-                                and 0xD0 <= data[reader.pos + 1] <= 0xD7
-                            ):
-                                reader.pos += 2
+                            reader.skip_restart()
                             eobrun = 0
                         if eobrun:
                             eobrun -= 1
@@ -1540,15 +1533,14 @@ JPEG_STATS_SCHEMA = StructType(
 )
 
 
-def synthesize_pixel_jpeg_batch(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
-    complete entropy-coded baseline JPEG of the block-constant raster."""
+def _synthesize_jpeg_batches(batches: Iterator[pd.DataFrame], encode):
+    """Shared mapInPandas worker body for the JPEG synthesis tiers:
+    (media_id) -> (media_id, mime, content), parametrized by the encoder
+    (baseline or progressive) over the same block-constant raster."""
 
     def make(i: int) -> bytes:
         w, h = jpeg_pixel_geometry(i)
-        return encode_baseline_jpeg(_jpeg_block_raster(i, w, h))
+        return encode(_jpeg_block_raster(i, w, h))
 
     for pdf in batches:
         yield pd.DataFrame(
@@ -1558,6 +1550,14 @@ def synthesize_pixel_jpeg_batch(
                 "content": pdf["media_id"].map(lambda i: make(int(i))),
             }
         )
+
+
+def synthesize_pixel_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete entropy-coded baseline JPEG of the block-constant raster."""
+    return _synthesize_jpeg_batches(batches, encode_baseline_jpeg)
 
 
 def synthesize_pixel_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -1571,19 +1571,7 @@ def synthesize_pixel_progressive_jpeg_batch(
     """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
     complete entropy-coded PROGRESSIVE (SOF2, spectral-selection) JPEG of
     the same block-constant raster as the baseline tier."""
-
-    def make(i: int) -> bytes:
-        w, h = jpeg_pixel_geometry(i)
-        return encode_progressive_jpeg(_jpeg_block_raster(i, w, h))
-
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "media_id": pdf["media_id"],
-                "mime": "image/jpeg",
-                "content": pdf["media_id"].map(lambda i: make(int(i))),
-            }
-        )
+    return _synthesize_jpeg_batches(batches, encode_progressive_jpeg)
 
 
 def synthesize_pixel_progressive_jpeg_df(
