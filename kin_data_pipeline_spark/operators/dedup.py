@@ -167,6 +167,32 @@ def jaccard_pairs_grouped(
         grouped_posting_lists(postings), threshold=threshold, df_cap=df_cap
     )
 
+
+def within_list_pairs(list_col, payload) -> "F.Column":
+    """Exploded within-list (a, b) pair column over a SORTED array column:
+    for every i < j, emit ``payload(list[i], list[j])`` — the shared
+    candidate-pair expansion of the LSH/posting-list family (Jaccard,
+    containment, prefix-filtered, band-LSH, SemDeDup cells). Pure JVM
+    higher-order functions: transform × slice builds the upper triangle,
+    flatten + explode streams it — no UDF, no join, quadratic only in one
+    list's length (callers cap or filter list sizes for skew).
+
+    ``payload(x, y)`` must return a named struct; the exploded column is
+    left unaliased so callers alias it themselves.
+    """
+    c = F.col(list_col) if isinstance(list_col, str) else list_col
+    return F.explode(
+        F.flatten(
+            F.transform(
+                c,
+                lambda x, i: F.transform(
+                    F.slice(c, i + 2, F.size(c)), lambda y: payload(x, y)
+                ),
+            )
+        )
+    )
+
+
 def grouped_posting_lists(postings: DataFrame) -> DataFrame:
     """One grouped posting list per shingle, with its document frequency.
 
@@ -191,21 +217,14 @@ def pair_counts_from_lists(
     column expression."""
     if df_cap is not None:
         lists = lists.filter(F.col("df") <= df_cap)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["n_sh"].alias("na"),
-                        y["n_sh"].alias("nb"),
-                    ),
-                ),
-            )
-        )
+    pair = within_list_pairs(
+        "docs",
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["n_sh"].alias("na"),
+            y["n_sh"].alias("nb"),
+        ),
     ).alias("p")
     return (
         lists.select(pair)
@@ -337,23 +356,16 @@ def _prefix_filter_from_ranked(
     )
     # grouped pair events, carrying both positions and the token's global
     # order key (dfreq, s)
-    ev_pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["n_sh"].alias("na"),
-                        y["n_sh"].alias("nb"),
-                        x["p"].alias("pa"),
-                        y["p"].alias("pb"),
-                    ),
-                ),
-            )
-        )
+    ev_pair = within_list_pairs(
+        "docs",
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["n_sh"].alias("na"),
+            y["n_sh"].alias("nb"),
+            x["p"].alias("pa"),
+            y["p"].alias("pb"),
+        ),
     ).alias("e")
     events = (
         pre.groupBy("s")
@@ -476,16 +488,8 @@ def lsh_candidates(signatures: DataFrame, bands: list[tuple[int, ...]]) -> DataF
     lists = all_bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("docs")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
+    pair = within_list_pairs(
+        "docs", lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     ).alias("p")
     return lists.select(pair).select("p.doc_a", "p.doc_b").distinct()
 

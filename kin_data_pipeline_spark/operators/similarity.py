@@ -21,6 +21,8 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kin_data_pipeline_spark.operators.dedup import within_list_pairs
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -186,16 +188,8 @@ def lsh_near_dup_pairs(
     )
     if bucket_cap is not None:
         lists = lists.filter(F.col("occ") <= bucket_cap)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("vids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("vids"), i + 2, F.size(F.col("vids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
+    pair = within_list_pairs(
+        "vids", lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))
     ).alias("p")
     cand = lists.select(pair).select("p.id_a", "p.id_b").distinct()
     ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
@@ -403,16 +397,8 @@ def semantic_dedup_pairs(
     )
     if cell_cap is not None:
         lists = lists.filter(F.col("occ") <= cell_cap)
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("vids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("vids"), i + 2, F.size(F.col("vids"))),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
+    pair = within_list_pairs(
+        "vids", lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))
     ).alias("p")
     cand = lists.select(F.col("cid"), pair).select("cid", "p.id_a", "p.id_b")
     ea = e.select(F.col("vid").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
