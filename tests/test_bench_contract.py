@@ -59,3 +59,14 @@ def test_bench_stdout_is_one_parseable_json_line():
     assert all(
         detail["first_run"][k] >= detail["queries"][k] - 1e-9 for k in all_names
     )
+    # Substrate attribution (VERDICT r5 ask #5): every attributed entry
+    # names a real query, lists the substrate frames its first run
+    # registered, and carries the first-minus-best overhead; the kin fact
+    # chain guarantees at least one attributed entry exists.
+    attrib = detail["substrate_attribution"]
+    assert attrib and set(attrib) <= all_names
+    for name, rec in attrib.items():
+        assert isinstance(rec["substrates_built"], list)
+        assert rec["substrate_overhead"] >= -1e-9
+        assert rec["substrates_built"] or rec["substrate_overhead"] > 0.5
+    assert any(rec["substrates_built"] for rec in attrib.values())
