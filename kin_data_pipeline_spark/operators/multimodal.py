@@ -1106,21 +1106,32 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
-def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
+def encode_progressive_jpeg(
+    raster, quant: int = 8, ac_bands: tuple = ((1, 63),)
+) -> bytes:
     """Encode an (H, W) uint8 grayscale raster as a PROGRESSIVE (SOF2)
     JFIF JPEG using spectral selection at full precision: scan 1 carries
-    every block's DC coefficient (Ss=Se=0), scan 2 the whole AC band
-    (Ss=1, Se=63). No successive approximation (Ah=Al=0) — that is the
-    profile the decoder accepts, and it is a legal ITU T.81 progressive
-    stream (Annex G spectral-selection-only mode).
+    every block's DC coefficient (Ss=Se=0), then one AC scan per
+    ``ac_bands`` entry (default: the whole 1..63 band in one scan;
+    production encoders typically split, e.g. ((1, 5), (6, 63))). No
+    successive approximation (Ah=Al=0) — that is the profile the decoder
+    accepts, and it is a legal ITU T.81 progressive stream (Annex G
+    spectral-selection-only mode).
 
-    The AC scan uses progressive EOBn coding: runs of blocks whose band is
+    AC scans use progressive EOBn coding: runs of blocks whose band is
     entirely zero collapse into one EOBRUN symbol (category r, r appended
-    bits), so block-constant rasters compress the whole AC band into a few
+    bits), so block-constant rasters compress each AC band into a few
     bytes — and the decoder's EOBRUN path is exercised end-to-end.
     """
     import numpy as np
 
+    bands = list(ac_bands)
+    if any(not 1 <= lo <= hi <= 63 for lo, hi in bands):
+        raise ValueError("ac_bands must be within [1, 63] with lo <= hi")
+    if any(nxt != hi + 1 for (_, hi), (nxt, _) in zip(bands, bands[1:])):
+        raise ValueError("ac_bands must be contiguous and ordered")
+    if not bands or bands[0][0] != 1 or bands[-1][1] != 63:
+        raise ValueError("ac_bands must cover 1..63")
     zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(
@@ -1136,57 +1147,61 @@ def encode_progressive_jpeg(raster, quant: int = 8) -> bytes:
         bw1.put(*dc_codes[sz])
         if sz:
             bw1.put(bits, sz)
-    sos1 = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
+    scans = [
+        _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
+        + bw1.flush()
+    ]
 
-    # Scan 2: AC band 1..63 with EOBRUN accumulation.
-    bw2 = _BitWriter()
-    eobrun = 0
-
-    def flush_eobrun() -> None:
-        nonlocal eobrun
-        if not eobrun:
-            return
-        r = eobrun.bit_length() - 1
-        bw2.put(*ac_codes[r << 4])
-        if r:
-            bw2.put(eobrun - (1 << r), r)
+    for lo, hi in bands:
+        bw2 = _BitWriter()
         eobrun = 0
 
-    for zz in zzq:
-        nz = np.nonzero(zz[1:])[0]
-        if len(nz) == 0:
-            eobrun += 1
-            if eobrun == 0x7FFF:  # EOBn category cap (r <= 14)
-                flush_eobrun()
-            continue
-        flush_eobrun()
-        run = 0
-        last = int(nz[-1]) + 1
-        for k in range(1, last + 1):
-            if zz[k] == 0:
-                run += 1
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            bw2.put(*ac_codes[r << 4])
+            if r:
+                bw2.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for zz in zzq:
+            band = zz[lo : hi + 1]
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # EOBn category cap (r <= 14)
+                    flush_eobrun()
                 continue
-            while run > 15:
-                bw2.put(*ac_codes[0xF0])  # ZRL
-                run -= 16
-            sz, bits = _magnitude_bits(int(zz[k]))
-            bw2.put(*ac_codes[(run << 4) | sz])
-            bw2.put(bits, sz)
+            flush_eobrun()
             run = 0
-        if last < 63:
-            eobrun += 1  # this block ends early — start a new EOB run
-            if eobrun == 0x7FFF:
-                flush_eobrun()
-    flush_eobrun()
-    sos2 = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 1, 63, 0))
+            last = lo + int(nz[-1])
+            for k in range(lo, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw2.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                sz, bits = _magnitude_bits(int(zz[k]))
+                bw2.put(*ac_codes[(run << 4) | sz])
+                bw2.put(bits, sz)
+                run = 0
+            if last < hi:
+                eobrun += 1  # this block's band ends early — new EOB run
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        scans.append(
+            _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, lo, hi, 0))
+            + bw2.flush()
+        )
 
     dqt, sof, dht = _jpeg_segments(
         q, height, width, 0xFFC2, _JPEG_AC_BITS_PROG, _JPEG_AC_VALS_PROG
     )
-    return (
-        b"\xff\xd8" + dqt + sof + dht
-        + sos1 + bw1.flush() + sos2 + bw2.flush() + b"\xff\xd9"
-    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
 class _BitReader:

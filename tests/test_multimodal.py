@@ -521,6 +521,28 @@ def test_progressive_jpeg_round_trip_matches_baseline():
         assert (base == prog).all()
 
 
+def test_progressive_jpeg_multi_band_scan_script():
+    """Production progressive encoders split the AC band across several
+    scans (e.g. 1-5 then 6-63); the decoder must accumulate bands from
+    any contiguous scan script to the same pixels as baseline."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(23)
+    r = rng.randint(0, 256, size=(41, 29)).astype("uint8")
+    base = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
+    for bands in (((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 35), (36, 63))):
+        prog = mm.decode_baseline_jpeg(mm.encode_progressive_jpeg(r, ac_bands=bands))
+        assert (prog == base).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contiguous"):
+        mm.encode_progressive_jpeg(r, ac_bands=((1, 5), (7, 63)))
+    with _pytest.raises(ValueError, match="cover 1..63"):
+        mm.encode_progressive_jpeg(r, ac_bands=((1, 30),))
+
+
 def test_progressive_jpeg_eobrun_spans_blocks():
     """A constant raster has zero AC everywhere, so the encoder collapses
     the whole AC scan into one EOBn symbol — the stream must be smaller
