@@ -112,6 +112,7 @@ CURRENT_WINDOW_HEAD = [
 # not the aggregation, and the window is full.
 NEXT_WINDOW_BACKLOG: list[str] = [
     "progressive_jpeg_pixel_stats",  # SOF2 spectral-selection decode (r6 stretch)
+    "bpe_apply_token_counts",  # columnar BPE tokenizer application (r6 stretch)
     "kin_app_txn_summary_from_account_weekly",
     "kin_app_txn_summary_from_account_monthly",
     "kin_app_txn_summary_to_account_weekly",

@@ -2811,6 +2811,136 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rank).cast("int").alias("rnk"),
     )
 
+
+# BPE tokenizer APPLICATION — the other half of the tokenizer pair
+# (bpe_pair_frequencies is the training counting pass; this applies a
+# trained merge table to the corpus). Fully columnar, zero UDFs: each
+# vocabulary word becomes a space-joined character stream and the ranked
+# merges compile into chained JVM `replace` expressions (12 merges x 5
+# passes — left-to-right non-overlapping replace at least halves the
+# remaining adjacent occurrences per pass, so 5 passes cover chains of
+# 2^5 overlapping occurrences; both engines share the identical pass
+# count and replace semantics, so the comparison is exact by
+# construction). Scale shape: the string pipeline runs once per DISTINCT
+# word (vocabulary grain, Zipf-small), then joins back to (doc, word)
+# counts — the vocabulary-scale join AQE owns (PLANS.md
+# "Vocabulary-scale boundary"). The 12-row merge table is a bounded
+# driver probe at plan-build time, the same trained-artifact pattern as
+# the IVF centroid list (PLANS.md "sampled structures").
+_BPE_APPLY_MERGES = 12
+_BPE_APPLY_PASSES = 5
+
+@register(
+    "bpe_apply_token_counts",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, w FROM (
+        SELECT doc_id, __WORDS__ AS ws FROM documents
+      ), UNNEST(ws) AS t(w)
+    ), dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1, 2
+    ), vocab AS (
+      SELECT DISTINCT w FROM dw
+    ), bpairs AS (
+      SELECT p FROM (
+        SELECT list_transform(range(1, length(w)), i -> substr(w, i, 2)) AS ps
+        FROM tok WHERE length(w) >= 2
+      ), UNNEST(ps) AS t(p)
+    ), bcounted AS (
+      SELECT p AS pair, COUNT(*) AS n FROM bpairs GROUP BY p
+    ), merges AS (
+      SELECT CAST(rnk AS INT) AS rnk,
+             ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' ' AS pat,
+             ' ' || pair || ' ' AS rep
+      FROM (
+        SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rnk
+        FROM bcounted
+      ) WHERE rnk <= 12
+    ), init AS (
+      SELECT w,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), ' '
+             ) || ' ' AS s,
+             0 AS r
+      FROM vocab
+    ), ap AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT a.w, replace(replace(replace(replace(replace(a.s, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS s, a.r + 1
+      FROM ap a JOIN merges m ON m.rnk = a.r + 1 WHERE a.r < 12
+    ), vt AS (
+      SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe,
+             CAST(length(w) AS BIGINT) AS n_char
+      FROM ap WHERE r = 12
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(dw.n_occ * vt.n_char) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(dw.n_occ * vt.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(CAST(SUM(dw.n_occ * vt.n_char) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(dw.n_occ * vt.n_bpe) AS BIGINT) AS DOUBLE), 6)
+             AS compression_ratio
+    FROM dw JOIN vt ON dw.w = vt.w
+    GROUP BY dw.doc_id
+    """.replace("__WORDS__", _SQL_WORDS),
+    doc=(
+        "apply the top-12 trained BPE merges to the corpus (vocabulary-"
+        "grain chained replaces, zero UDFs) -> per-doc word/char/BPE "
+        "token counts + compression ratio"
+    ),
+)
+def bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_tokens(spark, sf_dir)
+    # trained merge table: top-K adjacent char pairs in rank order — a
+    # bounded (K-row) driver probe, collected once at plan-build time
+    ranked = bpe_pair_frequencies(spark, sf_dir).filter(
+        F.col("rnk") <= _BPE_APPLY_MERGES
+    )
+    merges = [r["pair"] for r in sorted(ranked.collect(), key=lambda r: r["rnk"])]
+
+    dw = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n_occ"))
+    vocab = dw.select("w").distinct()
+    chars = F.when(F.length("w") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+    )
+    col = F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" "))
+    for m in merges:
+        pat, rep = F.lit(f" {m[0]} {m[1]} "), F.lit(f" {m} ")
+        for _ in range(_BPE_APPLY_PASSES):
+            col = F.replace(col, pat, rep)
+    vt = vocab.select(
+        "w",
+        F.size(F.split(F.trim(col), " ")).cast("long").alias("n_bpe"),
+        F.length("w").cast("long").alias("n_char"),
+    )
+    agg = (
+        dw.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_char")).cast("long").alias(
+                "n_char_tokens"
+            ),
+            F.sum(F.col("n_occ") * F.col("n_bpe")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_char_tokens").cast("double")
+            / F.col("n_bpe_tokens").cast("double"),
+            6,
+        ).alias("compression_ratio"),
+    )
+
 # Edit-distance verification over the LSH candidate pairs — completes the
 # dedup family (exact / Jaccard / containment / MinHash / SimHash /
 # embedding-cosine) with the CHARACTER-grain measure: token-set metrics
