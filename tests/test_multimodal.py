@@ -543,6 +543,22 @@ def test_progressive_jpeg_multi_band_scan_script():
         mm.encode_progressive_jpeg(r, ac_bands=((1, 30),))
 
 
+def test_progressive_jpeg_dc_only_truncated_stream_decodes():
+    """A progressive stream truncated after its DC scan is a legal
+    DC-only preview (the use case progressive was designed for); the
+    multi-scan decoder must return the per-block DC raster instead of
+    erroring. For block-constant rasters the DC preview IS the full
+    image, so the pin is exact."""
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    r = mm._jpeg_block_raster(7, 37, 21)
+    data = mm.encode_progressive_jpeg(r)
+    first = data.index(b"\xff\xda")
+    second = data.index(b"\xff\xda", first + 2)
+    truncated = data[:second] + b"\xff\xd9"
+    assert (mm.decode_baseline_jpeg(truncated) == r).all()
+
+
 def test_progressive_jpeg_eobrun_spans_blocks():
     """A constant raster has zero AC everywhere, so the encoder collapses
     the whole AC scan into one EOBn symbol — the stream must be smaller
