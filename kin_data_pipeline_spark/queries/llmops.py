@@ -2182,21 +2182,16 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = banded.groupBy("band", "bval").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("docs")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc_a"),
-                        y["doc_id"].alias("doc_b"),
-                        x["simhash"].alias("sig_a"),
-                        y["simhash"].alias("sig_b"),
-                    ),
-                ),
-            )
-        )
+    from kin_data_pipeline_spark.operators.dedup import within_list_pairs
+
+    pair = within_list_pairs(
+        "docs",
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["simhash"].alias("sig_a"),
+            y["simhash"].alias("sig_b"),
+        ),
     ).alias("p")
     cand = (
         lists.select(pair)
@@ -2830,12 +2825,21 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_APPLY_MERGES = 12
 _BPE_APPLY_PASSES = 5
 
+def _bpe_apply_replace_chain(expr: str) -> str:
+    """The oracle's per-iteration replace chain — _BPE_APPLY_PASSES nested
+    replaces, generated from the same constant the Spark side loops on so
+    the two can never drift."""
+    for _ in range(_BPE_APPLY_PASSES):
+        expr = f"replace({expr}, m.pat, m.rep)"
+    return expr
+
+
 @register(
     "bpe_apply_token_counts",
-    """
+    f"""
     WITH RECURSIVE tok AS (
       SELECT CAST(doc_id AS BIGINT) AS doc_id, w FROM (
-        SELECT doc_id, __WORDS__ AS ws FROM documents
+        SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
       ), UNNEST(ws) AS t(w)
     ), dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1, 2
@@ -2855,7 +2859,7 @@ _BPE_APPLY_PASSES = 5
       FROM (
         SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rnk
         FROM bcounted
-      ) WHERE rnk <= 12
+      ) WHERE rnk <= {_BPE_APPLY_MERGES}
     ), init AS (
       SELECT w,
              ' ' || array_to_string(
@@ -2866,12 +2870,16 @@ _BPE_APPLY_PASSES = 5
     ), ap AS (
       SELECT * FROM init
       UNION ALL
-      SELECT a.w, replace(replace(replace(replace(replace(a.s, m.pat, m.rep), m.pat, m.rep), m.pat, m.rep), m.pat, m.rep), m.pat, m.rep) AS s, a.r + 1
-      FROM ap a JOIN merges m ON m.rnk = a.r + 1 WHERE a.r < 12
+      SELECT a.w, {_bpe_apply_replace_chain("a.s")} AS s, a.r + 1
+      FROM ap a JOIN merges m ON m.rnk = a.r + 1
+      WHERE a.r < {_BPE_APPLY_MERGES}
     ), vt AS (
+      -- the recursion ends at min(MERGES, available pairs): a degenerate
+      -- corpus with fewer than MERGES distinct pairs stops early, so the
+      -- terminal is the per-run MAX(r), never a hardcoded depth
       SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_bpe,
              CAST(length(w) AS BIGINT) AS n_char
-      FROM ap WHERE r = 12
+      FROM ap WHERE r = (SELECT MAX(r) FROM ap)
     )
     SELECT dw.doc_id,
            CAST(SUM(dw.n_occ) AS BIGINT) AS n_words,
@@ -2882,11 +2890,11 @@ _BPE_APPLY_PASSES = 5
              AS compression_ratio
     FROM dw JOIN vt ON dw.w = vt.w
     GROUP BY dw.doc_id
-    """.replace("__WORDS__", _SQL_WORDS),
+    """,
     doc=(
-        "apply the top-12 trained BPE merges to the corpus (vocabulary-"
-        "grain chained replaces, zero UDFs) -> per-doc word/char/BPE "
-        "token counts + compression ratio"
+        f"apply the top-{_BPE_APPLY_MERGES} trained BPE merges to the "
+        "corpus (vocabulary-grain chained replaces, zero UDFs) -> per-doc "
+        "word/char/BPE token counts + compression ratio"
     ),
 )
 def bpe_apply_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

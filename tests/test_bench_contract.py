@@ -68,5 +68,7 @@ def test_bench_stdout_is_one_parseable_json_line():
     for name, rec in attrib.items():
         assert isinstance(rec["substrates_built"], list)
         assert rec["substrate_overhead"] >= -1e-9
-        assert rec["substrates_built"] or rec["substrate_overhead"] > 0.5
+        # bench includes entries when the RAW first-best gap exceeds 0.5s
+        # but records round(x, 3) — compare with a rounding-safe bound
+        assert rec["substrates_built"] or rec["substrate_overhead"] >= 0.5 - 1e-9
     assert any(rec["substrates_built"] for rec in attrib.values())
