@@ -81,19 +81,35 @@ def main() -> None:
     # over a session, while the repeat measures the operator itself. Both
     # runs execute the full plan (count action).
     from kin_data_pipeline_spark.sources.catalog import frame_cache_names
+    from kin_data_pipeline_spark.queries.extended import STREAM_RUN_STATS
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     substrates: dict[str, dict] = {}
+    # Streaming-tier execution detail (VERDICT r6 ask #2): per run, the
+    # micro-batch count / input rows / trigger-execution ms of every
+    # streaming sink the query drove. A wall-clock shift with identical
+    # micro-batch counts and comparable trigger_ms is session/box noise;
+    # a batching change shows up as a count difference — decidable from
+    # this file alone.
+    stream_detail: dict[str, list] = {}
     for name, fn in queries().items():
         runs = []
         before = frame_cache_names(spark)
+        per_run_streams: list[dict] = []
         for _ in range(2):
+            STREAM_RUN_STATS.clear()
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.monotonic() - t0)
             assert n >= 0
+            if STREAM_RUN_STATS:
+                per_run_streams.append(
+                    {k: dict(v) for k, v in STREAM_RUN_STATS.items()}
+                )
+        if per_run_streams:
+            stream_detail[name] = per_run_streams
         first_run[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         # Shared-substrate attribution (VERDICT r5 ask #5): the first run of
@@ -135,6 +151,7 @@ def main() -> None:
                 "first_run": first_run,
                 "first_run_total": round(sum(first_run.values()), 3),
                 "substrate_attribution": substrates,
+                "stream_detail": stream_detail,
             },
             fh,
             indent=1,

@@ -854,6 +854,15 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     s.conf.set("spark.sql.shuffle.partitions", str(_STREAM_STATE_PARTITIONS))
     return s
 
+# Per-sink execution stats of the most recent run-to-completion streaming
+# run (micro-batch count + trigger-execution wall time). Bench detail
+# records these so a streaming-tier timing shift is decidable from the
+# committed artifacts — same micro-batch counts ⇒ engine-overhead/box
+# noise, different counts ⇒ a real trigger/batching change (VERDICT r6
+# ask #2).
+STREAM_RUN_STATS: dict[str, dict] = {}
+
+
 def _run_to_memory(stream, sink: str, output_mode: str, timeout_s: int = 300):
     """Run a streaming frame to completion into a memory sink and return the
     sink table (registered in the stream's own cloned session). One place
@@ -869,6 +878,16 @@ def _run_to_memory(stream, sink: str, output_mode: str, timeout_s: int = 300):
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise RuntimeError(f"{sink} did not finish in {timeout_s}s")
+    # recentProgress holds every batch of an availableNow run (well under
+    # the 100-entry retention cap for the single-file test sources).
+    progress = query.recentProgress
+    STREAM_RUN_STATS[sink] = {
+        "micro_batches": len(progress),
+        "input_rows": int(sum(p["numInputRows"] for p in progress)),
+        "trigger_ms": int(
+            sum(p["durationMs"].get("triggerExecution", 0) for p in progress)
+        ),
+    }
     return stream.sparkSession.table(sink)
 
 # Structured Streaming, driver-checkable (§2.9): the watermarked tumbling

@@ -67,6 +67,20 @@ def _analyzed(df: DataFrame) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
+def oracle_fingerprint(sql: str | None) -> str:
+    """Semantic hash of a query's DuckDB oracle text (VERDICT r6 ask #3).
+
+    The plan fingerprint covers only the Spark half of the correctness
+    contract; an edit to the oracle SQL alone would otherwise leave prior
+    green driver rows standing for a contract that no longer exists. The
+    hash collapses whitespace runs (reformatting is not a semantic change);
+    rows-only queries (``oracle is None``) hash a fixed sentinel so adding
+    or removing an oracle also registers as a change.
+    """
+    text = "<no-oracle>" if sql is None else " ".join(sql.split())
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
 def query_fingerprint(spark: SparkSession, fn, sf_dir: str) -> str:
     """Normalized semantic hash of one registered query at ``sf_dir``.
 

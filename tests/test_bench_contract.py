@@ -72,3 +72,18 @@ def test_bench_stdout_is_one_parseable_json_line():
         # but records round(x, 3) — compare with a rounding-safe bound
         assert rec["substrates_built"] or rec["substrate_overhead"] >= 0.5 - 1e-9
     assert any(rec["substrates_built"] for rec in attrib.values())
+    # Streaming execution detail (VERDICT r6 ask #2): every streaming-tier
+    # query records, per bench run, the micro-batch count / input rows /
+    # trigger-execution ms of each sink it drove, so a wall-clock shift is
+    # adjudicable from the committed detail file alone.
+    stream_detail = detail["stream_detail"]
+    streaming = {n for n in all_names if n.startswith("streaming_")}
+    assert set(stream_detail) == streaming
+    for name, per_run in stream_detail.items():
+        assert len(per_run) == 2  # one record per bench run
+        for sinks in per_run:
+            assert sinks, f"{name}: no sink stats captured"
+            for rec in sinks.values():
+                assert rec["micro_batches"] >= 1
+                assert rec["input_rows"] >= 0
+                assert rec["trigger_ms"] >= 0

@@ -20,6 +20,7 @@ import pytest
 from kin_data_pipeline_spark import queries as q
 from kin_data_pipeline_spark.queries.fingerprint import (
     MANIFEST_PATH,
+    oracle_fingerprint,
     query_fingerprint,
 )
 
@@ -38,8 +39,26 @@ def test_manifest_covers_registry_exactly():
         "manifest/registry drift — run scripts/gen_plan_manifest.py"
     )
     assert sorted(m["since"]) == sorted(m["hashes"])
+    assert sorted(m["oracle_hashes"]) == sorted(m["hashes"])
     bad = {n: r for n, r in m["since"].items() if not 1 <= int(r) <= q.ROUND}
     assert not bad, f"since rounds outside [1, ROUND]: {bad}"
+
+
+def test_oracle_hashes_match_manifest():
+    """The oracle SQL is the other half of the correctness contract
+    (VERDICT r6 ask #3): an oracle edit without a manifest regen (which
+    advances `since` and re-windows the query) must fail here, exactly
+    like a plan change. Pure text hashing — no Spark session needed."""
+    m = _manifest()["oracle_hashes"]
+    stale = [
+        name
+        for name, spec in q.QUERIES.items()
+        if m.get(name) != oracle_fingerprint(spec.oracle)
+    ]
+    assert not stale, (
+        f"{len(stale)} oracle hashes drifted from PLAN_MANIFEST.json — run "
+        f"scripts/gen_plan_manifest.py and commit it: {sorted(stale)[:20]}"
+    )
 
 
 def test_fingerprints_match_manifest(spark):
