@@ -19,10 +19,12 @@ backfill are partition-granular metadata operations rather than rewrites.
 from __future__ import annotations
 
 import datetime
+import functools
 import json
 import os
 import shutil
 import threading
+import time
 import warnings
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -41,12 +43,44 @@ from kin_data_pipeline_spark.plans.model import CADENCE_UNITS, Model, topo_sort
 _BUCKET_DDL_LOCK = threading.Lock()
 
 
+def _versioned_op(op: str):
+    """Wrap a Catalog mutator so a successful TOP-LEVEL call commits one
+    version on an opt-in versioned table (Delta-style time travel).
+
+    The depth counter makes nested mutator calls (``write_append``'s
+    clone copy-on-write goes through ``write_full``; ``delete_by_keys``
+    rewrites through ``write_full``) part of the OUTER operation's single
+    commit — one user-visible mutation, one version, labeled with the
+    operation the caller actually invoked. Commits happen only on
+    success: an aborted write must not record a version of whatever state
+    it left behind.
+    """
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, name, *args, **kwargs):
+            self._mutation_depth += 1
+            try:
+                result = fn(self, name, *args, **kwargs)
+            finally:
+                self._mutation_depth -= 1
+            if self._mutation_depth == 0:
+                self._commit_version(name, op)
+            return result
+
+        return wrapper
+
+    return deco
+
+
 class Catalog:
     """Filesystem-backed table catalog (one directory per table)."""
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        # nesting depth of mutator calls — see _versioned_op
+        self._mutation_depth = 0
         os.makedirs(warehouse_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -296,6 +330,7 @@ class Catalog:
             )
         return w
 
+    @_versioned_op("write_full")
     def write_full(
         self,
         name: str,
@@ -314,6 +349,7 @@ class Catalog:
         w.parquet(self.path(name))
         self._save_schema(name, df)
 
+    @_versioned_op("write_append")
     def write_append(
         self,
         name: str,
@@ -384,6 +420,15 @@ class Catalog:
         parquet table rooted at the catalog path. ``sort_cols`` additionally
         pre-sorts each bucket file so a downstream sort-merge join skips its
         sort as well as its shuffle."""
+        if self.is_versioned(name):
+            # versioned reads are plain-parquet hardlink trees — rewriting
+            # the live table bucketed would make table_at_version silently
+            # lose the co-location guarantee vs the live read (the same
+            # layout conflict snapshot() refuses, from the other side)
+            raise ValueError(
+                f"'{name}' is versioned; a bucketed rewrite would fork the "
+                "layout from its version history — drop versioning first"
+            )
         self._heal_compaction(name)
         self._drop_clone(name)
         # exclusive layout: a bucketed rewrite replaces any bloom record
@@ -413,6 +458,7 @@ class Catalog:
                 f,
             )
 
+    @_versioned_op("write_zordered")
     def write_zordered(
         self, name: str, df: DataFrame, zorder_cols: Sequence[str], n_files: int = 16
     ) -> None:
@@ -524,6 +570,7 @@ class Catalog:
         row = self.table(name).agg(F.max(date_col).alias("wm")).collect()[0]
         return row["wm"]
 
+    @_versioned_op("upsert_by_key")
     def upsert_by_key(
         self, name: str, df: DataFrame, key_cols: list[str], date_col: str | None
     ) -> None:
@@ -593,6 +640,7 @@ class Catalog:
             published.append(prefix + n)
         return published
 
+    @_versioned_op("compact")
     def compact(
         self,
         name: str,
@@ -665,6 +713,7 @@ class Catalog:
         shutil.rmtree(old)
         return before, _count_files(root)
 
+    @_versioned_op("delete_where_date_ge")
     def delete_where_date_ge(self, name: str, date_col: str, cutoff) -> int:
         """Date-keyed cleanup: drop whole date partitions >= cutoff.
 
@@ -699,6 +748,7 @@ class Catalog:
                 dropped += 1
         return dropped
 
+    @_versioned_op("delete_by_keys")
     def delete_by_keys(
         self, name: str, key_col: str, keys: DataFrame | Sequence
     ) -> int:
@@ -755,6 +805,7 @@ class Catalog:
         self.write_full(name, survivors, date_col=part_col)
         return before - survivors.count()
 
+    @_versioned_op("apply_changelog")
     def apply_changelog(
         self,
         name: str,
@@ -1121,6 +1172,7 @@ class Catalog:
             return self.spark.read.schema(schema).parquet(data)
         return self.spark.read.parquet(data)
 
+    @_versioned_op("restore")
     def restore(self, name: str, tag: str) -> None:
         """Roll the live table back to ``tag`` (the snapshot itself is
         kept). Same rename-aside swap discipline as ``compact``, healed by
@@ -1271,6 +1323,152 @@ class Catalog:
         cols = sorted(live.columns)
         live_c, old_c = live.select(*cols), old.select(*cols)
         return live_c.exceptAll(old_c), old_c.exceptAll(live_c)
+
+    # --- versioned tables (Delta-style time travel) ---------------------
+    # Tagged snapshots above answer "read the release we named"; this layer
+    # answers Delta Lake's VERSION AS OF / TIMESTAMP AS OF: every mutation
+    # of an opt-in table auto-commits a numbered, immutable version with a
+    # commit timestamp and the operation that produced it. Same zero-copy
+    # economics as snapshots (hardlinked parquet — every engine write path
+    # creates new files, so version inodes survive later writes); the log
+    # is the authority, and both halves of a commit publish atomically
+    # (staging dir rename; log tmp+rename), so a crash between them leaves
+    # an unlogged orphan directory that the next commit clears — never a
+    # logged version with missing data.
+
+    def _versions_dir(self, name: str, version: int | None = None) -> str:
+        base = os.path.join(self.warehouse_dir, f"{name}.__versions")
+        return base if version is None else os.path.join(base, f"v{int(version)}")
+
+    def _versions_log(self, name: str) -> str:
+        return os.path.join(self._versions_dir(name), "_log.json")
+
+    def is_versioned(self, name: str) -> bool:
+        return os.path.isfile(self._versions_log(name))
+
+    def enable_versioning(self, name: str) -> None:
+        """Opt ``name`` into versioned writes. Records version 0 = the
+        table's current state (Delta's convention: the log starts at the
+        enable point; history before it was never captured). Refuses
+        clone aliases (a version must pin DATA — the alias's source can
+        be re-pointed or mutated independently) and bucketed tables (the
+        same session-catalog-layout reason ``snapshot`` refuses them)."""
+        if self.is_versioned(name):
+            raise ValueError(f"'{name}' is already versioned")
+        if os.path.exists(self._clone_marker(name)):
+            raise ValueError(
+                f"'{name}' is a zero-copy clone; materialize it first "
+                "(versions must pin data, not an alias)"
+            )
+        if os.path.exists(self._bucket_sidecar(name)):
+            raise ValueError(
+                f"'{name}' is bucketed; versioned reads would drop the "
+                "bucket layout — compact to a plain table first"
+            )
+        if not os.path.exists(self.path(name)):
+            raise ValueError(f"cannot version missing table '{name}'")
+        os.makedirs(self._versions_dir(name), exist_ok=True)
+        self._write_version_log(name, [])
+        self._commit_version(name, "enable_versioning")
+
+    def _write_version_log(self, name: str, entries: list[dict]) -> None:
+        log = self._versions_log(name)
+        tmp = log + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=1)
+        os.replace(tmp, log)  # atomic: readers see old or new, never half
+
+    def history(self, name: str) -> list[dict]:
+        """Commit log, oldest first: ``{"version", "ts", "operation"}``."""
+        if not self.is_versioned(name):
+            raise ValueError(f"'{name}' is not versioned")
+        with open(self._versions_log(name)) as fh:
+            return json.load(fh)
+
+    def _commit_version(self, name: str, operation: str) -> None:
+        """Record the table's post-mutation state as the next version.
+        No-op for non-versioned tables — mutators call this unconditionally
+        via ``_versioned_op``."""
+        if not self.is_versioned(name):
+            return
+        entries = self.history(name)
+        version = entries[-1]["version"] + 1 if entries else 0
+        dst = self._versions_dir(name, version)
+        # a crash after the dir rename but before the log rename strands an
+        # unlogged orphan at exactly this number — the log is the
+        # authority, so clear it and recommit
+        shutil.rmtree(dst, ignore_errors=True)
+        staging = dst + ".__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        src = self.path(name)
+        if not os.path.exists(src):
+            raise ValueError(
+                f"cannot commit version of missing table '{name}' "
+                "(was it deleted outside the engine?)"
+            )
+        self._link_tree(src, os.path.join(staging, "data"))
+        schema = self._schema_sidecar(name)
+        if os.path.exists(schema):
+            shutil.copy2(schema, os.path.join(staging, "schema.json"))
+        os.rename(staging, dst)
+        entries.append(
+            {"version": version, "ts": time.time(), "operation": operation}
+        )
+        self._write_version_log(name, entries)
+
+    def table_at_version(self, name: str, version: int) -> DataFrame:
+        """Read the table as of commit ``version`` (Delta VERSION AS OF)."""
+        entries = self.history(name)
+        if not any(e["version"] == int(version) for e in entries):
+            known = [e["version"] for e in entries]
+            raise ValueError(
+                f"no version {version} of '{name}' (have {known})"
+            )
+        data = os.path.join(self._versions_dir(name, version), "data")
+        schema_p = os.path.join(self._versions_dir(name, version), "schema.json")
+        if os.path.exists(schema_p):
+            from pyspark.sql.types import StructType
+
+            with open(schema_p) as f:
+                schema = StructType.fromJson(json.loads(f.read()))
+            return self.spark.read.schema(schema).parquet(data)
+        return self.spark.read.parquet(data)
+
+    def table_as_of(self, name: str, ts) -> DataFrame:
+        """Read the latest version committed at or before ``ts`` (Delta
+        TIMESTAMP AS OF). ``ts`` is an epoch float, ``datetime``, or ISO
+        string; naive datetimes/strings are taken as LOCAL time, matching
+        ``datetime.timestamp()``."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if isinstance(ts, datetime.datetime):
+            ts = ts.timestamp()
+        eligible = [e for e in self.history(name) if e["ts"] <= float(ts)]
+        if not eligible:
+            raise ValueError(
+                f"no version of '{name}' at or before {ts} "
+                f"(earliest commit: {self.history(name)[0]['ts']})"
+            )
+        return self.table_at_version(name, eligible[-1]["version"])
+
+    def vacuum_versions(self, name: str, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (the retention
+        sweep; hardlinks mean bytes free only when the live table no
+        longer shares them). The log keeps only surviving entries, so
+        history() and the data dirs never disagree."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (never drop the tip)")
+        entries = self.history(name)
+        drop, keep = entries[:-keep_last], entries[-keep_last:]
+        # publish the truncated log FIRST: a crash mid-sweep must leave
+        # dangling data dirs (cleared on a rerun), never logged versions
+        # whose data is gone
+        self._write_version_log(name, keep)
+        for e in drop:
+            shutil.rmtree(
+                self._versions_dir(name, e["version"]), ignore_errors=True
+            )
+        return [e["version"] for e in drop]
 
 @dataclass
 class BuildContext:

@@ -97,9 +97,11 @@ CURRENT_WINDOW_HEAD = [
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window. Empty at round-7 open: every
-# registered query has a fingerprint-current green row or a window slot.
-NEXT_WINDOW_BACKLOG: list[str] = []
+# and must lead the next round's window. This round: the Delta-style
+# time-travel query added after the round-7 window was composed.
+NEXT_WINDOW_BACKLOG: list[str] = [
+    "time_travel_orders_versions",  # versioned catalog reads (r7 stretch)
+]
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}

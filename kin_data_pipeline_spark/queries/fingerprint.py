@@ -54,6 +54,10 @@ _NORMALIZE_PATTERNS = [
     # session-global counter (`lambda x_5` on a fresh session, `lambda
     # x_21` after other HOF queries ran) — strip the counter.
     (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1__"),
+    # Queries that stage through a per-call scratch warehouse
+    # (time_travel_orders_versions) read from a tempfile.mkdtemp path —
+    # the random suffix is session state, not query semantics.
+    (re.compile(r"/tmp/tt_wh_[A-Za-z0-9_]+"), "/tmp/tt_wh__"),
 ]
 
 
