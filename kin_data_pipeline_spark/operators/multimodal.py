@@ -9,12 +9,13 @@ BMP / PNG / WAV / JPEG / AVI payloads: ``parse_media_header`` does magic-byte
 sniffing + struct parsing of the actual container headers, no external codec
 needed. Pixel/sample-level decode is ALSO real, pure stdlib/numpy, for the
 generated formats: PNG (zlib + scanline unfilter), WAV (16-bit PCM),
-baseline JPEG (Huffman + dequant + IDCT) and AVI-MJPG video (RIFF container
-parse + sampled-frame JPEG decode; spectral-selection progressive JPEG).
-``require_codec`` remains only for
-real-world codecs this container cannot express — successive-approximation
-progressive or subsampled
-JPEG, interframe video (H.264 etc.), lossy resampling; the deterministic
+baseline JPEG (Huffman + dequant + IDCT), the FULL Annex G progressive
+JPEG profile (spectral selection AND successive approximation, encode +
+decode) and AVI-MJPG video (RIFF container parse + sampled-frame JPEG
+decode). ``require_codec`` remains only for
+real-world codecs this container cannot express — chroma-subsampled JPEG,
+arithmetic/lossless/hierarchical JPEG,
+interframe video (H.264 etc.), lossy resampling; the deterministic
 fake decoder is kept for opaque (non-media) payloads so the batching
 plumbing stays testable on any bytes.
 """
@@ -456,10 +457,11 @@ def resize_plan(df: DataFrame, max_side: int) -> DataFrame:
 
 # --- pixel-level PNG decode (pure stdlib: zlib + struct + numpy) -----------
 # PNG IDAT is zlib (RFC 1950) and the scanline filters are spec §9 integer
-# arithmetic — the raster path needs NO external codec. Baseline-JPEG and
-# AVI-MJPG video decode are likewise stdlib/numpy (see the sections below):
-# require_codec remains only for real-world profiles (progressive JPEG,
-# interframe video) that genuinely need libjpeg/libav.
+# arithmetic — the raster path needs NO external codec. Baseline-JPEG,
+# full-profile progressive JPEG and AVI-MJPG video decode are likewise
+# stdlib/numpy (see the sections below): require_codec remains only for
+# real-world profiles (subsampled/arithmetic JPEG, interframe video) that
+# genuinely need libjpeg/libav.
 #
 # The encoder below exists so the path is a checked ROUND TRIP rather than
 # a parser of its own output's happy path: rasters are deterministic
@@ -1106,25 +1108,162 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
+def _encode_ac_first_scan(zzq, lo: int, hi: int, al: int, ac_codes) -> bytes:
+    """One progressive AC 'first' scan (Ah=0) over band ``lo..hi`` at
+    approximation level ``al`` (T.81 G.1.2.2): coefficients enter at the
+    point-transformed magnitude sign·(|v| >> al); zero runs and all-zero
+    band tails collapse into EOBn runs."""
+    import numpy as np
+
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        bw.put(*ac_codes[r << 4])
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in zzq:
+        band = zz[lo : hi + 1]
+        shifted = np.sign(band) * (np.abs(band) >> al)
+        nz = np.nonzero(shifted)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # EOBn category cap (r <= 14)
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        last = int(nz[-1])
+        for k in range(last + 1):
+            if shifted[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            sz, bits = _magnitude_bits(int(shifted[k]))
+            bw.put(*ac_codes[(run << 4) | sz])
+            bw.put(bits, sz)
+            run = 0
+        if last < hi - lo:
+            eobrun += 1  # this block's band ends early — new EOB run
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return bw.flush()
+
+
+def _encode_ac_refine_scan(zzq, lo: int, hi: int, al: int, ac_codes) -> bytes:
+    """One progressive AC REFINEMENT scan (Ah=al+1, Al=al) over band
+    ``lo..hi`` — ITU T.81 G.1.2.3 (the libjpeg encode_mcu_AC_refine
+    shape): coefficients whose point-transformed magnitude |v| >> al is
+    - 0 extend the current zero run,
+    - 1 are NEWLY significant: Huffman (run<<4)|1 + one sign bit,
+    - >1 have history: exactly one raw correction bit (bit al of |v|),
+      buffered and appended after the next emitted symbol (or carried
+      into the EOBn flush when the block ends in an EOB run).
+    Zero runs past 15 emit ZRL only up to the block's last newly
+    significant coefficient; everything after it joins the EOB run.
+    """
+    bw = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # correction bits riding the pending EOBn
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun, be
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        bw.put(*ac_codes[r << 4])
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+        for b in be:
+            bw.put(b, 1)
+        be = []
+
+    for zz in zzq:
+        absv = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+        # EOB position: the LAST newly-significant coefficient — zeros and
+        # history coefficients beyond it fold into the EOB run (their
+        # correction bits ride the EOBn flush), so ZRLs are never emitted
+        # past it
+        eob_i = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # a 16+ zero-history run flushes as ZRLs at ANY nonzero
+            # coefficient (history included — the decoder's run advance
+            # reads its correction bit while passing it), but never past
+            # the EOB position
+            while r > 15 and i <= eob_i:
+                flush_eobrun()
+                bw.put(*ac_codes[0xF0])
+                r -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush_eobrun()
+            bw.put(*ac_codes[(r << 4) | 1])
+            bw.put(0 if int(zz[lo + i]) < 0 else 1, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            # flush before the EOBn category or the correction-bit
+            # buffer can overflow (libjpeg's MAX_CORR_BITS discipline)
+            if eobrun == 0x7FFF or len(be) > 937 - 64:
+                flush_eobrun()
+    flush_eobrun()
+    return bw.flush()
+
+
 def encode_progressive_jpeg(
-    raster, quant: int = 8, ac_bands: tuple = ((1, 63),)
+    raster,
+    quant: int = 8,
+    ac_bands: tuple = ((1, 63),),
+    dc_al: int = 0,
+    ac_al: int = 0,
 ) -> bytes:
     """Encode an (H, W) uint8 grayscale raster as a PROGRESSIVE (SOF2)
-    JFIF JPEG using spectral selection at full precision: scan 1 carries
-    every block's DC coefficient (Ss=Se=0), then one AC scan per
+    JFIF JPEG. Scan script: one DC scan (Ss=Se=0), then one AC scan per
     ``ac_bands`` entry (default: the whole 1..63 band in one scan;
-    production encoders typically split, e.g. ((1, 5), (6, 63))). No
-    successive approximation (Ah=Al=0) — that is the profile the decoder
-    accepts, and it is a legal ITU T.81 progressive stream (Annex G
-    spectral-selection-only mode).
+    production encoders typically split, e.g. ((1, 5), (6, 63))) —
+    spectral selection, ITU T.81 Annex G.
+
+    ``dc_al``/``ac_al`` add SUCCESSIVE APPROXIMATION on top (G.1.2.3,
+    the full Annex G profile): first scans carry the point-transformed
+    coefficients (DC: arithmetic shift by ``dc_al``; AC: magnitude shift
+    at ``ac_al``), followed by one refinement scan per remaining bit
+    plane (Ah=al+1, Al=al down to 0) — raw DC bits, and the
+    run/newly-significant/correction-bit AC refinement coding. With both
+    at 0 (default) the stream is spectral-selection-only. All scans are
+    emitted, so decoding is always coefficient-exact vs baseline.
 
     AC scans use progressive EOBn coding: runs of blocks whose band is
     entirely zero collapse into one EOBRUN symbol (category r, r appended
     bits), so block-constant rasters compress each AC band into a few
     bytes — and the decoder's EOBRUN path is exercised end-to-end.
     """
-    import numpy as np
-
     bands = list(ac_bands)
     if any(not 1 <= lo <= hi <= 63 for lo, hi in bands):
         raise ValueError("ac_bands must be within [1, 63] with lo <= hi")
@@ -1132,71 +1271,61 @@ def encode_progressive_jpeg(
         raise ValueError("ac_bands must be contiguous and ordered")
     if not bands or bands[0][0] != 1 or bands[-1][1] != 63:
         raise ValueError("ac_bands must cover 1..63")
+    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
+        raise ValueError("approximation levels must be within [0, 13]")
     zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(
         tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
     )
 
-    # Scan 1: DC, Ss=0 Se=0 Ah=0 Al=0 — baseline-identical DC coding.
+    # Scan 1: DC first, Ss=0 Se=0 Ah=0 Al=dc_al — baseline-shaped DIFF
+    # coding of the arithmetic-shifted DC values.
     bw1 = _BitWriter()
     pred = 0
     for zz in zzq:
-        sz, bits = _magnitude_bits(int(zz[0]) - pred)
-        pred = int(zz[0])
+        v = int(zz[0]) >> dc_al  # python >> on int is the arithmetic shift
+        sz, bits = _magnitude_bits(v - pred)
+        pred = v
         bw1.put(*dc_codes[sz])
         if sz:
             bw1.put(bits, sz)
     scans = [
-        _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, 0))
+        _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, dc_al))
         + bw1.flush()
     ]
 
     for lo, hi in bands:
-        bw2 = _BitWriter()
-        eobrun = 0
-
-        def flush_eobrun() -> None:
-            nonlocal eobrun
-            if not eobrun:
-                return
-            r = eobrun.bit_length() - 1
-            bw2.put(*ac_codes[r << 4])
-            if r:
-                bw2.put(eobrun - (1 << r), r)
-            eobrun = 0
-
-        for zz in zzq:
-            band = zz[lo : hi + 1]
-            nz = np.nonzero(band)[0]
-            if len(nz) == 0:
-                eobrun += 1
-                if eobrun == 0x7FFF:  # EOBn category cap (r <= 14)
-                    flush_eobrun()
-                continue
-            flush_eobrun()
-            run = 0
-            last = lo + int(nz[-1])
-            for k in range(lo, last + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw2.put(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                sz, bits = _magnitude_bits(int(zz[k]))
-                bw2.put(*ac_codes[(run << 4) | sz])
-                bw2.put(bits, sz)
-                run = 0
-            if last < hi:
-                eobrun += 1  # this block's band ends early — new EOB run
-                if eobrun == 0x7FFF:
-                    flush_eobrun()
-        flush_eobrun()
         scans.append(
-            _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, lo, hi, 0))
-            + bw2.flush()
+            _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, lo, hi, ac_al))
+            + _encode_ac_first_scan(zzq, lo, hi, ac_al, ac_codes)
         )
+
+    # DC refinement scans: one raw bit per block per plane (G.1.2.1).
+    for al in range(dc_al - 1, -1, -1):
+        bwr = _BitWriter()
+        for zz in zzq:
+            bwr.put((int(zz[0]) >> al) & 1, 1)
+        scans.append(
+            _jpeg_seg(
+                0xFFDA,
+                struct.pack(">BBBBBB", 1, 1, 0x00, 0, 0, ((al + 1) << 4) | al),
+            )
+            + bwr.flush()
+        )
+
+    # AC refinement scans, one bit plane at a time, band by band.
+    for al in range(ac_al - 1, -1, -1):
+        for lo, hi in bands:
+            scans.append(
+                _jpeg_seg(
+                    0xFFDA,
+                    struct.pack(
+                        ">BBBBBB", 1, 1, 0x00, lo, hi, ((al + 1) << 4) | al
+                    ),
+                )
+                + _encode_ac_refine_scan(zzq, lo, hi, al, ac_codes)
+            )
 
     dqt, sof, dht = _jpeg_segments(
         q, height, width, 0xFFC2, _JPEG_AC_BITS_PROG, _JPEG_AC_VALS_PROG
@@ -1316,13 +1445,13 @@ def decode_baseline_jpeg(content: bytes):
     segments, rebuilds the declared canonical Huffman tables, entropy-
     decodes interleaved MCUs (DC prediction, AC run-lengths, EOB/ZRL,
     restart markers), dequantizes through zigzag order, applies the float
-    2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND
-    spectral-selection progressive (SOF2, any DC/AC band scan script with
-    EOBn runs, Ah=Al=0) are both supported; the remaining honest gates are
-    successive-approximation progressive scans, chroma subsampling, and
-    non-Huffman/non-8-bit profiles (NotImplementedError). Grayscale
-    returns (H, W), multi-component (H, W, C); ValueError on malformed
-    streams.
+    2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND the
+    full Annex G progressive profile (SOF2: any DC/AC band scan script
+    with EOBn runs, spectral selection AND successive-approximation
+    first/refinement scans) are supported; the remaining honest gates are
+    chroma subsampling and non-Huffman/non-8-bit profiles
+    (NotImplementedError). Grayscale returns (H, W), multi-component
+    (H, W, C); ValueError on malformed streams.
     """
     import numpy as np
 
@@ -1445,30 +1574,42 @@ def decode_baseline_jpeg(content: bytes):
                             k += 1
                 scanned = True
             else:
-                # Progressive, spectral selection at full precision.
-                # Successive approximation (Ah/Al != 0) stays gated — the
-                # synthesized tier never emits it and refining it honestly
-                # needs the correction-bit path of a native codec.
-                if ah or al:
-                    raise NotImplementedError(
-                        "successive-approximation progressive JPEG needs a "
-                        "native codec"
-                    )
+                # Progressive: spectral selection (Ah=0) PLUS successive
+                # approximation (Ah>0 refinement scans; ITU T.81 Annex G /
+                # the libjpeg decode_mcu_*_refine shape). First scans
+                # enter coefficients at the point-transformed precision
+                # (value << Al); each refinement scan restores one bit
+                # plane, so a complete scan script reconstructs the exact
+                # coefficients and a truncated one is a legal coarse
+                # preview.
                 if ss == 0:
                     # DC scan (interleaved over the scan components)
                     if se != 0:
                         raise ValueError("progressive DC scan with Se != 0")
                     scomps = [(cindex[cs], scan_tables[cs][0]) for cs in scan_tables]
-                    preds = [0] * len(scomps)
-                    for mcu in range(nblocks):
-                        if restart_interval and mcu and mcu % restart_interval == 0:
-                            reader.skip_restart()
-                            preds = [0] * len(scomps)
-                        for si, (ci, td) in enumerate(scomps):
-                            sz = _huff_decode(reader, htables[(0, td)])
-                            diff = _extend(reader.bits(sz), sz) if sz else 0
-                            preds[si] += diff
-                            zzs[ci][mcu][0] = preds[si]
+                    if ah == 0:
+                        preds = [0] * len(scomps)
+                        for mcu in range(nblocks):
+                            if restart_interval and mcu and mcu % restart_interval == 0:
+                                reader.skip_restart()
+                                preds = [0] * len(scomps)
+                            for si, (ci, td) in enumerate(scomps):
+                                sz = _huff_decode(reader, htables[(0, td)])
+                                diff = _extend(reader.bits(sz), sz) if sz else 0
+                                preds[si] += diff
+                                zzs[ci][mcu][0] = preds[si] << al
+                    else:
+                        # refinement: one raw bit per block per component;
+                        # bit Al of the two's-complement value is clear by
+                        # the multiple-of-2^(Al+1) invariant, so OR-ing it
+                        # in is the exact completion for either sign
+                        p1 = 1 << al
+                        for mcu in range(nblocks):
+                            if restart_interval and mcu and mcu % restart_interval == 0:
+                                reader.skip_restart()
+                            for ci, _td in scomps:
+                                if reader.bit():
+                                    zzs[ci][mcu][0] = int(zzs[ci][mcu][0]) | p1
                 else:
                     # AC band scan: always single-component, with EOBn runs
                     if ns != 1:
@@ -1477,33 +1618,88 @@ def decode_baseline_jpeg(content: bytes):
                     ci = cindex[cs]
                     ac_tab = htables[(1, scan_tables[cs][1])]
                     eobrun = 0
-                    for blk in range(nblocks):
-                        if restart_interval and blk and blk % restart_interval == 0:
-                            reader.skip_restart()
-                            eobrun = 0
-                        if eobrun:
-                            eobrun -= 1
-                            continue
-                        zz = zzs[ci][blk]
-                        k = ss
-                        while k <= se:
-                            rs = _huff_decode(reader, ac_tab)
-                            r, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                # EOBn: run of 2^r + bits blocks ends here,
-                                # this block included
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.bits(r)
-                                break
-                            k += r
-                            if k > se:
-                                raise ValueError("AC run past end of band")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
+                    if ah == 0:
+                        for blk in range(nblocks):
+                            if restart_interval and blk and blk % restart_interval == 0:
+                                reader.skip_restart()
+                                eobrun = 0
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            zz = zzs[ci][blk]
+                            k = ss
+                            while k <= se:
+                                rs = _huff_decode(reader, ac_tab)
+                                r, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    # EOBn: run of 2^r + bits blocks ends
+                                    # here, this block included
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC run past end of band")
+                                zz[k] = _extend(reader.bits(size), size) << al
+                                k += 1
+                    else:
+                        # AC refinement (G.2): newly-significant
+                        # coefficients arrive as ±2^Al; every coefficient
+                        # with history read over — by a run, a ZRL, or the
+                        # EOB-run tail — consumes one correction bit
+                        p1, m1 = 1 << al, -(1 << al)
+                        for blk in range(nblocks):
+                            if restart_interval and blk and blk % restart_interval == 0:
+                                reader.skip_restart()
+                                eobrun = 0
+                            zz = zzs[ci][blk]
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = _huff_decode(reader, ac_tab)
+                                    r, size = rs >> 4, rs & 0x0F
+                                    sval = 0
+                                    if size:
+                                        if size != 1:
+                                            raise ValueError(
+                                                "AC refinement size must be 1"
+                                            )
+                                        sval = p1 if reader.bit() else m1
+                                    elif r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    # else ZRL: skip 16 zero-history coeffs
+                                    while k <= se:
+                                        if zz[k] != 0:
+                                            if reader.bit() and not (
+                                                int(zz[k]) & p1
+                                            ):
+                                                zz[k] += p1 if zz[k] > 0 else m1
+                                        else:
+                                            r -= 1
+                                            if r < 0:
+                                                break
+                                        k += 1
+                                    if sval:
+                                        if k > se:
+                                            raise ValueError(
+                                                "AC refinement run past band"
+                                            )
+                                        zz[k] = sval
+                                    k += 1
+                            if eobrun:
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if reader.bit() and not (int(zz[k]) & p1):
+                                            zz[k] += p1 if zz[k] > 0 else m1
+                                    k += 1
+                                eobrun -= 1
                 scanned = True
             pos = end
             continue
@@ -1596,6 +1792,31 @@ def synthesize_pixel_progressive_jpeg_df(
     return ids.mapInPandas(
         synthesize_pixel_progressive_jpeg_batch, schema=SYNTH_SCHEMA
     )
+
+
+def encode_sa_progressive_jpeg(raster) -> bytes:
+    """Full-profile progressive encode with the libjpeg-shaped default
+    scan script: split AC bands (1-5, 6-63), DC at one approximation
+    level, AC at two — 2 DC scans + 6 AC scans (first + two refinement
+    planes per band). Every refinement plane is emitted, so the decode
+    is coefficient-exact vs baseline."""
+    return encode_progressive_jpeg(
+        raster, ac_bands=((1, 5), (6, 63)), dc_al=1, ac_al=2
+    )
+
+
+def synthesize_pixel_sa_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    SUCCESSIVE-APPROXIMATION progressive JPEG (spectral selection +
+    first/refinement bit-plane scans) of the block-constant raster."""
+    return _synthesize_jpeg_batches(batches, encode_sa_progressive_jpeg)
+
+
+def synthesize_pixel_sa_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(synthesize_pixel_sa_jpeg_batch, schema=SYNTH_SCHEMA)
 
 
 def jpeg_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

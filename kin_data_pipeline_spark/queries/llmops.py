@@ -1971,8 +1971,8 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block, then the whole 1..63 AC band as a second scan coded with
 # progressive EOBn run symbols (block-constant rasters collapse the entire
 # AC scan into a single EOBRUN). The decoder is the same general
-# multi-scan path production streams would take; only
-# successive-approximation scans remain gated. Identical oracle: the
+# multi-scan path production streams would take (the SA twin below covers
+# the approximation scans). Identical oracle: the
 # decode is still mathematically exact for DC-only blocks.
 @register(
     "progressive_jpeg_pixel_stats",
@@ -2013,6 +2013,67 @@ def progressive_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     stats = jpeg_pixel_stats_df(synthesize_pixel_progressive_jpeg_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        "min_pixel",
+        "max_pixel",
+        F.round(F.col("sum_pixels") * 1.0 / F.col("n_pixels"), 6).alias(
+            "mean_pixel"
+        ),
+    )
+
+# Successive-approximation twin (VERDICT r6 ask #7 stretch, option A —
+# retires the LAST still-image require_codec gate): the same rasters
+# through the FULL ITU T.81 Annex G profile — split AC bands (1-5, 6-63),
+# DC point-transformed one plane, AC two planes, then one refinement scan
+# per remaining bit plane (raw DC bits; the run/newly-significant/
+# correction-bit AC refinement coding, operators/multimodal.py
+# ::_encode_ac_refine_scan, wire format hand-pinned in
+# tests/test_multimodal.py). All planes are emitted, so the decode is
+# coefficient-exact and the block-formula oracle is unchanged.
+@register(
+    "sa_progressive_jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS sum_pixels,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS min_pixel,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS max_pixel,
+           ROUND(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                 * 1.0 / COUNT(*), 6) AS mean_pixel
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "successive-approximation progressive JPEG pixel decode — bit-plane "
+        "first/refinement scans over split AC bands through the full Annex G "
+        "decoder; same exact block-formula oracle"
+    ),
+)
+def sa_progressive_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        jpeg_pixel_stats_df,
+        synthesize_pixel_sa_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_pixel_stats_df(synthesize_pixel_sa_jpeg_df(docs, "doc_id"))
     return stats.select(
         "media_id",
         "width",

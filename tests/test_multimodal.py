@@ -575,22 +575,173 @@ def test_progressive_jpeg_eobrun_spans_blocks():
     assert (mm.decode_baseline_jpeg(prog) == r).all()
 
 
-def test_progressive_jpeg_successive_approximation_stays_gated():
-    """Ah/Al != 0 (successive approximation) is the remaining honest
-    still-image gate — a refinement scan must raise, never return pixels
-    quietly missing low-order bits."""
+def test_sa_progressive_jpeg_round_trip_matches_baseline():
+    """Successive-approximation streams (point-transformed first scans +
+    one refinement scan per remaining bit plane, ITU T.81 Annex G) carry
+    every plane, so the decode must be coefficient-exact vs the baseline
+    encoding of the same raster — across scan scripts mixing DC/AC
+    approximation depths and band splits."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(31)
+    scripts = (
+        dict(dc_al=1, ac_al=2, ac_bands=((1, 5), (6, 63))),  # libjpeg shape
+        dict(dc_al=2, ac_al=1, ac_bands=((1, 63),)),
+        dict(dc_al=3, ac_al=3, ac_bands=((1, 1), (2, 9), (10, 63))),
+        dict(dc_al=0, ac_al=2, ac_bands=((1, 63),)),  # AC-only approximation
+        dict(dc_al=2, ac_al=0, ac_bands=((1, 63),)),  # DC-only approximation
+    )
+    for _ in range(6):
+        hh, ww = rng.randint(1, 70), rng.randint(1, 70)
+        r = rng.randint(0, 256, size=(hh, ww)).astype("uint8")
+        base = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
+        for kw in scripts:
+            sa = mm.decode_baseline_jpeg(mm.encode_progressive_jpeg(r, **kw))
+            assert (sa == base).all(), kw
+    # the registered tier's wrapper, block-constant: mathematically exact
+    for mid in (0, 3, 17, 46):
+        w, h = mm.jpeg_pixel_geometry(mid)
+        r = mm._jpeg_block_raster(mid, w, h)
+        assert (
+            mm.decode_baseline_jpeg(mm.encode_sa_progressive_jpeg(r)) == r
+        ).all()
+
+
+def test_sa_refinement_scan_wire_format_hand_pinned():
+    """The AC refinement coding (G.1.2.3) against a BY-HAND transcription
+    of the spec — the pin that breaks encoder/decoder symmetry (a mirrored
+    misreading of the correction-bit ordering would round-trip cleanly and
+    still be wrong against every real decoder; the r5 zigzag-transpose
+    lesson). Block 1 band: [5, 0, -3, 0...] at Al=1 → |5|>>1=2 buffers
+    correction bit 0; -3>>1=1 is newly significant after one zero →
+    symbol 0x11 (code 26: 00011010), sign bit 0, then the buffered bit 0;
+    trailing zeros + all-zero block 2 → EOB2 (symbol 0x10, code 1:
+    00000001) + 1 appended run bit 0; 1-padding to the byte edge →
+    0x1A 0x00 0x5F."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    zz1 = np.zeros(64, dtype=np.int64)
+    zz1[1], zz1[3] = 5, -3
+    zz2 = np.zeros(64, dtype=np.int64)
+    ac_codes = mm._huff_codes_cached(
+        tuple(mm._JPEG_AC_BITS_PROG), tuple(mm._JPEG_AC_VALS_PROG)
+    )
+    out = mm._encode_ac_refine_scan(np.stack([zz1, zz2]), 1, 63, 1, ac_codes)
+    assert out == bytes([0x1A, 0x00, 0x5F])
+
+
+def test_sa_truncated_prefix_is_the_point_transform_preview():
+    """A stream truncated after the FIRST scans (no refinement planes)
+    must decode to exactly the point-transformed coefficients — DC at
+    (dc >> 1) << 1 (arithmetic shift), AC at sign·((|ac| >> 2) << 2) —
+    pushed through the same dequant + IDCT tail. The expectation is
+    computed from the T.81 point-transform FORMULA on the forward
+    coefficients, so it checks the first-scan wire semantics
+    independently of the refinement code."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(43)
+    r = rng.randint(0, 256, size=(23, 38)).astype("uint8")
+    data = mm.encode_progressive_jpeg(
+        r, ac_bands=((1, 63),), dc_al=1, ac_al=2
+    )
+    # keep scans 1-2 (DC first + the single AC first), drop refinements
+    cuts = [i for i in range(len(data) - 1) if data[i : i + 2] == b"\xff\xda"]
+    assert len(cuts) == 2 + 1 + 2  # DC first, AC first, 1 DC + 2 AC refines
+    truncated = data[: cuts[2]] + b"\xff\xd9"
+    got = mm.decode_baseline_jpeg(truncated)
+
+    zzq, q, height, width = mm._jpeg_forward_blocks(r, 8)
+    approx = zzq.copy()
+    approx[:, 0] = (approx[:, 0] >> 1) << 1
+    ac = approx[:, 1:]
+    approx[:, 1:] = np.sign(ac) * ((np.abs(ac) >> 2) << 2)
+    nbw, nbh = -(-width // 8), -(-height // 8)
+    basis = mm._idct_matrix()
+    coeffs = np.zeros((nbh * nbw, 64), dtype=np.float64)
+    coeffs[:, mm._ZIGZAG] = approx * np.asarray(q, dtype=np.float64)[None, :]
+    blocks = basis.T @ coeffs.reshape(-1, 8, 8) @ basis
+    plane = (
+        blocks.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
+    )
+    want = np.clip(np.round(plane[:height, :width] + 128.0), 0, 255).astype("uint8")
+    assert (got == want).all()
+
+
+def test_sa_refinement_zrl_flushes_at_history_coefficients():
+    """Regression: a 16+ zero run followed by a HISTORY coefficient and
+    then a newly-significant one must flush its ZRL at the history
+    coefficient (G.1.2.3 emits ZRLs at any nonzero coefficient up to the
+    EOB position) — flushing only at newly-significant ones emits the
+    history correction bit on the wrong side of the ZRL and desyncs the
+    decoder (found by the randomized scan-script sweep, 29x58 raster,
+    dc_al=ac_al=3)."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    # hand-built coefficient layout: 20 zeros, history (|v|>>1 = 2),
+    # newly significant (|v|>>1 = 1) — at al=1
+    zz = np.zeros(64, dtype=np.int64)
+    zz[21], zz[23] = 4, -2
+    ac_codes = mm._huff_codes_cached(
+        tuple(mm._JPEG_AC_BITS_PROG), tuple(mm._JPEG_AC_VALS_PROG)
+    )
+    out = mm._encode_ac_refine_scan(np.stack([zz]), 1, 63, 1, ac_codes)
+    # By hand: 20 zeros reach the history coef at band index 20 → ZRL
+    # flushes there (code 15: 00001111), r 20→4, empty bit buffer; its
+    # correction bit (4>>1 & 1 = 0) buffers AFTER the ZRL; one more zero
+    # → r=5; newly significant at index 22 → symbol (5<<4)|1 (code index
+    # 16+50=66: 01000010), sign bit 0 (negative), buffered bit 0;
+    # trailing zeros → EOB1 (code 0: 00000000); 1-padding →
+    # 0x0F 0x42 0x00 0x3F
+    assert out == bytes([0x0F, 0x42, 0x00, 0x3F])
+    # and the full-stream decode of an equivalent raster-level case stays
+    # exact (the sweep case distilled)
+    rng = np.random.RandomState(31)
+    for _ in range(6):
+        hh, ww = rng.randint(1, 70), rng.randint(1, 70)
+        r = rng.randint(0, 256, size=(hh, ww)).astype("uint8")
+    base = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
+    sa = mm.decode_baseline_jpeg(
+        mm.encode_progressive_jpeg(
+            r, dc_al=3, ac_al=3, ac_bands=((1, 1), (2, 9), (10, 63))
+        )
+    )
+    assert (sa == base).all()
+
+
+def test_sa_refinement_size_must_be_one():
+    """A refinement scan symbol with size > 1 is malformed per G.2 — the
+    decoder must raise, never absorb it as a first-scan coefficient."""
+    import numpy as np
     import pytest as _pytest
 
     from kin_data_pipeline_spark.operators import multimodal as mm
 
-    r = mm._jpeg_block_raster(2, 16, 16)
-    data = bytearray(mm.encode_progressive_jpeg(r))
-    # patch the AC scan's Ah/Al byte (last byte of the 2nd SOS payload)
-    first = data.index(b"\xff\xda")
-    second = data.index(b"\xff\xda", first + 2)
-    # SOS: marker(2) + len(2) + ns(1) + comp(2) + Ss + Se + AhAl
-    data[second + 4 + 1 + 2 + 2] = 0x01  # Al = 1
-    with _pytest.raises(NotImplementedError, match="successive-approximation"):
+    r = np.full((8, 8), 200, dtype="uint8")
+    data = bytearray(mm.encode_progressive_jpeg(r, dc_al=0, ac_al=1))
+    # scans: DC first, AC first (al=1), AC refine (al=0). Rewrite the
+    # refinement scan's header to claim it is ANOTHER first scan is not
+    # needed — instead patch its entropy data so the first symbol has
+    # size 2: locate the 3rd SOS, then overwrite the byte after the
+    # 10-byte header with a crafted Huffman code for (0<<4)|2.
+    cuts = [i for i in range(len(data) - 1) if data[i : i + 2] == b"\xff\xda"]
+    assert len(cuts) == 3
+    ac_codes = mm._huff_codes_cached(
+        tuple(mm._JPEG_AC_BITS_PROG), tuple(mm._JPEG_AC_VALS_PROG)
+    )
+    code, length = ac_codes[0x02]  # run 0, size 2 — illegal in refinement
+    assert length == 8
+    # SOS = marker(2) + len(2) + payload(6) → entropy data starts at +10
+    data[cuts[2] + 10] = code
+    with _pytest.raises(ValueError, match="refinement size"):
         mm.decode_baseline_jpeg(bytes(data))
 
 
