@@ -1451,6 +1451,33 @@ class Catalog:
             )
         return self.table_at_version(name, eligible[-1]["version"])
 
+    def table_changes(self, name: str, v_from: int, v_to: int) -> DataFrame:
+        """Row-level changes between two committed versions — the Delta
+        Change-Data-Feed read shape: the table's columns plus
+        ``_change_type`` ('insert' for rows present in ``v_to`` but not
+        ``v_from``, 'delete' for the reverse; an update surfaces as a
+        delete+insert pair). Multiplicity-aware (EXCEPT ALL, like
+        ``diff_snapshot``) so duplicate-row count changes surface.
+        Columns are aligned by name; a column present in only one version
+        (schema evolution) is a hard error — there is no meaningful row
+        diff across disjoint schemas."""
+        if v_from == v_to:
+            raise ValueError("table_changes needs two distinct versions")
+        old = self.table_at_version(name, v_from)
+        new = self.table_at_version(name, v_to)
+        if sorted(old.columns) != sorted(new.columns):
+            raise ValueError(
+                f"cannot diff '{name}' v{v_from} vs v{v_to}: column sets "
+                f"differ ({sorted(old.columns)} vs {sorted(new.columns)})"
+            )
+        cols = sorted(old.columns)
+        old_c, new_c = old.select(*cols), new.select(*cols)
+        return new_c.exceptAll(old_c).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            old_c.exceptAll(new_c).withColumn("_change_type", F.lit("delete"))
+        )
+
     def vacuum_versions(self, name: str, keep_last: int) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (the retention
         sweep; hardlinks mean bytes free only when the live table no

@@ -102,6 +102,7 @@ CURRENT_WINDOW_HEAD = [
 NEXT_WINDOW_BACKLOG: list[str] = [
     "time_travel_orders_versions",  # versioned catalog reads (r7 stretch)
     "sa_progressive_jpeg_pixel_stats",  # full Annex G SA decode (r7 stretch)
+    "time_travel_changes",  # CDF between versions (r7 stretch)
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

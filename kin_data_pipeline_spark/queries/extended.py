@@ -2071,3 +2071,87 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+# Change-data-feed reads over the versioned catalog (Delta CDF shape): the
+# same versioned history as time_travel_orders_versions, read back as
+# row-level changes BETWEEN versions (insert/delete typed rows via
+# multiplicity-aware EXCEPT ALL). The oracle reproduces each change set
+# from literal predicates: v0→v1 inserts = the appended 1995-1996 range
+# (append-only, so no deletes); v1→v2 deletes = the key-erased status-'F'
+# rows (no inserts). plans/engine.py::Catalog.table_changes, pinned by
+# tests/test_versioned.py::test_table_changes_cdf.
+@register(
+    "time_travel_changes",
+    """
+    WITH appended AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    ), erased AS (
+      SELECT * FROM orders
+      WHERE o_orderdate < DATE '1997-01-01' AND o_orderstatus = 'F'
+    )
+    SELECT 0 AS from_version, 1 AS to_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM appended
+    UNION ALL
+    SELECT 1, 2, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM erased
+    """,
+    doc=(
+        "change-data-feed between table versions: insert/delete typed row "
+        "diffs via multiplicity-aware EXCEPT ALL (Delta CDF shape over the "
+        "versioned catalog)"
+    ),
+)
+def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cat.write_full(
+        "orders_fact",
+        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date")),
+        None,
+    )
+    cat.enable_versioning("orders_fact")  # v0
+    cat.write_append(
+        "orders_fact",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        ),
+        None,
+    )  # v1
+    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+
+    def _agg(ch: DataFrame, v_from: int, v_to: int) -> DataFrame:
+        return (
+            ch.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .select(
+                F.lit(v_from).cast("int").alias("from_version"),
+                F.lit(v_to).cast("int").alias("to_version"),
+                F.col("_change_type").alias("change_type"),
+                "n_rows",
+                "total_cents",
+            )
+        )
+
+    return _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
+        _agg(cat.table_changes("orders_fact", 1, 2), 1, 2)
+    )

@@ -185,6 +185,39 @@ def test_restore_is_a_versioned_operation(spark, tmp_path):
     assert sorted(r.id for r in cat.table_at_version("t", 1).collect()) == [3]
 
 
+def test_table_changes_cdf(spark, tmp_path):
+    """Change-data-feed reads between versions: inserts, deletes, an
+    update as a delete+insert pair, multiplicity awareness, and the
+    schema/identity guards."""
+    cat = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20), (2, "b", 20)])
+    cat.enable_versioning("t")
+    # v1: drop one duplicate of id=2, add id=3, "update" id=1's val
+    v1 = spark.createDataFrame(
+        [(1, "a", 99), (2, "b", 20), (3, "c", 30)], "id long, grp string, val long"
+    )
+    cat.write_full("t", v1, None)
+    ch = cat.table_changes("t", 0, 1).collect()
+    by_type = {}
+    for row in ch:
+        by_type.setdefault(row["_change_type"], []).append((row.id, row.val))
+    assert sorted(by_type["insert"]) == [(1, 99), (3, 30)]
+    # one duplicate copy of (2,20) survived — exactly ONE delete row
+    assert sorted(by_type["delete"]) == [(1, 10), (2, 20)]
+    # reversed direction flips the change types
+    rev = cat.table_changes("t", 1, 0).collect()
+    assert sorted(
+        (r.id, r.val) for r in rev if r["_change_type"] == "insert"
+    ) == [(1, 10), (2, 20)]
+    with pytest.raises(ValueError, match="distinct versions"):
+        cat.table_changes("t", 1, 1)
+    widened = spark.createDataFrame(
+        [(9, "z", 1, "x")], "id long, grp string, val long, extra string"
+    )
+    cat.write_full("t", widened, None)
+    with pytest.raises(ValueError, match="column sets"):
+        cat.table_changes("t", 1, 2)
+
+
 def test_log_write_is_atomic(spark, tmp_path):
     cat = _mk(spark, tmp_path, ROWS1)
     cat.enable_versioning("t")
