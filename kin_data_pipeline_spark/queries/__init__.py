@@ -103,6 +103,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "time_travel_orders_versions",  # versioned catalog reads (r7 stretch)
     "sa_progressive_jpeg_pixel_stats",  # full Annex G SA decode (r7 stretch)
     "time_travel_changes",  # CDF between versions (r7 stretch)
+    "bpe_train_merges",  # iterative BPE merge training (r7 stretch)
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

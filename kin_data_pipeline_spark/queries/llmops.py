@@ -3058,3 +3058,143 @@ def levenshtein_near_dup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("edit_similarity"),
     )
+
+# --- BPE TRAINING (iterative merge learning; r7) ---------------------------
+# bpe_apply_token_counts (above) applies a merge table ranked ONCE from
+# character-pair counts; this is the real iterative trainer: each round
+# counts adjacent SYMBOL pairs in the CURRENT segmentation (symbols grow as
+# merges land) weighted by word frequency, merges the argmax, and
+# re-segments — the Sennrich-BPE learning loop. Scale shape: training runs
+# at WORD-HISTOGRAM grain (distinct words + corpus counts, Zipf-small vs
+# the corpus), each round is one linear pair-count aggregation and the
+# argmax is a 1-row TakeOrdered driver probe (K bounded rounds ⇒ K bounded
+# probes — the same trained-artifact pattern as the apply query's merge
+# table). Cross-engine exactness: both engines re-segment with the
+# identical fixed-pass replace chain (left-to-right non-overlap) and the
+# identical (count DESC, pair ASC) tiebreak, so the learned table is
+# deterministic and hash-comparable.
+_BPE_TRAIN_MERGES = 10
+
+
+def bpe_train(wf: DataFrame, k: int = _BPE_TRAIN_MERGES, passes: int = _BPE_APPLY_PASSES):
+    """Learn ``k`` BPE merges from a (w, n) word-frequency frame; returns
+    [(rank, pair, merged, count)] — stops early when the vocabulary
+    exhausts its pairs (every word fully merged)."""
+    chars = F.when(F.length("w") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        )
+    )
+    # length-1 words carry no pairs and never merge — drop them before
+    # the loop instead of re-segmenting them K times
+    cur = wf.filter(F.length("w") >= 2).select(
+        "n", F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("s")
+    )
+    merges: list[tuple] = []
+    for rnk in range(1, k + 1):
+        toks = F.split(F.trim("s"), " ")
+        # descending-sequence guard: size-1 < 1 would generate a reversed
+        # sequence and abort the job on element_at
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select("n", F.explode(pairs).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # degenerate vocabulary: no adjacent pairs left
+        pair, cnt = top[0]["p"], int(top[0]["cnt"])
+        merged = pair.replace(" ", "")
+        merges.append((rnk, pair, merged, cnt))
+        col = F.col("s")
+        for _ in range(passes):
+            col = F.replace(col, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        # truncate lineage each round: without this, round r's pair count
+        # re-runs all r-1 prior re-segmentations (quadratic in K); the
+        # checkpointed state is one vocabulary-sized (n, s) frame
+        cur = cur.select("n", col.alias("s")).localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_train_oracle(k: int, passes: int) -> str:
+    """Generate the K-round training loop as nested DuckDB CTEs from the
+    SAME constants the Spark trainer loops on, so the two can never
+    drift: round r counts pairs over seg{r-1}, picks the (cnt DESC, pair
+    ASC) argmax into m{r} (1 row; empty once pairs exhaust, which empties
+    every later round and truncates the output), and re-segments into
+    seg{r} via the fixed-pass replace chain against the 1-row m{r}."""
+    # every seg{r} is read TWICE (p{r+1} and seg{r+1}) — without
+    # MATERIALIZED the inlined CTE chain re-evaluates exponentially in K
+    ctes = [
+        f"""wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+        ), UNNEST(ws) AS t(w)
+      ) GROUP BY w
+    ), seg0 AS MATERIALIZED (
+      SELECT n,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), ' '
+             ) || ' ' AS s
+      FROM wf WHERE length(w) >= 2
+    )"""
+    ]
+    for r in range(1, k + 1):
+        chain = "g.s"
+        for _ in range(passes):
+            chain = (
+                f"replace({chain}, ' ' || m.pair || ' ', ' ' || m.merged || ' ')"
+            )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT pr AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (
+        SELECT n, list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1]) AS prs
+        FROM (SELECT n, string_split(trim(s), ' ') AS toks FROM seg{r - 1})
+        WHERE len(toks) >= 2
+      ), UNNEST(prs) AS u(pr)
+      GROUP BY pr
+    ), m{r} AS MATERIALIZED (
+      SELECT pair, replace(pair, ' ', '') AS merged, cnt
+      FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), seg{r} AS MATERIALIZED (
+      SELECT g.n, {chain} AS s FROM seg{r - 1} g, m{r} m
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rnk, pair, merged, cnt AS n_occurrences FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_train_oracle(_BPE_TRAIN_MERGES, _BPE_APPLY_PASSES),
+    doc=(
+        f"TRAIN {_BPE_TRAIN_MERGES} BPE merges (iterative Sennrich loop at "
+        "word-histogram grain: per-round symbol-pair argmax + fixed-pass "
+        "re-segmentation) -> the learned merge table"
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_tokens(spark, sf_dir)
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    merges = bpe_train(wf)
+    return spark.createDataFrame(
+        merges, "rnk int, pair string, merged string, n_occurrences long"
+    )
