@@ -104,6 +104,8 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "sa_progressive_jpeg_pixel_stats",  # full Annex G SA decode (r7 stretch)
     "time_travel_changes",  # CDF between versions (r7 stretch)
     "bpe_train_merges",  # iterative BPE merge training (r7 stretch)
+    "sole_late_supplier_q21",  # EXISTS + NOT EXISTS chain, decorrelated
+    "dominant_part_suppliers_q20",  # correlated half-of-total threshold
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

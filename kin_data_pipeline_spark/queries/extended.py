@@ -2155,3 +2155,136 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
         _agg(cat.table_changes("orders_fact", 1, 2), 1, 2)
     )
+
+# TPC-H Q21 shape (waiting-supplier chain): the hardest relational pattern
+# in the suite — a candidate row qualified by BOTH an EXISTS (another
+# supplier on the same order) and a NOT EXISTS (no OTHER late supplier on
+# it). Adapted to the fixture schema ("late" = shipped more than 90 days
+# after the order date; the fixture has no receipt/commit dates). The
+# oracle states the classic correlated EXISTS/NOT EXISTS form; the Spark
+# side is the scale-correct decorrelated rewrite — ONE per-order aggregate
+# (distinct suppliers, distinct late suppliers) joined back to the late
+# candidates, so the "two more lineitem self-joins" the literal form
+# implies never happen. A late candidate is sole-late iff the order has
+# >1 suppliers and exactly 1 late one.
+@register(
+    "sole_late_supplier_q21",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders_waited
+    FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lo l1
+      WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY
+        )
+    ) c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    GROUP BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q21 shape: EXISTS + NOT EXISTS waiting-supplier chain, "
+        "decorrelated to one per-order aggregate on the Spark side"
+    ),
+)
+def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).alias("is_late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_sup"),
+    )
+    candidates = (
+        j.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    sole = candidates.join(
+        per_order.filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1)),
+        "l_orderkey",
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        sole.join(supplier, sole["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_waited"))
+    )
+
+# TPC-H Q20 shape (dominant-share threshold): a correlated scalar-subquery
+# threshold — suppliers shipping MORE THAN HALF of a part's total shipped
+# quantity (fixture schema: lineitem quantities stand in for partsupp
+# availability). The oracle keeps the correlated HAVING subquery; the
+# Spark side decorrelates it into the (part, supplier) aggregate joined
+# to the per-part total, compared in EXACT integers (2·sup_qty >
+# part_qty — no 0.5 float anywhere).
+@register(
+    "dominant_part_suppliers_q20",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM (
+      SELECT l.l_suppkey, l.l_partkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 's%'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING 2 * SUM(CAST(l.l_quantity AS BIGINT)) > (
+        SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    ) d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    GROUP BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape: correlated half-of-total threshold, decorrelated "
+        "to per-part aggregates with exact integer comparison"
+    ),
+)
+def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("s"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    lif = li.join(parts, li["l_partkey"] == parts["p_partkey"]).select(
+        "l_partkey", "l_suppkey", "qty"
+    )
+    sup_part = lif.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("sup_qty")
+    )
+    totals = lif.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    dominant = sup_part.join(totals, "l_partkey").filter(
+        2 * F.col("sup_qty") > F.col("part_qty")
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        dominant.join(supplier, dominant["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
+    )
