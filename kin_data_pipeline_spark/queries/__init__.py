@@ -106,6 +106,8 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "bpe_train_merges",  # iterative BPE merge training (r7 stretch)
     "sole_late_supplier_q21",  # EXISTS + NOT EXISTS chain, decorrelated
     "dominant_part_suppliers_q20",  # correlated half-of-total threshold
+    "priority_late_orders_q4",  # correlated EXISTS as semi join + residual
+    "top_supplier_revenue_q15",  # scalar-max view, ties kept
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

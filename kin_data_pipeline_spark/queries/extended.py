@@ -2288,3 +2288,94 @@ def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dominant_parts"))
     )
+
+# TPC-H Q4 shape (order-priority checking): orders qualified by an EXISTS
+# over their lineitems with a cross-table inequality ("some line shipped
+# more than 60 days after the order date" — the fixture's stand-in for
+# commit-vs-receipt lateness). The oracle keeps the correlated EXISTS;
+# the Spark side is a LEFT SEMI hash join on the order key with the
+# inequality as a residual — one pass, no decorrelation aggregate needed
+# for pure existence.
+@register(
+    "priority_late_orders_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1994-01-01'
+      AND o.o_orderdate < DATE '1994-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: correlated EXISTS with cross-table inequality as "
+        "a left-semi hash join with residual"
+    ),
+)
+def priority_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+# TPC-H Q15 shape (top supplier view): quarterly per-supplier revenue,
+# then the supplier(s) AT the global maximum — ties kept via equality
+# with the scalar max, never a LIMIT (Q15's defining property). Revenue
+# is exact integer cents so the equality is bit-safe on both engines;
+# the 1-row max frame crosses in broadcast (the same compiled shape
+# DuckDB gives the scalar subquery; allowlisted with Q22).
+@register(
+    "top_supplier_revenue_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_name, r.revenue_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+    """,
+    doc=(
+        "TPC-H Q15 shape: revenue view + scalar-max equality (ties kept), "
+        "exact integer cents"
+    ),
+)
+def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    top = rev.agg(F.max("revenue_cents").alias("max_rev"))
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("revenue_cents") == F.col("max_rev"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "revenue_cents")
+    )
