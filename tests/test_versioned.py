@@ -218,6 +218,50 @@ def test_table_changes_cdf(spark, tmp_path):
         cat.table_changes("t", 1, 2)
 
 
+def test_streaming_ingest_commits_one_version_per_microbatch(spark, tmp_path):
+    """Composition: streaming ingestion appends through the versioned
+    write path, so an opted-in table gets one committed version per
+    micro-batch — time travel across a stream's landing history for
+    free (and replayed batches, skipped by the commit marker, add no
+    version)."""
+    import pandas as pd
+
+    from kin_data_pipeline_spark.streaming.ingest import ingest_to_catalog
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    pd.DataFrame({"id": [1, 2]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"id": [3]}).to_parquet(src / "b.parquet")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write_full("ingested", spark.createDataFrame([], "id long"), None)
+    cat.enable_versioning("ingested")
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    ingest_to_catalog(stream, cat, "ingested", None, "vtest_ingest", ckpt)
+    hist = cat.history("ingested")
+    ops = [e["operation"] for e in hist]
+    assert ops == ["enable_versioning", "write_append", "write_append"]
+    # versions 1 and 2 are the per-batch landing states (file order is
+    # engine-chosen, so pin sizes, not contents)
+    assert cat.table_at_version("ingested", 0).count() == 0
+    sizes = sorted(
+        cat.table_at_version("ingested", v).count() for v in (1, 2)
+    )
+    assert sizes[1] == 3 and cat.table("ingested").count() == 3
+    # a restart over the same checkpoint replays nothing: no new version
+    stream2 = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ingest_to_catalog(stream2, cat, "ingested", None, "vtest_ingest2", ckpt)
+    assert len(cat.history("ingested")) == 3
+
+
 def test_log_write_is_atomic(spark, tmp_path):
     cat = _mk(spark, tmp_path, ROWS1)
     cat.enable_versioning("t")
