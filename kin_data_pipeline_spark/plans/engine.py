@@ -59,12 +59,18 @@ def _versioned_op(op: str):
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(self, name, *args, **kwargs):
-            self._mutation_depth += 1
+            # depth is PER THREAD: run_concurrent fans sibling mutators
+            # over a pool sharing one Catalog, and a process-wide counter
+            # would make thread A skip its commit while thread B is mid-
+            # mutation (and racy increments could wedge it negative,
+            # silently disabling versioning for the session)
+            depth = getattr(self._mutation_state, "depth", 0)
+            self._mutation_state.depth = depth + 1
             try:
                 result = fn(self, name, *args, **kwargs)
             finally:
-                self._mutation_depth -= 1
-            if self._mutation_depth == 0:
+                self._mutation_state.depth = depth
+            if depth == 0:
                 self._commit_version(name, op)
             return result
 
@@ -79,8 +85,8 @@ class Catalog:
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
-        # nesting depth of mutator calls — see _versioned_op
-        self._mutation_depth = 0
+        # per-thread nesting depth of mutator calls — see _versioned_op
+        self._mutation_state = threading.local()
         os.makedirs(warehouse_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -1334,7 +1340,12 @@ class Catalog:
     # is the authority, and both halves of a commit publish atomically
     # (staging dir rename; log tmp+rename), so a crash between them leaves
     # an unlogged orphan directory that the next commit clears — never a
-    # logged version with missing data.
+    # logged version with missing data. A crash between the MUTATION and
+    # its commit loses that one state from history (the live table is
+    # correct; the next mutation's commit records its own result) — the
+    # inherent gap of layering a log over plain parquet, which
+    # transactional formats close by making the log entry the write
+    # itself.
 
     def _versions_dir(self, name: str, version: int | None = None) -> str:
         base = os.path.join(self.warehouse_dir, f"{name}.__versions")

@@ -2070,7 +2070,18 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(v).cast("int").alias("version"), "n_orders", "total_cents"
             )
         )
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # materialize the 3 aggregate rows (bounded driver probe) so the
+    # scratch warehouse — several hardlinked copies of the orders slice —
+    # can be deleted HERE instead of leaking per invocation; the returned
+    # frame no longer depends on the scratch files
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_orders long, total_cents long"
+    )
 
 # Change-data-feed reads over the versioned catalog (Delta CDF shape): the
 # same versioned history as time_travel_orders_versions, read back as
@@ -2152,8 +2163,19 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
+    out = _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
         _agg(cat.table_changes("orders_fact", 1, 2), 1, 2)
+    )
+    # bounded collect + scratch cleanup, same reasoning as
+    # time_travel_orders_versions above
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "from_version int, to_version int, change_type string, "
+        "n_rows long, total_cents long",
     )
 
 # TPC-H Q21 shape (waiting-supplier chain): the hardest relational pattern

@@ -55,9 +55,11 @@ _NORMALIZE_PATTERNS = [
     # x_21` after other HOF queries ran) — strip the counter.
     (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1__"),
     # Queries that stage through a per-call scratch warehouse
-    # (time_travel_orders_versions) read from a tempfile.mkdtemp path —
-    # the random suffix is session state, not query semantics.
-    (re.compile(r"/tmp/tt_wh_[A-Za-z0-9_]+"), "/tmp/tt_wh__"),
+    # (time_travel_* — their results are collected local frames, so this
+    # is defensive) read under a tempfile.mkdtemp path; both the random
+    # suffix AND the gettempdir() prefix are session/box state, not
+    # query semantics, so match the distinctive dir name unanchored.
+    (re.compile(r"\S*/tt_wh_[A-Za-z0-9_]+"), "/tt_wh__"),
 ]
 
 
@@ -71,17 +73,53 @@ def _analyzed(df: DataFrame) -> str:
     return df._jdf.queryExecution().analyzed().toString()
 
 
+#: bump when the normalization below changes semantics — the manifest
+#: generator reseeds oracle hashes without advancing `since` on a scheme
+#: change (the oracles themselves didn't change, only the hashing)
+ORACLE_HASH_SCHEME = 2
+
+
+def _normalize_sql(sql: str) -> str:
+    """Collapse whitespace runs OUTSIDE single-quoted literals (scheme 2).
+
+    Reformatting SQL is not a semantic change, but whitespace INSIDE a
+    quoted literal is (e.g. the ' ' separators the BPE replace chains
+    split on) — a naive global collapse would let a literal-only edit
+    escape the staleness guard. Standard SQL '' escaping stays inside the
+    literal state for both quotes, which is correct for the scan.
+    """
+    out: list[str] = []
+    in_quote = False
+    pending_ws = False
+    for ch in sql:
+        if in_quote:
+            out.append(ch)
+            if ch == "'":
+                in_quote = False
+            continue
+        if ch.isspace():
+            pending_ws = True
+            continue
+        if pending_ws:
+            out.append(" ")
+            pending_ws = False
+        out.append(ch)
+        if ch == "'":
+            in_quote = True
+    return "".join(out)
+
+
 def oracle_fingerprint(sql: str | None) -> str:
     """Semantic hash of a query's DuckDB oracle text (VERDICT r6 ask #3).
 
     The plan fingerprint covers only the Spark half of the correctness
     contract; an edit to the oracle SQL alone would otherwise leave prior
-    green driver rows standing for a contract that no longer exists. The
-    hash collapses whitespace runs (reformatting is not a semantic change);
+    green driver rows standing for a contract that no longer exists.
+    Whitespace collapses only outside quoted literals (``_normalize_sql``);
     rows-only queries (``oracle is None``) hash a fixed sentinel so adding
     or removing an oracle also registers as a change.
     """
-    text = "<no-oracle>" if sql is None else " ".join(sql.split())
+    text = "<no-oracle>" if sql is None else _normalize_sql(sql).strip()
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 

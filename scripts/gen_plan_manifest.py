@@ -42,6 +42,7 @@ def main() -> None:
     from kin_data_pipeline_spark.queries import QUERIES, ROUND
     from kin_data_pipeline_spark.queries.fingerprint import (
         MANIFEST_PATH,
+        ORACLE_HASH_SCHEME,
         oracle_fingerprint,
         query_fingerprint,
     )
@@ -51,9 +52,13 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as fh:
             old = {"oracle_hashes": None, **json.load(fh)}
-    # pre-oracle_hashes manifest: seed oracle hashes without advancing
-    # `since` (one-time migration — see module docstring)
-    migrating = old["oracle_hashes"] is None
+    # pre-oracle_hashes manifest OR a hashing-scheme bump: reseed oracle
+    # hashes without advancing `since` (the oracles themselves didn't
+    # change, only how they are hashed — see module docstring)
+    migrating = (
+        old["oracle_hashes"] is None
+        or old.get("oracle_hash_scheme") != ORACLE_HASH_SCHEME
+    )
     old_oracle = old["oracle_hashes"] or {}
 
     spark = get_spark(app_name="plan-fingerprints", master="local[8]")
@@ -82,6 +87,7 @@ def main() -> None:
             {
                 "generated_round": ROUND,
                 "hashes": hashes,
+                "oracle_hash_scheme": ORACLE_HASH_SCHEME,
                 "oracle_hashes": oracle_hashes,
                 "since": since,
             },

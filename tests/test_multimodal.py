@@ -702,19 +702,9 @@ def test_sa_refinement_zrl_flushes_at_history_coefficients():
     # trailing zeros → EOB1 (code 0: 00000000); 1-padding →
     # 0x0F 0x42 0x00 0x3F
     assert out == bytes([0x0F, 0x42, 0x00, 0x3F])
-    # and the full-stream decode of an equivalent raster-level case stays
-    # exact (the sweep case distilled)
-    rng = np.random.RandomState(31)
-    for _ in range(6):
-        hh, ww = rng.randint(1, 70), rng.randint(1, 70)
-        r = rng.randint(0, 256, size=(hh, ww)).astype("uint8")
-    base = mm.decode_baseline_jpeg(mm.encode_baseline_jpeg(r))
-    sa = mm.decode_baseline_jpeg(
-        mm.encode_progressive_jpeg(
-            r, dc_al=3, ac_al=3, ac_bands=((1, 1), (2, 9), (10, 63))
-        )
-    )
-    assert (sa == base).all()
+    # (full-stream round trips of this scan script over the same seed-31
+    # rasters are covered by
+    # test_sa_progressive_jpeg_round_trip_matches_baseline)
 
 
 def test_sa_refinement_size_must_be_one():

@@ -20,6 +20,7 @@ import pytest
 from kin_data_pipeline_spark import queries as q
 from kin_data_pipeline_spark.queries.fingerprint import (
     MANIFEST_PATH,
+    ORACLE_HASH_SCHEME,
     oracle_fingerprint,
     query_fingerprint,
 )
@@ -40,6 +41,10 @@ def test_manifest_covers_registry_exactly():
     )
     assert sorted(m["since"]) == sorted(m["hashes"])
     assert sorted(m["oracle_hashes"]) == sorted(m["hashes"])
+    assert m["oracle_hash_scheme"] == ORACLE_HASH_SCHEME, (
+        "oracle hashing scheme changed — regen the manifest (reseeds "
+        "without advancing since)"
+    )
     bad = {n: r for n, r in m["since"].items() if not 1 <= int(r) <= q.ROUND}
     assert not bad, f"since rounds outside [1, ROUND]: {bad}"
 

@@ -53,8 +53,9 @@ def test_versioning_lifecycle_and_reads(spark, tmp_path):
     # versions are immutable: a later overwrite doesn't change v1
     cat.write_full("t", spark.createDataFrame([(9, "z", 0)], "id long, grp string, val long"), None)
     assert sorted(r.id for r in cat.table_at_version("t", 1).collect()) == [1, 2, 3]
-    assert cat.history("t")[-1] == pytest.approx(cat.history("t")[-1])  # log readable
-    assert cat.history("t")[-1]["operation"] == "write_full"
+    tip = cat.history("t")[-1]
+    assert tip["operation"] == "write_full"
+    assert isinstance(tip["ts"], float) and tip["version"] == 3
 
 
 def test_table_as_of_timestamp_resolution(spark, tmp_path):
