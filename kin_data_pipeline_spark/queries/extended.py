@@ -1996,20 +1996,20 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Delta-style time travel, driver-checkable (engine tier's first oracle row;
 # VERDICT r6 ask #7 stretch): a versioned catalog table is built from the
-# orders fixture — full load (< 1995), enable versioning (v0), append two
+# orders fixture — full load (< 1997), enable versioning (v0), append two
 # more years (v1), key-erase status 'F' (v2) — and each committed version is
 # read back via VERSION AS OF and aggregated. Every version's content is a
 # pure function of the input predicates, so DuckDB reproduces the history
-# from the raw table with literal filters: v0 = orders before 1995,
-# v1 = before 1997, v2 = v1 without status 'F'. Hardlinked zero-copy
+# from the raw table with literal filters: v0 = orders before 1997,
+# v1 = before 1999, v2 = v1 without status 'F'. Hardlinked zero-copy
 # versions + log-as-authority crash discipline: plans/engine.py
 # (enable_versioning/table_at_version/table_as_of/vacuum_versions),
 # pinned by tests/test_versioned.py.
 @register(
     "time_travel_orders_versions",
     """
-    WITH v0 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01'),
-         v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+         v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
          v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
     SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
@@ -2040,15 +2040,15 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.write_full(
         "orders_fact",
-        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date")),
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
         None,
     )
     cat.enable_versioning("orders_fact")  # v0 = the full load
     cat.write_append(
         "orders_fact",
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
         ),
         None,
     )  # v1
@@ -2087,7 +2087,7 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same versioned history as time_travel_orders_versions, read back as
 # row-level changes BETWEEN versions (insert/delete typed rows via
 # multiplicity-aware EXCEPT ALL). The oracle reproduces each change set
-# from literal predicates: v0→v1 inserts = the appended 1995-1996 range
+# from literal predicates: v0→v1 inserts = the appended 1997-1998 range
 # (append-only, so no deletes); v1→v2 deletes = the key-erased status-'F'
 # rows (no inserts). plans/engine.py::Catalog.table_changes, pinned by
 # tests/test_versioned.py::test_table_changes_cdf.
@@ -2096,10 +2096,10 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH appended AS (
       SELECT * FROM orders
-      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01'
     ), erased AS (
       SELECT * FROM orders
-      WHERE o_orderdate < DATE '1997-01-01' AND o_orderstatus = 'F'
+      WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus = 'F'
     )
     SELECT 0 AS from_version, 1 AS to_version, 'insert' AS change_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2127,15 +2127,15 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.write_full(
         "orders_fact",
-        orders.filter(F.col("o_orderdate") < F.lit("1995-01-01").cast("date")),
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
         None,
     )
     cat.enable_versioning("orders_fact")  # v0
     cat.write_append(
         "orders_fact",
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
         ),
         None,
     )  # v1
@@ -2255,13 +2255,15 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders_waited"))
     )
 
-# TPC-H Q20 shape (dominant-share threshold): a correlated scalar-subquery
-# threshold — suppliers shipping MORE THAN HALF of a part's total shipped
-# quantity (fixture schema: lineitem quantities stand in for partsupp
-# availability). The oracle keeps the correlated HAVING subquery; the
-# Spark side decorrelates it into the (part, supplier) aggregate joined
-# to the per-part total, compared in EXACT integers (2·sup_qty >
-# part_qty — no 0.5 float anywhere).
+# TPC-H Q20 shape (dominant-share threshold): correlated scalar-subquery
+# thresholds — suppliers shipping MORE THAN TWICE THE FAIR SHARE of a
+# part's total quantity (sup_qty · n_suppliers > 2 · part_qty; Q20's
+# literal half-of-total is vacuous on this uniformly-assigned fixture at
+# every SF, and a vacuous gate compares empty-to-empty). The oracle keeps
+# TWO correlated subqueries in the HAVING (the distinct-supplier count
+# and the part total); the Spark side decorrelates both into ONE per-part
+# aggregate joined back, compared in EXACT integers (no fractions
+# anywhere).
 @register(
     "dominant_part_suppliers_q20",
     """
@@ -2271,7 +2273,10 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_name LIKE 's%'
       GROUP BY l.l_suppkey, l.l_partkey
-      HAVING 2 * SUM(CAST(l.l_quantity AS BIGINT)) > (
+      HAVING SUM(CAST(l.l_quantity AS BIGINT)) * (
+        SELECT COUNT(DISTINCT l3.l_suppkey)
+        FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey
+      ) > 2 * (
         SELECT SUM(CAST(l2.l_quantity AS BIGINT))
         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
       )
@@ -2279,8 +2284,9 @@ def sole_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name
     """,
     doc=(
-        "TPC-H Q20 shape: correlated half-of-total threshold, decorrelated "
-        "to per-part aggregates with exact integer comparison"
+        "TPC-H Q20 shape: two correlated threshold subqueries (fair-share "
+        "dominance), decorrelated to one per-part aggregate with exact "
+        "integer comparison"
     ),
 )
 def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2298,9 +2304,12 @@ def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup_part = lif.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qty").alias("sup_qty")
     )
-    totals = lif.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    totals = lif.groupBy("l_partkey").agg(
+        F.sum("qty").alias("part_qty"),
+        F.countDistinct("l_suppkey").alias("n_sup"),
+    )
     dominant = sup_part.join(totals, "l_partkey").filter(
-        2 * F.col("sup_qty") > F.col("part_qty")
+        F.col("sup_qty") * F.col("n_sup") > 2 * F.col("part_qty")
     )
     supplier = F.broadcast(
         load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2323,8 +2332,8 @@ def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
-    WHERE o.o_orderdate >= DATE '1994-01-01'
-      AND o.o_orderdate < DATE '1994-04-01'
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1995-04-01'
       AND EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey
@@ -2339,8 +2348,8 @@ def dominant_part_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def priority_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = o.join(

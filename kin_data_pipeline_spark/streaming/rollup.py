@@ -35,7 +35,11 @@ def stream_events_from_parquet(
     # oracles are UTC-naive — an unpinned caller session would shift every
     # day window by its TZ offset.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = f"{sf_dir}/events.parquet"
+    # absolute: the symlink target is resolved relative to the STAGING
+    # dir, so a caller-relative sf_dir would create a broken link and the
+    # file source would silently stream ZERO rows (caught by the round-7
+    # sf1 sweep, which passed `.scratch/sf1`)
+    path = os.path.abspath(f"{sf_dir}/events.parquet")
     # The file source wants a directory of arriving files; expose the single
     # testdata file through a symlinked staging dir (production points at a
     # real landing directory or Kafka instead).
