@@ -108,6 +108,8 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "dominant_part_suppliers_q20",  # correlated half-of-total threshold
     "priority_late_orders_q4",  # correlated EXISTS as semi join + residual
     "top_supplier_revenue_q15",  # scalar-max view, ties kept
+    "customer_order_distribution_q13",  # join-condition filter + count histogram
+    "national_market_share_q8",  # conditional fraction of exact cent sums
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2410,3 +2410,134 @@ def top_supplier_revenue_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "revenue_cents")
     )
+
+# TPC-H Q13 shape (customer distribution): the two-level count — orders
+# per customer, then the HISTOGRAM of those counts — with Q13's defining
+# subtlety: the order filter lives in the LEFT JOIN CONDITION, not the
+# WHERE clause, so customers with no qualifying orders survive as
+# c_count = 0 (a WHERE would silently drop the zero bucket and change
+# every row of the histogram).
+@register(
+    "customer_order_distribution_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 shape: filter in the LEFT JOIN condition (zero-order "
+        "customers survive) + two-level count histogram"
+    ),
+)
+def customer_order_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+# TPC-H Q8 shape (national market share): a conditional-fraction metric —
+# one nation's share of a region's yearly order volume — computed as a
+# ratio of two EXACT integer-cent sums with one final IEEE division
+# (house exactness rule: never sum floats, never divide twice).
+@register(
+    "national_market_share_q8",
+    """
+    SELECT o_year,
+           ROUND(
+             CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume_cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(volume_cents) AS BIGINT) AS DOUBLE), 6
+           ) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS volume_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    ) GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: national market share — conditional fraction of "
+        "exact cent sums over a 7-table snowflake, one final division"
+    ),
+)
+def national_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("volume_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_region = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            nation.join(
+                region, nation["n_regionkey"] == region["r_regionkey"]
+            ).filter(F.col("r_name") == "ASIA"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_region, o["o_custkey"] == cust_region["c_custkey"])
+        .join(supp_nation, li["l_suppkey"] == supp_nation["s_suppkey"])
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("volume_cents")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .cast("double")
+            / F.sum("volume_cents").cast("long").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
