@@ -110,6 +110,14 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "top_supplier_revenue_q15",  # scalar-max view, ties kept
     "customer_order_distribution_q13",  # join-condition filter + count histogram
     "national_market_share_q8",  # conditional fraction of exact cent sums
+    "returned_item_customers_q10",  # top-k over an aggregate, decimal sort key
+    "late_shipment_priority_q12",  # date-inequality residual + CASE-pair counts
+    "promo_revenue_share_q14",  # conditional fraction at decimal grain
+    "large_volume_customers_q18",  # IN-(HAVING subquery) via broadcast agg
+    "min_cost_part_suppliers_q2",  # correlated per-group MIN, ties kept
+    "part_supplier_counts_q16",  # NOT IN blocklist + distinct counts
+    "nation_profit_q9",  # revenue-minus-cost decimal expression, LIKE filter
+    "important_part_values_q11",  # global-aggregate HAVING threshold
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

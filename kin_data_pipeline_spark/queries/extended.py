@@ -2541,3 +2541,448 @@ def national_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+# TPC-H Q10 shape (returned-item reporting): revenue lost to returns per
+# customer over a quarter, top 20. The defining properties: top-k over an
+# AGGREGATE (not a scan — the rank input is itself a 4-table join + groupBy)
+# and a deterministic ORDER (revenue is kept as an exact DECIMAL for the
+# sort — never a float, whose summation order would make the k-boundary
+# engine-dependent — with c_custkey as the tiebreak). Spark compiles the
+# orderBy+limit to TakeOrderedAndProject: per-partition heaps, one k-row
+# driver merge, no global sort at any scale.
+@register(
+    "returned_item_customers_q10",
+    """
+    WITH ret AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS rev
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, nation, CAST(rev AS DOUBLE) AS revenue
+    FROM ret ORDER BY rev DESC, c_custkey ASC LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape: top-20 customers by returned-item revenue — "
+        "top-k over an aggregate with an exact-decimal sort key"
+    ),
+)
+def returned_item_customers_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            ).alias("rev")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+    )
+
+# TPC-H Q12 shape (shipmode priority audit): the late-shipped lines of a
+# ship-year, split per line-status into conditional counts of urgent vs
+# non-urgent order priorities — Q12's fused CASE-pair over a join with a
+# cross-table date inequality (ship > order + 45d) riding the equi-join as
+# a residual. One shuffle (the orderkey join), one aggregation pass.
+@register(
+    "late_shipment_priority_q12",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q12 shape: late-shipment audit — cross-table date inequality "
+        "as a join residual + fused urgent/non-urgent CASE counts"
+    ),
+)
+def late_shipment_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 45)),
+    )
+    return late.groupBy(F.col("l_linestatus").alias("linestatus")).agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+# TPC-H Q14 shape (promo revenue share): monthly fraction of discounted
+# revenue on PROMO-type parts — the conditional-fraction pattern at decimal
+# grain (Q8 does it at integer-cents grain): both sums stay EXACT decimals
+# through aggregation, each is cast to double once, and one final division +
+# round(6) produces the terminal (house exactness rule: never sum floats,
+# never divide twice). part is a broadcast dim; one shuffle total.
+@register(
+    "promo_revenue_share_q14",
+    """
+    SELECT month,
+           ROUND(
+             CAST(SUM(CASE WHEN is_promo THEN vol
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS promo_share
+    FROM (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+             p.p_type = 'PROMO' AS is_promo,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,2))) AS vol
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1997-01-01'
+    ) GROUP BY month
+    """,
+    doc=(
+        "TPC-H Q14 shape: monthly promo revenue share — conditional "
+        "fraction of exact decimal sums, one final division"
+    ),
+)
+def promo_revenue_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    )
+    rows = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+        vol.alias("vol"),
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return rows.groupBy("month").agg(
+        F.round(
+            F.sum(F.when(F.col("is_promo"), F.col("vol")).otherwise(zero))
+            .cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("promo_share")
+    )
+
+# TPC-H Q18 shape (large-volume customers): orders whose TOTAL lineitem
+# quantity clears a threshold — the defining IN-(grouped-HAVING-subquery)
+# shape. Quantities are integer-valued; summing as BIGINT keeps the
+# threshold exact. Scale: the only full shuffle is the per-order quantity
+# rollup; the surviving ~1% of orders broadcast into orders, and THAT tiny
+# join result broadcasts into customer — neither base table shuffles.
+@register(
+    "large_volume_customers_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc=(
+        "TPC-H Q18 shape: large-volume customers — IN-(HAVING subquery) as "
+        "a broadcast of the thresholded aggregate, exact integer quantities"
+    ),
+)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("orderdate")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hits = F.broadcast(big).join(o, F.col("l_orderkey") == o["o_orderkey"])
+    return F.broadcast(hits).join(
+        c, hits["o_custkey"] == c["c_custkey"]
+    ).select("c_name", "c_custkey", "o_orderkey", "orderdate", "total_qty")
+
+# TPC-H Q2 shape (minimum-cost supplier): for every large part, the
+# supplier(s) achieving the MINIMUM line price — the correlated-MIN
+# subquery, decorrelated into a per-part aggregate joined back on equality
+# with ties kept (Q2's defining property; never a rank-1 window, which
+# would need a tiebreak the spec doesn't define). Prices are exact integer
+# cents so the equality is bit-safe on both engines. The part filter is
+# applied BEFORE the per-supplier rollup (the min is per-part, so
+# restricting parts early is semantics-preserving and prunes ~80% of the
+# aggregate's input).
+@register(
+    "min_cost_part_suppliers_q2",
+    """
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS sup_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size >= 40
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, c.sup_cents AS cost_cents
+    FROM costs c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE c.sup_cents = (
+      SELECT MIN(c2.sup_cents) FROM costs c2 WHERE c2.l_partkey = c.l_partkey
+    )
+    """,
+    doc=(
+        "TPC-H Q2 shape: correlated per-part MIN decorrelated to an "
+        "aggregate + equality join back, ties kept, exact integer cents"
+    ),
+)
+def min_cost_part_suppliers_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    costs = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(F.min("cents").alias("sup_cents"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("sup_cents").alias("best_cents")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        costs.join(
+            F.broadcast(best),
+            (costs["l_partkey"] == F.col("b_partkey"))
+            & (costs["sup_cents"] == F.col("best_cents")),
+        )
+        .join(s, costs["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("sup_cents").alias("cost_cents"),
+        )
+    )
+
+# TPC-H Q16 shape (supplier counts by part attribute): COUNT(DISTINCT
+# supplier) per brand x size-decade, EXCLUDING a supplier blocklist via
+# NOT IN — compiled as a broadcast anti join (the blocklist is tiny at any
+# scale; lineitem never shuffles for the exclusion). The distinct-count
+# shuffles once on the group keys.
+@register(
+    "part_supplier_counts_q16",
+    """
+    SELECT p.p_brand,
+           CAST(FLOOR(p.p_size / 10) AS INTEGER) AS size_decade,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q16 shape: distinct-supplier counts per brand/size bucket "
+        "with a NOT IN supplier blocklist as a broadcast anti join"
+    ),
+)
+def part_supplier_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.floor(F.col("p_size") / 10).cast("int").alias("size_decade"),
+        )
+    )
+    blocked = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = li.join(blocked, li["l_suppkey"] == blocked["s_suppkey"], "left_anti")
+    return (
+        kept.join(p, F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "size_decade")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+# TPC-H Q9 shape (product-type profit): nation x order-year profit over a
+# 5-table join with a part-NAME substring filter. The fixture has no
+# partsupp, so unit cost is proxied at 10% of the part's retail price —
+# the SHAPE (profit = revenue expression MINUS a cost expression, summed
+# exactly as decimals per nation-year) is what's exercised. One final
+# double cast; part/supplier/nation broadcast; the orderkey join is the
+# only big shuffle.
+@register(
+    "nation_profit_q9",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+             - CAST(l.l_quantity AS DECIMAL(18,2))
+               * CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(0.10 AS DECIMAL(4,2))
+           ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q9 shape: nation x year profit — revenue-minus-cost decimal "
+        "expression over a 5-table join with a part-name LIKE filter"
+    ),
+)
+def nation_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    ) - F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,2)") * F.lit("0.10").cast("decimal(4,2)")
+    joined = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.sum(profit_term).cast("double").alias("profit")
+    )
+
+# TPC-H Q11 shape (important stock): per-part total value, keeping the
+# parts whose value clears a GLOBAL-aggregate threshold in the HAVING —
+# here "above the mean part value", phrased as the exact-integer cross
+# multiplication value*n_parts > total (the uniform fixture makes a
+# TPC-H-style tiny-fraction threshold degenerate — the Q20 lesson — while
+# the mean splits it ~50/50 at every SF). The 1-row global frame crosses
+# in broadcast; two aggregation passes over the same shuffled frame.
+@register(
+    "important_part_values_q11",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM pv
+    )
+    SELECT pv.l_partkey AS p_partkey, pv.value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * tot.n_parts > tot.total_cents
+    """,
+    doc=(
+        "TPC-H Q11 shape: per-part value filtered by a global-aggregate "
+        "threshold (above-mean), exact integer cross multiplication"
+    ),
+)
+def important_part_values_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pv = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("value_cents")
+    )
+    tot = pv.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )

@@ -46,6 +46,7 @@ ALLOWED_BNLJ = {
     "ivf_recall_audit",  # composes the two exempted ANN paths above
     "bm25_doc_scores",  # |Q|-row term frame × 1-row corpus-stats frame
     "acctbal_opportunity_q22",  # scalar subquery: 1-row threshold × customers
+    "important_part_values_q11",  # 1-row global total × per-part values
     # (top_supplier_revenue_q15 needs no exemption: its scalar-max filter
     # is an EQUALITY, which Catalyst pushes into the cross join as a
     # BroadcastHashJoin condition — only inequality thresholds like Q22's
