@@ -1489,6 +1489,54 @@ class Catalog:
             old_c.exceptAll(new_c).withColumn("_change_type", F.lit("delete"))
         )
 
+    def restore_version(self, name: str, version: int) -> int:
+        """Roll the LIVE table back to a committed version (Delta RESTORE).
+
+        History is never rewritten: the target version's data is
+        hardlinked back into the canonical path (same zero-copy publish
+        as a snapshot) and the rollback is itself committed as a NEW
+        version labeled ``restore(vK)`` — an auditable event that later
+        reads, diffs, and further restores can reference. Restoring the
+        current tip is allowed and still commits (Delta's convention:
+        RESTORE always records). The swap rides ``_publish_staging``'s
+        rename-aside discipline, so a crash mid-restore leaves either
+        the old or the new table reachable by ``_heal_compaction``.
+        Returns the new version number.
+        """
+        entries = self.history(name)  # raises if not versioned
+        if not any(e["version"] == int(version) for e in entries):
+            known = [e["version"] for e in entries]
+            raise ValueError(f"no version {version} of '{name}' (have {known})")
+        self._heal_compaction(name)
+        # version dirs are always plain-parquet (enable_versioning refuses
+        # bucketed tables) — same sidecar reasoning as restore(tag)
+        self._drop_bucket_meta(name)
+        root = self.path(name)
+        staging = self.path(f"{name}.__compacting")
+        shutil.rmtree(staging, ignore_errors=True)
+        self._link_tree(
+            os.path.join(self._versions_dir(name, version), "data"), staging
+        )
+        old = self.path(f"{name}.__precompact")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(root):
+            os.rename(root, old)
+        os.rename(staging, root)
+        # schema sidecar only AFTER the data rename — the same crash-window
+        # ordering restore(tag) documents. A version committed without a
+        # sidecar restores to a sidecar-less live table.
+        ver_schema = os.path.join(
+            self._versions_dir(name, version), "schema.json"
+        )
+        sidecar = self._schema_sidecar(name)
+        if os.path.exists(ver_schema):
+            shutil.copy2(ver_schema, sidecar)
+        elif os.path.exists(sidecar):
+            os.remove(sidecar)
+        shutil.rmtree(old, ignore_errors=True)
+        self._commit_version(name, f"restore(v{int(version)})")
+        return self.history(name)[-1]["version"]
+
     def vacuum_versions(self, name: str, keep_last: int) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (the retention
         sweep; hardlinks mean bytes free only when the live table no

@@ -118,6 +118,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "part_supplier_counts_q16",  # NOT IN blocklist + distinct counts
     "nation_profit_q9",  # revenue-minus-cost decimal expression, LIKE filter
     "important_part_values_q11",  # global-aggregate HAVING threshold
+    "time_travel_restore",  # RESTORE VERSION AS OF over the versioned catalog
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

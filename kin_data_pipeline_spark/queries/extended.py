@@ -2178,6 +2178,95 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, total_cents long",
     )
 
+# RESTORE over the versioned catalog (Delta RESTORE ... VERSION AS OF):
+# the same versioned history as time_travel_orders_versions, then a
+# rollback to v0 — the live table must read back as the original slice,
+# the rolled-back state must STAY readable at its version number (history
+# is append-only), and the restore itself is a commit. The oracle
+# reproduces all three states from literal predicates. Engine:
+# plans/engine.py::Catalog.restore_version, pinned by
+# tests/test_versioned.py::test_restore_version_rolls_back_and_commits.
+@register(
+    "time_travel_restore",
+    """
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+         v1 AS (SELECT * FROM v0 WHERE o_orderstatus <> 'F')
+    SELECT 0 AS version, 'enable_versioning' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM v0
+    UNION ALL
+    SELECT 1, 'delete_by_keys', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, 'restore(v0)', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v0
+    """,
+    doc=(
+        "Delta RESTORE VERSION AS OF: rollback commits a new version, "
+        "history stays append-only, rolled-back state remains readable"
+    ),
+)
+def time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cat.write_full(
+        "orders_fact",
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+        None,
+    )
+    cat.enable_versioning("orders_fact")  # v0
+    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v1
+    cat.restore_version("orders_fact", 0)  # v2 == v0's data, new commit
+    hist = cat.history("orders_fact")
+    parts = []
+    for entry in hist:
+        v = entry["version"]
+        # v2 reads the LIVE table (the restore's whole point); earlier
+        # versions read through VERSION AS OF
+        df = (
+            cat.table("orders_fact")
+            if v == hist[-1]["version"]
+            else cat.table_at_version("orders_fact", v)
+        )
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("total_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(entry["operation"]).alias("operation"),
+                "n_orders",
+                "total_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # bounded collect + scratch cleanup, same reasoning as
+    # time_travel_orders_versions above
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_orders long, total_cents long"
+    )
+
 # TPC-H Q21 shape (waiting-supplier chain): the hardest relational pattern
 # in the suite — a candidate row qualified by BOTH an EXISTS (another
 # supplier on the same order) and a NOT EXISTS (no OTHER late supplier on

@@ -186,6 +186,64 @@ def test_restore_is_a_versioned_operation(spark, tmp_path):
     assert sorted(r.id for r in cat.table_at_version("t", 1).collect()) == [3]
 
 
+def test_restore_version_rolls_back_and_commits(spark, tmp_path):
+    """restore_version: live table reverts to the numbered version's data,
+    history is never rewritten (the rollback appends a restore(vK) commit),
+    restoring the tip still commits, and unknown versions are refused."""
+    cat = _mk(spark, tmp_path, ROWS1)
+    cat.enable_versioning("t")  # v0 = ROWS1
+    cat.write_append(
+        "t", spark.createDataFrame(ROWS2, "id long, grp string, val long"), None
+    )  # v1
+    cat.delete_by_keys("t", "grp", ["a"])  # v2 = only id=2
+    assert sorted(r.id for r in cat.table("t").collect()) == [2]
+
+    new_v = cat.restore_version("t", 1)
+    assert new_v == 3
+    # live == v1, and every prior version is still readable as it was
+    assert sorted(r.id for r in cat.table("t").collect()) == [1, 2, 3]
+    assert sorted(r.id for r in cat.table_at_version("t", 2).collect()) == [2]
+    assert sorted(r.id for r in cat.table_at_version("t", 0).collect()) == [1, 2]
+    hist = cat.history("t")
+    assert [e["operation"] for e in hist] == [
+        "enable_versioning",
+        "write_append",
+        "delete_by_keys",
+        "restore(v1)",
+    ]
+    # a restore is itself restorable: going back to v2 undoes the rollback
+    cat.restore_version("t", 2)
+    assert sorted(r.id for r in cat.table("t").collect()) == [2]
+    # restoring the current tip still records a commit (Delta convention)
+    tip = cat.history("t")[-1]["version"]
+    assert cat.restore_version("t", tip) == tip + 1
+    with pytest.raises(ValueError, match="no version 99"):
+        cat.restore_version("t", 99)
+    with pytest.raises(ValueError, match="not versioned"):
+        Catalog(spark, str(tmp_path / "wh2")).restore_version("nope", 0)
+
+
+def test_restore_version_swaps_schema_sidecar(spark, tmp_path):
+    """Restoring across a schema evolution must also restore the live
+    sidecar: a post-restore read returns the OLD column set, not the
+    widened tip's (the sidecar-ordering crash window restore(tag)
+    documents)."""
+    cat = _mk(spark, tmp_path, ROWS1)
+    cat.enable_versioning("t")  # v0: (id, grp, val)
+    widened = spark.createDataFrame(
+        [(7, "z", 70, "x")], "id long, grp string, val long, extra string"
+    )
+    cat.write_full("t", widened, None)  # v1: + extra
+    assert "extra" in cat.table("t").columns
+    cat.restore_version("t", 0)
+    assert sorted(cat.table("t").columns) == ["grp", "id", "val"]
+    # and forward again: the widened schema comes back with its data
+    cat.restore_version("t", 1)
+    live = cat.table("t")
+    assert "extra" in live.columns
+    assert [r.extra for r in live.collect()] == ["x"]
+
+
 def test_table_changes_cdf(spark, tmp_path):
     """Change-data-feed reads between versions: inserts, deletes, an
     update as a delete+insert pair, multiplicity awareness, and the
