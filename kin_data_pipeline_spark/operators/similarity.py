@@ -507,3 +507,100 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, exact enough
+    to verify across engines (the real-centroid upgrade of the stride-based
+    IVF/SemDeDup assignment).
+
+    Exactness design (the BPE-training playbook applied to vectors):
+
+    - vectors quantize to integers: ``floor(x * scale + 0.5)`` — the same
+      fixed-order IEEE expression on any engine, so the working data is
+      BIGINT from the first step;
+    - centroids stay integers: the rounded mean ``floor((2s + c) / (2c))``
+      over exact integer sums (s) and counts (c) — again one IEEE division
+      + floor, identical everywhere;
+    - assignment is a total order: argmin of (squared L2 distance, k), so
+      ties break to the smallest cluster id deterministically.
+
+    Scale shape, per iteration: the K×dim centroid table is a BOUNDED
+    driver probe (K·dim values — constants, not data; the documented
+    merge-table pattern from BPE apply), embedded as literal arrays so the
+    assignment is a single codegen'd fold over the cached quantized corpus
+    — no join, no shuffle. The update is ONE linear shuffle: posexplode to
+    (cluster, pos) partial sums. Empty clusters keep their previous
+    centroid. Initial centroids are the k smallest ids' vectors.
+
+    Returns the final assignment: (id, cluster int, dist bigint) where
+    dist is the squared integer distance to the assigned centroid.
+    """
+    q = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * float(scale) + F.lit(0.5)),
+            ).alias("__q"),
+        )
+        .localCheckpoint(eager=False)  # scanned once per iteration
+    )
+    init = {
+        r["__id"]: list(r["__q"])
+        for r in q.filter(F.col("__id") < k).collect()
+    }
+    cents = {kk: init[kk] for kk in sorted(init)}
+
+    def _assign(centroids: dict[int, list[int]]) -> DataFrame:
+        candidates = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "__q",
+                        F.array(*[F.lit(int(m)) for m in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(kk).cast("int").alias("k"),
+            )
+            for kk, vec in centroids.items()
+        ]
+        best = F.sort_array(F.array(*candidates)).getItem(0)
+        return q.select(
+            "__id", "__q", best["k"].alias("cluster"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        asg = _assign(cents)
+        # bounded probe: K·dim (cluster, pos) rows — constants, not data
+        sums = (
+            asg.select("cluster", F.posexplode("__q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        import math
+
+        by_k: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_k.setdefault(r["cluster"], {})[r["pos"]] = (int(r["s"]), int(r["c"]))
+        for kk in cents:
+            if kk in by_k:
+                cents[kk] = [
+                    # mirror of the oracle's FLOOR((2s + c) / (2c)): python
+                    # float division IS the same IEEE double division
+                    math.floor((2 * by_k[kk][p][0] + by_k[kk][p][1]) / (2 * by_k[kk][p][1]))
+                    for p in range(len(cents[kk]))
+                ]
+    # final assignment under the T-times-updated centroids
+    return _assign(cents).select("__id", "cluster", "dist")

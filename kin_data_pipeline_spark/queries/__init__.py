@@ -119,6 +119,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "nation_profit_q9",  # revenue-minus-cost decimal expression, LIKE filter
     "important_part_values_q11",  # global-aggregate HAVING threshold
     "time_travel_restore",  # RESTORE VERSION AS OF over the versioned catalog
+    "kmeans_cluster_profile",  # distributed Lloyd k-means, integer-exact oracle
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -499,3 +499,94 @@ def hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+# Real k-means over the embedding corpus (distributed Lloyd iterations) —
+# the actual-centroid upgrade of the stride-based IVF/SemDeDup assignment,
+# and the clustering primitive a curation pipeline needs for SemDeDup-style
+# cell formation and cluster-balanced sampling. Exactness is the BPE-
+# training playbook applied to vectors (operators/similarity.py::
+# kmeans_lloyd): quantize once to integers, keep centroids as rounded
+# integer means via one IEEE division + floor (identical on both engines),
+# break assignment ties to the smallest cluster id. The oracle generates
+# the SAME T-iteration loop as materialized DuckDB CTEs from the same
+# constants: iteration r assigns under cent{r-1} and updates cent{r};
+# the profile reads the assignment under the final centroids. Empty
+# clusters keep their previous centroid (COALESCE / python no-op).
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * {scale} + 0.5) AS BIGINT) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cent0 AS MATERIALIZED (
+      SELECT vec_id AS k, pos, v AS m FROM q WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(1, iters + 2):
+        assign = f"""d{r} AS MATERIALIZED (
+      SELECT q.vec_id, c.k, SUM((q.v - c.m) * (q.v - c.m)) AS dist
+      FROM q JOIN cent{r - 1} c ON q.pos = c.pos
+      GROUP BY q.vec_id, c.k
+    ), a{r} AS MATERIALIZED (
+      SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, k ASC) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    )"""
+        if r == iters + 1:
+            # the profile reads the assignment under the FINAL centroids —
+            # no further update
+            ctes.append(assign)
+            break
+        ctes.append(
+            assign
+            + f""", s{r} AS MATERIALIZED (
+      SELECT a.k, q.pos, SUM(q.v) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q JOIN a{r} a ON a.vec_id = q.vec_id
+      GROUP BY a.k, q.pos
+    ), cent{r} AS MATERIALIZED (
+      SELECT p.k, p.pos,
+             COALESCE(CAST(FLOOR((2 * s.s + s.c) / (2 * s.c)) AS BIGINT), p.m) AS m
+      FROM cent{r - 1} p LEFT JOIN s{r} s ON s.k = p.k AND s.pos = p.pos
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(k AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+           CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM a{iters + 1} GROUP BY k"""
+    )
+
+@register(
+    "kmeans_cluster_profile",
+    _kmeans_oracle(_KM_K, _KM_ITERS, _KM_SCALE),
+    doc=(
+        f"distributed Lloyd k-means (K={_KM_K}, {_KM_ITERS} iterations) over "
+        "quantized embeddings — integer centroids, deterministic ties; "
+        "per-cluster size / id-checksum / integer inertia"
+    ),
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    return asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("__id").cast("long").alias("sum_vec_ids"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )

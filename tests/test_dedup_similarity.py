@@ -365,3 +365,27 @@ def test_asof_join_refuses_value_col_collision(spark):
     )
     with _pytest.raises(ValueError, match="already exist on the left"):
         asof_join(left, right, ["k"], "t", "t", ["balance"])
+
+
+def test_kmeans_lloyd_converges_covers_and_breaks_ties(spark, sf_dir):
+    """Lloyd iterations on the fixed fixture: every vector assigned
+    exactly once, total inertia strictly improves over the init-centroid
+    assignment, and iters=0 returns the assignment under the initial
+    (k-smallest-id) centroids."""
+    import pyspark.sql.functions as F
+
+    from kin_data_pipeline_spark.operators.similarity import kmeans_lloyd
+    from kin_data_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    a0 = kmeans_lloyd(emb, iters=0)
+    a3 = kmeans_lloyd(emb, iters=3)
+    assert a3.count() == n  # total, no drops or dups
+    assert a3.select("__id").distinct().count() == n
+    i0 = a0.agg(F.sum("dist")).collect()[0][0]
+    i3 = a3.agg(F.sum("dist")).collect()[0][0]
+    assert i3 < i0
+    # cluster ids live in [0, K)
+    ks = {r["cluster"] for r in a3.select("cluster").distinct().collect()}
+    assert ks <= set(range(8)) and ks
