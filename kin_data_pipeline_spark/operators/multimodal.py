@@ -9,12 +9,14 @@ BMP / PNG / WAV / JPEG / AVI payloads: ``parse_media_header`` does magic-byte
 sniffing + struct parsing of the actual container headers, no external codec
 needed. Pixel/sample-level decode is ALSO real, pure stdlib/numpy, for the
 generated formats: PNG (zlib + scanline unfilter), WAV (16-bit PCM),
-baseline JPEG (Huffman + dequant + IDCT), the FULL Annex G progressive
-JPEG profile (spectral selection AND successive approximation, encode +
-decode) and AVI-MJPG video (RIFF container parse + sampled-frame JPEG
-decode). ``require_codec`` remains only for
-real-world codecs this container cannot express — chroma-subsampled JPEG,
-arithmetic/lossless/hierarchical JPEG,
+baseline JPEG (Huffman + dequant + IDCT) including 4:2:0 chroma-subsampled
+YCbCr (MCU-interleaved scan, per-component block grids, nearest-neighbor
+chroma upsample), the FULL Annex G progressive JPEG profile (spectral
+selection AND successive approximation, encode + decode) and AVI-MJPG
+video (RIFF container parse + sampled-frame JPEG decode).
+``require_codec`` remains only for real-world codecs this container
+cannot express — progressive-with-subsampling and non-4:2:0 sampling
+layouts (4:2:2 etc.), arithmetic/lossless/hierarchical JPEG,
 interframe video (H.264 etc.), lossy resampling; the deterministic
 fake decoder is kept for opaque (non-media) payloads so the batching
 plumbing stays testable on any bytes.
@@ -1062,6 +1064,36 @@ def _jpeg_segments(
     return dqt, sof, dht
 
 
+def _put_block(bw: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
+    """Entropy-code ONE baseline block (DC difference + AC run-lengths with
+    ZRL/EOB); returns the new DC predictor. Shared by the grayscale and the
+    4:2:0 MCU-interleaved encoders."""
+    import numpy as np
+
+    s, bits = _magnitude_bits(int(zz[0]) - pred)
+    pred = int(zz[0])
+    bw.put(*dc_codes[s])
+    if s:
+        bw.put(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s, bits = _magnitude_bits(int(zz[k]))
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(bits, s)
+        run = 0
+    if last < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return pred
+
+
 def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     """Encode an (H, W) uint8 grayscale raster as a baseline JFIF JPEG.
 
@@ -1070,8 +1102,6 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     zigzag, DC-difference prediction, run-length + canonical-Huffman
     entropy coding with byte stuffing.
     """
-    import numpy as np
-
     zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
@@ -1079,32 +1109,82 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     bw = _BitWriter()
     pred = 0
     for zz in zzq:
-        s, bits = _magnitude_bits(int(zz[0]) - pred)
-        pred = int(zz[0])
-        bw.put(*dc_codes[s])
-        if s:
-            bw.put(bits, s)
-        run = 0
-        nz = np.nonzero(zz[1:])[0]
-        last = int(nz[-1]) + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run > 15:
-                bw.put(*ac_codes[0xF0])  # ZRL
-                run -= 16
-            s, bits = _magnitude_bits(int(zz[k]))
-            bw.put(*ac_codes[(run << 4) | s])
-            bw.put(bits, s)
-            run = 0
-        if last < 63:
-            bw.put(*ac_codes[0x00])  # EOB
+        pred = _put_block(bw, zz, pred, dc_codes, ac_codes)
 
     dqt, sof, dht = _jpeg_segments(
         q, height, width, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
     )
     sos = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
+    """Encode a 4:2:0 YCbCr baseline JFIF JPEG — luma at full resolution
+    (2x2 sampling factor), chroma planes given at HALF resolution, i.e.
+    the caller is the subsampler (dims ceil(H/2) x ceil(W/2)).
+
+    One MCU-interleaved scan: per 16x16 MCU, 4 luma blocks (row-major in
+    the 2x2) then Cb then Cr, with independent DC predictors per
+    component. All components share quant table 0 and Huffman tables 0 —
+    legal and what the symmetric synthetic tier wants. Luma is edge-padded
+    to the 16-aligned MCU grid; chroma to its 8-aligned half grid.
+    """
+    import numpy as np
+
+    h, w = y_raster.shape
+    mch, mcw = -(-h // 16), -(-w // 16)
+    ch, cw = -(-h // 2), -(-w // 2)
+    if cb_half.shape != (ch, cw) or cr_half.shape != (ch, cw):
+        raise ValueError(
+            f"chroma planes must be ceil-half resolution {(ch, cw)}; "
+            f"got {cb_half.shape} / {cr_half.shape}"
+        )
+    ypad = np.pad(
+        np.asarray(y_raster), ((0, mch * 16 - h), (0, mcw * 16 - w)), mode="edge"
+    )
+    cbpad = np.pad(
+        np.asarray(cb_half), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+    )
+    crpad = np.pad(
+        np.asarray(cr_half), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+    )
+    zz_y, q, _, _ = _jpeg_forward_blocks(ypad, quant)
+    zz_cb, _, _, _ = _jpeg_forward_blocks(cbpad, quant)
+    zz_cr, _, _, _ = _jpeg_forward_blocks(crpad, quant)
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for mcu in range(mch * mcw):
+        my, mx = divmod(mcu, mcw)
+        for v in range(2):
+            for u in range(2):
+                bidx = (my * 2 + v) * (mcw * 2) + (mx * 2 + u)
+                preds[0] = _put_block(bw, zz_y[bidx], preds[0], dc_codes, ac_codes)
+        bidx = my * mcw + mx
+        preds[1] = _put_block(bw, zz_cb[bidx], preds[1], dc_codes, ac_codes)
+        preds[2] = _put_block(bw, zz_cr[bidx], preds[2], dc_codes, ac_codes)
+
+    dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = _jpeg_seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + struct.pack(">BBB", 1, 0x22, 0)
+        + struct.pack(">BBB", 2, 0x11, 0)
+        + struct.pack(">BBB", 3, 0x11, 0),
+    )
+    dht = _jpeg_seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = _jpeg_seg(
+        0xFFDA,
+        bytes([3])
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00])
+        + struct.pack(">BBB", 0, 63, 0),
+    )
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
@@ -1438,6 +1518,31 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _decode_block(reader: _BitReader, dc_tab, ac_tab, zz, pred: int) -> int:
+    """Entropy-decode ONE baseline block into ``zz`` (DC prediction + AC
+    run-lengths with EOB/ZRL); returns the updated DC predictor. Shared by
+    the 4:4:4 per-block loop and the 4:2:0 MCU-interleaved loop."""
+    sz = _huff_decode(reader, dc_tab)
+    diff = _extend(reader.bits(sz), sz) if sz else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        size = rs & 0x0F
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return pred
+
+
 def decode_baseline_jpeg(content: bytes):
     """Full raster decode of a baseline (SOF0) JPEG — pure stdlib + numpy.
 
@@ -1448,10 +1553,16 @@ def decode_baseline_jpeg(content: bytes):
     2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND the
     full Annex G progressive profile (SOF2: any DC/AC band scan script
     with EOBn runs, spectral selection AND successive-approximation
-    first/refinement scans) are supported; the remaining honest gates are
-    chroma subsampling and non-Huffman/non-8-bit profiles
-    (NotImplementedError). Grayscale returns (H, W), multi-component
-    (H, W, C); ValueError on malformed streams.
+    first/refinement scans) are supported. Sampling: 4:4:4 (all 1x1) for
+    any component count, plus 4:2:0 (2x2 luma + 1x1 chroma, the dominant
+    production layout) for 3-component BASELINE streams — MCU-interleaved
+    scan, per-component block grids, nearest-neighbor chroma upsample to
+    full resolution (no color transform: components return as coded, so
+    a YCbCr stream yields YCbCr planes). The remaining honest gates are
+    progressive-with-subsampling, other sampling layouts (4:2:2 etc.),
+    and non-Huffman/non-8-bit profiles (NotImplementedError). Grayscale
+    returns (H, W), multi-component (H, W, C); ValueError on malformed
+    streams.
     """
     import numpy as np
 
@@ -1497,21 +1608,39 @@ def decode_baseline_jpeg(content: bytes):
             if precision != 8:
                 raise NotImplementedError("only 8-bit DCT JPEG supported")
             comps = []
+            samplings = []
             for i in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG needs a native codec"
-                    )
                 comps.append((cid, tq))
-            frame = (height, width, comps)
+                samplings.append(sampling)
+            if all(s == 0x11 for s in samplings):
+                subsampled = False
+            elif samplings == [0x22, 0x11, 0x11]:
+                subsampled = True
+            else:
+                raise NotImplementedError(
+                    "only 4:4:4 and 4:2:0 JPEG sampling supported"
+                )
+            frame = (height, width, comps, subsampled)
             progressive = marker == 0xC2
-            nbw, nbh = -(-width // 8), -(-height // 8)
+            if progressive and subsampled:
+                raise NotImplementedError(
+                    "progressive chroma-subsampled JPEG needs a native codec"
+                )
+            # per-component block grids: 4:4:4 shares one ceil/8 grid;
+            # 4:2:0 gives luma the 16-aligned MCU grid (2x2 blocks per
+            # MCU) and each chroma plane one block per MCU
+            if subsampled:
+                mcw, mch = -(-width // 16), -(-height // 16)
+                grids = [(2 * mch, 2 * mcw), (mch, mcw), (mch, mcw)]
+            else:
+                nbw, nbh = -(-width // 8), -(-height // 8)
+                grids = [(nbh, nbw)] * len(comps)
             # raw (unquantized) zigzag coefficients per component, blocks
             # row-major; scans accumulate here, dequant + IDCT run once at
             # the end (progressive spectral selection fills the bands
             # scan by scan)
-            zzs = [np.zeros((nbh * nbw, 64), dtype=np.int64) for _ in comps]
+            zzs = [np.zeros((gh * gw, 64), dtype=np.int64) for gh, gw in grids]
         elif marker in _JPEG_SOF_MARKERS:  # arithmetic / lossless / hierarchical
             raise NotImplementedError("non-DCT-Huffman JPEG profile")
         elif marker == 0xDD:  # DRI
@@ -1526,7 +1655,7 @@ def decode_baseline_jpeg(content: bytes):
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
-            height, width, comps = frame
+            height, width, comps, subsampled = frame
             cindex = {cid: i for i, (cid, _) in enumerate(comps)}
             # locate end of entropy data: next non-RST marker
             end = pos
@@ -1545,33 +1674,39 @@ def decode_baseline_jpeg(content: bytes):
                 if ah or al:
                     raise ValueError("baseline scan with approximation bits")
                 preds = [0] * len(comps)
-                for mcu in range(nblocks):
-                    if restart_interval and mcu and mcu % restart_interval == 0:
-                        reader.skip_restart()
-                        preds = [0] * len(comps)
-                    for ci, (cid, _tq) in enumerate(comps):
-                        td, ta = scan_tables[cid]
-                        dc_tab = htables[(0, td)]
-                        ac_tab = htables[(1, ta)]
-                        sz = _huff_decode(reader, dc_tab)
-                        diff = _extend(reader.bits(sz), sz) if sz else 0
-                        preds[ci] += diff
-                        zz = zzs[ci][mcu]
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            size = rs & 0x0F
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
+                if subsampled:
+                    # 4:2:0 MCU order: 4 luma blocks (row-major within the
+                    # 2x2), then Cb, then Cr; restart interval counts MCUs
+                    mch, mcw = grids[1]
+                    for mcu in range(mch * mcw):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            reader.skip_restart()
+                            preds = [0] * len(comps)
+                        my, mx = divmod(mcu, mcw)
+                        for ci, (cid, _tq) in enumerate(comps):
+                            td, ta = scan_tables[cid]
+                            dc_tab = htables[(0, td)]
+                            ac_tab = htables[(1, ta)]
+                            hv = 2 if ci == 0 else 1
+                            gw = grids[ci][1]
+                            for v in range(hv):
+                                for u in range(hv):
+                                    bidx = (my * hv + v) * gw + (mx * hv + u)
+                                    preds[ci] = _decode_block(
+                                        reader, dc_tab, ac_tab,
+                                        zzs[ci][bidx], preds[ci],
+                                    )
+                else:
+                    for mcu in range(nblocks):
+                        if restart_interval and mcu and mcu % restart_interval == 0:
+                            reader.skip_restart()
+                            preds = [0] * len(comps)
+                        for ci, (cid, _tq) in enumerate(comps):
+                            td, ta = scan_tables[cid]
+                            preds[ci] = _decode_block(
+                                reader, htables[(0, td)], htables[(1, ta)],
+                                zzs[ci][mcu], preds[ci],
+                            )
                 scanned = True
             else:
                 # Progressive: spectral selection (Ah=0) PLUS successive
@@ -1708,20 +1843,26 @@ def decode_baseline_jpeg(content: bytes):
         # APPn / COM / anything else: skipped via seglen
     if frame is None or not scanned:
         raise ValueError("JPEG payload has no SOS scan")
-    height, width, comps = frame
-    nbw, nbh = -(-width // 8), -(-height // 8)
+    height, width, comps, subsampled = frame
     basis = _idct_matrix()
     planes = []
-    for (cid, tq), zzc in zip(comps, zzs):
+    for (cid, tq), zzc, (gh, gw) in zip(comps, zzs, grids):
         q = np.asarray(qtables[tq], dtype=np.float64)
-        coeffs = np.zeros((nbh * nbw, 64), dtype=np.float64)
+        coeffs = np.zeros((gh * gw, 64), dtype=np.float64)
         coeffs[:, _ZIGZAG] = zzc * q[None, :]
         blocks = basis.T @ coeffs.reshape(-1, 8, 8) @ basis
         planes.append(
-            blocks.reshape(nbh, nbw, 8, 8)
+            blocks.reshape(gh, gw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nbh * 8, nbw * 8)
+            .reshape(gh * 8, gw * 8)
         )
+    if subsampled:
+        # chroma planes decode at half resolution: crop to the ceil-half
+        # dims, then 2x nearest-neighbor upsample and crop to full size
+        ch, cw = -(-height // 2), -(-width // 2)
+        planes = [planes[0]] + [
+            p[:ch, :cw].repeat(2, axis=0).repeat(2, axis=1) for p in planes[1:]
+        ]
     out = [
         np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype("uint8")
         for p in planes
@@ -1849,6 +1990,118 @@ def jpeg_pixel_stats_df(df: DataFrame) -> DataFrame:
     (media_id, content) frame."""
     return df.select("media_id", "content").mapInPandas(
         jpeg_pixel_stats_batch, schema=JPEG_STATS_SCHEMA
+    )
+
+
+# --- 4:2:0 color tier: YCbCr chroma-subsampled baseline JPEG ----------------
+# Same exactness design as the grayscale tiers, extended to color: luma is
+# the 8x8 block-constant formula; each chroma plane is synthesized AT HALF
+# RESOLUTION from an 8x8 tile formula of its own, which makes every chroma
+# block DC-only too (a half-res 8x8 tile covers one 16x16 full-res MCU), so
+# the whole 3-plane round trip is mathematically exact and the SQL oracle
+# predicts the full-res chroma from x//16, y//16 — all without an RGB
+# transform (components compare as coded).
+
+
+def _ycbcr_chroma_half_plane(media_id: int, hh: int, hw: int, a: int, b: int, c: int):
+    """Half-resolution chroma plane: value(u, v) = (a·(u//8) + b·(v//8)
+    + c·id) % 256 with u = column — full-res pixel (x, y) sees
+    (a·(x//16) + b·(y//16) + c·id) % 256 after the 2x nearest upsample."""
+    import numpy as np
+
+    cols = np.arange(hw, dtype=np.int64) // 8
+    rows = np.arange(hh, dtype=np.int64) // 8
+    return ((a * cols[None, :] + b * rows[:, None] + c * media_id) % 256).astype(
+        "uint8"
+    )
+
+
+def encode_ycbcr420_pixels(media_id: int) -> bytes:
+    """Complete 4:2:0 YCbCr baseline JPEG for the deterministic color
+    tier: luma = the grayscale tiers' block formula; Cb/Cr = the half-res
+    tile formulas (7,19,3·id) and (5,23,7·id)."""
+    w, h = jpeg_pixel_geometry(media_id)
+    y = _jpeg_block_raster(media_id, w, h)
+    ch, cw = -(-h // 2), -(-w // 2)
+    cb = _ycbcr_chroma_half_plane(media_id, ch, cw, 7, 19, 3)
+    cr = _ycbcr_chroma_half_plane(media_id, ch, cw, 5, 23, 7)
+    return encode_ycbcr420_jpeg(y, cb, cr)
+
+
+def synthesize_pixel_ycbcr_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete MCU-interleaved 4:2:0 YCbCr baseline JPEG."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(
+                    lambda i: encode_ycbcr420_pixels(int(i))
+                ),
+            }
+        )
+
+
+def synthesize_pixel_ycbcr_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(synthesize_pixel_ycbcr_jpeg_batch, schema=SYNTH_SCHEMA)
+
+
+YCBCR_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+        StructField("y_min", IntegerType()),
+        StructField("y_max", IntegerType()),
+    ]
+)
+
+
+def ycbcr_pixel_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id, content) -> per-image per-plane
+    stats of the DECODED (H, W, 3) YCbCr raster. Geometry and every value
+    come from the real MCU-interleaved decode + chroma upsample — the
+    generation formulas live only in the SQL oracle."""
+    for pdf in batches:
+        rows = []
+        for mid, content in zip(pdf["media_id"], pdf["content"]):
+            r = decode_baseline_jpeg(bytes(content))
+            if r.ndim != 3 or r.shape[2] != 3:
+                raise ValueError("expected a 3-component YCbCr decode")
+            h, w = r.shape[:2]
+            planes = r.astype("int64")
+            rows.append(
+                (
+                    int(mid), w, h, int(h * w),
+                    int(planes[:, :, 0].sum()),
+                    int(planes[:, :, 1].sum()),
+                    int(planes[:, :, 2].sum()),
+                    int(planes[:, :, 0].min()),
+                    int(planes[:, :, 0].max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "width", "height", "n_pixels",
+                "y_sum", "cb_sum", "cr_sum", "y_min", "y_max",
+            ],
+        )
+
+
+def ycbcr_pixel_stats_df(df: DataFrame) -> DataFrame:
+    """Arrow-batched 4:2:0 YCbCr JPEG decode + per-plane stats over a
+    (media_id, content) frame."""
+    return df.select("media_id", "content").mapInPandas(
+        ycbcr_pixel_stats_batch, schema=YCBCR_STATS_SCHEMA
     )
 
 

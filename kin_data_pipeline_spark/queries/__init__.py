@@ -120,6 +120,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "important_part_values_q11",  # global-aggregate HAVING threshold
     "time_travel_restore",  # RESTORE VERSION AS OF over the versioned catalog
     "kmeans_cluster_profile",  # distributed Lloyd k-means, integer-exact oracle
+    "ycbcr420_jpeg_pixel_stats",  # 4:2:0 chroma-subsampled color JPEG decode
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2087,6 +2087,64 @@ def sa_progressive_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
 
+# 4:2:0 color twin (retires the chroma-subsampling gate for baseline
+# streams — the dominant production JPEG layout): 3-component YCbCr with
+# 2x2 luma sampling, one MCU-interleaved scan (4 luma blocks + Cb + Cr per
+# 16x16 MCU, independent DC predictors), decoded through the general
+# baseline path (operators/multimodal.py::decode_baseline_jpeg) with
+# per-component block grids and nearest-neighbor chroma upsample. Chroma
+# planes are SYNTHESIZED at half resolution from their own 8x8 tile
+# formulas, so every chroma block is DC-only and the 3-plane round trip
+# stays mathematically exact; the oracle predicts full-res chroma from
+# x//16, y//16 without decoding anything. No RGB transform — planes
+# compare as coded.
+@register(
+    "ycbcr420_jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS y_sum,
+           CAST(SUM((7 * (x.x // 16) + 19 * (y.y // 16) + 3 * g.media_id) % 256)
+                AS BIGINT) AS cb_sum,
+           CAST(SUM((5 * (x.x // 16) + 23 * (y.y // 16) + 7 * g.media_id) % 256)
+                AS BIGINT) AS cr_sum,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS y_min,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS y_max
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "4:2:0 chroma-subsampled YCbCr baseline JPEG decode — MCU-"
+        "interleaved scan, per-component block grids, chroma upsample; "
+        "exact 3-plane block-formula oracle"
+    ),
+)
+def ycbcr420_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        synthesize_pixel_ycbcr_jpeg_df,
+        ycbcr_pixel_stats_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ycbcr_pixel_stats_df(
+        synthesize_pixel_ycbcr_jpeg_df(docs, "doc_id")
+    ).select(
+        "media_id", "width", "height", "n_pixels",
+        "y_sum", "cb_sum", "cr_sum", "y_min", "y_max",
+    )
+
 # Video tier — pixel-level frame decode of synthesized AVI-MJPG clips
 # (reference: no media path at all; training-data superset). Real
 # end-to-end: RIFF/AVI container parse (avih geometry, movi '00dc' frame

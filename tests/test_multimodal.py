@@ -935,3 +935,88 @@ def test_video_frame_stats_distributed(spark, sf_dir):
         assert (row["n_frames"], row["width"], row["height"]) == (n, w, h)
         assert row["n_sampled"] == take
         assert row["sum_pixels"] == total
+
+
+def test_ycbcr420_exact_round_trip_on_tile_planes():
+    """4:2:0 color tier exactness: block-constant luma + half-res tile
+    chroma decode back bit-exactly (DC-only blocks at DC step 8), across
+    partial-MCU widths/heights including the 1-pixel edge."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        _ycbcr_chroma_half_plane,
+        decode_baseline_jpeg,
+        encode_ycbcr420_jpeg,
+    )
+
+    for mid in (0, 1, 3, 7, 16, 17, 31, 33, 48):
+        w, h = 1 + mid * 7 % 48, 1 + mid * 13 % 48
+        y = _jpeg_block_raster(mid, w, h)
+        ch, cw = -(-h // 2), -(-w // 2)
+        cb = _ycbcr_chroma_half_plane(mid, ch, cw, 7, 19, 3)
+        cr = _ycbcr_chroma_half_plane(mid, ch, cw, 5, 23, 7)
+        dec = decode_baseline_jpeg(encode_ycbcr420_jpeg(y, cb, cr))
+        assert dec.shape == (h, w, 3)
+        x = np.arange(w)
+        yy = np.arange(h)
+        cb_full = (7 * (x[None, :] // 16) + 19 * (yy[:, None] // 16) + 3 * mid) % 256
+        cr_full = (5 * (x[None, :] // 16) + 23 * (yy[:, None] // 16) + 7 * mid) % 256
+        assert (dec[:, :, 0] == y).all()
+        assert (dec[:, :, 1] == cb_full).all()
+        assert (dec[:, :, 2] == cr_full).all()
+
+
+def test_ycbcr420_general_planes_within_quant_error():
+    """Random (non-constant) planes survive the 4:2:0 MCU round trip
+    within quantization error — the general-path pin (Huffman interleave,
+    per-component DC prediction, chroma upsample)."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_baseline_jpeg,
+        encode_ycbcr420_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((24, 40), (17, 23), (16, 16)):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch, cw = -(-h // 2), -(-w // 2)
+        cb = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        cr = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        dec = decode_baseline_jpeg(encode_ycbcr420_jpeg(y, cb, cr, quant=2))
+        up = lambda p: p.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        assert np.abs(dec[:, :, 0].astype(int) - y).max() <= 4
+        assert np.abs(dec[:, :, 1].astype(int) - up(cb)).max() <= 4
+        assert np.abs(dec[:, :, 2].astype(int) - up(cr)).max() <= 4
+
+
+def test_ycbcr420_remaining_gates_still_raise():
+    """Gate narrowing is honest: 4:2:2 sampling and progressive+subsampled
+    streams still refuse with NotImplementedError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        _ycbcr_chroma_half_plane,
+        decode_baseline_jpeg,
+        encode_ycbcr420_jpeg,
+    )
+
+    y = _jpeg_block_raster(1, 16, 16)
+    cb = _ycbcr_chroma_half_plane(1, 8, 8, 7, 19, 3)
+    cr = _ycbcr_chroma_half_plane(1, 8, 8, 5, 23, 7)
+    payload = encode_ycbcr420_jpeg(y, cb, cr)
+    # rewrite the luma sampling byte 0x22 -> 0x21 (4:2:2) inside SOF0
+    sof_at = payload.index(b"\xff\xc0")
+    comp0_sampling = sof_at + 4 + 6 + 1  # marker+len + P/Y/X/Nf + cid
+    assert payload[comp0_sampling] == 0x22
+    h422 = payload[:comp0_sampling] + b"\x21" + payload[comp0_sampling + 1 :]
+    with _pytest.raises(NotImplementedError, match="sampling"):
+        decode_baseline_jpeg(h422)
+    # progressive + subsampling: flip SOF0 -> SOF2
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="progressive chroma"):
+        decode_baseline_jpeg(prog)
