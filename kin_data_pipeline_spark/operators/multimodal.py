@@ -9,14 +9,15 @@ BMP / PNG / WAV / JPEG / AVI payloads: ``parse_media_header`` does magic-byte
 sniffing + struct parsing of the actual container headers, no external codec
 needed. Pixel/sample-level decode is ALSO real, pure stdlib/numpy, for the
 generated formats: PNG (zlib + scanline unfilter), WAV (16-bit PCM),
-baseline JPEG (Huffman + dequant + IDCT) including 4:2:0 chroma-subsampled
-YCbCr (MCU-interleaved scan, per-component block grids, nearest-neighbor
-chroma upsample), the FULL Annex G progressive JPEG profile (spectral
-selection AND successive approximation, encode + decode) and AVI-MJPG
-video (RIFF container parse + sampled-frame JPEG decode).
-``require_codec`` remains only for real-world codecs this container
-cannot express — progressive-with-subsampling and non-4:2:0 sampling
-layouts (4:2:2 etc.), arithmetic/lossless/hierarchical JPEG,
+baseline JPEG (Huffman + dequant + IDCT) including chroma-subsampled
+YCbCr at ANY dividing sampling layout — 4:2:0, 4:2:2, 4:4:0, 4:1:1 —
+via the general T.81 MCU-interleave (per-component block grids,
+nearest-neighbor chroma upsample), the FULL Annex G progressive JPEG
+profile (spectral selection AND successive approximation, encode +
+decode) and AVI-MJPG video (RIFF container parse + sampled-frame JPEG
+decode). ``require_codec`` remains only for real-world codecs this
+container cannot express — progressive-with-subsampling, non-dividing
+sampling layouts, arithmetic/lossless/hierarchical JPEG,
 interframe video (H.264 etc.), lossy resampling; the deterministic
 fake decoder is kept for opaque (non-media) payloads so the batching
 plumbing stays testable on any bytes.
@@ -1118,35 +1119,40 @@ def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
-def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
-    """Encode a 4:2:0 YCbCr baseline JFIF JPEG — luma at full resolution
-    (2x2 sampling factor), chroma planes given at HALF resolution, i.e.
-    the caller is the subsampler (dims ceil(H/2) x ceil(W/2)).
+def encode_ycbcr_subsampled_jpeg(
+    y_raster, cb_sub, cr_sub, h1: int = 2, v1: int = 2, quant: int = 8
+) -> bytes:
+    """Encode a chroma-subsampled YCbCr baseline JFIF JPEG — luma at full
+    resolution with sampling factor (h1, v1), chroma planes given at the
+    SUBSAMPLED resolution ceil(H/v1) x ceil(W/h1), i.e. the caller is the
+    subsampler. (2,2) is 4:2:0, (2,1) is 4:2:2, (1,2) is 4:4:0.
 
-    One MCU-interleaved scan: per 16x16 MCU, 4 luma blocks (row-major in
-    the 2x2) then Cb then Cr, with independent DC predictors per
+    One MCU-interleaved scan: per (8·h1)x(8·v1) MCU, the h1·v1 luma blocks
+    row-major, then Cb, then Cr, with independent DC predictors per
     component. All components share quant table 0 and Huffman tables 0 —
     legal and what the symmetric synthetic tier wants. Luma is edge-padded
-    to the 16-aligned MCU grid; chroma to its 8-aligned half grid.
+    to the MCU grid; chroma to its 8-aligned subsampled grid.
     """
     import numpy as np
 
     h, w = y_raster.shape
-    mch, mcw = -(-h // 16), -(-w // 16)
-    ch, cw = -(-h // 2), -(-w // 2)
-    if cb_half.shape != (ch, cw) or cr_half.shape != (ch, cw):
+    mch, mcw = -(-h // (8 * v1)), -(-w // (8 * h1))
+    ch, cw = -(-h // v1), -(-w // h1)
+    if cb_sub.shape != (ch, cw) or cr_sub.shape != (ch, cw):
         raise ValueError(
-            f"chroma planes must be ceil-half resolution {(ch, cw)}; "
-            f"got {cb_half.shape} / {cr_half.shape}"
+            f"chroma planes must be subsampled resolution {(ch, cw)}; "
+            f"got {cb_sub.shape} / {cr_sub.shape}"
         )
     ypad = np.pad(
-        np.asarray(y_raster), ((0, mch * 16 - h), (0, mcw * 16 - w)), mode="edge"
+        np.asarray(y_raster),
+        ((0, mch * 8 * v1 - h), (0, mcw * 8 * h1 - w)),
+        mode="edge",
     )
     cbpad = np.pad(
-        np.asarray(cb_half), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+        np.asarray(cb_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
     )
     crpad = np.pad(
-        np.asarray(cr_half), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+        np.asarray(cr_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
     )
     zz_y, q, _, _ = _jpeg_forward_blocks(ypad, quant)
     zz_cb, _, _, _ = _jpeg_forward_blocks(cbpad, quant)
@@ -1158,9 +1164,9 @@ def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
     preds = [0, 0, 0]
     for mcu in range(mch * mcw):
         my, mx = divmod(mcu, mcw)
-        for v in range(2):
-            for u in range(2):
-                bidx = (my * 2 + v) * (mcw * 2) + (mx * 2 + u)
+        for v in range(v1):
+            for u in range(h1):
+                bidx = (my * v1 + v) * (mcw * h1) + (mx * h1 + u)
                 preds[0] = _put_block(bw, zz_y[bidx], preds[0], dc_codes, ac_codes)
         bidx = my * mcw + mx
         preds[1] = _put_block(bw, zz_cb[bidx], preds[1], dc_codes, ac_codes)
@@ -1170,7 +1176,7 @@ def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
     sof = _jpeg_seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + struct.pack(">BBB", 1, 0x22, 0)
+        + struct.pack(">BBB", 1, (h1 << 4) | v1, 0)
         + struct.pack(">BBB", 2, 0x11, 0)
         + struct.pack(">BBB", 3, 0x11, 0),
     )
@@ -1186,6 +1192,12 @@ def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
         + struct.pack(">BBB", 0, 63, 0),
     )
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
+    """4:2:0 wrapper over the general subsampled encoder (the synthetic
+    color tier's profile): 2x2 luma, chroma at ceil-half resolution."""
+    return encode_ycbcr_subsampled_jpeg(y_raster, cb_half, cr_half, 2, 2, quant)
 
 
 def _encode_ac_first_scan(zzq, lo: int, hi: int, al: int, ac_codes) -> bytes:
@@ -1613,28 +1625,40 @@ def decode_baseline_jpeg(content: bytes):
                 cid, sampling, tq = struct.unpack_from(">BBB", payload, 6 + 3 * i)
                 comps.append((cid, tq))
                 samplings.append(sampling)
-            if all(s == 0x11 for s in samplings):
-                subsampled = False
-            elif samplings == [0x22, 0x11, 0x11]:
-                subsampled = True
-            else:
+            hs = [s >> 4 for s in samplings]
+            vs = [s & 0x0F for s in samplings]
+            if any(not (1 <= h <= 4 and 1 <= v <= 4) for h, v in zip(hs, vs)):
+                raise ValueError("JPEG sampling factors must be 1..4")
+            # a single-component scan ignores sampling for MCU structure
+            # (T.81: non-interleaved MCU = 1 block), so only multi-
+            # component frames take the general MCU-interleaved path
+            subsampled = len(comps) > 1 and any(s != 0x11 for s in samplings)
+            hmax, vmax = max(hs), max(vs)
+            if subsampled and any(
+                hmax % h or vmax % v for h, v in zip(hs, vs)
+            ):
                 raise NotImplementedError(
-                    "only 4:4:4 and 4:2:0 JPEG sampling supported"
+                    "non-dividing JPEG sampling layout needs a native codec"
                 )
-            frame = (height, width, comps, subsampled)
+            frame = (height, width, comps, subsampled, hs, vs)
             progressive = marker == 0xC2
             if progressive and subsampled:
                 raise NotImplementedError(
                     "progressive chroma-subsampled JPEG needs a native codec"
                 )
-            # per-component block grids: 4:4:4 shares one ceil/8 grid;
-            # 4:2:0 gives luma the 16-aligned MCU grid (2x2 blocks per
-            # MCU) and each chroma plane one block per MCU
+            # per-component block grids: equal-sampling frames share one
+            # ceil/8 grid; subsampled frames give component i an
+            # (mch·v_i) x (mcw·h_i) grid over the 8·hmax/8·vmax-aligned
+            # MCU lattice (the general T.81 A.2.3 layout — 4:2:0, 4:2:2,
+            # 4:4:0, 4:1:1 ... anything with dividing factors)
             if subsampled:
-                mcw, mch = -(-width // 16), -(-height // 16)
-                grids = [(2 * mch, 2 * mcw), (mch, mcw), (mch, mcw)]
+                mcw = -(-width // (8 * hmax))
+                mch = -(-height // (8 * vmax))
+                mcu_dims = (mch, mcw)
+                grids = [(mch * v, mcw * h) for h, v in zip(hs, vs)]
             else:
                 nbw, nbh = -(-width // 8), -(-height // 8)
+                mcu_dims = (nbh, nbw)
                 grids = [(nbh, nbw)] * len(comps)
             # raw (unquantized) zigzag coefficients per component, blocks
             # row-major; scans accumulate here, dequant + IDCT run once at
@@ -1655,7 +1679,7 @@ def decode_baseline_jpeg(content: bytes):
                 scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
-            height, width, comps, subsampled = frame
+            height, width, comps, subsampled, hs, vs = frame
             cindex = {cid: i for i, (cid, _) in enumerate(comps)}
             # locate end of entropy data: next non-RST marker
             end = pos
@@ -1675,9 +1699,10 @@ def decode_baseline_jpeg(content: bytes):
                     raise ValueError("baseline scan with approximation bits")
                 preds = [0] * len(comps)
                 if subsampled:
-                    # 4:2:0 MCU order: 4 luma blocks (row-major within the
-                    # 2x2), then Cb, then Cr; restart interval counts MCUs
-                    mch, mcw = grids[1]
+                    # general MCU order (T.81 A.2.3): per MCU, component
+                    # i contributes its h_i x v_i blocks row-major;
+                    # restart interval counts MCUs
+                    mch, mcw = mcu_dims
                     for mcu in range(mch * mcw):
                         if restart_interval and mcu and mcu % restart_interval == 0:
                             reader.skip_restart()
@@ -1687,11 +1712,11 @@ def decode_baseline_jpeg(content: bytes):
                             td, ta = scan_tables[cid]
                             dc_tab = htables[(0, td)]
                             ac_tab = htables[(1, ta)]
-                            hv = 2 if ci == 0 else 1
+                            h_i, v_i = hs[ci], vs[ci]
                             gw = grids[ci][1]
-                            for v in range(hv):
-                                for u in range(hv):
-                                    bidx = (my * hv + v) * gw + (mx * hv + u)
+                            for v in range(v_i):
+                                for u in range(h_i):
+                                    bidx = (my * v_i + v) * gw + (mx * h_i + u)
                                     preds[ci] = _decode_block(
                                         reader, dc_tab, ac_tab,
                                         zzs[ci][bidx], preds[ci],
@@ -1843,7 +1868,7 @@ def decode_baseline_jpeg(content: bytes):
         # APPn / COM / anything else: skipped via seglen
     if frame is None or not scanned:
         raise ValueError("JPEG payload has no SOS scan")
-    height, width, comps, subsampled = frame
+    height, width, comps, subsampled, hs, vs = frame
     basis = _idct_matrix()
     planes = []
     for (cid, tq), zzc, (gh, gw) in zip(comps, zzs, grids):
@@ -1857,11 +1882,15 @@ def decode_baseline_jpeg(content: bytes):
             .reshape(gh * 8, gw * 8)
         )
     if subsampled:
-        # chroma planes decode at half resolution: crop to the ceil-half
-        # dims, then 2x nearest-neighbor upsample and crop to full size
-        ch, cw = -(-height // 2), -(-width // 2)
-        planes = [planes[0]] + [
-            p[:ch, :cw].repeat(2, axis=0).repeat(2, axis=1) for p in planes[1:]
+        # component i decodes at its true sample dims ceil(H·v_i/vmax) x
+        # ceil(W·h_i/hmax) (T.81 A.1.1): crop there, then integer
+        # nearest-neighbor upsample back to full resolution
+        hmax, vmax = max(hs), max(vs)
+        planes = [
+            p[: -(-height * v_i // vmax), : -(-width * h_i // hmax)]
+            .repeat(vmax // v_i, axis=0)
+            .repeat(hmax // h_i, axis=1)
+            for p, h_i, v_i in zip(planes, hs, vs)
         ]
     out = [
         np.clip(np.round(p[:height, :width] + 128.0), 0, 255).astype("uint8")

@@ -991,11 +991,35 @@ def test_ycbcr420_general_planes_within_quant_error():
         assert np.abs(dec[:, :, 2].astype(int) - up(cr)).max() <= 4
 
 
-def test_ycbcr420_remaining_gates_still_raise():
-    """Gate narrowing is honest: 4:2:2 sampling and progressive+subsampled
-    streams still refuse with NotImplementedError."""
-    import struct as _struct
+def test_ycbcr_general_sampling_layouts_round_trip():
+    """The general MCU path handles every dividing layout: 4:2:2, 4:4:0
+    and 4:1:1 round-trip exactly on constant chroma (DC-only blocks),
+    including partial-MCU and 1-pixel dims."""
+    import numpy as np
 
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        decode_baseline_jpeg,
+        encode_ycbcr_subsampled_jpeg,
+    )
+
+    for h1, v1 in ((2, 1), (1, 2), (4, 1)):
+        for h, w in ((31, 45), (16, 16), (1, 1), (9, 17)):
+            y = _jpeg_block_raster(5, w, h)
+            ch, cw = -(-h // v1), -(-w // h1)
+            cb = np.full((ch, cw), 77, np.uint8)
+            cr = np.full((ch, cw), 201, np.uint8)
+            dec = decode_baseline_jpeg(
+                encode_ycbcr_subsampled_jpeg(y, cb, cr, h1, v1)
+            )
+            assert dec.shape == (h, w, 3)
+            assert (dec[:, :, 0] == y).all()
+            assert (dec[:, :, 1] == 77).all() and (dec[:, :, 2] == 201).all()
+
+
+def test_ycbcr_remaining_gates_still_raise():
+    """Gate narrowing is honest: NON-DIVIDING sampling layouts and
+    progressive+subsampled streams still refuse with NotImplementedError."""
     import pytest as _pytest
 
     from kin_data_pipeline_spark.operators.multimodal import (
@@ -1009,13 +1033,16 @@ def test_ycbcr420_remaining_gates_still_raise():
     cb = _ycbcr_chroma_half_plane(1, 8, 8, 7, 19, 3)
     cr = _ycbcr_chroma_half_plane(1, 8, 8, 5, 23, 7)
     payload = encode_ycbcr420_jpeg(y, cb, cr)
-    # rewrite the luma sampling byte 0x22 -> 0x21 (4:2:2) inside SOF0
     sof_at = payload.index(b"\xff\xc0")
     comp0_sampling = sof_at + 4 + 6 + 1  # marker+len + P/Y/X/Nf + cid
-    assert payload[comp0_sampling] == 0x22
-    h422 = payload[:comp0_sampling] + b"\x21" + payload[comp0_sampling + 1 :]
-    with _pytest.raises(NotImplementedError, match="sampling"):
-        decode_baseline_jpeg(h422)
+    comp1_sampling = comp0_sampling + 3
+    assert payload[comp0_sampling] == 0x22 and payload[comp1_sampling] == 0x11
+    # hs = [3, 2, 1]: hmax=3 does not divide by comp1's h=2
+    bad = bytearray(payload)
+    bad[comp0_sampling] = 0x33
+    bad[comp1_sampling] = 0x22
+    with _pytest.raises(NotImplementedError, match="non-dividing"):
+        decode_baseline_jpeg(bytes(bad))
     # progressive + subsampling: flip SOF0 -> SOF2
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError, match="progressive chroma"):
