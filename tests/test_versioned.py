@@ -328,3 +328,31 @@ def test_log_write_is_atomic(spark, tmp_path):
     with open(log) as fh:
         entries = json.load(fh)
     assert entries and not os.path.exists(log + ".tmp")
+
+
+def test_concurrent_sibling_mutators_commit_one_version_each(spark, tmp_path):
+    """run_concurrent fans SIBLING mutators over a thread pool sharing one
+    Catalog — the per-thread depth counter must give each table exactly one
+    commit per mutation, never skip one because another thread is
+    mid-mutation (the process-wide-counter failure mode the _versioned_op
+    docstring calls out)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    names = [f"t{i}" for i in range(4)]
+    for n in names:
+        cat.write_full(n, spark.createDataFrame(ROWS1, "id long, grp string, val long"), None)
+        cat.enable_versioning(n)
+
+    def mutate(n):
+        # delete_by_keys nests write_full internally — the depth counter
+        # must still yield exactly ONE commit for the outer op
+        cat.delete_by_keys(n, "grp", ["b"])
+        return n
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert sorted(pool.map(mutate, names)) == names
+    for n in names:
+        ops = [e["operation"] for e in cat.history(n)]
+        assert ops == ["enable_versioning", "delete_by_keys"], (n, ops)
+        assert sorted(r.id for r in cat.table_at_version(n, 1).collect()) == [1]
