@@ -121,6 +121,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "time_travel_restore",  # RESTORE VERSION AS OF over the versioned catalog
     "kmeans_cluster_profile",  # distributed Lloyd k-means, integer-exact oracle
     "ycbcr420_jpeg_pixel_stats",  # 4:2:0 chroma-subsampled color JPEG decode
+    "streaming_table_changes",  # streaming CDF via custom Python Data Source
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2267,6 +2267,101 @@ def time_travel_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "version int, operation string, n_orders long, total_cents long"
     )
 
+# STREAMING change-data-feed over the versioned catalog — Delta's
+# readStream readChangeFeed surface, expressed PySpark-natively as a
+# custom Python Data Source (streaming/cdf_source.py): offsets are
+# version numbers in the commit log, each micro-batch partition carries
+# one commit's multiset row diff with _commit_version provenance. Same
+# versioned history as time_travel_changes (full load -> append ->
+# key-erase), consumed as a STREAM run to completion; rows store exact
+# integer cents at write time so the converged aggregate is
+# order-independent. The oracle reproduces each commit's change set from
+# literal predicates. Incremental-offset behavior (new commits after a
+# checkpointed run emit only the delta) is pinned in
+# tests/test_streaming.py.
+@register(
+    "streaming_table_changes",
+    """
+    WITH appended AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01'
+    ), erased AS (
+      SELECT * FROM orders
+      WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus = 'F'
+    )
+    SELECT 1 AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM appended
+    UNION ALL
+    SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM erased
+    """,
+    doc=(
+        "streaming CDF: custom Python Data Source over the versioned "
+        "catalog (offsets = commit versions), run to completion; "
+        "per-commit insert/delete aggregates on exact cents"
+    ),
+)
+def streaming_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    spark = _stream_session(spark)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="cdf_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    stored = ["o_orderkey", "o_orderstatus", "cents"]
+    cat.write_full(
+        "orders_fact",
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+        ).select(*stored),
+        None,
+    )
+    cat.enable_versioning("orders_fact")  # v0
+    cat.write_append(
+        "orders_fact",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        ).select(*stored),
+        None,
+    )  # v1
+    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+    st = stream_table_changes(
+        spark,
+        cat.warehouse_dir,
+        "orders_fact",
+        "o_orderkey bigint, o_orderstatus string, cents bigint",
+    )
+    sunk = _run_to_memory(st, "streaming_table_changes_sink", "append")
+    out = sunk.groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    # bounded collect + scratch cleanup, same reasoning as the
+    # time-travel queries above
+    rows = out.collect()
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "commit_version int, change_type string, n_rows long, total_cents long",
+    )
+
 # TPC-H Q21 shape (waiting-supplier chain): the hardest relational pattern
 # in the suite — a candidate row qualified by BOTH an EXISTS (another
 # supplier on the same order) and a NOT EXISTS (no OTHER late supplier on

@@ -1,3 +1,7 @@
+from kin_data_pipeline_spark.streaming.cdf_source import (  # noqa: F401
+    CatalogChangesDataSource,
+    stream_table_changes,
+)
 from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401
     ingest_changelog_to_catalog,
     ingest_to_catalog,

@@ -1,0 +1,150 @@
+"""Streaming change-data-feed source over the versioned catalog — a
+custom PySpark 4 Python Data Source (``pyspark.sql.datasource``).
+
+`Catalog.table_changes` answers "what changed between v_from and v_to" as
+a batch question; this source turns the SAME contract into a stream:
+offsets are VERSION NUMBERS in the table's commit log (`_log.json` is the
+single authority the batch reader also trusts), `latestOffset` re-reads
+the log each trigger, and each micro-batch emits one partition per newly
+committed version carrying the row-level insert/delete diff versus its
+predecessor plus `_commit_version` provenance. Reading the Delta-style
+CDF as a stream is exactly Delta's `readStream.option("readChangeFeed")`
+surface, expressed PySpark-natively.
+
+Scale boundary (documented, same class as PLANS.md's other rows): each
+partition diffs two full version snapshots in one task via a counted
+hash map — O(|v-1| + |v|) per commit, the same total work the batch
+`table_changes` pays, but not distributed within a commit. The
+production-scale form derives per-commit changes from the mutation's own
+changelog (the engine's `apply_changelog` path) instead of re-diffing
+snapshots; this source is the CONSUMER surface and the test-scale
+reference implementation.
+
+Workers rebuild state from paths + JSON only (options travel as strings;
+no SparkSession, no Catalog object crosses the boundary), so the source
+works in any deployment where executors see the warehouse filesystem —
+the same requirement the hardlinked version store already imposes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+TRACKING_COLS = "_change_type string, _commit_version int"
+
+
+def _versions_dir(warehouse: str, table: str) -> str:
+    return os.path.join(warehouse, f"{table}.__versions")
+
+
+def _read_log(warehouse: str, table: str) -> list[dict]:
+    log = os.path.join(_versions_dir(warehouse, table), "_log.json")
+    with open(log) as fh:
+        return json.load(fh)
+
+
+class _VersionDiffPartition(InputPartition):
+    def __init__(self, warehouse: str, table: str, version: int, fields: list[str]):
+        self.warehouse = warehouse
+        self.table = table
+        self.version = version
+        self.fields = fields
+
+
+class CatalogChangesStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"version": N}`` = "every commit ≤ N has been
+    emitted". The initial offset is the starting version (default 0), so
+    a fresh stream replays history from the enable point — pass
+    ``startingVersion`` to begin later (Delta's convention)."""
+
+    def __init__(self, schema, options):
+        self._warehouse = options["warehouse"]
+        self._table = options["table"]
+        self._start = int(options.get("startingversion", 0))
+        # spark passes the parsed schema; field order defines row order
+        self._fields = [f.name for f in schema.fields if not f.name.startswith("_")]
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        entries = _read_log(self._warehouse, self._table)
+        tip = entries[-1]["version"] if entries else self._start
+        return {"version": max(tip, self._start)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        # one partition per newly committed version: batch (start, end]
+        return [
+            _VersionDiffPartition(self._warehouse, self._table, v, self._fields)
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1)
+        ]
+
+    def read(self, partition: _VersionDiffPartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        base = _versions_dir(partition.warehouse, partition.table)
+
+        def rows(version: int) -> list[tuple]:
+            data = os.path.join(base, f"v{version}", "data")
+            tbl = pq.read_table(data, columns=partition.fields)
+            cols = [tbl.column(f).to_pylist() for f in partition.fields]
+            return list(zip(*cols)) if cols else []
+
+        v = partition.version
+        old = Counter(rows(v - 1)) if v > 0 else Counter()
+        new = Counter(rows(v))
+        # multiplicity-aware diff — the same EXCEPT ALL semantics as the
+        # batch Catalog.table_changes
+        for row, n in sorted((new - old).items()):
+            for _ in range(n):
+                yield (*row, "insert", v)
+        for row, n in sorted((old - new).items()):
+            for _ in range(n):
+                yield (*row, "delete", v)
+
+    def commit(self, end: dict) -> None:
+        pass  # the version store is append-only; nothing to release
+
+
+class CatalogChangesDataSource(DataSource):
+    """``spark.readStream.format("catalog_changes")`` over a versioned
+    catalog table. Options: ``warehouse``, ``table``, ``schema_ddl``
+    (the table's column DDL — workers cannot probe the catalog for it),
+    optional ``startingVersion``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_changes"
+
+    def schema(self) -> str:
+        return f"{self.options['schema_ddl']}, {TRACKING_COLS}"
+
+    def streamReader(self, schema) -> CatalogChangesStreamReader:
+        return CatalogChangesStreamReader(schema, self.options)
+
+
+def stream_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
+                         starting_version: int = 0):
+    """Register the source (idempotent per session) and open the CDF
+    stream for ``table``: the table's columns plus ``_change_type`` and
+    ``_commit_version``."""
+    spark.dataSource.register(CatalogChangesDataSource)
+    return (
+        spark.readStream.format("catalog_changes")
+        .option("warehouse", warehouse)
+        .option("table", table)
+        .option("schema_ddl", schema_ddl)
+        .option("startingVersion", starting_version)
+        .load()
+    )
