@@ -53,11 +53,13 @@ def _read_log(warehouse: str, table: str) -> list[dict]:
 
 
 class _VersionDiffPartition(InputPartition):
-    def __init__(self, warehouse: str, table: str, version: int, fields: list[str]):
+    def __init__(
+        self, warehouse: str, table: str, version: int, arrow_schema
+    ):
         self.warehouse = warehouse
         self.table = table
         self.version = version
-        self.fields = fields
+        self.arrow_schema = arrow_schema  # picklable pa.schema
 
 
 class CatalogChangesStreamReader(DataSourceStreamReader):
@@ -67,11 +69,15 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
     ``startingVersion`` to begin later (Delta's convention)."""
 
     def __init__(self, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self._warehouse = options["warehouse"]
         self._table = options["table"]
         self._start = int(options.get("startingversion", 0))
-        # spark passes the parsed schema; field order defines row order
-        self._fields = [f.name for f in schema.fields if not f.name.startswith("_")]
+        # spark passes the parsed schema; field order defines row order,
+        # and the arrow twin types the record batches read() emits
+        # (vectorized transfer — never row-at-a-time tuples)
+        self._arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -86,19 +92,25 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
     ) -> Sequence[InputPartition]:
         # one partition per newly committed version: batch (start, end]
         return [
-            _VersionDiffPartition(self._warehouse, self._table, v, self._fields)
+            _VersionDiffPartition(
+                self._warehouse, self._table, v, self._arrow_schema
+            )
             for v in range(int(start["version"]) + 1, int(end["version"]) + 1)
         ]
 
-    def read(self, partition: _VersionDiffPartition) -> Iterator[tuple]:
+    def read(self, partition: _VersionDiffPartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         base = _versions_dir(partition.warehouse, partition.table)
+        fields = [
+            f.name for f in partition.arrow_schema if not f.name.startswith("_")
+        ]
 
         def rows(version: int) -> list[tuple]:
             data = os.path.join(base, f"v{version}", "data")
-            tbl = pq.read_table(data, columns=partition.fields)
-            cols = [tbl.column(f).to_pylist() for f in partition.fields]
+            tbl = pq.read_table(data, columns=fields)
+            cols = [tbl.column(f).to_pylist() for f in fields]
             return list(zip(*cols)) if cols else []
 
         v = partition.version
@@ -106,12 +118,22 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
         new = Counter(rows(v))
         # multiplicity-aware diff — the same EXCEPT ALL semantics as the
         # batch Catalog.table_changes
+        out: list[tuple] = []
         for row, n in sorted((new - old).items()):
-            for _ in range(n):
-                yield (*row, "insert", v)
+            out.extend((*row, "insert", v) for _ in range(n))
         for row, n in sorted((old - new).items()):
-            for _ in range(n):
-                yield (*row, "delete", v)
+            out.extend((*row, "delete", v) for _ in range(n))
+        if not out:
+            return iter(())
+        cols = list(zip(*out))
+        batch = pa.record_batch(
+            [
+                pa.array(col, type=field.type)
+                for col, field in zip(cols, partition.arrow_schema)
+            ],
+            schema=partition.arrow_schema,
+        )
+        return iter((batch,))
 
     def commit(self, end: dict) -> None:
         pass  # the version store is append-only; nothing to release
