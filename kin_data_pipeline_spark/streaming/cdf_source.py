@@ -109,6 +109,12 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
 
         def rows(version: int) -> list[tuple]:
             data = os.path.join(base, f"v{version}", "data")
+            if not os.path.isdir(data):
+                raise ValueError(
+                    f"version {version} of '{partition.table}' is not on "
+                    "disk (vacuumed?): start the stream at a retained "
+                    "version via startingVersion"
+                )
             tbl = pq.read_table(data, columns=fields)
             cols = [tbl.column(f).to_pylist() for f in fields]
             return list(zip(*cols)) if cols else []

@@ -213,3 +213,39 @@ def test_streaming_cdf_checkpoint_resumes_with_only_the_delta(spark, tmp_path):
     # the resumed stream appends ONLY the post-checkpoint commits
     cumulative = drain()
     assert cumulative == [(1, "insert", 2), (2, "insert", 3), (3, "delete", 1)]
+
+
+def test_streaming_cdf_starting_version_skips_history(spark, tmp_path):
+    """startingVersion begins the feed mid-history (Delta's convention),
+    which is also the recovery path for vacuumed tables — and a stream
+    pointed below the retention floor fails with the explicit
+    vacuumed-version error, not a raw missing-file crash."""
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    cat.write_append("t", spark.createDataFrame([(2, "b", 20)], ddl), None)  # v1
+    cat.write_append("t", spark.createDataFrame([(3, "c", 30)], ddl), None)  # v2
+
+    def drain(sink: str, starting: int):
+        q = (
+            stream_table_changes(spark, cat.warehouse_dir, "t", ddl, starting)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r.id)
+            for r in spark.table(sink).collect()
+        )
+
+    assert drain("cdf_sv", 1) == [(2, "insert", 3)]
+    # vacuum v0/v1 away; a feed from the floor's predecessor must refuse
+    cat.vacuum_versions("t", keep_last=1)
+    with _pytest.raises(Exception, match="vacuumed"):
+        drain("cdf_sv2", 0)
