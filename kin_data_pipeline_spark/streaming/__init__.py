@@ -1,5 +1,6 @@
 from kin_data_pipeline_spark.streaming.cdf_source import (  # noqa: F401
     CatalogChangesDataSource,
+    read_table_changes,
     stream_table_changes,
 )
 from kin_data_pipeline_spark.streaming.ingest import (  # noqa: F401

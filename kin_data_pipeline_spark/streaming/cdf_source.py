@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -145,11 +146,43 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
         pass  # the version store is append-only; nothing to release
 
 
+class CatalogChangesBatchReader(DataSourceReader):
+    """Batch twin (``spark.read.format("catalog_changes")``): the change
+    rows for the version range (``startingVersion``, ``endingVersion``],
+    one diff partition per commit — Delta's batch ``readChangeFeed``
+    surface. ``endingVersion`` defaults to the log tip at planning
+    time."""
+
+    def __init__(self, schema, options):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._warehouse = options["warehouse"]
+        self._table = options["table"]
+        self._start = int(options.get("startingversion", 0))
+        if "endingversion" in options:
+            self._end = int(options["endingversion"])
+        else:
+            entries = _read_log(self._warehouse, self._table)
+            self._end = entries[-1]["version"] if entries else self._start
+        self._arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _VersionDiffPartition(
+                self._warehouse, self._table, v, self._arrow_schema
+            )
+            for v in range(self._start + 1, self._end + 1)
+        ]
+
+    read = CatalogChangesStreamReader.read
+
+
 class CatalogChangesDataSource(DataSource):
-    """``spark.readStream.format("catalog_changes")`` over a versioned
-    catalog table. Options: ``warehouse``, ``table``, ``schema_ddl``
-    (the table's column DDL — workers cannot probe the catalog for it),
-    optional ``startingVersion``."""
+    """``spark.readStream.format("catalog_changes")`` (or ``spark.read``
+    for a bounded version range) over a versioned catalog table. Options:
+    ``warehouse``, ``table``, ``schema_ddl`` (the table's column DDL —
+    workers cannot probe the catalog for it), optional
+    ``startingVersion`` / ``endingVersion`` (batch only)."""
 
     @classmethod
     def name(cls) -> str:
@@ -158,8 +191,29 @@ class CatalogChangesDataSource(DataSource):
     def schema(self) -> str:
         return f"{self.options['schema_ddl']}, {TRACKING_COLS}"
 
+    def reader(self, schema) -> CatalogChangesBatchReader:
+        return CatalogChangesBatchReader(schema, self.options)
+
     def streamReader(self, schema) -> CatalogChangesStreamReader:
         return CatalogChangesStreamReader(schema, self.options)
+
+
+def read_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
+                       starting_version: int = 0,
+                       ending_version: int | None = None):
+    """Batch CDF read through the same source: change rows for the
+    version range (starting, ending]; ending defaults to the tip."""
+    spark.dataSource.register(CatalogChangesDataSource)
+    r = (
+        spark.read.format("catalog_changes")
+        .option("warehouse", warehouse)
+        .option("table", table)
+        .option("schema_ddl", schema_ddl)
+        .option("startingVersion", starting_version)
+    )
+    if ending_version is not None:
+        r = r.option("endingVersion", ending_version)
+    return r.load()
 
 
 def stream_table_changes(spark, warehouse: str, table: str, schema_ddl: str,

@@ -249,3 +249,34 @@ def test_streaming_cdf_starting_version_skips_history(spark, tmp_path):
     cat.vacuum_versions("t", keep_last=1)
     with _pytest.raises(Exception, match="vacuumed"):
         drain("cdf_sv2", 0)
+
+
+def test_batch_cdf_read_matches_stream_and_bounds(spark, tmp_path):
+    """spark.read.format('catalog_changes') — the bounded batch twin:
+    same per-commit diff rows as the stream, version range honored."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import read_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    cat.write_append("t", spark.createDataFrame([(2, "b", 20)], ddl), None)  # v1
+    cat.delete_by_keys("t", "grp", ["a"])  # v2
+
+    full = sorted(
+        (r["_commit_version"], r["_change_type"], r.id)
+        for r in read_table_changes(spark, cat.warehouse_dir, "t", ddl).collect()
+    )
+    assert full == [(1, "insert", 2), (2, "delete", 1)]
+    only_v1 = sorted(
+        (r["_commit_version"], r["_change_type"], r.id)
+        for r in read_table_changes(
+            spark, cat.warehouse_dir, "t", ddl, 0, 1
+        ).collect()
+    )
+    assert only_v1 == [(1, "insert", 2)]
+    from_v1 = read_table_changes(spark, cat.warehouse_dir, "t", ddl, 1)
+    assert [(r["_commit_version"], r["_change_type"], r.id) for r in from_v1.collect()] == [
+        (2, "delete", 1)
+    ]
