@@ -122,6 +122,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "kmeans_cluster_profile",  # distributed Lloyd k-means, integer-exact oracle
     "ycbcr420_jpeg_pixel_stats",  # 4:2:0 chroma-subsampled color JPEG decode
     "streaming_table_changes",  # streaming CDF via custom Python Data Source
+    "length_distribution_ks",  # exact two-sample KS drift per source
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -772,3 +772,102 @@ def hashed_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+# Distribution-drift statistic (corpus monitoring / source QA): the exact
+# two-sample Kolmogorov-Smirnov D of each source's document-length
+# distribution against the REST of the corpus — the standard "did this
+# source's length profile drift from the mix" gate a production corpus
+# pipeline runs per ingest. Exactness: ECDF differences are evaluated as
+# the integer cross multiplication |c_s·(N−n_s) − c_rest·n_s| over the
+# merged jump points (D can only change at a jump of EITHER sample, so
+# the merged distinct-value spine is the complete candidate set); one
+# final IEEE division by n_s·(N−n_s) produces the double. Scale shape:
+# lengths aggregate once per (source, value) — the only data-sized pass —
+# then all work is on the bounded sources × distinct-values spine (the
+# value domain of a length column is bounded; the spine crossJoin is two
+# broadcast smalls, allowlisted). Both cumulatives are windows
+# PARTITIONED BY SOURCE over that spine (the per-partition copy of the
+# global t(v) series makes the "rest" cumulative per-source without any
+# global window).
+@register(
+    "length_distribution_ks",
+    """
+    WITH a AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS a
+      FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT v, CAST(SUM(a) AS BIGINT) AS t FROM a GROUP BY 1
+    ), spine AS (
+      SELECT s.source, t.v, t.t, COALESCE(a.a, 0) AS a
+      FROM (SELECT DISTINCT source FROM a) s
+      CROSS JOIN t
+      LEFT JOIN a ON a.source = s.source AND a.v = t.v
+    ), cum AS (
+      SELECT source, v,
+             SUM(a) OVER (PARTITION BY source ORDER BY v) AS c_s,
+             SUM(t) OVER (PARTITION BY source ORDER BY v) AS c_tot
+      FROM spine
+    ), sizes AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS n_s FROM a GROUP BY 1
+    ), totals AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n FROM a
+    )
+    SELECT c.source, z.n_s AS n_docs,
+           CAST(MAX(ABS(c.c_s * (tt.n - z.n_s) - (c.c_tot - c.c_s) * z.n_s))
+                AS BIGINT) AS ks_scaled,
+           ROUND(CAST(MAX(ABS(c.c_s * (tt.n - z.n_s) - (c.c_tot - c.c_s) * z.n_s))
+                      AS DOUBLE) / (z.n_s * (tt.n - z.n_s)), 6) AS ks_d
+    FROM cum c
+    JOIN sizes z ON z.source = c.source
+    CROSS JOIN totals tt
+    GROUP BY c.source, z.n_s, tt.n
+    """,
+    doc=(
+        "two-sample KS drift statistic per source vs rest-of-corpus on "
+        "document lengths — exact integer ECDF cross multiplication, one "
+        "final division"
+    ),
+)
+def length_distribution_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    a = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    t = a.groupBy("v").agg(F.sum("a").cast("long").alias("t"))
+    sources = a.select("source").distinct()
+    # bounded × bounded: |sources| × |distinct length values|
+    spine = (
+        sources.crossJoin(F.broadcast(t))
+        .join(a, ["source", "v"], "left")
+        .select("source", "v", "t", F.coalesce("a", F.lit(0)).alias("a"))
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cum = spine.select(
+        "source",
+        "v",
+        F.sum("a").over(w).alias("c_s"),
+        F.sum("t").over(w).alias("c_tot"),
+    )
+    sizes = a.groupBy("source").agg(F.sum("a").cast("long").alias("n_s"))
+    totals = a.agg(F.sum("a").cast("long").alias("n"))
+    scaled = F.abs(
+        F.col("c_s") * (F.col("n") - F.col("n_s"))
+        - (F.col("c_tot") - F.col("c_s")) * F.col("n_s")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source", "n_s", "n")
+        .agg(F.max(scaled).cast("long").alias("ks_scaled"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            "ks_scaled",
+            F.round(
+                F.col("ks_scaled").cast("double")
+                / (F.col("n_s") * (F.col("n") - F.col("n_s"))),
+                6,
+            ).alias("ks_d"),
+        )
+    )
