@@ -123,6 +123,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "ycbcr420_jpeg_pixel_stats",  # 4:2:0 chroma-subsampled color JPEG decode
     "streaming_table_changes",  # streaming CDF via custom Python Data Source
     "length_distribution_ks",  # exact two-sample KS drift per source
+    "time_travel_as_of_timestamps",  # TIMESTAMP AS OF floor-resolution reads
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

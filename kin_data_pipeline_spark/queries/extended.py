@@ -2083,6 +2083,110 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "version int, n_orders long, total_cents long"
     )
 
+# TIMESTAMP AS OF twin: the same versioned history read back through
+# table_as_of at each commit's own timestamp AND at the midpoint between
+# commits (the floor-resolution rule: a timestamp between commits
+# resolves to the EARLIER version). The commit timestamps come from the
+# table's own history() — a bounded driver probe — but the OUTPUT depends
+# only on version contents, so the literal-predicate oracle is identical
+# to the VERSION AS OF query's. plans/engine.py::Catalog.table_as_of,
+# floor semantics pinned in tests/test_versioned.py.
+@register(
+    "time_travel_as_of_timestamps",
+    """
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+         v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+    SELECT 0 AS version, 'at_commit' AS probe, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+    FROM v0
+    UNION ALL
+    SELECT 0, 'between_commits', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v0
+    UNION ALL
+    SELECT 1, 'at_commit', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 1, 'between_commits', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, 'at_commit', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    FROM v2
+    """,
+    doc=(
+        "TIMESTAMP AS OF reads: each commit's own timestamp and the "
+        "between-commit midpoints resolve to the floor version "
+        "(table_as_of over the versioned catalog)"
+    ),
+)
+def time_travel_as_of_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cat.write_full(
+        "orders_fact",
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+        None,
+    )
+    cat.enable_versioning("orders_fact")  # v0
+    cat.write_append(
+        "orders_fact",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        ),
+        None,
+    )  # v1
+    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+    hist = cat.history("orders_fact")  # bounded: one dict per commit
+
+    def _agg(df: DataFrame, version: int, probe: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("total_cents"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            F.lit(probe).alias("probe"),
+            "n_orders",
+            "total_cents",
+        )
+
+    parts = []
+    for i, entry in enumerate(hist):
+        parts.append(
+            _agg(cat.table_as_of("orders_fact", entry["ts"]), entry["version"], "at_commit")
+        )
+        if i + 1 < len(hist):
+            mid = (entry["ts"] + hist[i + 1]["ts"]) / 2
+            parts.append(
+                _agg(cat.table_as_of("orders_fact", mid), entry["version"], "between_commits")
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # bounded collect + scratch cleanup, same reasoning as the other
+    # time-travel queries
+    rows = out.collect()
+    import shutil
+
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, probe string, n_orders long, total_cents long"
+    )
+
 # Change-data-feed reads over the versioned catalog (Delta CDF shape): the
 # same versioned history as time_travel_orders_versions, read back as
 # row-level changes BETWEEN versions (insert/delete typed rows via
