@@ -1994,6 +1994,70 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# --- shared time-travel fixture (VERDICT r7 ask #4) -----------------------
+# The three READ-ONLY time-travel queries (orders_versions /
+# as_of_timestamps / changes) probe the SAME versioned history; building a
+# scratch warehouse per query re-paid the load->append->erase build three
+# times per bench run. The build is hoisted into a session-scoped cache
+# keyed on (app, sf_dir) — the frame_cached pattern from sources/catalog.py,
+# holding a Catalog instead of a DataFrame — and the scratch warehouse now
+# lives until interpreter exit (atexit sweep) instead of per-query rmtree,
+# so the queries can return LAZY frames over it. Mutating queries
+# (time_travel_restore) and schema-divergent ones (streaming_table_changes)
+# keep their own scratch builds: a shared fixture must never be mutated
+# after construction or its history stops being a pure function of sf_dir.
+_TT_CACHE: dict[tuple, object] = {}
+_TT_LOCK = __import__("threading").RLock()
+_TT_DIRS: list[str] = []
+
+
+def _tt_sweep() -> None:
+    import shutil
+
+    for d in _TT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _tt_versioned_fixture(spark: SparkSession, sf_dir: str):
+    """Build-once versioned 'orders_fact' history per (app, sf_dir):
+    full load < 1997 -> enable versioning (v0) -> append [1997, 1999)
+    (v1) -> key-erase status 'F' (v2). Never mutated after build."""
+    import atexit
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    k = (spark.sparkContext.applicationId, sf_dir)
+    with _TT_LOCK:
+        if k not in _TT_CACHE:
+            cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+            )
+            cat.write_full(
+                "orders_fact",
+                orders.filter(
+                    F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+                ),
+                None,
+            )
+            cat.enable_versioning("orders_fact")  # v0 = the full load
+            cat.write_append(
+                "orders_fact",
+                orders.filter(
+                    (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+                    & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+                ),
+                None,
+            )  # v1
+            cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+            if not _TT_DIRS:
+                atexit.register(_tt_sweep)
+            _TT_DIRS.append(cat.warehouse_dir)
+            _TT_CACHE[k] = cat
+        return _TT_CACHE[k]
+
+
 # Delta-style time travel, driver-checkable (engine tier's first oracle row;
 # VERDICT r6 ask #7 stretch): a versioned catalog table is built from the
 # orders fixture — full load (< 1997), enable versioning (v0), append two
@@ -2030,29 +2094,7 @@ def small_quantity_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from kin_data_pipeline_spark.plans.engine import Catalog
-
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cat.write_full(
-        "orders_fact",
-        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
-        None,
-    )
-    cat.enable_versioning("orders_fact")  # v0 = the full load
-    cat.write_append(
-        "orders_fact",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
-        ),
-        None,
-    )  # v1
-    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+    cat = _tt_versioned_fixture(spark, sf_dir)
     parts = []
     for v in (0, 1, 2):
         df = cat.table_at_version("orders_fact", v)
@@ -2070,18 +2112,9 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(v).cast("int").alias("version"), "n_orders", "total_cents"
             )
         )
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    # materialize the 3 aggregate rows (bounded driver probe) so the
-    # scratch warehouse — several hardlinked copies of the orders slice —
-    # can be deleted HERE instead of leaking per invocation; the returned
-    # frame no longer depends on the scratch files
-    rows = out.collect()
-    import shutil
-
-    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "version int, n_orders long, total_cents long"
-    )
+    # lazy: the shared fixture warehouse outlives the query (atexit
+    # sweep), so no collect-and-cleanup round trip is needed
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 # TIMESTAMP AS OF twin: the same versioned history read back through
 # table_as_of at each commit's own timestamp AND at the midpoint between
@@ -2124,30 +2157,12 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def time_travel_as_of_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from kin_data_pipeline_spark.plans.engine import Catalog
-
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cat.write_full(
-        "orders_fact",
-        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
-        None,
-    )
-    cat.enable_versioning("orders_fact")  # v0
-    cat.write_append(
-        "orders_fact",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
-        ),
-        None,
-    )  # v1
-    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
-    hist = cat.history("orders_fact")  # bounded: one dict per commit
+    cat = _tt_versioned_fixture(spark, sf_dir)
+    # bounded: one dict per commit. Commit timestamps are engine-
+    # guaranteed strictly increasing (_commit_version nudges ties by 1µs),
+    # so at-commit and midpoint probes resolve deterministically even when
+    # two commits land inside one clock tick.
+    hist = cat.history("orders_fact")
 
     def _agg(df: DataFrame, version: int, probe: str) -> DataFrame:
         return df.agg(
@@ -2177,15 +2192,7 @@ def time_travel_as_of_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # bounded collect + scratch cleanup, same reasoning as the other
-    # time-travel queries
-    rows = out.collect()
-    import shutil
-
-    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "version int, probe string, n_orders long, total_cents long"
-    )
+    return out  # lazy over the shared fixture (atexit sweep)
 
 # Change-data-feed reads over the versioned catalog (Delta CDF shape): the
 # same versioned history as time_travel_orders_versions, read back as
@@ -2221,29 +2228,11 @@ def time_travel_as_of_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from kin_data_pipeline_spark.plans.engine import Catalog
-
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="tt_wh_"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cat.write_full(
-        "orders_fact",
-        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
-        None,
-    )
-    cat.enable_versioning("orders_fact")  # v0
-    cat.write_append(
-        "orders_fact",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
-        ),
-        None,
-    )  # v1
-    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+    # both commits in the fixture history (append, key-erase) staged their
+    # own change rows, so table_changes below serves them straight from the
+    # stored change files — the changelog-derived CDF path, never a
+    # snapshot re-diff (VERDICT r7 ask #3)
+    cat = _tt_versioned_fixture(spark, sf_dir)
 
     def _agg(ch: DataFrame, v_from: int, v_to: int) -> DataFrame:
         return (
@@ -2267,20 +2256,9 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
+    return _agg(cat.table_changes("orders_fact", 0, 1), 0, 1).unionByName(
         _agg(cat.table_changes("orders_fact", 1, 2), 1, 2)
-    )
-    # bounded collect + scratch cleanup, same reasoning as
-    # time_travel_orders_versions above
-    rows = out.collect()
-    import shutil
-
-    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "from_version int, to_version int, change_type string, "
-        "n_rows long, total_cents long",
-    )
+    )  # lazy over the shared fixture's stored change files (atexit sweep)
 
 # RESTORE over the versioned catalog (Delta RESTORE ... VERSION AS OF):
 # the same versioned history as time_travel_orders_versions, then a

@@ -5,20 +5,29 @@ custom PySpark 4 Python Data Source (``pyspark.sql.datasource``).
 a batch question; this source turns the SAME contract into a stream:
 offsets are VERSION NUMBERS in the table's commit log (`_log.json` is the
 single authority the batch reader also trusts), `latestOffset` re-reads
-the log each trigger, and each micro-batch emits one partition per newly
-committed version carrying the row-level insert/delete diff versus its
-predecessor plus `_commit_version` provenance. Reading the Delta-style
-CDF as a stream is exactly Delta's `readStream.option("readChangeFeed")`
-surface, expressed PySpark-natively.
+the log each trigger, and each micro-batch emits the row-level
+insert/delete diff of every newly committed version with
+`_commit_version` provenance. Reading the Delta-style CDF as a stream is
+Delta's `readStream.option("readChangeFeed")` surface, expressed
+PySpark-natively — with one contract difference stated below.
 
-Scale boundary (documented, same class as PLANS.md's other rows): each
-partition diffs two full version snapshots in one task via a counted
-hash map — O(|v-1| + |v|) per commit, the same total work the batch
-`table_changes` pays, but not distributed within a commit. The
-production-scale form derives per-commit changes from the mutation's own
-changelog (the engine's `apply_changelog` path) instead of re-diffing
-snapshots; this source is the CONSUMER surface and the test-scale
-reference implementation.
+Offset contract: ``startingVersion`` is EXCLUSIVE — the first emitted
+batch is version ``startingVersion + 1``'s diff, i.e. the stream covers
+``(startingVersion, tip]``. (Delta's readChangeFeed startingVersion is
+inclusive of that version's own changes; here version N's "changes" are
+defined against N−1, and the enable-point v0 has no predecessor, so the
+exclusive form is the one that composes with `table_changes(v_from,
+v_to)` — pass ``startingVersion = N - 1`` where Delta takes ``N``.)
+
+Scale shape (VERDICT r7 ask #3): commits whose mutation staged its own
+net change rows (append / upsert / changelog-merge / key-erase /
+date-cleanup / compact — see ``Catalog._stage_commit_changes``) are
+served straight from their stored ``changes`` parquet, ONE INPUT
+PARTITION PER CHANGE FILE — per-commit work is changelog-sized and
+distributed, and the version snapshots are never opened. Only commits
+with no stored change rows (full rewrites, restores, pre-CDF history)
+fall back to the single-task counted-hash-map snapshot diff — O(|v-1| +
+|v|) for that commit, the same total work the batch fallback pays.
 
 Workers rebuild state from paths + JSON only (options travel as strings;
 no SparkSession, no Catalog object crosses the boundary), so the source
@@ -31,7 +40,7 @@ from __future__ import annotations
 import json
 import os
 from collections import Counter
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,6 +50,9 @@ from pyspark.sql.datasource import (
 )
 
 TRACKING_COLS = "_change_type string, _commit_version int"
+# exact reserved names — a USER column that merely starts with '_' is
+# data and must flow through the diff untouched
+TRACKING_NAMES = ("_change_type", "_commit_version")
 
 
 def _versions_dir(warehouse: str, table: str) -> str:
@@ -53,21 +65,138 @@ def _read_log(warehouse: str, table: str) -> list[dict]:
         return json.load(fh)
 
 
+def _none_safe_row_key(row: tuple) -> tuple:
+    """Ordering key for rows that may hold NULLs: None is unorderable
+    against int/str, so sort NULLs first per position via an (is-null,
+    value) pair. The sort is only for within-partition determinism."""
+    return tuple((v is None, v if v is not None else 0) for v in row)
+
+
 class _VersionDiffPartition(InputPartition):
-    def __init__(
-        self, warehouse: str, table: str, version: int, arrow_schema
-    ):
+    """Fallback: one commit's diff computed from its two snapshots."""
+
+    def __init__(self, warehouse: str, table: str, version: int, arrow_schema):
         self.warehouse = warehouse
         self.table = table
         self.version = version
         self.arrow_schema = arrow_schema  # picklable pa.schema
 
 
+class _ChangeFilePartition(InputPartition):
+    """Scale path: one stored change-parquet file of one commit."""
+
+    def __init__(self, path: str, version: int, arrow_schema):
+        self.path = path
+        self.version = version
+        self.arrow_schema = arrow_schema
+
+
+def _plan_version(
+    warehouse: str, table: str, entry: dict, arrow_schema
+) -> list[InputPartition]:
+    """Partitions for ONE committed version: one per stored change file
+    when the commit carries its own change rows (none at all for an
+    empty change set, e.g. a compact commit), else the one-task
+    snapshot-diff fallback."""
+    v = int(entry["version"])
+    if entry.get("changes"):
+        changes = os.path.join(_versions_dir(warehouse, table), f"v{v}", "changes")
+        files = sorted(
+            os.path.join(changes, f)
+            for f in os.listdir(changes)
+            if f.endswith(".parquet")
+        )
+        return [_ChangeFilePartition(p, v, arrow_schema) for p in files]
+    return [_VersionDiffPartition(warehouse, table, v, arrow_schema)]
+
+
+def _read_change_file(partition: _ChangeFilePartition):
+    """Emit one stored change file as arrow batches in the declared
+    schema order, appending the constant `_commit_version`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.path)
+    if tbl.num_rows == 0:
+        return iter(())
+    arrays = []
+    for field in partition.arrow_schema:
+        if field.name == "_commit_version":
+            col = pa.array([partition.version] * tbl.num_rows).cast(field.type)
+        else:
+            col = tbl.column(field.name).cast(field.type).combine_chunks()
+        arrays.append(col)
+    out = pa.table(arrays, schema=partition.arrow_schema)
+    return iter(out.to_batches())
+
+
+def _diff_snapshots(partition: _VersionDiffPartition):
+    """Fallback for commits with no stored change rows: counted-hash-map
+    multiset diff of the two adjacent snapshots (EXCEPT ALL semantics,
+    same as the batch Catalog.table_changes fallback)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _versions_dir(partition.warehouse, partition.table)
+    fields = [
+        f.name
+        for f in partition.arrow_schema
+        if f.name not in TRACKING_NAMES
+    ]
+
+    def rows(version: int) -> list[tuple]:
+        data = os.path.join(base, f"v{version}", "data")
+        if not os.path.isdir(data):
+            raise ValueError(
+                f"version {version} of '{partition.table}' is not on "
+                "disk (vacuumed?): start the stream at a retained "
+                "version via startingVersion"
+            )
+        tbl = pq.read_table(data, columns=fields)
+        cols = [tbl.column(f).to_pylist() for f in fields]
+        return list(zip(*cols)) if cols else []
+
+    v = partition.version
+    old = Counter(rows(v - 1)) if v > 0 else Counter()
+    new = Counter(rows(v))
+    # multiplicity-aware diff — the same EXCEPT ALL semantics as the
+    # batch Catalog.table_changes; the None-safe sort key is only for
+    # within-partition determinism (NULL cells are unorderable raw)
+    out: list[tuple] = []
+    for row, n in sorted((new - old).items(), key=lambda kv: _none_safe_row_key(kv[0])):
+        out.extend((*row, "insert", v) for _ in range(n))
+    for row, n in sorted((old - new).items(), key=lambda kv: _none_safe_row_key(kv[0])):
+        out.extend((*row, "delete", v) for _ in range(n))
+    if not out:
+        return iter(())
+    cols = list(zip(*out))
+    batch = pa.record_batch(
+        [
+            pa.array(col, type=field.type)
+            for col, field in zip(cols, partition.arrow_schema)
+        ],
+        schema=partition.arrow_schema,
+    )
+    return iter((batch,))
+
+
+def _read_partition(partition):
+    # PySpark's planner substitutes [None] for an empty partition list
+    # and still calls read(None) — an empty version range must yield an
+    # empty result, not an executor-side AttributeError
+    if partition is None:
+        return iter(())
+    if isinstance(partition, _ChangeFilePartition):
+        return _read_change_file(partition)
+    return _diff_snapshots(partition)
+
+
 class CatalogChangesStreamReader(DataSourceStreamReader):
     """Offsets are ``{"version": N}`` = "every commit ≤ N has been
     emitted". The initial offset is the starting version (default 0), so
-    a fresh stream replays history from the enable point — pass
-    ``startingVersion`` to begin later (Delta's convention)."""
+    a fresh stream replays history from just past the enable point —
+    the emitted range is the EXCLUSIVE ``(startingVersion, tip]`` (see
+    module docstring for how this maps to Delta's inclusive option)."""
 
     def __init__(self, schema, options):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -88,59 +217,25 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
         tip = entries[-1]["version"] if entries else self._start
         return {"version": max(tip, self._start)}
 
-    def partitions(
-        self, start: dict, end: dict
-    ) -> Sequence[InputPartition]:
-        # one partition per newly committed version: batch (start, end]
-        return [
-            _VersionDiffPartition(
-                self._warehouse, self._table, v, self._arrow_schema
-            )
-            for v in range(int(start["version"]) + 1, int(end["version"]) + 1)
-        ]
-
-    def read(self, partition: _VersionDiffPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        base = _versions_dir(partition.warehouse, partition.table)
-        fields = [
-            f.name for f in partition.arrow_schema if not f.name.startswith("_")
-        ]
-
-        def rows(version: int) -> list[tuple]:
-            data = os.path.join(base, f"v{version}", "data")
-            if not os.path.isdir(data):
-                raise ValueError(
-                    f"version {version} of '{partition.table}' is not on "
-                    "disk (vacuumed?): start the stream at a retained "
-                    "version via startingVersion"
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # batch (start, end]: change-file partitions for commits that
+        # stored their own diff, snapshot-diff fallback otherwise
+        entries = {
+            int(e["version"]): e
+            for e in _read_log(self._warehouse, self._table)
+        }
+        out: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            entry = entries.get(v, {"version": v})
+            out.extend(
+                _plan_version(
+                    self._warehouse, self._table, entry, self._arrow_schema
                 )
-            tbl = pq.read_table(data, columns=fields)
-            cols = [tbl.column(f).to_pylist() for f in fields]
-            return list(zip(*cols)) if cols else []
+            )
+        return out
 
-        v = partition.version
-        old = Counter(rows(v - 1)) if v > 0 else Counter()
-        new = Counter(rows(v))
-        # multiplicity-aware diff — the same EXCEPT ALL semantics as the
-        # batch Catalog.table_changes
-        out: list[tuple] = []
-        for row, n in sorted((new - old).items()):
-            out.extend((*row, "insert", v) for _ in range(n))
-        for row, n in sorted((old - new).items()):
-            out.extend((*row, "delete", v) for _ in range(n))
-        if not out:
-            return iter(())
-        cols = list(zip(*out))
-        batch = pa.record_batch(
-            [
-                pa.array(col, type=field.type)
-                for col, field in zip(cols, partition.arrow_schema)
-            ],
-            schema=partition.arrow_schema,
-        )
-        return iter((batch,))
+    def read(self, partition):
+        return _read_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # the version store is append-only; nothing to release
@@ -149,9 +244,9 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
 class CatalogChangesBatchReader(DataSourceReader):
     """Batch twin (``spark.read.format("catalog_changes")``): the change
     rows for the version range (``startingVersion``, ``endingVersion``],
-    one diff partition per commit — Delta's batch ``readChangeFeed``
-    surface. ``endingVersion`` defaults to the log tip at planning
-    time."""
+    per-commit granularity — Delta's batch ``readChangeFeed`` surface
+    with the same exclusive-start contract as the stream reader.
+    ``endingVersion`` defaults to the log tip at planning time."""
 
     def __init__(self, schema, options):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -167,14 +262,22 @@ class CatalogChangesBatchReader(DataSourceReader):
         self._arrow_schema = to_arrow_schema(schema)
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [
-            _VersionDiffPartition(
-                self._warehouse, self._table, v, self._arrow_schema
+        entries = {
+            int(e["version"]): e
+            for e in _read_log(self._warehouse, self._table)
+        }
+        out: list[InputPartition] = []
+        for v in range(self._start + 1, self._end + 1):
+            entry = entries.get(v, {"version": v})
+            out.extend(
+                _plan_version(
+                    self._warehouse, self._table, entry, self._arrow_schema
+                )
             )
-            for v in range(self._start + 1, self._end + 1)
-        ]
+        return out
 
-    read = CatalogChangesStreamReader.read
+    def read(self, partition):
+        return _read_partition(partition)
 
 
 class CatalogChangesDataSource(DataSource):
@@ -220,7 +323,8 @@ def stream_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
                          starting_version: int = 0):
     """Register the source (idempotent per session) and open the CDF
     stream for ``table``: the table's columns plus ``_change_type`` and
-    ``_commit_version``."""
+    ``_commit_version``, covering the exclusive range
+    ``(starting_version, tip]``."""
     spark.dataSource.register(CatalogChangesDataSource)
     return (
         spark.readStream.format("catalog_changes")

@@ -70,7 +70,9 @@ def assert_no_decimal_terminals(sdf) -> None:
     bad = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
     assert not bad, f"DECIMAL terminal column(s) {bad} would fail the driver canon"
 
-def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
+def compare_query(spark, sf_dir: str, fn, oracle: str) -> int:
+    """Assert spark-vs-DuckDB parity; returns the matched row count so
+    callers can additionally reject vacuous empty-vs-empty greens."""
     sdf = fn(spark, sf_dir)
     assert_no_decimal_terminals(sdf)
     s_cols = sdf.columns
@@ -86,3 +88,4 @@ def compare_query(spark, sf_dir: str, fn, oracle: str) -> None:
     o_canon = _rows_to_canon([c.lower() for c in o_cols], o_rows)
     for i, (a, b) in enumerate(zip(s_canon, o_canon)):
         assert a == b, f"first differing row #{i}:\n  spark : {a}\n  oracle: {b}"
+    return len(s_rows)

@@ -8,6 +8,18 @@ import pytest
 from kin_data_pipeline_spark.queries import QUERIES
 from tests.oracle import assert_no_decimal_terminals, compare_query
 
+# Queries whose oracle legitimately returns ZERO rows at the tiny test
+# scales (sf0.001 / sf0.01): the filter or anti-join selectivity leaves no
+# qualifying rows in those fixtures. Every OTHER query must return rows —
+# an empty-vs-empty compare is a vacuous green that pins nothing (the r7
+# sf1 sweep's priority_late_orders_q4 catch; VERDICT r7 ask #5). Keep this
+# set MINIMAL and re-derive it when fixtures change:
+#   run_oracle(sf, spec.oracle) over the registry, list the empties.
+EMPTY_AT_TEST_SF = {
+    "customers_without_orders",  # every sf0.001/sf0.01 customer has orders
+    "nation_pair_trade_q7",  # the two named nations never trade at sf0.001
+}
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = QUERIES[name]
@@ -16,4 +28,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert_no_decimal_terminals(df)
         assert df.count() >= 0
     else:
-        compare_query(spark, sf_dir, spec.fn, spec.oracle)
+        n = compare_query(spark, sf_dir, spec.fn, spec.oracle)
+        assert n > 0 or name in EMPTY_AT_TEST_SF, (
+            f"{name}: empty-vs-empty oracle compare is vacuous — if this "
+            "emptiness is legitimate at this sf, add it to EMPTY_AT_TEST_SF "
+            "with the reason"
+        )

@@ -3,6 +3,8 @@ the batch answer once all files are processed (SURVEY.md §2.9 superset)."""
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.sources.catalog import load_table
@@ -279,4 +281,116 @@ def test_batch_cdf_read_matches_stream_and_bounds(spark, tmp_path):
     from_v1 = read_table_changes(spark, cat.warehouse_dir, "t", ddl, 1)
     assert [(r["_commit_version"], r["_change_type"], r.id) for r in from_v1.collect()] == [
         (2, "delete", 1)
+    ]
+
+
+def test_streaming_cdf_changelog_commits_distributed_and_snapshot_free(spark, tmp_path):
+    """Commits that stored their own change rows stream ONE INPUT
+    PARTITION PER CHANGE FILE (per-commit CDF work is distributed, not a
+    single-task snapshot re-diff), and never open the snapshots — pinned
+    by deleting the snapshot data dirs before draining the stream
+    (VERDICT r7 ask #3)."""
+    import os
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import (
+        CatalogChangesBatchReader,
+        _ChangeFilePartition,
+        stream_table_changes,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(0, "z", 0)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    # a 4-partition append stores >1 change file for the single commit
+    big = spark.createDataFrame(
+        [(i, "a", i * 10) for i in range(1, 101)], ddl
+    ).repartition(4)
+    cat.write_append("t", big, None)  # v1
+
+    reader = CatalogChangesBatchReader(
+        _parse_datatype_string(f"{ddl}, _change_type string, _commit_version int"),
+        {"warehouse": cat.warehouse_dir, "table": "t", "startingversion": "0"},
+    )
+    parts = reader.partitions()
+    assert len(parts) > 1, "multi-file commit must fan out over its files"
+    assert all(isinstance(p, _ChangeFilePartition) for p in parts)
+
+    # snapshots gone, change files remain: the stream must still serve v1
+    for v in (0, 1):
+        shutil.rmtree(os.path.join(str(tmp_path / "wh"), "t.__versions", f"v{v}", "data"))
+    q = (
+        stream_table_changes(spark, cat.warehouse_dir, "t", ddl)
+        .writeStream.format("memory").queryName("cdf_dist")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("cdf_dist").collect()
+    assert len(got) == 100
+    assert {r["_change_type"] for r in got} == {"insert"}
+    assert {r["_commit_version"] for r in got} == {1}
+    assert sorted(r.id for r in got) == list(range(1, 101))
+
+
+def test_batch_cdf_empty_version_range_returns_empty(spark, tmp_path):
+    """An empty (start, end] range yields zero partitions; PySpark's
+    planner substitutes [None] and still calls read(None), which must
+    return an empty iterator, not crash on the executor (right after
+    enable_versioning the tip equals startingVersion)."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import read_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # tip == 0 == default startingVersion
+    out = read_table_changes(spark, cat.warehouse_dir, "t", ddl)
+    assert out.count() == 0
+    assert "_change_type" in out.columns
+
+
+def test_cdf_snapshot_fallback_handles_nulls_and_underscore_columns(spark, tmp_path):
+    """The snapshot-diff fallback (full-rewrite commits) must survive
+    NULL cells in changed rows (None is unorderable raw — the sort key
+    is None-safe) and must treat a USER column that merely starts with
+    '_' as data: only the exact tracking names are reserved."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, _tag string, val long"
+    cat.write_full(
+        "t", spark.createDataFrame([(1, None, 10), (2, "keep", 20)], ddl), None
+    )
+    cat.enable_versioning("t")  # v0
+    # write_full => NO stored change rows => snapshot-diff fallback; the
+    # two inserts share id=1 so the determinism sort must compare a NULL
+    # cell against a string
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            [(1, None, 99), (1, "x", 5), (2, "keep", 20)], ddl
+        ),
+        None,
+    )  # v1
+    q = (
+        stream_table_changes(spark, cat.warehouse_dir, "t", ddl)
+        .writeStream.format("memory").queryName("cdf_nulls")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (
+            (r["_change_type"], r.id, r["_tag"], r.val)
+            for r in spark.table("cdf_nulls").collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2] is not None, t[2] or "", t[3]),
+    )
+    assert got == [
+        ("delete", 1, None, 10),
+        ("insert", 1, None, 99),
+        ("insert", 1, "x", 5),
     ]
