@@ -24,6 +24,7 @@ import kin_data_pipeline_spark.queries.curation  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.filtering  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.retrieval  # noqa: F401,E402
 import kin_data_pipeline_spark.queries.timeseries  # noqa: F401,E402
+import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 
 # The external correctness gate verifies only the FIRST 50 registry entries,
 # so ordering is a coverage decision. The manifests are round-agnostic
@@ -94,9 +95,14 @@ CURRENT_WINDOW_HEAD = [
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window. Empty at round-8 open: the 50-slot
-# window absorbs all 24 of round 7's backlog.
+# and must lead the next round's window. Round-8 additions: the unadapted
+# partsupp-bearing TPC-H shapes over the synthesized partsupp dimension
+# (queries/tpch_partsupp.py, VERDICT r7 ask #7b).
 NEXT_WINDOW_BACKLOG: list[str] = [
+    "ps_min_cost_supplier_q2",  # correlated MIN ps_supplycost, ties kept
+    "ps_nation_profit_q9",  # real ps_supplycost x quantity cost term
+    "ps_important_stock_q11",  # ps_supplycost x ps_availqty stock values
+    "ps_excess_stock_suppliers_q20",  # availqty vs half shipped quantity
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -1,0 +1,394 @@
+"""Unadapted TPC-H partsupp-bearing shapes (Q2/Q9/Q11/Q20) over a
+DETERMINISTICALLY SYNTHESIZED partsupp table (VERDICT r7 ask #7b).
+
+The driver fixtures carry no partsupp, so rounds 1-7 proxied the
+partsupp-dependent clauses (unit cost ≈ 10% of retail, availability via
+lineitem sums). This module closes that gap for real: `partsupp` is
+derived from `part` × {0..3} with TPC-H dbgen's supplier-assignment
+shape (4 suppliers per part, spread by quarter-of-S strides — Porter et
+al.'s generator, 0-based for the fixture's 0-based keys), and
+availability/cost as fixed integer congruences. Every term is integer
+arithmetic on non-negative operands, where DuckDB's floor division
+(`//`) and Spark SQL's truncating `div` agree — so BOTH engines
+synthesize bit-identical rows and the four queries below run the REAL
+partsupp clauses (correlated MIN ps_supplycost, ps_supplycost×qty cost
+terms, ps_supplycost×ps_availqty stock values, availqty-vs-shipped
+thresholds) instead of proxies.
+
+Scale shape: partsupp is 4×|part| rows generated MAP-SIDE from the part
+scan (explode over a 4-element literal array — no shuffle, no driver
+data); the supplier count it parameterizes on is a bounded driver probe
+(one dimension-table count). At 100 TB the same derivation would be a
+materialized dimension, but the generation cost itself is linear and
+embarrassingly parallel.
+
+Reference parity: the reference warehouse has no TPC-H surface; these
+queries extend the engine's relational coverage to the full TPC-H shape
+inventory (SURVEY.md §2 extended tier), matching the adapted twins
+registered in rounds 6-7 (`min_cost_part_suppliers_q2`,
+`nation_profit_q9`, `important_part_values_q11`,
+`dominant_part_suppliers_q20`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.queries.registry import register
+from kin_data_pipeline_spark.sources.catalog import load_table
+
+# DuckDB-side synthesis, textually embedded in each oracle. Keep the
+# arithmetic EXACTLY in sync with synth_partsupp below: 4 rows per part,
+# supplier strides of max(1, S//4) so the 4 suppliers of a part are
+# distinct whenever S >= 4, all operands non-negative.
+PARTSUPP_CTE = """
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier),
+    partsupp AS (
+      SELECT CAST(p.p_partkey AS BIGINT) AS ps_partkey,
+             CAST((CAST(p.p_partkey AS BIGINT)
+                   + g.i * GREATEST(1, sc.s // 4)
+                   + CAST(p.p_partkey AS BIGINT) // sc.s) % sc.s
+                  AS BIGINT) AS ps_suppkey,
+             CAST((CAST(p.p_partkey AS BIGINT) * 7 + g.i * 11) % 199 + 1
+                  AS BIGINT) AS ps_availqty,
+             CAST((CAST(p.p_partkey AS BIGINT) * 97 + g.i * 1009) % 99900
+                  + 100 AS BIGINT) AS ps_supplycost_cents
+      FROM part p
+      CROSS JOIN sc
+      CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS g(i)
+    )
+"""
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of PARTSUPP_CTE: map-side explode over the part
+    scan; the supplier count is a bounded driver probe (one count over a
+    dimension table), embedded as a literal so the whole derivation
+    stays inside whole-stage codegen."""
+    s = load_table(spark, sf_dir, "supplier").count()  # bounded: 1 scalar
+    quarter = max(1, s // 4)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("ps_partkey")
+    )
+    exploded = part.select(
+        "ps_partkey",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)])).alias("i"),
+    )
+    return exploded.select(
+        "ps_partkey",
+        F.expr(
+            f"(ps_partkey + i * {quarter} + ps_partkey div {s}) % {s}"
+        ).alias("ps_suppkey"),
+        F.expr("(ps_partkey * 7 + i * 11) % 199 + 1").alias("ps_availqty"),
+        F.expr("(ps_partkey * 97 + i * 1009) % 99900 + 100").alias(
+            "ps_supplycost_cents"
+        ),
+    )
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """Suppliers scoped to one region (broadcast-sized at any SF: the
+    supplier dimension is fixture-small and region cuts it 5x)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == r_name).select(
+        "r_regionkey"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+# TPC-H Q2, unadapted clauses: for each qualifying part, the EUROPE
+# supplier(s) achieving the minimum ps_supplycost — the correlated-MIN
+# subquery over partsupp itself, decorrelated on the Spark side into a
+# per-part aggregate joined back on equality with ties kept (Q2's
+# defining property). Region scoping applies to BOTH the candidate rows
+# and the MIN's domain, exactly as in the spec. Output adapts only the
+# column list to the fixture (no p_mfgr/s_address columns exist).
+@register(
+    "ps_min_cost_supplier_q2",
+    f"""
+    WITH {PARTSUPP_CTE},
+    rs AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents
+      FROM partsupp ps JOIN rs ON rs.s_suppkey = ps.ps_suppkey
+    )
+    SELECT rs.s_acctbal, rs.s_name, rs.n_name,
+           CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+           c.ps_supplycost_cents AS cost_cents
+    FROM costs c
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    JOIN rs ON rs.s_suppkey = c.ps_suppkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+      AND c.ps_supplycost_cents = (
+        SELECT MIN(c2.ps_supplycost_cents) FROM costs c2
+        WHERE c2.ps_partkey = c.ps_partkey
+      )
+    """,
+    doc=(
+        "TPC-H Q2 unadapted: correlated MIN ps_supplycost over synthesized "
+        "partsupp, region-scoped, ties kept"
+    ),
+)
+def ps_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = F.broadcast(_region_suppliers(spark, sf_dir, "EUROPE"))
+    costs = synth_partsupp(spark, sf_dir).join(
+        rs, F.col("ps_suppkey") == rs["s_suppkey"]
+    )
+    best = costs.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("best_cents")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select(F.col("p_partkey").cast("long").alias("p_partkey"), "p_brand")
+    )
+    return (
+        costs.join(
+            F.broadcast(best),
+            (costs["ps_partkey"] == F.col("b_partkey"))
+            & (costs["ps_supplycost_cents"] == F.col("best_cents")),
+        )
+        .join(p, costs["ps_partkey"] == p["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+        )
+    )
+
+
+# TPC-H Q9, unadapted cost term: profit = extendedprice·(1-discount)
+# MINUS ps_supplycost·quantity — the real partsupp join on BOTH partkey
+# and suppkey (the adapted twin proxied cost at 10% of retail). Exact
+# decimal arithmetic throughout (cents scaled by an exact 0.01 decimal
+# product, never a division), one final double cast.
+@register(
+    "ps_nation_profit_q9",
+    f"""
+    WITH {PARTSUPP_CTE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+             - CAST(l.l_quantity AS DECIMAL(18,2))
+               * CAST(ps.ps_supplycost_cents AS DECIMAL(18,2))
+               * CAST(0.01 AS DECIMAL(4,2))
+           ) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q9 unadapted: nation x year profit with the REAL "
+        "ps_supplycost x quantity cost term over synthesized partsupp"
+    ),
+)
+def ps_nation_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = synth_partsupp(spark, sf_dir)
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+    )
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    # partsupp is part-derived (4 rows/part) — broadcast it like the
+    # dimensions; lineitem stays shuffle-free up to the orders join
+    joined = (
+        li.join(p, li["l_partkey"] == p["pk"])
+        .join(
+            F.broadcast(ps),
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    ) - F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "ps_supplycost_cents"
+    ).cast("decimal(18,2)") * F.lit("0.01").cast("decimal(4,2)")
+    return joined.groupBy("nation", "o_year").agg(
+        F.sum(profit).cast("double").alias("profit")
+    )
+
+
+# TPC-H Q11, unadapted value term: stock value = ps_supplycost ×
+# ps_availqty summed per part over one REGION's suppliers (one fixture
+# nation is ~S/25 suppliers — degenerate-empty at sf0.001 — so the scope
+# is a region, same shape), keeping parts above the MEAN part value via
+# the exact integer cross multiplication (the fixture-uniformity lesson
+# from the adapted twin: a spec-style tiny fraction threshold passes
+# everything).
+@register(
+    "ps_important_stock_q11",
+    f"""
+    WITH {PARTSUPP_CTE},
+    rs AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    pv AS (
+      SELECT ps.ps_partkey,
+             CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp ps JOIN rs ON rs.s_suppkey = ps.ps_suppkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM pv
+    )
+    SELECT pv.ps_partkey, pv.value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * tot.n_parts > tot.total_cents
+    """,
+    doc=(
+        "TPC-H Q11 unadapted: ps_supplycost x ps_availqty stock values "
+        "over synthesized partsupp, region-scoped, above-mean HAVING"
+    ),
+)
+def ps_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = F.broadcast(
+        _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey")
+    )
+    ps = synth_partsupp(spark, sf_dir).join(
+        rs, F.col("ps_suppkey") == rs["s_suppkey"]
+    )
+    pv = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+        .cast("long")
+        .alias("value_cents")
+    )
+    tot = pv.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+# TPC-H Q20, unadapted availability test: suppliers holding EXCESS stock
+# of 'cold' parts — a partsupp row whose ps_availqty exceeds half the
+# quantity that (part, supplier) actually shipped in 1997, phrased as
+# the exact integer comparison 2·availqty > sum_qty. The correlated
+# scalar subquery decorrelates to ONE per-(part,supplier) lineitem
+# aggregate joined to partsupp; the supplier list is the EXISTS semi
+# join of the spec.
+@register(
+    "ps_excess_stock_suppliers_q20",
+    f"""
+    WITH {PARTSUPP_CTE},
+    cold AS (
+      SELECT CAST(p_partkey AS BIGINT) AS pk FROM part
+      WHERE p_name LIKE 'cold%'
+    ),
+    shipped AS (
+      SELECT CAST(l_partkey AS BIGINT) AS lpk,
+             CAST(l_suppkey AS BIGINT) AS lsk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN cold ON cold.pk = ps.ps_partkey
+      JOIN shipped sh ON sh.lpk = ps.ps_partkey AND sh.lsk = ps.ps_suppkey
+      WHERE 2 * ps.ps_availqty > sh.sum_qty
+    )
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    """,
+    doc=(
+        "TPC-H Q20 unadapted: suppliers whose synthesized ps_availqty "
+        "exceeds half the 1997 shipped quantity for 'cold' parts"
+    ),
+)
+def ps_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cold = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select(F.col("p_partkey").cast("long").alias("pk"))
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("lpk"),
+            F.col("l_suppkey").cast("long").alias("lsk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+    ps = synth_partsupp(spark, sf_dir).join(
+        cold, F.col("ps_partkey") == cold["pk"]
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (ps["ps_partkey"] == shipped["lpk"])
+            & (ps["ps_suppkey"] == shipped["lsk"]),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("acctbal")
+    )
+    return s.join(
+        F.broadcast(excess), s["s_suppkey"] == F.col("ps_suppkey"), "left_semi"
+    ).select("s_name", "acctbal")

@@ -47,6 +47,7 @@ ALLOWED_BNLJ = {
     "bm25_doc_scores",  # |Q|-row term frame × 1-row corpus-stats frame
     "acctbal_opportunity_q22",  # scalar subquery: 1-row threshold × customers
     "important_part_values_q11",  # 1-row global total × per-part values
+    "ps_important_stock_q11",  # 1-row global total × per-part stock values
     "length_distribution_ks",  # |sources| × |distinct lengths| spine + 1-row N
     # (top_supplier_revenue_q15 needs no exemption: its scalar-max filter
     # is an EQUALITY, which Catalyst pushes into the cross join as a
