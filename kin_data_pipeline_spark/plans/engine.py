@@ -1621,9 +1621,14 @@ class Catalog:
         ``v_from``, 'delete' for the reverse; an update surfaces as a
         delete+insert pair). Multiplicity-aware (EXCEPT ALL, like
         ``diff_snapshot``) so duplicate-row count changes surface.
-        Columns are aligned by name; a column present in only one version
-        (schema evolution) is a hard error — there is no meaningful row
-        diff across disjoint schemas.
+        Columns are aligned by name. ADDITIVE schema evolution is
+        supported the way the live table itself reads old files: the diff
+        is taken under ``v_to``'s schema with the added columns
+        null-filled on the older side (Delta's read-CDF-with-latest-schema
+        semantics; the engine's only evolution channel is write_append,
+        which may add columns, never drop). A column DROPPED between the
+        versions is still a hard error — there is no meaningful row diff
+        across truly disjoint schemas.
 
         Scale path (VERDICT r7 ask #3): when EVERY commit in
         ``(v_from, v_to]`` carries its own change rows (mutators that know
@@ -1653,13 +1658,17 @@ class Catalog:
             # has been vacuumed, as long as the change files survive
             old_schema = self._version_schema(name, v_from)
             new_schema = self._version_schema(name, v_to)
-            if sorted(old_schema.names) != sorted(new_schema.names):
+            dropped = set(old_schema.names) - set(new_schema.names)
+            if dropped:
                 raise ValueError(
-                    f"cannot diff '{name}' v{v_from} vs v{v_to}: column "
-                    f"sets differ ({sorted(old_schema.names)} vs "
-                    f"{sorted(new_schema.names)})"
+                    f"cannot diff '{name}' v{v_from} vs v{v_to}: columns "
+                    f"{sorted(dropped)} were dropped between the versions"
                 )
             cols = sorted(new_schema.names)
+            # additive evolution: the explicit-schema read below aligns
+            # stored change files by NAME and null-fills columns a commit
+            # predates — the same null-fill the live table applies to its
+            # own pre-evolution files
             ch_schema = StructType(
                 list(new_schema.fields)
                 + [StructField("_change_type", StringType())]
@@ -1684,13 +1693,25 @@ class Catalog:
             )
         old = self.table_at_version(name, v_from)
         new = self.table_at_version(name, v_to)
-        if sorted(old.columns) != sorted(new.columns):
+        dropped = set(old.columns) - set(new.columns)
+        if dropped:
             raise ValueError(
-                f"cannot diff '{name}' v{v_from} vs v{v_to}: column sets "
-                f"differ ({sorted(old.columns)} vs {sorted(new.columns)})"
+                f"cannot diff '{name}' v{v_from} vs v{v_to}: columns "
+                f"{sorted(dropped)} were dropped between the versions"
             )
-        cols = sorted(old.columns)
-        old_c, new_c = old.select(*cols), new.select(*cols)
+        cols = sorted(new.columns)
+        new_types = dict(new.dtypes)
+        # additive evolution: null-fill the added columns on the old side,
+        # typed from v_to, so unchanged rows compare equal under the new
+        # schema (a row only surfaces when its VALUES changed)
+        old_c = old.select(
+            *[
+                F.col(c) if c in old.columns
+                else F.lit(None).cast(new_types[c]).alias(c)
+                for c in cols
+            ]
+        )
+        new_c = new.select(*cols)
         return new_c.exceptAll(old_c).withColumn(
             "_change_type", F.lit("insert")
         ).unionByName(

@@ -123,6 +123,11 @@ def _read_change_file(partition: _ChangeFilePartition):
     for field in partition.arrow_schema:
         if field.name == "_commit_version":
             col = pa.array([partition.version] * tbl.num_rows).cast(field.type)
+        elif field.name not in tbl.column_names:
+            # additive schema evolution: a commit that predates a column
+            # null-fills it, the same way the live table reads its own
+            # pre-evolution files
+            col = pa.nulls(tbl.num_rows, type=field.type)
         else:
             col = tbl.column(field.name).cast(field.type).combine_chunks()
         arrays.append(col)
@@ -152,8 +157,17 @@ def _diff_snapshots(partition: _VersionDiffPartition):
                 "disk (vacuumed?): start the stream at a retained "
                 "version via startingVersion"
             )
-        tbl = pq.read_table(data, columns=fields)
-        cols = [tbl.column(f).to_pylist() for f in fields]
+        present = pq.ParquetDataset(data).schema.names
+        tbl = pq.read_table(data, columns=[f for f in fields if f in present])
+        cols = [
+            # additive schema evolution: null-fill columns this snapshot
+            # predates, so unchanged rows compare equal under the
+            # declared (latest) schema
+            tbl.column(f).to_pylist()
+            if f in tbl.column_names
+            else [None] * tbl.num_rows
+            for f in fields
+        ]
         return list(zip(*cols)) if cols else []
 
     v = partition.version

@@ -273,8 +273,16 @@ def test_table_changes_cdf(spark, tmp_path):
         [(9, "z", 1, "x")], "id long, grp string, val long, extra string"
     )
     cat.write_full("t", widened, None)
-    with pytest.raises(ValueError, match="column sets"):
-        cat.table_changes("t", 1, 2)
+    # ADDITIVE evolution diffs under the new schema with the old side
+    # null-filled (Delta's read-with-latest-schema semantics) ...
+    ch12 = cat.table_changes("t", 1, 2).collect()
+    ins = [(r.id, r.extra) for r in ch12 if r["_change_type"] == "insert"]
+    dels = sorted((r.id, r.extra) for r in ch12 if r["_change_type"] == "delete")
+    assert ins == [(9, "x")]
+    assert dels == [(1, None), (2, None), (3, None)]
+    # ... while a DROPPED column stays a hard error (reversed direction)
+    with pytest.raises(ValueError, match="dropped"):
+        cat.table_changes("t", 2, 1)
 
 
 def test_streaming_ingest_commits_one_version_per_microbatch(spark, tmp_path):
@@ -491,3 +499,77 @@ def test_commit_timestamps_strictly_increase_even_against_clock(spark, tmp_path)
     assert (
         cat.table_as_of("t", hist[-2]["ts"]).count() == 1
     )
+
+
+def test_cdf_additive_schema_evolution_changelog_path(spark, tmp_path):
+    """A column ADDED by write_append flows through the changelog-derived
+    CDF: pre-evolution change files null-fill it (the same null-fill the
+    live table applies to its pre-evolution data files), post-evolution
+    changes carry real values, and multi-commit nets combine across the
+    evolution boundary."""
+    cat = _mk(spark, tmp_path, [(1, "a", 10)])
+    cat.enable_versioning("t")  # v0
+    cat.write_append(
+        "t", spark.createDataFrame([(2, "b", 20)], "id long, grp string, val long"), None
+    )  # v1: pre-evolution changes
+    cat.write_append(
+        "t",
+        spark.createDataFrame(
+            [(3, "c", 30, "N3")], "id long, grp string, val long, extra string"
+        ),
+        None,
+    )  # v2: adds `extra`
+    assert [e.get("changes") for e in cat.history("t")] == [False, True, True]
+    ch = sorted(
+        (r["_change_type"], r.id, r.extra)
+        for r in cat.table_changes("t", 0, 2).collect()
+    )
+    assert ch == [("insert", 2, None), ("insert", 3, "N3")]
+    # pre-evolution span alone still reads under ITS OWN schema (v1's)
+    assert "extra" not in cat.table_changes("t", 0, 1).columns
+    # appends may never drop columns — write_append refuses; the CDF-side
+    # dropped-column error is pinned in test_table_changes_cdf
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="appends may add columns"):
+        cat.write_append(
+            "t", spark.createDataFrame([(9, "z")], "id long, grp string"), None
+        )
+
+
+def test_streaming_cdf_additive_schema_evolution(spark, tmp_path):
+    """The streaming CDF declared with the LATEST schema replays commits
+    from before a column existed with that column null-filled — both for
+    stored change files and for the snapshot-diff fallback."""
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    cat = _mk(spark, tmp_path, [(1, "a", 10)])
+    cat.enable_versioning("t")  # v0
+    cat.write_append(
+        "t", spark.createDataFrame([(2, "b", 20)], "id long, grp string, val long"), None
+    )  # v1: changelog path, pre-evolution
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10, None), (2, "b", 20, None), (3, "c", 30, "N3")],
+            "id long, grp string, val long, extra string",
+        ),
+        None,
+    )  # v2: snapshot fallback, ADDS `extra`
+    st = stream_table_changes(
+        spark, cat.warehouse_dir, "t", "id long, grp string, val long, extra string"
+    )
+    q = (
+        st.writeStream.format("memory").queryName("cdf_evo")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r.id, r.extra)
+        for r in spark.table("cdf_evo").collect()
+        if True
+    )
+    # v1: the appended row, extra null-filled (stored change file predates
+    # the column); v2: only id=3 is NEW under the evolved schema — rows
+    # whose values did not change must NOT surface as delete+insert noise
+    assert got == [(1, "insert", 2, None), (2, "insert", 3, "N3")]
