@@ -14,13 +14,15 @@ YCbCr at ANY dividing sampling layout — 4:2:0, 4:2:2, 4:4:0, 4:1:1 —
 via the general T.81 MCU-interleave (per-component block grids,
 nearest-neighbor chroma upsample), the FULL Annex G progressive JPEG
 profile (spectral selection AND successive approximation, encode +
-decode) and AVI-MJPG video (RIFF container parse + sampled-frame JPEG
-decode). ``require_codec`` remains only for real-world codecs this
-container cannot express — progressive-with-subsampling, non-dividing
-sampling layouts, arithmetic/lossless/hierarchical JPEG,
-interframe video (H.264 etc.), lossy resampling; the deterministic
-fake decoder is kept for opaque (non-media) payloads so the batching
-plumbing stays testable on any bytes.
+decode), progressive × subsampled COMBINED (interleaved-DC +
+per-component true-raster AC scans over the general MCU lattice) and
+AVI-MJPG video (RIFF container parse + sampled-frame JPEG decode).
+``require_codec`` remains only for real-world codecs this container
+cannot express — non-dividing sampling layouts,
+arithmetic/lossless/hierarchical JPEG, interframe video (H.264 etc.),
+lossy resampling; the deterministic fake decoder is kept for opaque
+(non-media) payloads so the batching plumbing stays testable on any
+bytes.
 """
 
 from __future__ import annotations
@@ -92,8 +94,9 @@ def require_codec(name: str):
     decode (``decode_baseline_jpeg``: Huffman entropy decode + dequant +
     IDCT) and AVI-MJPG frame extraction (``parse_avi_mjpeg``) are pure
     stdlib/numpy too. This gate covers only the work that genuinely needs
-    a native codec — progressive/subsampled JPEG, interframe video (H.264
-    etc.), lossy resampling. Production clusters ship the libs.
+    a native codec — non-dividing sampling layouts, non-DCT-Huffman JPEG
+    profiles, interframe video (H.264 etc.), lossy resampling.
+    Production clusters ship the libs.
     """
     try:
         return __import__(name)
@@ -1425,6 +1428,160 @@ def encode_progressive_jpeg(
     return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
+def encode_progressive_ycbcr_jpeg(
+    y_raster,
+    cb_sub,
+    cr_sub,
+    h1: int = 2,
+    v1: int = 2,
+    quant: int = 8,
+    ac_bands: tuple = ((1, 63),),
+    dc_al: int = 0,
+    ac_al: int = 0,
+) -> bytes:
+    """PROGRESSIVE (SOF2) chroma-subsampled YCbCr JFIF JPEG — the
+    composition of the two round-7 codec generalizations (Annex G
+    spectral selection + successive approximation × the T.81 A.2.3
+    general MCU layout), retiring the progressive-with-subsampling gate.
+
+    Scan script: one INTERLEAVED DC scan over the frame-level MCU
+    lattice (per MCU: the h1·v1 luma blocks row-major, then Cb, then
+    Cr), per-component NON-INTERLEAVED AC band scans covering each
+    component's TRUE block raster (T.81 A.2.2 — the MCU padding rows/
+    cols are transmitted only in interleaved scans), then DC refinement
+    bit planes (interleaved raw bits) and AC refinement planes per
+    component per band. Chroma planes arrive at the subsampled
+    resolution ceil(H/v1) x ceil(W/h1), caller-subsampled, exactly like
+    encode_ycbcr_subsampled_jpeg."""
+    import numpy as np
+
+    bands = list(ac_bands)
+    if any(not 1 <= lo <= hi <= 63 for lo, hi in bands):
+        raise ValueError("ac_bands must be within [1, 63] with lo <= hi")
+    if any(nxt != hi + 1 for (_, hi), (nxt, _) in zip(bands, bands[1:])):
+        raise ValueError("ac_bands must be contiguous and ordered")
+    if not bands or bands[0][0] != 1 or bands[-1][1] != 63:
+        raise ValueError("ac_bands must cover 1..63")
+    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
+        raise ValueError("approximation levels must be within [0, 13]")
+    h, w = y_raster.shape
+    mch, mcw = -(-h // (8 * v1)), -(-w // (8 * h1))
+    ch, cw = -(-h // v1), -(-w // h1)
+    if cb_sub.shape != (ch, cw) or cr_sub.shape != (ch, cw):
+        raise ValueError(
+            f"chroma planes must be subsampled resolution {(ch, cw)}; "
+            f"got {cb_sub.shape} / {cr_sub.shape}"
+        )
+    ypad = np.pad(
+        np.asarray(y_raster),
+        ((0, mch * 8 * v1 - h), (0, mcw * 8 * h1 - w)),
+        mode="edge",
+    )
+    cbpad = np.pad(
+        np.asarray(cb_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+    )
+    crpad = np.pad(
+        np.asarray(cr_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
+    )
+    zz_y, q, _, _ = _jpeg_forward_blocks(ypad, quant)
+    zz_cb, _, _, _ = _jpeg_forward_blocks(cbpad, quant)
+    zz_cr, _, _, _ = _jpeg_forward_blocks(crpad, quant)
+    zz = [zz_y, zz_cb, zz_cr]
+    hs, vs = [h1, 1, 1], [v1, 1, 1]
+    grid_ws = [mcw * h1, mcw, mcw]
+    # true (unpadded) block rasters: luma covers the frame, chroma's
+    # 8-aligned subsampled grid coincides with the MCU lattice
+    true_dims = [
+        (-(-h // 8), -(-w // 8)),
+        (-(-ch // 8), -(-cw // 8)),
+        (-(-ch // 8), -(-cw // 8)),
+    ]
+    scan_rows = []
+    for ci in range(3):
+        cbh, cbw = true_dims[ci]
+        gw = grid_ws[ci]
+        idx = [by * gw + bx for by in range(cbh) for bx in range(cbw)]
+        scan_rows.append(zz[ci][idx])
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(
+        tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
+    )
+
+    def _mcu_blocks():
+        for mcu in range(mch * mcw):
+            my, mx = divmod(mcu, mcw)
+            for ci in range(3):
+                for v in range(vs[ci]):
+                    for u in range(hs[ci]):
+                        yield ci, (my * vs[ci] + v) * grid_ws[ci] + (
+                            mx * hs[ci] + u
+                        )
+
+    def _dc_sos(ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA,
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+            + struct.pack(">BBB", 0, 0, (ah << 4) | al),
+        )
+
+    def _ac_sos(cid: int, lo: int, hi: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA,
+            bytes([1, cid, 0x00]) + struct.pack(">BBB", lo, hi, (ah << 4) | al),
+        )
+
+    # scan 1: interleaved DC first at Al=dc_al
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, bidx in _mcu_blocks():
+        val = int(zz[ci][bidx][0]) >> dc_al
+        sz, bits = _magnitude_bits(val - preds[ci])
+        preds[ci] = val
+        bw.put(*dc_codes[sz])
+        if sz:
+            bw.put(bits, sz)
+    scans = [_dc_sos(0, dc_al) + bw.flush()]
+
+    # AC first scans: per component, per band (non-interleaved)
+    for ci, cid in enumerate((1, 2, 3)):
+        for lo, hi in bands:
+            scans.append(
+                _ac_sos(cid, lo, hi, 0, ac_al)
+                + _encode_ac_first_scan(scan_rows[ci], lo, hi, ac_al, ac_codes)
+            )
+
+    # DC refinement planes: interleaved, one raw bit per block
+    for al in range(dc_al - 1, -1, -1):
+        bwr = _BitWriter()
+        for ci, bidx in _mcu_blocks():
+            bwr.put((int(zz[ci][bidx][0]) >> al) & 1, 1)
+        scans.append(_dc_sos(al + 1, al) + bwr.flush())
+
+    # AC refinement planes, per component per band
+    for al in range(ac_al - 1, -1, -1):
+        for ci, cid in enumerate((1, 2, 3)):
+            for lo, hi in bands:
+                scans.append(
+                    _ac_sos(cid, lo, hi, al + 1, al)
+                    + _encode_ac_refine_scan(scan_rows[ci], lo, hi, al, ac_codes)
+                )
+
+    dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = _jpeg_seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + struct.pack(">BBB", 1, (h1 << 4) | v1, 0)
+        + struct.pack(">BBB", 2, 0x11, 0)
+        + struct.pack(">BBB", 3, 0x11, 0),
+    )
+    dht = _jpeg_seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS_PROG) + bytes(_JPEG_AC_VALS_PROG),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
+
+
 class _BitReader:
     """Accumulator bit reader over byte-stuffed JPEG entropy data.
 
@@ -1565,16 +1722,18 @@ def decode_baseline_jpeg(content: bytes):
     2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND the
     full Annex G progressive profile (SOF2: any DC/AC band scan script
     with EOBn runs, spectral selection AND successive-approximation
-    first/refinement scans) are supported. Sampling: 4:4:4 (all 1x1) for
-    any component count, plus 4:2:0 (2x2 luma + 1x1 chroma, the dominant
-    production layout) for 3-component BASELINE streams — MCU-interleaved
-    scan, per-component block grids, nearest-neighbor chroma upsample to
-    full resolution (no color transform: components return as coded, so
-    a YCbCr stream yields YCbCr planes). The remaining honest gates are
-    progressive-with-subsampling, other sampling layouts (4:2:2 etc.),
-    and non-Huffman/non-8-bit profiles (NotImplementedError). Grayscale
-    returns (H, W), multi-component (H, W, C); ValueError on malformed
-    streams.
+    first/refinement scans) are supported. Sampling: any DIVIDING layout
+    (every h_i | hmax and v_i | vmax — 4:2:0, 4:2:2, 4:4:0, 4:1:1 ...)
+    for both BASELINE and PROGRESSIVE streams: interleaved scans walk
+    the frame-level MCU lattice with h_i x v_i blocks per component,
+    non-interleaved (progressive AC / single-component DC) scans walk
+    each component's TRUE block raster mapped into its padded grid
+    (T.81 A.2.2/A.2.3), nearest-neighbor chroma upsample to full
+    resolution (no color transform: components return as coded, so a
+    YCbCr stream yields YCbCr planes). The remaining honest gates are
+    non-dividing sampling layouts and non-Huffman/non-8-bit profiles
+    (NotImplementedError). Grayscale returns (H, W), multi-component
+    (H, W, C); ValueError on malformed streams.
     """
     import numpy as np
 
@@ -1642,10 +1801,6 @@ def decode_baseline_jpeg(content: bytes):
                 )
             frame = (height, width, comps, subsampled, hs, vs)
             progressive = marker == 0xC2
-            if progressive and subsampled:
-                raise NotImplementedError(
-                    "progressive chroma-subsampled JPEG needs a native codec"
-                )
             # per-component block grids: equal-sampling frames share one
             # ceil/8 grid; subsampled frames give component i an
             # (mch·v_i) x (mcw·h_i) grid over the 8·hmax/8·vmax-aligned
@@ -1656,10 +1811,21 @@ def decode_baseline_jpeg(content: bytes):
                 mch = -(-height // (8 * vmax))
                 mcu_dims = (mch, mcw)
                 grids = [(mch * v, mcw * h) for h, v in zip(hs, vs)]
+                # non-interleaved scans (all progressive AC scans; DC
+                # scans with ns=1) cover only the component's TRUE block
+                # raster — ceil(ceil(dim·f/fmax)/8), T.81 A.2.2 — which
+                # the MCU-padded grid may exceed by trailing block
+                # rows/cols; scan order maps through by·gw + bx
+                true_blocks = []
+                for h, v in zip(hs, vs):
+                    csh = -(-height * v // vmax)
+                    csw = -(-width * h // hmax)
+                    true_blocks.append((-(-csh // 8), -(-csw // 8)))
             else:
                 nbw, nbh = -(-width // 8), -(-height // 8)
                 mcu_dims = (nbh, nbw)
                 grids = [(nbh, nbw)] * len(comps)
+                true_blocks = [(nbh, nbw)] * len(comps)
             # raw (unquantized) zigzag coefficients per component, blocks
             # row-major; scans accumulate here, dequant + IDCT run once at
             # the end (progressive spectral selection fills the bands
@@ -1692,6 +1858,16 @@ def decode_baseline_jpeg(content: bytes):
             data = content[pos:end]
             reader = _BitReader(data)
             nblocks = zzs[0].shape[0]
+
+            def _scan_blocks(ci):
+                """Block indices of one component's NON-INTERLEAVED scan:
+                its true (unpadded) block raster mapped into the padded
+                grid (identity when the frame isn't subsampled)."""
+                gw = grids[ci][1]
+                cbh, cbw = true_blocks[ci]
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        yield by * gw + bx
             if not progressive:
                 if [c for c, _ in comps] != list(scan_tables):
                     raise NotImplementedError("multi-scan baseline JPEG unsupported")
@@ -1743,33 +1919,61 @@ def decode_baseline_jpeg(content: bytes):
                 # coefficients and a truncated one is a legal coarse
                 # preview.
                 if ss == 0:
-                    # DC scan (interleaved over the scan components)
+                    # DC scan: interleaved (ns > 1) walks the frame-level
+                    # MCU lattice with each scan component contributing
+                    # its h_i x v_i blocks (T.81 A.2.3 — for equal
+                    # sampling this degenerates to one block per MCU);
+                    # single-component DC scans are non-interleaved and
+                    # walk the component's true block raster
                     if se != 0:
                         raise ValueError("progressive DC scan with Se != 0")
                     scomps = [(cindex[cs], scan_tables[cs][0]) for cs in scan_tables]
-                    if ah == 0:
+                    p1 = 1 << al
+                    if ns > 1:
+                        mch, mcw = mcu_dims
                         preds = [0] * len(scomps)
-                        for mcu in range(nblocks):
+                        for mcu in range(mch * mcw):
                             if restart_interval and mcu and mcu % restart_interval == 0:
                                 reader.skip_restart()
                                 preds = [0] * len(scomps)
+                            my, mx = divmod(mcu, mcw)
                             for si, (ci, td) in enumerate(scomps):
+                                h_i, v_i = hs[ci], vs[ci]
+                                gw = grids[ci][1]
+                                for v in range(v_i):
+                                    for u in range(h_i):
+                                        bidx = (my * v_i + v) * gw + (mx * h_i + u)
+                                        if ah == 0:
+                                            sz = _huff_decode(reader, htables[(0, td)])
+                                            diff = (
+                                                _extend(reader.bits(sz), sz)
+                                                if sz
+                                                else 0
+                                            )
+                                            preds[si] += diff
+                                            zzs[ci][bidx][0] = preds[si] << al
+                                        elif reader.bit():
+                                            # refinement: one raw bit; bit
+                                            # Al is clear by the multiple-
+                                            # of-2^(Al+1) invariant, so OR
+                                            # completes either sign
+                                            zzs[ci][bidx][0] = (
+                                                int(zzs[ci][bidx][0]) | p1
+                                            )
+                    else:
+                        ((ci, td),) = scomps
+                        pred = 0
+                        for n, bidx in enumerate(_scan_blocks(ci)):
+                            if restart_interval and n and n % restart_interval == 0:
+                                reader.skip_restart()
+                                pred = 0
+                            if ah == 0:
                                 sz = _huff_decode(reader, htables[(0, td)])
                                 diff = _extend(reader.bits(sz), sz) if sz else 0
-                                preds[si] += diff
-                                zzs[ci][mcu][0] = preds[si] << al
-                    else:
-                        # refinement: one raw bit per block per component;
-                        # bit Al of the two's-complement value is clear by
-                        # the multiple-of-2^(Al+1) invariant, so OR-ing it
-                        # in is the exact completion for either sign
-                        p1 = 1 << al
-                        for mcu in range(nblocks):
-                            if restart_interval and mcu and mcu % restart_interval == 0:
-                                reader.skip_restart()
-                            for ci, _td in scomps:
-                                if reader.bit():
-                                    zzs[ci][mcu][0] = int(zzs[ci][mcu][0]) | p1
+                                pred += diff
+                                zzs[ci][bidx][0] = pred << al
+                            elif reader.bit():
+                                zzs[ci][bidx][0] = int(zzs[ci][bidx][0]) | p1
                 else:
                     # AC band scan: always single-component, with EOBn runs
                     if ns != 1:
@@ -1779,8 +1983,8 @@ def decode_baseline_jpeg(content: bytes):
                     ac_tab = htables[(1, scan_tables[cs][1])]
                     eobrun = 0
                     if ah == 0:
-                        for blk in range(nblocks):
-                            if restart_interval and blk and blk % restart_interval == 0:
+                        for n, blk in enumerate(_scan_blocks(ci)):
+                            if restart_interval and n and n % restart_interval == 0:
                                 reader.skip_restart()
                                 eobrun = 0
                             if eobrun:
@@ -1812,8 +2016,8 @@ def decode_baseline_jpeg(content: bytes):
                         # with history read over — by a run, a ZRL, or the
                         # EOB-run tail — consumes one correction bit
                         p1, m1 = 1 << al, -(1 << al)
-                        for blk in range(nblocks):
-                            if restart_interval and blk and blk % restart_interval == 0:
+                        for n, blk in enumerate(_scan_blocks(ci)):
+                            if restart_interval and n and n % restart_interval == 0:
                                 reader.skip_restart()
                                 eobrun = 0
                             zz = zzs[ci][blk]
@@ -2077,6 +2281,48 @@ def synthesize_pixel_ycbcr_jpeg_batch(
 def synthesize_pixel_ycbcr_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pixel_ycbcr_jpeg_batch, schema=SYNTH_SCHEMA)
+
+
+def encode_progressive_ycbcr420_pixels(media_id: int) -> bytes:
+    """The color tier's planes (same deterministic formulas as
+    encode_ycbcr420_pixels), emitted PROGRESSIVE with 4:2:0 subsampling —
+    the composed profile (Annex G × general MCU layout): interleaved DC
+    first scan at Al=1, two AC bands at Al=1, then one DC and two AC
+    refinement planes."""
+    w, h = jpeg_pixel_geometry(media_id)
+    y = _jpeg_block_raster(media_id, w, h)
+    ch, cw = -(-h // 2), -(-w // 2)
+    cb = _ycbcr_chroma_half_plane(media_id, ch, cw, 7, 19, 3)
+    cr = _ycbcr_chroma_half_plane(media_id, ch, cw, 5, 23, 7)
+    return encode_progressive_ycbcr_jpeg(
+        y, cb, cr, 2, 2, 8, ((1, 5), (6, 63)), 1, 1
+    )
+
+
+def synthesize_pixel_progressive_ycbcr_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    complete progressive (SOF2) 4:2:0 YCbCr JPEG."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(
+                    lambda i: encode_progressive_ycbcr420_pixels(int(i))
+                ),
+            }
+        )
+
+
+def synthesize_pixel_progressive_ycbcr_jpeg_df(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(
+        synthesize_pixel_progressive_ycbcr_jpeg_batch, schema=SYNTH_SCHEMA
+    )
 
 
 YCBCR_STATS_SCHEMA = StructType(

@@ -78,3 +78,37 @@ def test_avi_container_is_lossless_around_payloads(frames, w, h):
     assert (nf, pw, ph) == (len(frames), w, h)
     assert [bytes(g) for g in got] == [bytes(f) for f in frames]
     assert mm.parse_media_header(avi) == ("video/x-msvideo", w, h, 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    h1=st.sampled_from([1, 2]),
+    v1=st.sampled_from([1, 2]),
+    dc_al=st.integers(0, 2),
+    ac_al=st.integers(0, 2),
+    split=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_progressive_subsampled_matches_baseline_subsampled(
+    h, w, h1, v1, dc_al, ac_al, split, seed
+):
+    """The composed profile (SOF2 progressive × chroma subsampling) must
+    decode bit-identically to the baseline-subsampled encoding of the
+    same planes: both quantize the same forward blocks, and a complete
+    progressive scan script reconstructs the exact coefficients — any
+    divergence is a scan-script bug (interleaved-DC MCU walk, true-vs-
+    padded AC rasters, refinement bit planes)."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    ch, cw = -(-h // v1), -(-w // h1)
+    cb = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+    cr = rng.integers(0, 256, (ch, cw), dtype=np.uint8)
+    bands = ((1, 5), (6, 63)) if split else ((1, 63),)
+    base = mm.decode_baseline_jpeg(mm.encode_ycbcr_subsampled_jpeg(y, cb, cr, h1, v1))
+    prog = mm.decode_baseline_jpeg(
+        mm.encode_progressive_ycbcr_jpeg(y, cb, cr, h1, v1, 8, bands, dc_al, ac_al)
+    )
+    assert base.shape == prog.shape == (h, w, 3)
+    assert np.array_equal(base, prog)

@@ -1018,8 +1018,10 @@ def test_ycbcr_general_sampling_layouts_round_trip():
 
 
 def test_ycbcr_remaining_gates_still_raise():
-    """Gate narrowing is honest: NON-DIVIDING sampling layouts and
-    progressive+subsampled streams still refuse with NotImplementedError."""
+    """Gate narrowing is honest: NON-DIVIDING sampling layouts still
+    refuse with NotImplementedError (progressive+subsampled graduated to
+    a supported profile in round 8 — see
+    test_progressive_subsampled_gate_retired below)."""
     import pytest as _pytest
 
     from kin_data_pipeline_spark.operators.multimodal import (
@@ -1043,7 +1045,35 @@ def test_ycbcr_remaining_gates_still_raise():
     bad[comp1_sampling] = 0x22
     with _pytest.raises(NotImplementedError, match="non-dividing"):
         decode_baseline_jpeg(bytes(bad))
-    # progressive + subsampling: flip SOF0 -> SOF2
+    # progressive + subsampling is no longer a gate: a SOF0 stream
+    # relabeled SOF2 is now PARSED as progressive and fails as the
+    # malformed stream it is (its baseline scan header is not a legal
+    # progressive scan script), never as a NotImplementedError gate
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError, match="progressive chroma"):
+    with _pytest.raises(ValueError, match="progressive DC scan"):
         decode_baseline_jpeg(prog)
+
+
+def test_progressive_subsampled_gate_retired():
+    """The composed profile decodes for real: a progressive 4:2:0 stream
+    round-trips bit-identically to its baseline 4:2:0 twin (same planes,
+    same quantization), including DC/AC successive approximation."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        _ycbcr_chroma_half_plane,
+        decode_baseline_jpeg,
+        encode_progressive_ycbcr_jpeg,
+        encode_ycbcr420_jpeg,
+    )
+
+    y = _jpeg_block_raster(3, 21, 17)
+    cb = _ycbcr_chroma_half_plane(3, 9, 11, 7, 19, 3)
+    cr = _ycbcr_chroma_half_plane(3, 9, 11, 5, 23, 7)
+    base = decode_baseline_jpeg(encode_ycbcr420_jpeg(y, cb, cr))
+    prog = decode_baseline_jpeg(
+        encode_progressive_ycbcr_jpeg(y, cb, cr, 2, 2, 8, ((1, 5), (6, 63)), 1, 1)
+    )
+    assert base.shape == prog.shape == (17, 21, 3)
+    assert np.array_equal(base, prog)
