@@ -104,6 +104,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "ps_important_stock_q11",  # ps_supplycost x ps_availqty stock values
     "ps_excess_stock_suppliers_q20",  # availqty vs half shipped quantity
     "progressive_ycbcr420_jpeg_pixel_stats",  # SOF2 x 4:2:0 composed codec
+    "cdf_incremental_aggregate",  # IVM: CDF-maintained agg == recompute
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2260,6 +2260,65 @@ def time_travel_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _agg(cat.table_changes("orders_fact", 1, 2), 1, 2)
     )  # lazy over the shared fixture's stored change files (atexit sweep)
 
+# Incremental aggregate maintenance from the CDF — the change feed's
+# PRODUCTION consumer loop (Delta's incremental-refresh pattern / classic
+# IVM for distributive aggregates): a per-status COUNT+SUM aggregate is
+# built once at v0, then rolled forward through BOTH commits' change rows
+# (served by the changelog-derived path — no snapshot rescan, no base
+# rescan: work is O(|changes| + |agg|)). The oracle recomputes the same
+# aggregate from v2's literal predicates, so the hash match proves the
+# maintained form lands exactly on the from-scratch recompute — inserts,
+# the delete of every 'F' group member, and group disappearance included.
+# operators/incremental.py::maintain_aggregate, pinned by
+# tests/test_incremental.py (random-batch equivalence + real-CDF compose).
+@register(
+    "cdf_incremental_aggregate",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "incremental view maintenance: a COUNT+SUM aggregate rolled "
+        "forward through the CDF's change rows equals the from-scratch "
+        "recompute at the tip (O(changes + agg), base never rescanned)"
+    ),
+)
+def cdf_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.incremental import (
+        aggregate_base,
+        maintain_aggregate,
+    )
+
+    cat = _tt_versioned_fixture(spark, sf_dir)
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        )
+
+    keys, measures = ["o_orderstatus"], {"total_cents": "cents"}
+    agg = aggregate_base(
+        _cents(cat.table_at_version("orders_fact", 0)),
+        keys,
+        measures,
+        count_col="n_orders",
+    )
+    for v in (1, 2):
+        agg = maintain_aggregate(
+            agg,
+            _cents(cat.table_changes("orders_fact", v - 1, v)),
+            keys,
+            measures,
+            count_col="n_orders",
+        )
+    return agg.select("o_orderstatus", "n_orders", "total_cents")
+
 # RESTORE over the versioned catalog (Delta RESTORE ... VERSION AS OF):
 # the same versioned history as time_travel_orders_versions, then a
 # rollback to v0 — the live table must read back as the original slice,

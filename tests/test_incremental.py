@@ -1,0 +1,133 @@
+"""Incremental aggregate maintenance (operators/incremental.py): the
+maintained aggregate must equal recomputing the base aggregate after the
+changes — across inserts, deletes, updates (delete+insert pairs), group
+disappearance and reappearance, NULL group keys and NULL measures — and
+must compose with the REAL CDF the versioned catalog emits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kin_data_pipeline_spark.operators.incremental import (
+    aggregate_base,
+    maintain_aggregate,
+)
+
+DDL = "grp string, sub string, val long"
+
+
+def _rows_of(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
+
+
+def test_maintenance_equals_recompute_through_random_batches(spark):
+    """Five random change batches over a 2-key aggregate (NULL keys and
+    NULL measures included): after each batch the maintained aggregate
+    matches a from-scratch recompute of the surviving base multiset."""
+    import random
+
+    rng = random.Random(8)
+    grps = ["a", "b", None]
+    subs = ["x", "y"]
+
+    def rand_row():
+        return (
+            rng.choice(grps),
+            rng.choice(subs),
+            rng.choice([None, 0, 1, 5, -3, 100]),
+        )
+
+    base = [rand_row() for _ in range(40)]
+    keys, measures = ["grp", "sub"], {"sum_val": "val"}
+    agg = aggregate_base(spark.createDataFrame(base, DDL), keys, measures)
+    for _ in range(5):
+        deletes = rng.sample(base, k=min(len(base), rng.randrange(0, 15)))
+        inserts = [rand_row() for _ in range(rng.randrange(0, 15))]
+        for r in deletes:
+            base.remove(r)
+        base.extend(inserts)
+        ch_rows = [(*r, "delete") for r in deletes] + [
+            (*r, "insert") for r in inserts
+        ]
+        changes = spark.createDataFrame(
+            ch_rows or [(None, None, None, "insert")],
+            f"{DDL}, _change_type string",
+        )
+        if not ch_rows:
+            changes = changes.limit(0)
+        agg = maintain_aggregate(agg, changes, keys, measures)
+        want = aggregate_base(spark.createDataFrame(base, DDL) if base else
+                              spark.createDataFrame([], DDL), keys, measures)
+        assert _rows_of(agg) == _rows_of(want)
+
+
+def test_group_disappears_at_zero_and_reappears(spark):
+    keys, measures = ["grp"], {"sum_val": "val"}
+    agg = aggregate_base(
+        spark.createDataFrame([("a", "x", 10), ("b", "x", 5)], DDL), keys, measures
+    )
+    gone = maintain_aggregate(
+        agg,
+        spark.createDataFrame([("a", "x", 10, "delete")], f"{DDL}, _change_type string"),
+        keys,
+        measures,
+    )
+    assert _rows_of(gone) == [("b", 1, 5)]
+    back = maintain_aggregate(
+        gone,
+        spark.createDataFrame([("a", "y", 7, "insert")], f"{DDL}, _change_type string"),
+        keys,
+        measures,
+    )
+    assert _rows_of(back) == [("a", 1, 7), ("b", 1, 5)]
+
+
+def test_malformed_change_type_raises(spark):
+    agg = aggregate_base(
+        spark.createDataFrame([("a", "x", 1)], DDL), ["grp"], {"sum_val": "val"}
+    )
+    ch = spark.createDataFrame(
+        [("a", "x", 1, "upsert")], f"{DDL}, _change_type string"
+    )
+    with pytest.raises(ValueError, match="unknown change type"):
+        maintain_aggregate(agg, ch, ["grp"], {"sum_val": "val"})
+
+
+def test_maintenance_composes_with_the_real_cdf(spark, tmp_path):
+    """End-to-end with the versioned catalog: maintain a downstream
+    aggregate from table_changes commit by commit (the changelog-derived
+    path) and land exactly on the tip's recomputed aggregate — the CDF's
+    production consumer loop."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ddl
+        ),
+        None,
+    )
+    cat.enable_versioning("t")  # v0
+    keys, measures = ["grp"], {"sum_val": "val"}
+    agg = aggregate_base(cat.table_at_version("t", 0), keys, measures)
+    cat.write_append(
+        "t", spark.createDataFrame([(4, "c", 40)], ddl), None
+    )  # v1
+    cat.upsert_by_key(
+        "t", spark.createDataFrame([(2, "a", 99)], ddl), ["id"], None
+    )  # v2: update surfaces as delete+insert
+    cat.delete_by_keys("t", "grp", ["b"])  # v3: group 'b' empties out
+    tip = cat.history("t")[-1]["version"]
+    for v in range(1, tip + 1):
+        agg = maintain_aggregate(
+            agg, cat.table_changes("t", v - 1, v), keys, measures
+        )
+    want = aggregate_base(cat.table("t"), keys, measures)
+    assert _rows_of(agg) == _rows_of(want)
+    assert _rows_of(agg) == [("a", 2, 109), ("c", 1, 40)]
