@@ -105,6 +105,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "ps_excess_stock_suppliers_q20",  # availqty vs half shipped quantity
     "progressive_ycbcr420_jpeg_pixel_stats",  # SOF2 x 4:2:0 composed codec
     "cdf_incremental_aggregate",  # IVM: CDF-maintained agg == recompute
+    "streaming_incremental_aggregate",  # CDF stream -> foreachBatch IVM
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

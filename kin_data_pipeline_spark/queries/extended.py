@@ -875,6 +875,14 @@ def _run_to_memory(stream, sink: str, output_mode: str, timeout_s: int = 300):
         .trigger(availableNow=True)
         .start()
     )
+    _await_and_record(query, sink, timeout_s)
+    return stream.sparkSession.table(sink)
+
+
+def _await_and_record(query, sink: str, timeout_s: int = 300) -> None:
+    """Await an availableNow streaming query and record its execution
+    detail (bench stream_detail contract) — shared by the memory-sink
+    runner and the foreachBatch consumers."""
     if not query.awaitTermination(timeout_s):
         query.stop()
         raise RuntimeError(f"{sink} did not finish in {timeout_s}s")
@@ -888,7 +896,6 @@ def _run_to_memory(stream, sink: str, output_mode: str, timeout_s: int = 300):
             sum(p["durationMs"].get("triggerExecution", 0) for p in progress)
         ),
     }
-    return stream.sparkSession.table(sink)
 
 # Structured Streaming, driver-checkable (§2.9): the watermarked tumbling
 # daily rollup run to completion (availableNow trigger, complete-mode memory
@@ -2318,6 +2325,109 @@ def cdf_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_col="n_orders",
         )
     return agg.select("o_orderstatus", "n_orders", "total_cents")
+
+# The STREAMING form of the loop above — CDF stream → foreachBatch →
+# maintained aggregate: the complete production pattern for keeping a
+# downstream rollup continuously fresh from a mutating upstream table
+# (Delta's readChangeFeed + MERGE refresh, expressed over this engine's
+# catalog_changes source + maintain_aggregate). Each micro-batch's
+# change rows roll the aggregate forward (maintenance is multiset-
+# additive, so batch boundaries don't matter); the driver-held aggregate
+# is localCheckpoint'd per batch because a foreachBatch frame is only
+# valid inside its call. Builds its own scratch history (a foreachBatch
+# consumer must never share the read-only fixture's session cloning).
+# Oracle identical to cdf_incremental_aggregate: the converged aggregate
+# equals the from-scratch recompute at the tip.
+@register(
+    "streaming_incremental_aggregate",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "streaming IVM: the CDF stream drives foreachBatch aggregate "
+        "maintenance — the converged downstream rollup equals the "
+        "from-scratch recompute at the tip"
+    ),
+)
+def streaming_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kin_data_pipeline_spark.operators.incremental import (
+        aggregate_base,
+        maintain_aggregate,
+    )
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    spark = _stream_session(spark)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ivm_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    stored = ["o_orderkey", "o_orderstatus", "cents"]
+    cat.write_full(
+        "orders_fact",
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+        ).select(*stored),
+        None,
+    )
+    cat.enable_versioning("orders_fact")  # v0
+    keys, measures = ["o_orderstatus"], {"total_cents": "cents"}
+    holder = {
+        "agg": aggregate_base(
+            cat.table_at_version("orders_fact", 0),
+            keys,
+            measures,
+            count_col="n_orders",
+        ).localCheckpoint(eager=True)
+    }
+    cat.write_append(
+        "orders_fact",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        ).select(*stored),
+        None,
+    )  # v1
+    cat.delete_by_keys("orders_fact", "o_orderstatus", ["F"])  # v2
+
+    def step(batch_df, _batch_id):
+        holder["agg"] = maintain_aggregate(
+            holder["agg"],
+            batch_df.drop("_commit_version"),
+            keys,
+            measures,
+            count_col="n_orders",
+        ).localCheckpoint(eager=True)
+
+    st = stream_table_changes(
+        spark,
+        cat.warehouse_dir,
+        "orders_fact",
+        "o_orderkey bigint, o_orderstatus string, cents bigint",
+    )
+    q = st.writeStream.foreachBatch(step).trigger(availableNow=True).start()
+    _await_and_record(q, "streaming_incremental_aggregate_sink")
+    out = holder["agg"].select("o_orderstatus", "n_orders", "total_cents")
+    # bounded collect (one row per status) so the scratch warehouse can go
+    rows = out.collect()
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n_orders long, total_cents long"
+    )
 
 # RESTORE over the versioned catalog (Delta RESTORE ... VERSION AS OF):
 # the same versioned history as time_travel_orders_versions, then a
