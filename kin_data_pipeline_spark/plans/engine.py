@@ -342,6 +342,96 @@ class Catalog:
             )
         return w
 
+    # --- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT shape) -----
+    # Declared per table in a sidecar; enforced TASK-SIDE during every
+    # top-level write of incoming data (raise_error wrapped into the
+    # written projection — one pass, no separate validation scan, the
+    # same job-abort shape Delta's invariant checker uses). SQL CHECK
+    # semantics: a row violates only when the expression evaluates to
+    # FALSE; NULL passes. Internal rewrites (delete_by_keys' survivor
+    # rewrite, clone copy-on-write) skip the check — their rows already
+    # passed it when first written — via the same depth counter the
+    # version commits use. Clone aliases do not inherit their source's
+    # constraints (a clone is a new table name; declare them explicitly).
+
+    def _constraints_sidecar(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, f"{name}._constraints.json")
+
+    def constraints(self, name: str) -> dict[str, str]:
+        """Declared CHECK constraints: {constraint_name: sql_expr}."""
+        p = self._constraints_sidecar(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Declare a CHECK constraint. Like Delta's ADD CONSTRAINT, the
+        table's EXISTING rows are scanned once and the declaration is
+        refused if any violates (bounded probe: first violation only) —
+        a constraint must never be born already broken."""
+        cons = self.constraints(name)
+        if cname in cons:
+            raise ValueError(f"constraint {cname!r} already on '{name}'")
+        if self.exists(name):
+            bad = (
+                self.table(name)
+                .filter(F.expr(expr).eqNullSafe(F.lit(False)))
+                .limit(1)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK {cname!r} ({expr}) to '{name}': "
+                    f"existing row violates it: {tuple(bad[0])}"
+                )
+        cons[cname] = expr
+        tmp = self._constraints_sidecar(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f, indent=1)
+        os.replace(tmp, self._constraints_sidecar(name))
+
+    def drop_constraint(self, name: str, cname: str) -> bool:
+        cons = self.constraints(name)
+        if cname not in cons:
+            return False
+        del cons[cname]
+        p = self._constraints_sidecar(name)
+        if cons:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cons, f, indent=1)
+            os.replace(tmp, p)
+        else:
+            os.remove(p)
+        return True
+
+    def _apply_write_constraints(self, name: str, df: DataFrame) -> DataFrame:
+        """Wrap incoming data so every declared CHECK is evaluated per
+        row DURING the write (task-side raise_error folded into the
+        first projected column — single pass, job aborts on the first
+        violation with the constraint name and the offending row).
+        No-op when no constraints are declared or when called from a
+        nested internal rewrite (depth > 1)."""
+        if getattr(self._mutation_state, "depth", 0) != 1:
+            return df
+        cons = self.constraints(name)
+        if not cons or not df.columns:
+            return df
+        first = df.columns[0]
+        wrapped = F.col(first)
+        for cname, expr in sorted(cons.items()):
+            msg = F.concat(
+                F.lit(
+                    f"CHECK constraint {cname!r} ({expr}) violated by row: "
+                ),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+            )
+            wrapped = F.when(
+                F.expr(expr).eqNullSafe(F.lit(False)), F.raise_error(msg)
+            ).otherwise(wrapped)
+        return df.withColumn(first, wrapped)
+
     @_versioned_op("write_full")
     def write_full(
         self,
@@ -351,14 +441,22 @@ class Catalog:
         bloom_cols: Sequence[str] | None = None,
         bloom_ndv: int | None = None,
     ) -> None:
+        df = self._apply_write_constraints(name, df)
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
         cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
+        # staging + swap, like every other rewrite path: a full refresh
+        # that FAILS mid-write (a bad source, a CHECK constraint
+        # violation, an executor loss) must leave the previous table
+        # intact, not a half-deleted directory — full refresh replaces
+        # the table only on success
+        staging = self.path(f"{name}.__staging")
         w = self._bloom_options(df.write.mode("overwrite"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
-        w.parquet(self.path(name))
+        w.parquet(staging)
+        self._publish_staging(name, staging)
         self._save_schema(name, df)
 
     @_versioned_op("write_append")
@@ -370,6 +468,7 @@ class Catalog:
         bloom_cols: Sequence[str] | None = None,
         bloom_ndv: int | None = None,
     ) -> None:
+        df = self._apply_write_constraints(name, df)
         self._heal_compaction(name)
         # Appending to a clone alias materializes it copy-on-write FIRST
         # (Snowflake clone semantics, same as upsert_by_key): dropping the
@@ -599,6 +698,7 @@ class Catalog:
         scoped per date partition (replaceWhere-style) — pass a pre-filtered
         frame and the affected partitions only.
         """
+        df = self._apply_write_constraints(name, df)
         if not self.exists(name):
             self.write_full(name, df, date_col)
             return
@@ -962,7 +1062,9 @@ class Catalog:
         }
         n_deletes = int(counts.get("D", 0))
         n_upserts = sum(int(v) for k, v in counts.items() if k != "D")
-        ups = latest.filter(op != "D").select(*data_cols)
+        ups = self._apply_write_constraints(
+            name, latest.filter(op != "D").select(*data_cols)
+        )
         if not self.exists(name):
             self.write_full(name, ups, date_col)
             return {"upserts": n_upserts, "deletes": n_deletes}
