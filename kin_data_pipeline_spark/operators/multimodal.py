@@ -18,9 +18,8 @@ decode), progressive × subsampled COMBINED (interleaved-DC +
 per-component true-raster AC scans over the general MCU lattice) and
 AVI-MJPG video (RIFF container parse + sampled-frame JPEG decode).
 ``require_codec`` remains only for real-world codecs this container
-cannot express — non-dividing sampling layouts,
-arithmetic/lossless/hierarchical JPEG, interframe video (H.264 etc.),
-lossy resampling; the deterministic fake decoder is kept for opaque
+cannot express — arithmetic/lossless/hierarchical JPEG, interframe
+video (H.264 etc.), lossy resampling; the deterministic fake decoder is kept for opaque
 (non-media) payloads so the batching plumbing stays testable on any
 bytes.
 """
@@ -94,8 +93,8 @@ def require_codec(name: str):
     decode (``decode_baseline_jpeg``: Huffman entropy decode + dequant +
     IDCT) and AVI-MJPG frame extraction (``parse_avi_mjpeg``) are pure
     stdlib/numpy too. This gate covers only the work that genuinely needs
-    a native codec — non-dividing sampling layouts, non-DCT-Huffman JPEG
-    profiles, interframe video (H.264 etc.), lossy resampling.
+    a native codec — non-DCT-Huffman JPEG profiles, interframe video
+    (H.264 etc.), lossy resampling.
     Production clusters ship the libs.
     """
     try:
@@ -1203,6 +1202,206 @@ def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
     return encode_ycbcr_subsampled_jpeg(y_raster, cb_half, cr_half, 2, 2, quant)
 
 
+def _layout_forward(width: int, height: int, planes, factors, quant: int):
+    """Shared prep for the ARBITRARY-layout encoders: validate each
+    component's plane at its true sample dims ceil(H·v_i/vmax) x
+    ceil(W·h_i/hmax) (T.81 A.1.1), edge-pad to its MCU-aligned grid
+    (mch·8·v_i x mcw·8·h_i), and run the forward block path. Returns
+    (zz_list, grid_widths, true_block_dims, (mch, mcw), q)."""
+    import numpy as np
+
+    if len(planes) != len(factors) or not factors:
+        raise ValueError("one (h, v) factor pair per plane required")
+    if any(not (1 <= h <= 4 and 1 <= v <= 4) for h, v in factors):
+        raise ValueError("JPEG sampling factors must be 1..4")
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mch, mcw = -(-height // (8 * vmax)), -(-width // (8 * hmax))
+    zz, gws, tdims, q = [], [], [], None
+    for (h_i, v_i), plane in zip(factors, planes):
+        csh = -(-height * v_i // vmax)
+        csw = -(-width * h_i // hmax)
+        plane = np.asarray(plane)
+        if plane.shape != (csh, csw):
+            raise ValueError(
+                f"component with factors {(h_i, v_i)} must arrive at its "
+                f"true sample dims {(csh, csw)}; got {plane.shape}"
+            )
+        padded = np.pad(
+            plane,
+            ((0, mch * 8 * v_i - csh), (0, mcw * 8 * h_i - csw)),
+            mode="edge",
+        )
+        zz_i, q, _, _ = _jpeg_forward_blocks(padded, quant)
+        zz.append(zz_i)
+        gws.append(mcw * h_i)
+        tdims.append((-(-csh // 8), -(-csw // 8)))
+    return zz, gws, tdims, (mch, mcw), q
+
+
+def _layout_headers(
+    width: int, height: int, factors, q, sof_marker: int, ac_bits, ac_vals
+) -> bytes:
+    dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
+    sof = _jpeg_seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, height, width, len(factors))
+        + b"".join(
+            struct.pack(">BBB", ci + 1, (h << 4) | v, 0)
+            for ci, (h, v) in enumerate(factors)
+        ),
+    )
+    dht = _jpeg_seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def encode_layout_jpeg(
+    width: int, height: int, planes, factors, quant: int = 8
+) -> bytes:
+    """Baseline JFIF JPEG with an ARBITRARY sampling layout — dividing or
+    NOT (e.g. factors [(3,1),(2,1),(1,1)]): one MCU-interleaved scan, per
+    MCU each component contributes its h_i x v_i blocks row-major (T.81
+    A.2.3 places no dividing requirement on the factors; only the 1..4
+    range is law). Planes arrive at their true sample dims; the decoder
+    reconstructs them with the exact index-map upsample
+    full[y][x] = plane[y·v_i//vmax][x·h_i//hmax]."""
+    zz, gws, _tdims, (mch, mcw), q = _layout_forward(
+        width, height, planes, factors, quant
+    )
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
+    bw = _BitWriter()
+    preds = [0] * len(factors)
+    for mcu in range(mch * mcw):
+        my, mx = divmod(mcu, mcw)
+        for ci, (h_i, v_i) in enumerate(factors):
+            for v in range(v_i):
+                for u in range(h_i):
+                    bidx = (my * v_i + v) * gws[ci] + (mx * h_i + u)
+                    preds[ci] = _put_block(
+                        bw, zz[ci][bidx], preds[ci], dc_codes, ac_codes
+                    )
+    sos = _jpeg_seg(
+        0xFFDA,
+        bytes([len(factors)])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(len(factors)))
+        + struct.pack(">BBB", 0, 63, 0),
+    )
+    head = _layout_headers(
+        width, height, factors, q, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
+    )
+    return head + sos + bw.flush() + b"\xff\xd9"
+
+
+def encode_progressive_layout_jpeg(
+    width: int,
+    height: int,
+    planes,
+    factors,
+    quant: int = 8,
+    ac_bands: tuple = ((1, 63),),
+    dc_al: int = 0,
+    ac_al: int = 0,
+) -> bytes:
+    """PROGRESSIVE (SOF2) JFIF JPEG with an ARBITRARY sampling layout.
+    Scan script: one INTERLEAVED DC scan over the frame-level MCU lattice
+    (per MCU: each component's h_i x v_i blocks row-major), per-component
+    NON-INTERLEAVED AC band scans covering each component's TRUE block
+    raster (T.81 A.2.2 — MCU padding travels only in interleaved scans),
+    then DC refinement bit planes (interleaved raw bits) and AC
+    refinement planes per component per band."""
+    bands = list(ac_bands)
+    if any(not 1 <= lo <= hi <= 63 for lo, hi in bands):
+        raise ValueError("ac_bands must be within [1, 63] with lo <= hi")
+    if any(nxt != hi + 1 for (_, hi), (nxt, _) in zip(bands, bands[1:])):
+        raise ValueError("ac_bands must be contiguous and ordered")
+    if not bands or bands[0][0] != 1 or bands[-1][1] != 63:
+        raise ValueError("ac_bands must cover 1..63")
+    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
+        raise ValueError("approximation levels must be within [0, 13]")
+    zz, gws, tdims, (mch, mcw), q = _layout_forward(
+        width, height, planes, factors, quant
+    )
+    ncomp = len(factors)
+    scan_rows = []
+    for ci in range(ncomp):
+        cbh, cbw = tdims[ci]
+        gw = gws[ci]
+        idx = [by * gw + bx for by in range(cbh) for bx in range(cbw)]
+        scan_rows.append(zz[ci][idx])
+    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
+    ac_codes = _huff_codes_cached(
+        tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
+    )
+
+    def _mcu_blocks():
+        for mcu in range(mch * mcw):
+            my, mx = divmod(mcu, mcw)
+            for ci, (h_i, v_i) in enumerate(factors):
+                for v in range(v_i):
+                    for u in range(h_i):
+                        yield ci, (my * v_i + v) * gws[ci] + (mx * h_i + u)
+
+    def _dc_sos(ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA,
+            bytes([ncomp])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+            + struct.pack(">BBB", 0, 0, (ah << 4) | al),
+        )
+
+    def _ac_sos(cid: int, lo: int, hi: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(
+            0xFFDA,
+            bytes([1, cid, 0x00]) + struct.pack(">BBB", lo, hi, (ah << 4) | al),
+        )
+
+    # scan 1: interleaved DC first at Al=dc_al
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for ci, bidx in _mcu_blocks():
+        val = int(zz[ci][bidx][0]) >> dc_al
+        sz, bits = _magnitude_bits(val - preds[ci])
+        preds[ci] = val
+        bw.put(*dc_codes[sz])
+        if sz:
+            bw.put(bits, sz)
+    scans = [_dc_sos(0, dc_al) + bw.flush()]
+
+    # AC first scans: per component, per band (non-interleaved)
+    for ci in range(ncomp):
+        for lo, hi in bands:
+            scans.append(
+                _ac_sos(ci + 1, lo, hi, 0, ac_al)
+                + _encode_ac_first_scan(scan_rows[ci], lo, hi, ac_al, ac_codes)
+            )
+
+    # DC refinement planes: interleaved, one raw bit per block
+    for al in range(dc_al - 1, -1, -1):
+        bwr = _BitWriter()
+        for ci, bidx in _mcu_blocks():
+            bwr.put((int(zz[ci][bidx][0]) >> al) & 1, 1)
+        scans.append(_dc_sos(al + 1, al) + bwr.flush())
+
+    # AC refinement planes, per component per band
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for lo, hi in bands:
+                scans.append(
+                    _ac_sos(ci + 1, lo, hi, al + 1, al)
+                    + _encode_ac_refine_scan(scan_rows[ci], lo, hi, al, ac_codes)
+                )
+
+    head = _layout_headers(
+        width, height, factors, q, 0xFFC2, _JPEG_AC_BITS_PROG, _JPEG_AC_VALS_PROG
+    )
+    return head + b"".join(scans) + b"\xff\xd9"
+
+
 def _encode_ac_first_scan(zzq, lo: int, hi: int, al: int, ac_codes) -> bytes:
     """One progressive AC 'first' scan (Ah=0) over band ``lo..hi`` at
     approximation level ``al`` (T.81 G.1.2.2): coefficients enter at the
@@ -1440,146 +1639,22 @@ def encode_progressive_ycbcr_jpeg(
     ac_al: int = 0,
 ) -> bytes:
     """PROGRESSIVE (SOF2) chroma-subsampled YCbCr JFIF JPEG — the
-    composition of the two round-7 codec generalizations (Annex G
-    spectral selection + successive approximation × the T.81 A.2.3
-    general MCU layout), retiring the progressive-with-subsampling gate.
-
-    Scan script: one INTERLEAVED DC scan over the frame-level MCU
-    lattice (per MCU: the h1·v1 luma blocks row-major, then Cb, then
-    Cr), per-component NON-INTERLEAVED AC band scans covering each
-    component's TRUE block raster (T.81 A.2.2 — the MCU padding rows/
-    cols are transmitted only in interleaved scans), then DC refinement
-    bit planes (interleaved raw bits) and AC refinement planes per
-    component per band. Chroma planes arrive at the subsampled
-    resolution ceil(H/v1) x ceil(W/h1), caller-subsampled, exactly like
-    encode_ycbcr_subsampled_jpeg."""
-    import numpy as np
-
-    bands = list(ac_bands)
-    if any(not 1 <= lo <= hi <= 63 for lo, hi in bands):
-        raise ValueError("ac_bands must be within [1, 63] with lo <= hi")
-    if any(nxt != hi + 1 for (_, hi), (nxt, _) in zip(bands, bands[1:])):
-        raise ValueError("ac_bands must be contiguous and ordered")
-    if not bands or bands[0][0] != 1 or bands[-1][1] != 63:
-        raise ValueError("ac_bands must cover 1..63")
-    if not 0 <= dc_al <= 13 or not 0 <= ac_al <= 13:
-        raise ValueError("approximation levels must be within [0, 13]")
+    3-component luma-subsampled profile (the composition that retired the
+    progressive-with-subsampling gate), now a thin wrapper over the
+    ARBITRARY-layout progressive encoder. Chroma planes arrive at the
+    subsampled resolution ceil(H/v1) x ceil(W/h1), caller-subsampled,
+    exactly like encode_ycbcr_subsampled_jpeg."""
     h, w = y_raster.shape
-    mch, mcw = -(-h // (8 * v1)), -(-w // (8 * h1))
-    ch, cw = -(-h // v1), -(-w // h1)
-    if cb_sub.shape != (ch, cw) or cr_sub.shape != (ch, cw):
-        raise ValueError(
-            f"chroma planes must be subsampled resolution {(ch, cw)}; "
-            f"got {cb_sub.shape} / {cr_sub.shape}"
-        )
-    ypad = np.pad(
-        np.asarray(y_raster),
-        ((0, mch * 8 * v1 - h), (0, mcw * 8 * h1 - w)),
-        mode="edge",
+    return encode_progressive_layout_jpeg(
+        w,
+        h,
+        [y_raster, cb_sub, cr_sub],
+        [(h1, v1), (1, 1), (1, 1)],
+        quant,
+        ac_bands,
+        dc_al,
+        ac_al,
     )
-    cbpad = np.pad(
-        np.asarray(cb_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
-    )
-    crpad = np.pad(
-        np.asarray(cr_sub), ((0, mch * 8 - ch), (0, mcw * 8 - cw)), mode="edge"
-    )
-    zz_y, q, _, _ = _jpeg_forward_blocks(ypad, quant)
-    zz_cb, _, _, _ = _jpeg_forward_blocks(cbpad, quant)
-    zz_cr, _, _, _ = _jpeg_forward_blocks(crpad, quant)
-    zz = [zz_y, zz_cb, zz_cr]
-    hs, vs = [h1, 1, 1], [v1, 1, 1]
-    grid_ws = [mcw * h1, mcw, mcw]
-    # true (unpadded) block rasters: luma covers the frame, chroma's
-    # 8-aligned subsampled grid coincides with the MCU lattice
-    true_dims = [
-        (-(-h // 8), -(-w // 8)),
-        (-(-ch // 8), -(-cw // 8)),
-        (-(-ch // 8), -(-cw // 8)),
-    ]
-    scan_rows = []
-    for ci in range(3):
-        cbh, cbw = true_dims[ci]
-        gw = grid_ws[ci]
-        idx = [by * gw + bx for by in range(cbh) for bx in range(cbw)]
-        scan_rows.append(zz[ci][idx])
-    dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
-    ac_codes = _huff_codes_cached(
-        tuple(_JPEG_AC_BITS_PROG), tuple(_JPEG_AC_VALS_PROG)
-    )
-
-    def _mcu_blocks():
-        for mcu in range(mch * mcw):
-            my, mx = divmod(mcu, mcw)
-            for ci in range(3):
-                for v in range(vs[ci]):
-                    for u in range(hs[ci]):
-                        yield ci, (my * vs[ci] + v) * grid_ws[ci] + (
-                            mx * hs[ci] + u
-                        )
-
-    def _dc_sos(ah: int, al: int) -> bytes:
-        return _jpeg_seg(
-            0xFFDA,
-            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
-            + struct.pack(">BBB", 0, 0, (ah << 4) | al),
-        )
-
-    def _ac_sos(cid: int, lo: int, hi: int, ah: int, al: int) -> bytes:
-        return _jpeg_seg(
-            0xFFDA,
-            bytes([1, cid, 0x00]) + struct.pack(">BBB", lo, hi, (ah << 4) | al),
-        )
-
-    # scan 1: interleaved DC first at Al=dc_al
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for ci, bidx in _mcu_blocks():
-        val = int(zz[ci][bidx][0]) >> dc_al
-        sz, bits = _magnitude_bits(val - preds[ci])
-        preds[ci] = val
-        bw.put(*dc_codes[sz])
-        if sz:
-            bw.put(bits, sz)
-    scans = [_dc_sos(0, dc_al) + bw.flush()]
-
-    # AC first scans: per component, per band (non-interleaved)
-    for ci, cid in enumerate((1, 2, 3)):
-        for lo, hi in bands:
-            scans.append(
-                _ac_sos(cid, lo, hi, 0, ac_al)
-                + _encode_ac_first_scan(scan_rows[ci], lo, hi, ac_al, ac_codes)
-            )
-
-    # DC refinement planes: interleaved, one raw bit per block
-    for al in range(dc_al - 1, -1, -1):
-        bwr = _BitWriter()
-        for ci, bidx in _mcu_blocks():
-            bwr.put((int(zz[ci][bidx][0]) >> al) & 1, 1)
-        scans.append(_dc_sos(al + 1, al) + bwr.flush())
-
-    # AC refinement planes, per component per band
-    for al in range(ac_al - 1, -1, -1):
-        for ci, cid in enumerate((1, 2, 3)):
-            for lo, hi in bands:
-                scans.append(
-                    _ac_sos(cid, lo, hi, al + 1, al)
-                    + _encode_ac_refine_scan(scan_rows[ci], lo, hi, al, ac_codes)
-                )
-
-    dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
-    sof = _jpeg_seg(
-        0xFFC2,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + struct.pack(">BBB", 1, (h1 << 4) | v1, 0)
-        + struct.pack(">BBB", 2, 0x11, 0)
-        + struct.pack(">BBB", 3, 0x11, 0),
-    )
-    dht = _jpeg_seg(
-        0xFFC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS_PROG) + bytes(_JPEG_AC_VALS_PROG),
-    )
-    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -1722,16 +1797,17 @@ def decode_baseline_jpeg(content: bytes):
     2-D IDCT, level-shifts, clamps and crops. Baseline (SOF0/1) AND the
     full Annex G progressive profile (SOF2: any DC/AC band scan script
     with EOBn runs, spectral selection AND successive-approximation
-    first/refinement scans) are supported. Sampling: any DIVIDING layout
-    (every h_i | hmax and v_i | vmax — 4:2:0, 4:2:2, 4:4:0, 4:1:1 ...)
-    for both BASELINE and PROGRESSIVE streams: interleaved scans walk
+    first/refinement scans) are supported. Sampling: ANY factor layout
+    in T.81's legal 1..4 range — dividing (4:2:0, 4:2:2, 4:4:0, 4:1:1)
+    or not — for both BASELINE and PROGRESSIVE streams: interleaved scans walk
     the frame-level MCU lattice with h_i x v_i blocks per component,
     non-interleaved (progressive AC / single-component DC) scans walk
     each component's TRUE block raster mapped into its padded grid
     (T.81 A.2.2/A.2.3), nearest-neighbor chroma upsample to full
     resolution (no color transform: components return as coded, so a
-    YCbCr stream yields YCbCr planes). The remaining honest gates are
-    non-dividing sampling layouts and non-Huffman/non-8-bit profiles
+    YCbCr stream yields YCbCr planes; non-dividing factors upsample by
+    the exact nearest index map full[y][x] = plane[y·v/vmax][x·h/hmax]).
+    The remaining honest gates are non-Huffman/non-8-bit profiles
     (NotImplementedError). Grayscale returns (H, W), multi-component
     (H, W, C); ValueError on malformed streams.
     """
@@ -1793,12 +1869,6 @@ def decode_baseline_jpeg(content: bytes):
             # component frames take the general MCU-interleaved path
             subsampled = len(comps) > 1 and any(s != 0x11 for s in samplings)
             hmax, vmax = max(hs), max(vs)
-            if subsampled and any(
-                hmax % h or vmax % v for h, v in zip(hs, vs)
-            ):
-                raise NotImplementedError(
-                    "non-dividing JPEG sampling layout needs a native codec"
-                )
             frame = (height, width, comps, subsampled, hs, vs)
             progressive = marker == 0xC2
             # per-component block grids: equal-sampling frames share one
@@ -2087,13 +2157,18 @@ def decode_baseline_jpeg(content: bytes):
         )
     if subsampled:
         # component i decodes at its true sample dims ceil(H·v_i/vmax) x
-        # ceil(W·h_i/hmax) (T.81 A.1.1): crop there, then integer
-        # nearest-neighbor upsample back to full resolution
+        # ceil(W·h_i/hmax) (T.81 A.1.1); nearest-neighbor upsample back
+        # to full resolution via the exact index map
+        # full[y][x] = plane[y·v_i//vmax][x·h_i//hmax] — identical to a
+        # repeat() for dividing factors, and equally defined for
+        # NON-DIVIDING layouts (e.g. hmax=3 over h_i=2), which T.81
+        # permits (only the 1..4 range is law; the upsample filter is
+        # decoder's choice, and nearest is the deterministic one)
         hmax, vmax = max(hs), max(vs)
+        rows = np.arange(height)
+        cols = np.arange(width)
         planes = [
-            p[: -(-height * v_i // vmax), : -(-width * h_i // hmax)]
-            .repeat(vmax // v_i, axis=0)
-            .repeat(hmax // h_i, axis=1)
+            p[(rows * v_i) // vmax][:, (cols * h_i) // hmax]
             for p, h_i, v_i in zip(planes, hs, vs)
         ]
     out = [

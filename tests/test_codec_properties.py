@@ -112,3 +112,37 @@ def test_progressive_subsampled_matches_baseline_subsampled(
     )
     assert base.shape == prog.shape == (h, w, 3)
     assert np.array_equal(base, prog)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    f0=st.tuples(st.integers(1, 4), st.integers(1, 4)),
+    f1=st.tuples(st.integers(1, 4), st.integers(1, 4)),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_arbitrary_layout_roundtrip(h, w, f0, f1, progressive, seed):
+    """ANY 1..4 factor layout (dividing or not): baseline and progressive
+    encodings of the same planes decode identically, at the declared full
+    resolution, with a third 1x1 component riding along."""
+    rng = np.random.default_rng(seed)
+    factors = [f0, f1, (1, 1)]
+    hmax = max(x for x, _ in factors)
+    vmax = max(y for _, y in factors)
+    planes = [
+        rng.integers(
+            0, 256, (-(-h * v // vmax), -(-w * x // hmax)), dtype=np.uint8
+        )
+        for x, v in factors
+    ]
+    base = mm.decode_baseline_jpeg(mm.encode_layout_jpeg(w, h, planes, factors))
+    assert base.shape == (h, w, 3)
+    if progressive:
+        prog = mm.decode_baseline_jpeg(
+            mm.encode_progressive_layout_jpeg(
+                w, h, planes, factors, 8, ((1, 63),), 1, 1
+            )
+        )
+        assert np.array_equal(base, prog)

@@ -1018,10 +1018,11 @@ def test_ycbcr_general_sampling_layouts_round_trip():
 
 
 def test_ycbcr_remaining_gates_still_raise():
-    """Gate narrowing is honest: NON-DIVIDING sampling layouts still
-    refuse with NotImplementedError (progressive+subsampled graduated to
-    a supported profile in round 8 — see
-    test_progressive_subsampled_gate_retired below)."""
+    """Gate narrowing is honest: sampling factors outside T.81's 1..4
+    range are malformed (ValueError), and the gates that REMAIN are the
+    non-DCT-Huffman profiles (both subsampling gates graduated to
+    supported profiles — dividing in r7, progressive x subsampled and
+    non-dividing layouts in r8; see the positive tests below)."""
     import pytest as _pytest
 
     from kin_data_pipeline_spark.operators.multimodal import (
@@ -1039,12 +1040,15 @@ def test_ycbcr_remaining_gates_still_raise():
     comp0_sampling = sof_at + 4 + 6 + 1  # marker+len + P/Y/X/Nf + cid
     comp1_sampling = comp0_sampling + 3
     assert payload[comp0_sampling] == 0x22 and payload[comp1_sampling] == 0x11
-    # hs = [3, 2, 1]: hmax=3 does not divide by comp1's h=2
+    # factor 5 exceeds T.81's 1..4 legal range: malformed, not a gate
     bad = bytearray(payload)
-    bad[comp0_sampling] = 0x33
-    bad[comp1_sampling] = 0x22
-    with _pytest.raises(NotImplementedError, match="non-dividing"):
+    bad[comp0_sampling] = 0x55
+    with _pytest.raises(ValueError, match="1..4"):
         decode_baseline_jpeg(bytes(bad))
+    # arithmetic-coded SOF (0xC9) remains an honest gate
+    arith = payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError, match="non-DCT-Huffman"):
+        decode_baseline_jpeg(arith)
     # progressive + subsampling is no longer a gate: a SOF0 stream
     # relabeled SOF2 is now PARSED as progressive and fails as the
     # malformed stream it is (its baseline scan header is not a legal
@@ -1077,3 +1081,42 @@ def test_progressive_subsampled_gate_retired():
     )
     assert base.shape == prog.shape == (17, 21, 3)
     assert np.array_equal(base, prog)
+
+
+def test_non_dividing_sampling_layout_decodes_exactly():
+    """Non-dividing factor layouts (e.g. hmax=3 over h=2) are supported
+    for real: block-constant planes round-trip losslessly through the
+    arbitrary-layout encoder, and every decoded pixel equals the exact
+    nearest index map full[y][x] = plane[y*v//vmax][x*h//hmax] — for
+    BASELINE and PROGRESSIVE (with successive approximation) alike."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_baseline_jpeg,
+        encode_layout_jpeg,
+        encode_progressive_layout_jpeg,
+    )
+
+    H, W = 24, 30
+    factors = [(3, 1), (2, 1), (1, 1)]  # hmax=3: 2 and 1 do not divide it
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    planes = []
+    for h, v in factors:
+        sh, sw = -(-H * v // vmax), -(-W * h // hmax)
+        by, bx = np.meshgrid(
+            np.arange(sh) // 8, np.arange(sw) // 8, indexing="ij"
+        )
+        planes.append(((by * 17 + bx * 11) % 256).astype(np.uint8))
+    dec = decode_baseline_jpeg(encode_layout_jpeg(W, H, planes, factors))
+    assert dec.shape == (H, W, 3)
+    rows, cols = np.arange(H), np.arange(W)
+    for ci, ((h, v), p) in enumerate(zip(factors, planes)):
+        want = p[(rows * v) // vmax][:, (cols * h) // hmax]
+        assert np.array_equal(dec[:, :, ci], want), ci
+    prog = decode_baseline_jpeg(
+        encode_progressive_layout_jpeg(
+            W, H, planes, factors, 8, ((1, 5), (6, 63)), 2, 1
+        )
+    )
+    assert np.array_equal(dec, prog)
