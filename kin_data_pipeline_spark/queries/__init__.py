@@ -106,6 +106,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "progressive_ycbcr420_jpeg_pixel_stats",  # SOF2 x 4:2:0 composed codec
     "cdf_incremental_aggregate",  # IVM: CDF-maintained agg == recompute
     "streaming_incremental_aggregate",  # CDF stream -> foreachBatch IVM
+    "ps_part_supplier_counts_q16",  # Q16 from real partsupp, NOT IN anti
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

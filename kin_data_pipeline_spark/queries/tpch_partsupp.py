@@ -392,3 +392,54 @@ def ps_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame
     return s.join(
         F.broadcast(excess), s["s_suppkey"] == F.col("ps_suppkey"), "left_semi"
     ).select("s_name", "acctbal")
+
+
+# TPC-H Q16, unadapted source: in the spec the supplier-per-part counts
+# come from PARTSUPP (the adapted twin `part_supplier_counts_q16` proxied
+# them through lineitem) — distinct ps_suppkey per brand x size-decade,
+# excluding a NOT IN supplier blocklist compiled as a broadcast anti
+# join. partsupp never shuffles for the exclusion; the distinct-count
+# shuffles once on the group keys.
+@register(
+    "ps_part_supplier_counts_q16",
+    f"""
+    WITH {PARTSUPP_CTE}
+    SELECT p.p_brand,
+           CAST(FLOOR(p.p_size / 10) AS INTEGER) AS size_decade,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "TPC-H Q16 unadapted: distinct-supplier counts per brand/size "
+        "bucket from synthesized PARTSUPP with a NOT IN blocklist as a "
+        "broadcast anti join"
+    ),
+)
+def ps_part_supplier_counts_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = synth_partsupp(spark, sf_dir)
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") != "PROMO")
+        .select(
+            F.col("p_partkey").cast("long").alias("pk"),
+            "p_brand",
+            F.floor(F.col("p_size") / 10).cast("int").alias("size_decade"),
+        )
+    )
+    blocked = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").cast("long").alias("bk"))
+    )
+    return (
+        ps.join(p, ps["ps_partkey"] == p["pk"])
+        .join(blocked, ps["ps_suppkey"] == blocked["bk"], "left_anti")
+        .groupBy("p_brand", "size_decade")
+        .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
