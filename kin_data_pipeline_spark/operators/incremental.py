@@ -128,3 +128,55 @@ def maintain_aggregate(
     return joined.select(*keys, n.alias(count_col), *sums).filter(
         F.col(count_col) > 0
     )
+
+
+def distinct_support(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    support_col: str = "n_support",
+) -> DataFrame:
+    """The auxiliary state that makes COUNT(DISTINCT value) maintainable
+    under deletes: the (group, value) -> multiplicity table. A plain
+    distinct count is NOT distributive (a delete can't tell whether other
+    rows still carry the value), but the support multiset is — classic
+    IVM. NULL values are excluded, matching COUNT(DISTINCT)'s NULL rule."""
+    return df.filter(F.col(value_col).isNotNull()).groupBy(
+        *group_cols, value_col
+    ).agg(F.count(F.lit(1)).cast("long").alias(support_col))
+
+
+def maintain_distinct_support(
+    support: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    support_col: str = "n_support",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Roll the support table forward from CDF rows — exactly
+    ``maintain_aggregate`` at (group, value) grain with no SUM measures:
+    a value's support reaching zero drops its row, so the derived
+    distinct count shrinks precisely when the LAST row carrying the
+    value is deleted."""
+    return maintain_aggregate(
+        support,
+        changes.filter(F.col(value_col).isNotNull()),
+        [*group_cols, value_col],
+        {},
+        count_col=support_col,
+        change_type_col=change_type_col,
+    )
+
+
+def distinct_count_from_support(
+    support: DataFrame,
+    group_cols: Sequence[str],
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT value) per group, derived from the support table:
+    one row per surviving (group, value) pair, so the count is a plain
+    row count — support-table-sized, never touching the base."""
+    return support.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(out_col)
+    )

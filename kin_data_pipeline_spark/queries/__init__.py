@@ -107,6 +107,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "cdf_incremental_aggregate",  # IVM: CDF-maintained agg == recompute
     "streaming_incremental_aggregate",  # CDF stream -> foreachBatch IVM
     "ps_part_supplier_counts_q16",  # Q16 from real partsupp, NOT IN anti
+    "cdf_incremental_distinct_count",  # IVM COUNT(DISTINCT) via support
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

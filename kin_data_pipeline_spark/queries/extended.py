@@ -2326,6 +2326,54 @@ def cdf_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return agg.select("o_orderstatus", "n_orders", "total_cents")
 
+# COUNT(DISTINCT) maintained through the CDF — the non-distributive case:
+# a delete can't tell whether OTHER rows still carry the value, so the
+# maintained state is the (group, value) -> multiplicity SUPPORT table
+# (operators/incremental.py::distinct_support), rolled forward like any
+# COUNT aggregate at (group, value) grain; the distinct count derives as
+# a support-table row count. Maintained per-status distinct order DATES
+# through both fixture commits == the from-scratch recompute at v2
+# (appending 1997-98 adds new dates; erasing 'F' removes its group).
+# Support state is value-cardinality-sized — at 100 TB that is the known
+# cost of EXACT distinct IVM (approximate alternatives live in the
+# sketch tier).
+@register(
+    "cdf_incremental_distinct_count",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "incremental COUNT(DISTINCT) via a maintained (group, value) "
+        "support multiset rolled forward from CDF rows — equals the "
+        "from-scratch distinct count at the tip"
+    ),
+)
+def cdf_incremental_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.incremental import (
+        distinct_count_from_support,
+        distinct_support,
+        maintain_distinct_support,
+    )
+
+    cat = _tt_versioned_fixture(spark, sf_dir)
+    sup = distinct_support(
+        cat.table_at_version("orders_fact", 0), ["o_orderstatus"], "o_orderdate"
+    )
+    for v in (1, 2):
+        sup = maintain_distinct_support(
+            sup,
+            cat.table_changes("orders_fact", v - 1, v),
+            ["o_orderstatus"],
+            "o_orderdate",
+        )
+    return distinct_count_from_support(
+        sup, ["o_orderstatus"], out_col="n_order_dates"
+    )
+
 # The STREAMING form of the loop above — CDF stream → foreachBatch →
 # maintained aggregate: the complete production pattern for keeping a
 # downstream rollup continuously fresh from a mutating upstream table

@@ -131,3 +131,52 @@ def test_maintenance_composes_with_the_real_cdf(spark, tmp_path):
     want = aggregate_base(cat.table("t"), keys, measures)
     assert _rows_of(agg) == _rows_of(want)
     assert _rows_of(agg) == [("a", 2, 109), ("c", 1, 40)]
+
+
+def test_distinct_count_maintenance_equals_recompute(spark, tmp_path):
+    """COUNT(DISTINCT) via the maintained support multiset: the derived
+    count equals a from-scratch recompute after every commit — including
+    the case where deleting ONE of two rows carrying a value must NOT
+    shrink the count, and deleting the last one must."""
+    from kin_data_pipeline_spark.operators.incremental import (
+        distinct_count_from_support,
+        distinct_support,
+        maintain_distinct_support,
+    )
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            # grp 'a' carries val 10 TWICE (ids 1 and 2)
+            [(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "b", 30), (5, "b", None)],
+            ddl,
+        ),
+        None,
+    )
+    cat.enable_versioning("t")  # v0
+    sup = distinct_support(cat.table_at_version("t", 0), ["grp"], "val")
+    cat.delete_by_keys("t", "id", ["1"])  # v1: (a,10) support 2 -> 1
+    cat.delete_by_keys("t", "id", ["2"])  # v2: (a,10) support 1 -> 0
+    cat.write_append(
+        "t", spark.createDataFrame([(6, "b", 30), (7, "b", 40)], ddl), None
+    )  # v3: (b,30) support up, (b,40) new
+    for v in (1, 2, 3):
+        sup = maintain_distinct_support(
+            sup, cat.table_changes("t", v - 1, v), ["grp"], "val"
+        )
+        got = sorted(
+            tuple(r)
+            for r in distinct_count_from_support(sup, ["grp"]).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in cat.table_at_version("t", v)
+            .groupBy("grp")
+            .agg(F.count_distinct("val").cast("long").alias("n_distinct"))
+            .collect()
+        )
+        assert got == want, (v, got, want)
+    assert got == [("a", 1), ("b", 2)]
