@@ -180,3 +180,103 @@ def distinct_count_from_support(
     return support.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(out_col)
     )
+
+
+def minmax_base(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    min_col: str = "min_val",
+    max_col: str = "max_val",
+) -> DataFrame:
+    """Per-group MIN/MAX in the shape ``maintain_minmax`` preserves
+    (groups with only-NULL values carry NULL extrema, like SQL MIN/MAX)."""
+    return df.groupBy(*group_cols).agg(
+        F.min(value_col).alias(min_col), F.max(value_col).alias(max_col)
+    )
+
+
+def maintain_minmax(
+    minmax: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    min_col: str = "min_val",
+    max_col: str = "max_val",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """MIN/MAX under deletes — the HYBRID form (the honest one): an
+    insert can only improve an extremum (pure delta math), but deleting
+    the current extremum needs the base, so exactly the AFFECTED groups
+    — those where a deleted value ties the stored extremum, or whose
+    row membership may have emptied — are recomputed from ``base``
+    (the POST-change table, e.g. the newer snapshot or the live table),
+    while every other group is maintained delta-only.
+
+    Scale shape: the affected-group set is changes-bounded; the base
+    rescan is a semi join on those groups (partition-pruned when the
+    base is partitioned or clustered by them), so the recompute cost is
+    affected-groups-sized, never a full re-aggregation. This is the
+    standard IVM treatment of non-distributive extrema; pick
+    ``maintain_aggregate`` for the distributive measures instead.
+    """
+    ch = changes
+    ins = ch.filter(F.col(change_type_col) == "insert")
+    dels = ch.filter(F.col(change_type_col) == "delete")
+    # per-group delta summary: best inserted values + deleted extrema
+    dsum = (
+        ch.groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_min"),
+            F.max(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_max"),
+            F.min(F.when(F.col(change_type_col) == "delete", F.col(value_col))).alias("__del_min"),
+            F.max(F.when(F.col(change_type_col) == "delete", F.col(value_col))).alias("__del_max"),
+            # any-delete marker must count NULL-VALUED deletes too: a
+            # group emptied through all-NULL rows has no deleted extremum
+            # yet must still rebuild (to vanish or re-derive NULL extrema)
+            F.max(
+                F.when(F.col(change_type_col) == "delete", F.lit(1))
+            ).alias("__saw_del"),
+        )
+    )
+    a, d = minmax.alias("a"), dsum.alias("d")
+    cond = None
+    for c in group_cols:
+        term = F.col(f"a.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = term if cond is None else (cond & term)
+    joined = a.join(d, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"a.{c}"), F.col(f"d.{c}")).alias(c)
+        for c in group_cols
+    ]
+    # a group needs the base iff a deletion REACHED its stored extremum
+    # (the surviving extremum is unknown), or it saw any delete while
+    # being new/unknown to the stored state, or membership may be gone
+    had_state = F.col(f"a.{min_col}").isNotNull() | F.col(f"a.{max_col}").isNotNull()
+    saw_delete = F.col("__saw_del").isNotNull()
+    hit_min = saw_delete & (F.col("__del_min") <= F.col(f"a.{min_col}"))
+    hit_max = saw_delete & (F.col("__del_max") >= F.col(f"a.{max_col}"))
+    needs_base = F.coalesce(
+        (saw_delete & ~had_state) | hit_min | hit_max, F.lit(False)
+    )
+    delta_min = F.least(F.col(f"a.{min_col}"), F.col("__ins_min"))
+    delta_max = F.greatest(F.col(f"a.{max_col}"), F.col("__ins_max"))
+    merged = joined.select(
+        *keys,
+        needs_base.alias("__needs_base"),
+        delta_min.alias(min_col),
+        delta_max.alias(max_col),
+    )
+    clean = merged.filter(~F.col("__needs_base")).drop("__needs_base")
+    dirty_keys = merged.filter(F.col("__needs_base")).select(*group_cols)
+    # affected groups only: semi join prunes the base scan, and groups
+    # that emptied out simply produce no row (groupBy of zero rows)
+    rebuilt = minmax_base(
+        base.join(F.broadcast(dirty_keys), list(group_cols), "left_semi"),
+        group_cols,
+        value_col,
+        min_col,
+        max_col,
+    )
+    return clean.unionByName(rebuilt)

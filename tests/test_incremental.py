@@ -180,3 +180,84 @@ def test_distinct_count_maintenance_equals_recompute(spark, tmp_path):
         )
         assert got == want, (v, got, want)
     assert got == [("a", 1), ("b", 2)]
+
+
+def test_minmax_hybrid_maintenance_equals_recompute(spark, tmp_path):
+    """MIN/MAX through random change batches: delta-only when deletes
+    miss the extrema, base-assisted (affected groups only) when they hit
+    them — always equal to the from-scratch recompute."""
+    import random
+
+    from kin_data_pipeline_spark.operators.incremental import (
+        maintain_minmax,
+        minmax_base,
+    )
+
+    rng = random.Random(88)
+
+    def rand_val():
+        # NULLs included: SQL MIN/MAX ignore them, and a group emptied
+        # through all-NULL rows must still vanish from the maintained state
+        return rng.choice([None, None, *range(0, 50, 7)]) if rng.random() < 0.3 else rng.randrange(0, 50)
+
+    base = [
+        (rng.choice(["a", "b", "c"]), "x", rand_val())
+        for _ in range(30)
+    ]
+    mm = minmax_base(spark.createDataFrame(base, DDL), ["grp"], "val")
+    for _ in range(6):
+        deletes = rng.sample(base, k=rng.randrange(0, 14))
+        inserts = [
+            (rng.choice(["a", "b", "c", "d"]), "x", rand_val())
+            for _ in range(rng.randrange(0, 8))
+        ]
+        for r in deletes:
+            base.remove(r)
+        base.extend(inserts)
+        ch = spark.createDataFrame(
+            [(*r, "delete") for r in deletes] + [(*r, "insert") for r in inserts]
+            or [("z", "x", 0, "insert")],
+            f"{DDL}, _change_type string",
+        )
+        if not deletes and not inserts:
+            ch = ch.limit(0)
+        post = spark.createDataFrame(base, DDL) if base else spark.createDataFrame([], DDL)
+        mm = maintain_minmax(mm, ch, post, ["grp"], "val")
+        want = minmax_base(post, ["grp"], "val")
+        assert _rows_of(mm) == _rows_of(want)
+
+
+def test_minmax_composes_with_the_real_cdf(spark, tmp_path):
+    """End-to-end: MIN/MAX maintained from table_changes, the base
+    argument being each step's post-change snapshot — deleting the
+    current max forces the affected-group rebuild and lands on the
+    recompute."""
+    from kin_data_pipeline_spark.operators.incremental import (
+        maintain_minmax,
+        minmax_base,
+    )
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame([(1, "a", 10), (2, "a", 99), (3, "b", 5)], ddl),
+        None,
+    )
+    cat.enable_versioning("t")  # v0
+    mm = minmax_base(cat.table_at_version("t", 0), ["grp"], "val")
+    cat.delete_by_keys("t", "id", ["2"])  # v1: drops a's MAX
+    cat.write_append(
+        "t", spark.createDataFrame([(4, "b", 1)], ddl), None
+    )  # v2: improves b's MIN (delta-only path)
+    for v in (1, 2):
+        mm = maintain_minmax(
+            mm,
+            cat.table_changes("t", v - 1, v),
+            cat.table_at_version("t", v),
+            ["grp"],
+            "val",
+        )
+    assert _rows_of(mm) == _rows_of(minmax_base(cat.table("t"), ["grp"], "val"))
+    assert _rows_of(mm) == [("a", 10, 10), ("b", 1, 5)]
