@@ -221,12 +221,9 @@ def maintain_minmax(
     standard IVM treatment of non-distributive extrema; pick
     ``maintain_aggregate`` for the distributive measures instead.
     """
-    ch = changes
-    ins = ch.filter(F.col(change_type_col) == "insert")
-    dels = ch.filter(F.col(change_type_col) == "delete")
     # per-group delta summary: best inserted values + deleted extrema
     dsum = (
-        ch.groupBy(*group_cols)
+        changes.groupBy(*group_cols)
         .agg(
             F.min(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_min"),
             F.max(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_max"),

@@ -1260,20 +1260,57 @@ def _layout_headers(
 
 
 def encode_layout_jpeg(
-    width: int, height: int, planes, factors, quant: int = 8
+    width: int,
+    height: int,
+    planes,
+    factors,
+    quant: int = 8,
+    scan_mode: str = "interleaved",
 ) -> bytes:
     """Baseline JFIF JPEG with an ARBITRARY sampling layout — dividing or
-    NOT (e.g. factors [(3,1),(2,1),(1,1)]): one MCU-interleaved scan, per
-    MCU each component contributes its h_i x v_i blocks row-major (T.81
-    A.2.3 places no dividing requirement on the factors; only the 1..4
-    range is law). Planes arrive at their true sample dims; the decoder
-    reconstructs them with the exact index-map upsample
-    full[y][x] = plane[y·v_i//vmax][x·h_i//hmax]."""
-    zz, gws, _tdims, (mch, mcw), q = _layout_forward(
+    NOT (e.g. factors [(3,1),(2,1),(1,1)]); T.81 A.2.3 places no dividing
+    requirement on the factors (only the 1..4 range is law). Planes
+    arrive at their true sample dims; the decoder reconstructs them with
+    the exact index-map upsample full[y][x] = plane[y·v_i//vmax][x·h_i//hmax].
+
+    ``scan_mode``: "interleaved" emits the classic single SOS (per MCU
+    each component contributes its h_i x v_i blocks row-major);
+    "per_component" emits MULTI-SCAN BASELINE — one non-interleaved SOS
+    per component over its TRUE block raster (T.81 A.2.2; the form
+    sequential encoders use when an MCU would exceed 10 blocks)."""
+    zz, gws, tdims, (mch, mcw), q = _layout_forward(
         width, height, planes, factors, quant
     )
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
+    head = _layout_headers(
+        width, height, factors, q, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
+    )
+    if scan_mode == "per_component":
+        scans = []
+        for ci in range(len(factors)):
+            bw = _BitWriter()
+            pred = 0
+            cbh, cbw = tdims[ci]
+            for by in range(cbh):
+                for bx in range(cbw):
+                    pred = _put_block(
+                        bw,
+                        zz[ci][by * gws[ci] + bx],
+                        pred,
+                        dc_codes,
+                        ac_codes,
+                    )
+            scans.append(
+                _jpeg_seg(
+                    0xFFDA,
+                    bytes([1, ci + 1, 0x00]) + struct.pack(">BBB", 0, 63, 0),
+                )
+                + bw.flush()
+            )
+        return head + b"".join(scans) + b"\xff\xd9"
+    if scan_mode != "interleaved":
+        raise ValueError(f"unknown scan_mode {scan_mode!r}")
     bw = _BitWriter()
     preds = [0] * len(factors)
     for mcu in range(mch * mcw):
@@ -1290,9 +1327,6 @@ def encode_layout_jpeg(
         bytes([len(factors)])
         + b"".join(bytes([ci + 1, 0x00]) for ci in range(len(factors)))
         + struct.pack(">BBB", 0, 63, 0),
-    )
-    head = _layout_headers(
-        width, height, factors, q, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
     )
     return head + sos + bw.flush() + b"\xff\xd9"
 
@@ -1837,10 +1871,18 @@ def decode_baseline_jpeg(content: bytes):
             off = 0
             while off < len(payload):
                 pq, tq = payload[off] >> 4, payload[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtables[tq] = list(payload[off + 1 : off + 65])
-                off += 65
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT precision field must be 0/1, got {pq}")
+                if pq:  # Pq=1: 16-bit big-endian entries (T.81 B.2.4.1)
+                    qtables[tq] = [
+                        (payload[off + 1 + 2 * k] << 8)
+                        | payload[off + 2 + 2 * k]
+                        for k in range(64)
+                    ]
+                    off += 129
+                else:
+                    qtables[tq] = list(payload[off + 1 : off + 65])
+                    off += 65
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(payload):
@@ -1939,23 +1981,27 @@ def decode_baseline_jpeg(content: bytes):
                     for bx in range(cbw):
                         yield by * gw + bx
             if not progressive:
-                if [c for c, _ in comps] != list(scan_tables):
-                    raise NotImplementedError("multi-scan baseline JPEG unsupported")
                 if ah or al:
                     raise ValueError("baseline scan with approximation bits")
-                preds = [0] * len(comps)
-                if subsampled:
-                    # general MCU order (T.81 A.2.3): per MCU, component
-                    # i contributes its h_i x v_i blocks row-major;
-                    # restart interval counts MCUs
+                unknown = [cs for cs in scan_tables if cs not in cindex]
+                if unknown:
+                    raise ValueError(f"SOS references unknown components {unknown}")
+                if ns > 1:
+                    # interleaved scan over the frame-level MCU lattice
+                    # (T.81 A.2.3): any subset of the frame's components,
+                    # each contributing its h_i x v_i blocks row-major per
+                    # MCU (one block each for equal sampling); the classic
+                    # single-scan baseline is the all-components case.
+                    # Restart interval counts MCUs.
+                    scomps = [(cindex[cs], scan_tables[cs]) for cs in scan_tables]
+                    preds = [0] * len(scomps)
                     mch, mcw = mcu_dims
                     for mcu in range(mch * mcw):
                         if restart_interval and mcu and mcu % restart_interval == 0:
                             reader.skip_restart()
-                            preds = [0] * len(comps)
+                            preds = [0] * len(scomps)
                         my, mx = divmod(mcu, mcw)
-                        for ci, (cid, _tq) in enumerate(comps):
-                            td, ta = scan_tables[cid]
+                        for si, (ci, (td, ta)) in enumerate(scomps):
                             dc_tab = htables[(0, td)]
                             ac_tab = htables[(1, ta)]
                             h_i, v_i = hs[ci], vs[ci]
@@ -1963,21 +2009,26 @@ def decode_baseline_jpeg(content: bytes):
                             for v in range(v_i):
                                 for u in range(h_i):
                                     bidx = (my * v_i + v) * gw + (mx * h_i + u)
-                                    preds[ci] = _decode_block(
+                                    preds[si] = _decode_block(
                                         reader, dc_tab, ac_tab,
-                                        zzs[ci][bidx], preds[ci],
+                                        zzs[ci][bidx], preds[si],
                                     )
                 else:
-                    for mcu in range(nblocks):
-                        if restart_interval and mcu and mcu % restart_interval == 0:
+                    # non-interleaved baseline scan (multi-scan baseline:
+                    # one component per SOS): the component's TRUE block
+                    # raster (T.81 A.2.2); restart interval counts blocks
+                    (cs,) = scan_tables
+                    ci = cindex[cs]
+                    td, ta = scan_tables[cs]
+                    pred = 0
+                    for n, bidx in enumerate(_scan_blocks(ci)):
+                        if restart_interval and n and n % restart_interval == 0:
                             reader.skip_restart()
-                            preds = [0] * len(comps)
-                        for ci, (cid, _tq) in enumerate(comps):
-                            td, ta = scan_tables[cid]
-                            preds[ci] = _decode_block(
-                                reader, htables[(0, td)], htables[(1, ta)],
-                                zzs[ci][mcu], preds[ci],
-                            )
+                            pred = 0
+                        pred = _decode_block(
+                            reader, htables[(0, td)], htables[(1, ta)],
+                            zzs[ci][bidx], pred,
+                        )
                 scanned = True
             else:
                 # Progressive: spectral selection (Ah=0) PLUS successive

@@ -139,6 +139,10 @@ def test_arbitrary_layout_roundtrip(h, w, f0, f1, progressive, seed):
     ]
     base = mm.decode_baseline_jpeg(mm.encode_layout_jpeg(w, h, planes, factors))
     assert base.shape == (h, w, 3)
+    multi = mm.decode_baseline_jpeg(
+        mm.encode_layout_jpeg(w, h, planes, factors, scan_mode="per_component")
+    )
+    assert np.array_equal(base, multi)
     if progressive:
         prog = mm.decode_baseline_jpeg(
             mm.encode_progressive_layout_jpeg(

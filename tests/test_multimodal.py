@@ -1120,3 +1120,58 @@ def test_non_dividing_sampling_layout_decodes_exactly():
         )
     )
     assert np.array_equal(dec, prog)
+
+
+def test_16bit_quant_tables_decode():
+    """Pq=1 DQT entries (16-bit big-endian, T.81 B.2.4.1) decode: the
+    8-bit table of a real stream rewritten as its 16-bit twin must
+    produce the identical raster (same values, wider encoding)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        _jpeg_block_raster,
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    y = _jpeg_block_raster(5, 24, 16)
+    payload = encode_baseline_jpeg(y)
+    dqt_at = payload.index(b"\xff\xdb")
+    (seglen,) = _struct.unpack_from(">H", payload, dqt_at + 2)
+    assert seglen == 2 + 1 + 64  # one 8-bit table
+    entries = payload[dqt_at + 5 : dqt_at + 5 + 64]
+    wide = b"".join(_struct.pack(">H", v) for v in entries)
+    new_seg = (
+        b"\xff\xdb" + _struct.pack(">H", 2 + 1 + 128) + bytes([0x10]) + wide
+    )
+    rewritten = payload[:dqt_at] + new_seg + payload[dqt_at + 2 + seglen:]
+    assert np.array_equal(
+        decode_baseline_jpeg(payload), decode_baseline_jpeg(rewritten)
+    )
+
+
+def test_multi_scan_baseline_decodes():
+    """Multi-scan baseline (one non-interleaved SOS per component — the
+    sequential form T.81 mandates when an MCU would exceed 10 blocks)
+    decodes identically to the single interleaved scan of the same
+    planes; the old NotImplementedError gate is retired."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators.multimodal import (
+        decode_baseline_jpeg,
+        encode_layout_jpeg,
+    )
+
+    rng = np.random.default_rng(6)
+    H, W, factors = 17, 23, [(2, 2), (1, 1), (1, 1)]
+    ps = [
+        rng.integers(0, 256, (-(-H * v // 2), -(-W * h // 2)), dtype=np.uint8)
+        for h, v in factors
+    ]
+    a = decode_baseline_jpeg(encode_layout_jpeg(W, H, ps, factors))
+    b = decode_baseline_jpeg(
+        encode_layout_jpeg(W, H, ps, factors, scan_mode="per_component")
+    )
+    assert np.array_equal(a, b)
