@@ -2409,6 +2409,45 @@ def synthesize_pixel_ycbcr_jpeg_df(df: DataFrame, id_col: str = "media_id") -> D
     return ids.mapInPandas(synthesize_pixel_ycbcr_jpeg_batch, schema=SYNTH_SCHEMA)
 
 
+def encode_multiscan_ycbcr420_pixels(media_id: int) -> bytes:
+    """The color tier's planes (same deterministic formulas as
+    encode_ycbcr420_pixels) emitted as MULTI-SCAN BASELINE — one
+    non-interleaved SOS per component over its true block raster (the
+    sequential form T.81 mandates when an MCU would exceed 10 blocks)."""
+    w, h = jpeg_pixel_geometry(media_id)
+    y = _jpeg_block_raster(media_id, w, h)
+    ch, cw = -(-h // 2), -(-w // 2)
+    cb = _ycbcr_chroma_half_plane(media_id, ch, cw, 7, 19, 3)
+    cr = _ycbcr_chroma_half_plane(media_id, ch, cw, 5, 23, 7)
+    return encode_layout_jpeg(
+        w, h, [y, cb, cr], [(2, 2), (1, 1), (1, 1)], 8, "per_component"
+    )
+
+
+def synthesize_pixel_multiscan_ycbcr_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(
+                    lambda i: encode_multiscan_ycbcr420_pixels(int(i))
+                ),
+            }
+        )
+
+
+def synthesize_pixel_multiscan_ycbcr_jpeg_df(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(
+        synthesize_pixel_multiscan_ycbcr_jpeg_batch, schema=SYNTH_SCHEMA
+    )
+
+
 def encode_progressive_ycbcr420_pixels(media_id: int) -> bytes:
     """The color tier's planes (same deterministic formulas as
     encode_ycbcr420_pixels), emitted PROGRESSIVE with 4:2:0 subsampling —

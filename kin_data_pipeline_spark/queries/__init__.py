@@ -108,6 +108,7 @@ NEXT_WINDOW_BACKLOG: list[str] = [
     "streaming_incremental_aggregate",  # CDF stream -> foreachBatch IVM
     "ps_part_supplier_counts_q16",  # Q16 from real partsupp, NOT IN anti
     "cdf_incremental_distinct_count",  # IVM COUNT(DISTINCT) via support
+    "multiscan_ycbcr420_jpeg_pixel_stats",  # per-component baseline scans
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2145,6 +2145,62 @@ def ycbcr420_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_sum", "cb_sum", "cr_sum", "y_min", "y_max",
     )
 
+# MULTI-SCAN BASELINE × 4:2:0 (round-8 gate retirement): the same
+# color-tier planes emitted as one non-interleaved SOS per component over
+# its TRUE block raster — the sequential form T.81 mandates when an MCU
+# would exceed 10 blocks, and the last structural baseline-JPEG shape the
+# decoder had refused. Oracle identical to the interleaved twin:
+# block-constant planes decode exactly, so any defect in the per-scan
+# block-raster walk breaks the hash against the closed-form formulas.
+@register(
+    "multiscan_ycbcr420_jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS y_sum,
+           CAST(SUM((7 * (x.x // 16) + 19 * (y.y // 16) + 3 * g.media_id) % 256)
+                AS BIGINT) AS cb_sum,
+           CAST(SUM((5 * (x.x // 16) + 23 * (y.y // 16) + 7 * g.media_id) % 256)
+                AS BIGINT) AS cr_sum,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS y_min,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS y_max
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "multi-scan baseline 4:2:0 JPEG decode — one non-interleaved SOS "
+        "per component over its true block raster; exact 3-plane "
+        "block-formula oracle"
+    ),
+)
+def multiscan_ycbcr420_jpeg_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        synthesize_pixel_multiscan_ycbcr_jpeg_df,
+        ycbcr_pixel_stats_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ycbcr_pixel_stats_df(
+        synthesize_pixel_multiscan_ycbcr_jpeg_df(docs, "doc_id")
+    ).select(
+        "media_id", "width", "height", "n_pixels",
+        "y_sum", "cb_sum", "cr_sum", "y_min", "y_max",
+    )
+
 # PROGRESSIVE × SUBSAMPLED JPEG (VERDICT r7 ask #7a): the same color-tier
 # planes as ycbcr420_jpeg_pixel_stats, but encoded SOF2 progressive
 # (interleaved DC first scan at Al=1, two spectral-selection AC bands,
