@@ -32,84 +32,70 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 # NEXT_WINDOW_BACKLOG each round — the invariants in
 # tests/test_registry_window.py key off CORRECTNESS-file discovery, so the
 # round prep is a data change only.
-ROUND = 8
+ROUND = 9
 
-# Round-8 window (VERDICT r7 ask #1, composed by scripts/compose_window.py):
-# the 24 never-green r7 additions lead (judge-pre-verified 24/24 at sf0.01 in
-# the r7 session: 5 time-travel/CDF, 12 TPC-H shapes, k-means, BPE training,
-# KS drift, SA-progressive + 4:2:0 JPEG, streaming CDF), then the 14 queries
-# whose last green row (r3) hits the staleness bound at round 8, then padding
-# oldest-green-first (the remaining r3/r4 rows).
+# Round-9 window (VERDICT r8 ask #1, composed by scripts/compose_window.py):
+# the 10 never-green r8 additions lead (judge-pre-verified 10/10 at sf0.01 in
+# the r8 session: 5 unadapted partsupp TPC-H shapes, progressive/multi-scan
+# 4:2:0 JPEG profiles, and the 3 CDF-driven incremental-view-maintenance
+# queries), then padding oldest-green-first (r4/r5 rows).
 CURRENT_WINDOW_HEAD = [
-    "time_travel_orders_versions",
-    "sa_progressive_jpeg_pixel_stats",
-    "time_travel_changes",
-    "bpe_train_merges",
-    "sole_late_supplier_q21",
-    "dominant_part_suppliers_q20",
-    "priority_late_orders_q4",
-    "top_supplier_revenue_q15",
-    "customer_order_distribution_q13",
-    "national_market_share_q8",
-    "returned_item_customers_q10",
-    "late_shipment_priority_q12",
-    "promo_revenue_share_q14",
-    "large_volume_customers_q18",
-    "min_cost_part_suppliers_q2",
-    "part_supplier_counts_q16",
-    "nation_profit_q9",
-    "important_part_values_q11",
-    "time_travel_restore",
-    "kmeans_cluster_profile",
-    "ycbcr420_jpeg_pixel_stats",
-    "streaming_table_changes",
-    "length_distribution_ks",
-    "time_travel_as_of_timestamps",
-    "source_cap_sample",
-    "source_mix_resample",
-    "stratified_sample_split",
-    "streaming_dedup_within_watermark",
-    "streaming_feed_dedup",
-    "streaming_purchase_view_join",
-    "streaming_running_balance",
-    "streaming_user_sessions",
-    "token_budget_selection",
-    "token_rarity_scores",
-    "training_shard_manifest",
-    "url_domain_filter_stats",
-    "user_sessions_batch",
-    "winnowing_fingerprints",
-    "cross_source_dup_matrix",
-    "daily_event_segments",
-    "daily_order_revenue",
-    "day_over_day_revenue",
-    "dsir_importance_scores",
-    "embedding_cell_outliers",
-    "entity_role_activity",
-    "kin_daily_creations_by_app",
-    "kin_daily_volatility_factor",
-    "kin_fact_creations",
-    "line_dedup_retention",
-    "lineitems_of_big_orders",
+    "ps_min_cost_supplier_q2",
+    "ps_nation_profit_q9",
+    "ps_important_stock_q11",
+    "ps_excess_stock_suppliers_q20",
+    "progressive_ycbcr420_jpeg_pixel_stats",
+    "cdf_incremental_aggregate",
+    "streaming_incremental_aggregate",
+    "ps_part_supplier_counts_q16",
+    "cdf_incremental_distinct_count",
+    "multiscan_ycbcr420_jpeg_pixel_stats",
+    "monthly_order_revenue",
+    "multi_item_orders",
+    "per_domain_quality_profile",
+    "pricing_summary",
+    "revenue_by_region",
+    "sequence_packing_index",
+    "source_vocab_overlap",
+    "top_customers_per_nation",
+    "top_shingle_heavy_hitters",
+    "user_day_purchase_vs_activity",
+    "weekly_order_revenue",
+    "acctbal_opportunity_q22",
+    "approx_daily_active_users",
+    "approx_length_percentiles",
+    "bm25_doc_scores",
+    "bpe_pair_frequencies",
+    "cdc_chunk_dedup_stats",
+    "closing_value_per_user_day",
+    "countmin_token_estimates",
+    "customers_without_orders",
+    "daily_active_users",
+    "disjunctive_predicate_revenue_q19",
+    "doc_quality_scores",
+    "dsir_log_importance_scores",
+    "embedding_knn_top5",
+    "exact_dedup_docs",
+    "gapfill_locf_interpolate",
+    "hard_negative_candidates",
+    "hashed_bigram_logprob",
+    "hashed_token_rarity_scores",
+    "hll_user_rollup_weekly",
+    "ivf_recall_audit",
+    "lang_stopword_profile",
+    "latest_event_per_user",
+    "levenshtein_near_dup_verify",
+    "median_value_by_type",
+    "minhash_estimate_audit",
+    "minhash_lsh_candidates",
+    "monthly_revenue_volatility",
+    "nation_pair_trade_q7",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window. Round-8 additions: the unadapted
-# partsupp-bearing TPC-H shapes over the synthesized partsupp dimension
-# (queries/tpch_partsupp.py, VERDICT r7 ask #7b).
-NEXT_WINDOW_BACKLOG: list[str] = [
-    "ps_min_cost_supplier_q2",  # correlated MIN ps_supplycost, ties kept
-    "ps_nation_profit_q9",  # real ps_supplycost x quantity cost term
-    "ps_important_stock_q11",  # ps_supplycost x ps_availqty stock values
-    "ps_excess_stock_suppliers_q20",  # availqty vs half shipped quantity
-    "progressive_ycbcr420_jpeg_pixel_stats",  # SOF2 x 4:2:0 composed codec
-    "cdf_incremental_aggregate",  # IVM: CDF-maintained agg == recompute
-    "streaming_incremental_aggregate",  # CDF stream -> foreachBatch IVM
-    "ps_part_supplier_counts_q16",  # Q16 from real partsupp, NOT IN anti
-    "cdf_incremental_distinct_count",  # IVM COUNT(DISTINCT) via support
-    "multiscan_ycbcr420_jpeg_pixel_stats",  # per-component baseline scans
-]
+# and must lead the next round's window.
+NEXT_WINDOW_BACKLOG: list[str] = []
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}
