@@ -95,7 +95,9 @@ CURRENT_WINDOW_HEAD = [
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window.
-NEXT_WINDOW_BACKLOG: list[str] = []
+NEXT_WINDOW_BACKLOG: list[str] = [
+    "cdf_incremental_minmax",  # hybrid MIN/MAX IVM, rebuild branch exercised
+]
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}

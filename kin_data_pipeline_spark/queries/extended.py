@@ -2374,6 +2374,72 @@ def cdf_incremental_distinct_count(spark: SparkSession, sf_dir: str) -> DataFram
         sup, ["o_orderstatus"], out_col="n_order_dates"
     )
 
+# MIN/MAX maintained through the CDF — the HYBRID (non-distributive) case:
+# an insert can only improve an extremum (pure delta math), but deleting a
+# stored extremum needs the base, so maintain_minmax rebuilds EXACTLY the
+# affected groups via a semi-join-pruned scan of the post-change table.
+# Grouping per order YEAR makes both branches execute on this fixture:
+# v0→v1 appends 1997-98 (new groups + delta-only improvements), v1→v2
+# erases every status-'F' row — in the early years 'F' dominates, so the
+# deleted values tie the stored per-year extrema and those groups take the
+# rebuild path, while late years see no deletes and stay delta-only. The
+# oracle recomputes per-year MIN/MAX cents from v2's literal predicates,
+# so the hash match proves the hybrid maintenance lands exactly on the
+# from-scratch recompute. operators/incremental.py::maintain_minmax,
+# pinned locally by tests/test_incremental.py (randomized-batch
+# equivalence + real-CDF composition).
+@register(
+    "cdf_incremental_minmax",
+    """
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderdate < DATE '1999-01-01'),
+         v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'F')
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "incremental MIN/MAX via hybrid maintenance: delta-only on "
+        "inserts, semi-join-scoped rebuild of exactly the groups whose "
+        "stored extremum a delete reached — equals the from-scratch "
+        "MIN/MAX at the tip"
+    ),
+)
+def cdf_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.incremental import (
+        maintain_minmax,
+        minmax_base,
+    )
+
+    cat = _tt_versioned_fixture(spark, sf_dir)
+
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.withColumn("o_year", F.year("o_orderdate")).withColumn(
+            "cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        )
+
+    mm = minmax_base(
+        _shape(cat.table_at_version("orders_fact", 0)),
+        ["o_year"],
+        "cents",
+        min_col="min_cents",
+        max_col="max_cents",
+    )
+    for v in (1, 2):
+        mm = maintain_minmax(
+            mm,
+            _shape(cat.table_changes("orders_fact", v - 1, v)),
+            _shape(cat.table_at_version("orders_fact", v)),
+            ["o_year"],
+            "cents",
+            min_col="min_cents",
+            max_col="max_cents",
+        )
+    return mm.select("o_year", "min_cents", "max_cents")
+
 # The STREAMING form of the loop above — CDF stream → foreachBatch →
 # maintained aggregate: the complete production pattern for keeping a
 # downstream rollup continuously fresh from a mutating upstream table
