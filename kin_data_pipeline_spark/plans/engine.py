@@ -250,6 +250,38 @@ class Catalog:
             os.remove(sidecar)
             self.spark.sql(f"DROP TABLE IF EXISTS {self._bucket_ident(name)}")
 
+    # --- IVM refresh-state sidecar --------------------------------------
+    # An IVM-maintained mart (Model.ivm) records which source version its
+    # content reflects; the next refresh reads table_changes(recorded,
+    # tip) only. The sidecar is dropped by any write that lands OUTSIDE
+    # the IVM path (write_full/write_append below), so out-of-band
+    # mutation of the mart forces the next IVM run back to a full rebuild
+    # instead of maintaining on top of unknown content.
+
+    def _ivm_sidecar(self, name: str) -> str:
+        return os.path.join(self.warehouse_dir, f"{name}._ivm.json")
+
+    def ivm_state(self, name: str) -> dict | None:
+        """The mart's recorded refresh state ``{"source", "version"}``,
+        or None when it has never been IVM-refreshed (or was invalidated
+        by an out-of-band write)."""
+        p = self._ivm_sidecar(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def save_ivm_state(self, name: str, source: str, version: int) -> None:
+        tmp = self._ivm_sidecar(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"source": source, "version": int(version)}, f)
+        os.replace(tmp, self._ivm_sidecar(name))
+
+    def _drop_ivm_meta(self, name: str) -> None:
+        p = self._ivm_sidecar(name)
+        if os.path.exists(p):
+            os.remove(p)
+
     # --- bloom layout sidecar -------------------------------------------
     # The bloom declaration is a property of the TABLE, not of one write
     # call: it is recorded in a sidecar (like the bucket layout) and every
@@ -445,6 +477,7 @@ class Catalog:
         self._heal_compaction(name)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
+        self._drop_ivm_meta(name)
         cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
         # staging + swap, like every other rewrite path: a full refresh
         # that FAILS mid-write (a bad source, a CHECK constraint
@@ -479,6 +512,7 @@ class Catalog:
             self.write_full(name, base, date_col, bloom_cols, bloom_ndv)
         self._drop_clone(name)
         self._drop_bucket_meta(name)
+        self._drop_ivm_meta(name)
         # An append must never NARROW the recorded schema: plain parquet
         # accepts any frame, but the sidecar is authoritative for reads —
         # recording a frame that lacks an existing column would silently
@@ -1899,7 +1933,7 @@ class BuildContext:
 @dataclass
 class RunResult:
     model: str
-    action: str  # full | incremental | clone | failed
+    action: str  # full | incremental | ivm | noop | clone | failed
     rows_written: int | None = None
     duration_sec: float | None = None
     error: str | None = None
@@ -1992,6 +2026,9 @@ class Runner:
                 RunResult(m.name, "clone", duration_sec=round(time.monotonic() - t0, 3))
             )
             return
+        if m.ivm is not None:
+            self._run_ivm(m, build_type, guard_plans, results, t0)
+            return
         df = m.builder(ctx)
         if guard_plans:
             from kin_data_pipeline_spark.plans.guard import assert_scalable_plan
@@ -2060,6 +2097,128 @@ class Runner:
             RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
         )
 
+    def _run_ivm(
+        self,
+        m: Model,
+        build_type: str,
+        guard_plans: bool,
+        results: list[RunResult],
+        t0: float,
+    ) -> None:
+        """Materialize an IVM-declared mart (Model.ivm) from its versioned
+        source's change feed.
+
+        First run (or ``full_refresh``, or a missing/invalidated state
+        sidecar): the mart is built from the source TIP via
+        ``aggregate_base`` and the refreshed version recorded. Every
+        subsequent run reads ``table_changes(recorded, tip)`` — changelog-
+        sized parquet — and rolls the agg-sized mart forward with
+        ``maintain_aggregate``; the source's base data is never rescanned
+        (pinned by tests/test_ivm_refresh.py, which deletes the source's
+        live files and still refreshes). A run at an unchanged tip is a
+        recorded no-op. Refresh cost is O(|changes| + |agg|) versus the
+        reference's full re-aggregation per cron tick
+        (execute_snowflake_load.py:89-91).
+        """
+        import time
+
+        from kin_data_pipeline_spark.operators.incremental import (
+            aggregate_base,
+            maintain_aggregate,
+        )
+        from kin_data_pipeline_spark.plans.guard import (
+            assert_row_local,
+            assert_scalable_plan,
+        )
+
+        spec = m.ivm
+        cat = self.catalog
+        if not cat.is_versioned(spec.source):
+            raise ValueError(
+                f"model {m.name}: ivm source '{spec.source}' is not "
+                "versioned — enable_versioning on it first (the change "
+                "feed IS the refresh input)"
+            )
+        tip = cat.history(spec.source)[-1]["version"]
+        state = cat.ivm_state(m.name)
+        shape = spec.row_transform or (lambda df: df)
+        if spec.row_transform is not None:
+            # soundness gate on the TRANSFORM alone: probe it over an
+            # empty frame of the source's schema so the feed's own plan
+            # nodes (the changelog union / snapshot diff) aren't blamed
+            probe = self.spark.createDataFrame(
+                [], cat._version_schema(spec.source, tip)
+            )
+            assert_row_local(shape(probe), m.name)
+        if state is not None and state.get("source") != spec.source:
+            raise ValueError(
+                f"model {m.name}: recorded IVM state tracks "
+                f"'{state.get('source')}' but the spec names "
+                f"'{spec.source}' — drop the mart or fix the spec"
+            )
+        if state is None or build_type == "full_refresh" or not cat.exists(m.name):
+            df = aggregate_base(
+                shape(cat.table_at_version(spec.source, tip)),
+                spec.group_by,
+                spec.measures,
+                count_col=spec.count_col,
+            )
+            action = "full"
+        elif int(state["version"]) == tip:
+            results.append(
+                RunResult(
+                    m.name, "noop", duration_sec=round(time.monotonic() - t0, 3)
+                )
+            )
+            return
+        else:
+            changes = shape(
+                cat.table_changes(spec.source, int(state["version"]), tip)
+            )
+            if "_change_type" not in changes.columns:
+                raise ValueError(
+                    f"model {m.name}: row_transform dropped the CDF's "
+                    "'_change_type' column — derive columns additively "
+                    "(withColumn/filter), never with a narrowing select"
+                )
+            df = maintain_aggregate(
+                cat.table(m.name),
+                changes,
+                spec.group_by,
+                spec.measures,
+                count_col=spec.count_col,
+            )
+            action = "ivm"
+        if guard_plans:
+            assert_scalable_plan(df, m.name, m.allow_nested_loop)
+        if m.order_by:
+            df = df.sortWithinPartitions(*m.order_by)
+        if m.checks:
+            from kin_data_pipeline_spark.plans.checks import assert_checks
+
+            # same contract discipline as builder models: gate exactly
+            # what is about to be written, persist across check + write
+            df = df.persist()
+        try:
+            if m.checks:
+                assert_checks(df, m.checks, table=m.name)
+            # staged-swap write: the maintained plan lazily reads the
+            # mart's CURRENT files while the new content lands in staging,
+            # so the self-referential overwrite is crash-safe. write_full
+            # drops the IVM sidecar (out-of-band-write invalidation);
+            # save_ivm_state below re-records it for THIS refresh.
+            cat.write_full(
+                m.name, df, None,
+                bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
+            )
+            cat.save_ivm_state(m.name, spec.source, tip)
+        finally:
+            if m.checks:
+                df.unpersist()
+        results.append(
+            RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
+        )
+
     def run_concurrent(
         self,
         models: Sequence[Model],
@@ -2085,7 +2244,15 @@ class Runner:
         names = {m.name for m in ordered}
         depth: dict[str, int] = {}
         for m in ordered:  # topo order ⇒ deps already assigned
-            edges = [d for d in (*m.depends_on, m.clone_of or "") if d in names]
+            edges = [
+                d
+                for d in (
+                    *m.depends_on,
+                    m.clone_of or "",
+                    m.ivm.source if m.ivm else "",
+                )
+                if d in names
+            ]
             depth[m.name] = 1 + max((depth[d] for d in edges), default=-1)
         waves: dict[int, list[Model]] = {}
         for m in ordered:

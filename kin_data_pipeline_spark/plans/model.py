@@ -17,6 +17,39 @@ from typing import Any
 CADENCE_UNITS = {"daily": "day", "weekly": "week", "monthly": "month"}
 
 @dataclass(frozen=True)
+class IvmSpec:
+    """Incremental-view-maintenance refresh declaration for a rollup mart.
+
+    A model carrying one is maintained from its VERSIONED source table's
+    change feed (``Catalog.table_changes(last_refreshed, tip)`` →
+    ``operators/incremental.py::maintain_aggregate``) instead of being
+    rebuilt: per refresh the Runner reads changelog-sized parquet plus the
+    agg-sized mart — the base table is never rescanned, so refresh cost is
+    O(|changes| + |agg|) where the reference re-runs the full CREATE OR
+    REPLACE aggregation every cron tick (execute_snowflake_load.py:89-91).
+
+    ``row_transform`` is the mart's row-level derivation (projection,
+    filters, unit scaling) applied identically to base rows and change
+    rows. It must be ROW-LOCAL — per-row column math and filters only
+    (both commute with the multiset diff the CDF carries); aggregation,
+    joins, windows, sorts, or limits would not, and the Runner rejects
+    such a plan before any write. It must also pass the CDF's
+    ``_change_type`` column through when present (additive
+    ``withColumn``/``filter`` style does so automatically).
+
+    ``measures`` maps output SUM column → source column (post-transform);
+    the maintained shape is COUNT(*) AS ``count_col`` plus
+    SUM(COALESCE(src, 0)) per measure — exactly
+    ``operators/incremental.py::aggregate_base``.
+    """
+
+    source: str
+    group_by: Sequence[str]
+    measures: Any = field(default_factory=dict)  # Mapping[out_col, src_col]
+    count_col: str = "n_rows"
+    row_transform: Callable[[Any], Any] | None = None
+
+@dataclass(frozen=True)
 class Model:
     """One materialized table.
 
@@ -83,14 +116,44 @@ class Model:
     # expected distinct values PER FILE for sizing the bitset; parquet-mr
     # over-sizes gracefully, undersizing inflates the false-positive rate
     bloom_ndv: int = 100_000
+    # Incremental-view-maintenance refresh (IvmSpec): the Runner maintains
+    # this mart from its versioned source's change feed instead of
+    # rebuilding it. Replaces the builder (the derivation lives in the
+    # spec's row_transform + group_by/measures so it can be applied to
+    # change rows too); exclusive with date_col (the mart is group-grain —
+    # the CDF, not a date watermark, is its delta axis) and with the
+    # full-rewrite layouts (bucket_by / zorder_by).
+    ivm: IvmSpec | None = None
 
     def __post_init__(self):
         if self.cadence not in CADENCE_UNITS:
             raise ValueError(f"bad cadence {self.cadence!r} for model {self.name}")
-        if (self.builder is None) == (self.clone_of is None):
+        declared = sum(
+            x is not None for x in (self.builder, self.clone_of, self.ivm)
+        )
+        if declared != 1:
             raise ValueError(
-                f"model {self.name}: exactly one of builder/clone_of required"
+                f"model {self.name}: exactly one of builder/clone_of/ivm "
+                "required"
             )
+        if self.ivm is not None:
+            if self.date_col is not None:
+                raise ValueError(
+                    f"model {self.name}: ivm requires date_col=None — the "
+                    "maintained mart is group-grain; its delta axis is the "
+                    "source's change feed, not a date watermark"
+                )
+            if self.bucket_by or self.zorder_by:
+                raise ValueError(
+                    f"model {self.name}: ivm is exclusive with bucket_by/"
+                    "zorder_by — those layouts force full rewrites, which "
+                    "defeats changelog-sized maintenance"
+                )
+            if not self.ivm.group_by:
+                raise ValueError(
+                    f"model {self.name}: ivm.group_by must name at least "
+                    "one grouping column"
+                )
         if self.bucket_by and self.date_col is not None:
             raise ValueError(
                 f"model {self.name}: bucket_by and date_col are mutually "
@@ -136,7 +199,11 @@ def topo_sort(models: Sequence[Model]) -> list[Model]:
     by_name = {m.name: m for m in models}
     deps: dict[str, set[str]] = {}
     for m in models:
-        edges = set(m.depends_on) | ({m.clone_of} if m.clone_of else set())
+        edges = (
+            set(m.depends_on)
+            | ({m.clone_of} if m.clone_of else set())
+            | ({m.ivm.source} if m.ivm else set())
+        )
         unknown = edges - by_name.keys()
         # External sources (raw tables) are legal dependencies — only edges
         # naming another registered model constrain ordering.
