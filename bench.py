@@ -75,6 +75,30 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    # Calibration probe (VERDICT r8 ask #4): a PINNED data-independent
+    # workload — 1.6e9-row range → xxhash64 → bounded pmod → one global sum,
+    # pure whole-stage-codegen CPU with no I/O and no registry dependence —
+    # measured right after warmup and again after the whole fleet. Its
+    # timing moves only with the box (cores, load, JVM), never with query
+    # code, so cross-run bench deltas become decidable from artifacts
+    # alone: fleet ratio ≈ calibration ratio → environmental shift;
+    # calibration ≈ 1 while the fleet moved → real regression. The
+    # checksum pins that every run did identical work.
+    def _calibration() -> tuple[float, int]:
+        from pyspark.sql import functions as F
+
+        probe = (
+            spark.range(0, 1_600_000_000, 1, 64)
+            .select(F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("h"))
+            .agg(F.sum("h").alias("checksum"))
+        )
+        t0 = time.monotonic()
+        checksum = probe.collect()[0][0]
+        return round(time.monotonic() - t0, 3), int(checksum)
+
+    _calibration()  # throwaway: absorb the probe's own codegen compile
+    cal_pre, cal_checksum = _calibration()
+
     # Each query runs twice and reports the faster run: the first execution
     # of a family pays one-time session costs (codegen compilation, shared
     # substrate cache materialization, streaming-engine init) that amortize
@@ -126,6 +150,18 @@ def main() -> None:
                 "substrate_overhead": round(runs[0] - min(runs), 3),
             }
 
+    cal_post, _ = _calibration()
+    calibration = {
+        "workload": (
+            "range(1.6e9, 64 parts) -> xxhash64 -> pmod 1000003 -> sum; "
+            "data-independent codegen CPU probe, run post-warmup (pre) "
+            "and after the fleet (post)"
+        ),
+        "pre_sec": cal_pre,
+        "post_sec": cal_post,
+        "checksum": cal_checksum,
+    }
+
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     total = round(sum(timings.values()), 3)
@@ -152,6 +188,7 @@ def main() -> None:
                 "first_run_total": round(sum(first_run.values()), 3),
                 "substrate_attribution": substrates,
                 "stream_detail": stream_detail,
+                "calibration": calibration,
             },
             fh,
             indent=1,
@@ -164,6 +201,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "queries": slowest,
+            "calibration": {"pre": cal_pre, "post": cal_post},
             "detail": detail_name,
         }
     )
