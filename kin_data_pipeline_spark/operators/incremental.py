@@ -5,7 +5,9 @@ incremental view maintenance for distributive aggregates).
 
 Given a grouped aggregate table (COUNT + SUM measures) and the CDF rows
 between two versions (`Catalog.table_changes` / the `catalog_changes`
-source: base columns + ``_change_type`` insert/delete), the maintained
+source: base columns + ``_change_type`` insert/delete, plus Delta's
+typed update_preimage/update_postimage on upsert commits — each
+semantically a delete/insert here), the maintained
 aggregate is computed WITHOUT rescanning the base table: inserts add,
 deletes subtract, groups whose row count reaches zero disappear, and
 groups first seen in the changes appear. Work is O(|changes| + |agg|),
@@ -70,8 +72,11 @@ def maintain_aggregate(
 
     ``agg`` carries ``group_cols`` + ``count_col`` + the measure output
     columns; ``changes`` carries the base columns + ``change_type_col``
-    with values 'insert'/'delete' (exactly what ``table_changes``
-    emits — an update is a delete+insert pair, which nets correctly).
+    with values 'insert'/'delete' plus Delta's typed
+    'update_preimage'/'update_postimage' (exactly what ``table_changes``
+    emits — a typed update row is semantically a delete/insert and
+    signs accordingly, so untyped delete+insert pairs and typed
+    pre/postimage pairs net identically).
 
     Plan shape: one aggregation over the CHANGES (map-side combinable),
     one null-safe full-outer join against the aggregate on the group
@@ -81,21 +86,32 @@ def maintain_aggregate(
     semantics.
     """
     sign = (
-        F.when(F.col(change_type_col) == "insert", F.lit(1))
-        .when(F.col(change_type_col) == "delete", F.lit(-1))
+        F.when(
+            F.col(change_type_col).isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col(change_type_col).isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
         .otherwise(F.lit(None))
     )
     # a malformed change type must fail loudly, not silently skew sums —
     # the guard aggregates to ONE row (bounded driver probe)
     bad = (
-        changes.filter(~F.col(change_type_col).isin("insert", "delete"))
+        changes.filter(
+            ~F.col(change_type_col).isin(
+                "insert", "delete", "update_preimage", "update_postimage"
+            )
+        )
         .limit(1)
         .collect()
     )
     if bad:
         raise ValueError(
             f"unknown change type {bad[0][change_type_col]!r}; expected "
-            "'insert'/'delete' (the table_changes contract)"
+            "'insert'/'delete'/'update_preimage'/'update_postimage' "
+            "(the table_changes contract)"
         )
     delta = changes.groupBy(*group_cols).agg(
         F.sum(sign).cast("long").alias("__dn"),
@@ -221,20 +237,22 @@ def maintain_minmax(
     standard IVM treatment of non-distributive extrema; pick
     ``maintain_aggregate`` for the distributive measures instead.
     """
-    # per-group delta summary: best inserted values + deleted extrema
+    # per-group delta summary: best inserted values + deleted extrema.
+    # Typed update rows count on the side they are semantically: a
+    # preimage is a removal, a postimage an addition.
+    is_add = F.col(change_type_col).isin("insert", "update_postimage")
+    is_del = F.col(change_type_col).isin("delete", "update_preimage")
     dsum = (
         changes.groupBy(*group_cols)
         .agg(
-            F.min(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_min"),
-            F.max(F.when(F.col(change_type_col) == "insert", F.col(value_col))).alias("__ins_max"),
-            F.min(F.when(F.col(change_type_col) == "delete", F.col(value_col))).alias("__del_min"),
-            F.max(F.when(F.col(change_type_col) == "delete", F.col(value_col))).alias("__del_max"),
+            F.min(F.when(is_add, F.col(value_col))).alias("__ins_min"),
+            F.max(F.when(is_add, F.col(value_col))).alias("__ins_max"),
+            F.min(F.when(is_del, F.col(value_col))).alias("__del_min"),
+            F.max(F.when(is_del, F.col(value_col))).alias("__del_max"),
             # any-delete marker must count NULL-VALUED deletes too: a
             # group emptied through all-NULL rows has no deleted extremum
             # yet must still rebuild (to vanish or re-derive NULL extrema)
-            F.max(
-                F.when(F.col(change_type_col) == "delete", F.lit(1))
-            ).alias("__saw_del"),
+            F.max(F.when(is_del, F.lit(1))).alias("__saw_del"),
         )
     )
     a, d = minmax.alias("a"), dsum.alias("d")

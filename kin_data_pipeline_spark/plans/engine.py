@@ -746,15 +746,26 @@ class Catalog:
         # df EXCEPT ALL replaced / replaced EXCEPT ALL df (a re-upsert of
         # an identical row correctly nets to nothing). Both frames are
         # upsert-sized; staged BEFORE the rewrite that replaces their
-        # input files.
+        # input files. The upsert KNOWS which rows pair (the key), so
+        # matched-key rows are staged TYPED: old image → update_preimage,
+        # new image → update_postimage (Delta's upsert CDF shape); only
+        # brand-new keys are plain inserts. A new-key incoming row can
+        # never be identical to a replaced row (its key is absent from
+        # the table), so the typed split carries exactly the same net
+        # multiset as the untyped delete+insert form.
         if self.is_versioned(name):
+            incoming_keys = df.select(*key_cols).distinct()
             replaced = existing.join(
-                df.select(*key_cols).distinct(), key_cols, "left_semi"
+                incoming_keys, key_cols, "left_semi"
             ).select(*df.columns)
+            existing_keys = existing.select(*key_cols).distinct()
+            df_new = df.join(existing_keys, key_cols, "left_anti")
+            df_upd = df.join(existing_keys, key_cols, "left_semi")
             self._stage_commit_changes(
                 name,
-                inserts=df.exceptAll(replaced),
-                deletes=replaced.exceptAll(df),
+                inserts=df_new,
+                update_pre=replaced.exceptAll(df_upd),
+                update_post=df_upd.exceptAll(replaced),
             )
         # Materialize before overwrite: the plan reads the directory being
         # replaced, so write to a staging path first, then swap. The table's
@@ -1114,15 +1125,34 @@ class Catalog:
         # are ups EXCEPT ALL replaced / replaced EXCEPT ALL ups — both
         # changelog-sized, staged BEFORE either rewrite path replaces the
         # files `existing` reads (VERDICT r7 ask #3: a changelog-bearing
-        # commit is never snapshot re-diffed by the CDF readers)
+        # commit is never snapshot re-diffed by the CDF readers). The
+        # merge KNOWS which rows pair (the key + the winning op), so the
+        # diff is staged TYPED: rows of keys whose latest op is D →
+        # delete; upserts landing on keys absent from the table → insert;
+        # matched-key upserts → update_preimage (old image) /
+        # update_postimage (new image). Key-disjointness (D keys carry no
+        # upsert rows, new keys no replaced rows) makes the typed split
+        # net-identical to the untyped delete+insert form.
         if self.is_versioned(name):
-            replaced = existing.join(
-                F.broadcast(touched), key_cols, "left_semi"
+            touched_d = (
+                latest.filter(op == "D").select(*key_cols).distinct()
+            )
+            deleted_rows = existing.join(
+                F.broadcast(touched_d), key_cols, "left_semi"
+            ).select(*data_cols)
+            existing_keys = existing.select(*key_cols).distinct()
+            ups_new = ups.join(existing_keys, key_cols, "left_anti")
+            ups_upd = ups.join(existing_keys, key_cols, "left_semi")
+            touched_u = touched.exceptAll(touched_d)
+            replaced_u = existing.join(
+                F.broadcast(touched_u), key_cols, "left_semi"
             ).select(*data_cols)
             self._stage_commit_changes(
                 name,
-                inserts=ups.exceptAll(replaced),
-                deletes=replaced.exceptAll(ups),
+                inserts=ups_new,
+                deletes=deleted_rows,
+                update_pre=replaced_u.exceptAll(ups_upd),
+                update_post=ups_upd.exceptAll(replaced_u),
             )
         if scope_partitions:
             return self._apply_changelog_scoped(
@@ -1604,6 +1634,8 @@ class Catalog:
         name: str,
         inserts: DataFrame | None,
         deletes: DataFrame | None = None,
+        update_pre: DataFrame | None = None,
+        update_post: DataFrame | None = None,
     ) -> None:
         """Materialize the in-flight mutation's NET row-level diff so
         ``_commit_version`` can attach it to the version it records — the
@@ -1619,7 +1651,14 @@ class Catalog:
         rewrite, so the frames may still read the pre-image files. No-op
         unless ``name`` is versioned and this is the outermost mutator
         call (nested rewrites are part of the outer operation's single
-        commit, so only the outer diff may be recorded)."""
+        commit, so only the outer diff may be recorded).
+
+        Mutators that KNOW which removed/added rows pair up (upsert,
+        changelog merge — the key tells them) pass those through
+        ``update_pre`` / ``update_post`` instead, and the feed carries
+        Delta's typed ``update_preimage`` / ``update_postimage`` rows —
+        semantically a delete/insert each (every consumer treats them
+        so), but typed the way Delta CDF consumers expect."""
         if not self.is_versioned(name):
             return
         if getattr(self._mutation_state, "depth", 0) != 1:
@@ -1629,6 +1668,14 @@ class Catalog:
             parts.append(inserts.withColumn("_change_type", F.lit("insert")))
         if deletes is not None:
             parts.append(deletes.withColumn("_change_type", F.lit("delete")))
+        if update_pre is not None:
+            parts.append(
+                update_pre.withColumn("_change_type", F.lit("update_preimage"))
+            )
+        if update_post is not None:
+            parts.append(
+                update_post.withColumn("_change_type", F.lit("update_postimage"))
+            )
         if not parts:
             raise ValueError("staged changes need inserts and/or deletes")
         frame = parts[0]
@@ -1754,8 +1801,14 @@ class Catalog:
         """Row-level changes between two committed versions — the Delta
         Change-Data-Feed read shape: the table's columns plus
         ``_change_type`` ('insert' for rows present in ``v_to`` but not
-        ``v_from``, 'delete' for the reverse; an update surfaces as a
-        delete+insert pair). Multiplicity-aware (EXCEPT ALL, like
+        ``v_from``, 'delete' for the reverse; a single-commit span over
+        an upsert/changelog-merge commit additionally carries Delta's
+        typed ``update_preimage``/``update_postimage`` pair for
+        matched-key rows — each semantically a delete/insert. A
+        multi-commit span nets across commits, which collapses the
+        update typing back to insert/delete; snapshot-diff fallbacks
+        never type updates — pairing needs a key the raw diff doesn't
+        have). Multiplicity-aware (EXCEPT ALL, like
         ``diff_snapshot``) so duplicate-row count changes surface.
         Columns are aligned by name. ADDITIVE schema evolution is
         supported the way the live table itself reads old files: the diff
@@ -1820,8 +1873,16 @@ class Catalog:
                 # single commit: stored insert/delete sides are already
                 # net-disjoint, so no combination pass is needed
                 return ch.select(*cols, "_change_type")
-            ins = ch.filter(F.col("_change_type") == "insert").select(*cols)
-            dels = ch.filter(F.col("_change_type") == "delete").select(*cols)
+            # netting across commits: a typed update row is semantically
+            # a delete (preimage) / insert (postimage) — fold each onto
+            # its side so updates participate in the multiset net (the
+            # typing itself cannot survive a net across commits)
+            ins = ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*cols)
+            dels = ch.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select(*cols)
             return ins.exceptAll(dels).withColumn(
                 "_change_type", F.lit("insert")
             ).unionByName(

@@ -5,9 +5,11 @@ custom PySpark 4 Python Data Source (``pyspark.sql.datasource``).
 a batch question; this source turns the SAME contract into a stream:
 offsets are VERSION NUMBERS in the table's commit log (`_log.json` is the
 single authority the batch reader also trusts), `latestOffset` re-reads
-the log each trigger, and each micro-batch emits the row-level
-insert/delete diff of every newly committed version with
-`_commit_version` provenance. Reading the Delta-style CDF as a stream is
+the log each trigger, and each micro-batch emits the row-level diff of
+every newly committed version with `_commit_version` provenance —
+insert/delete rows, plus Delta's typed update_preimage/update_postimage
+pairs on commits whose mutator knew the pairing (upsert / changelog
+merge), served verbatim from the stored change files. Reading the Delta-style CDF as a stream is
 Delta's `readStream.option("readChangeFeed")` surface, expressed
 PySpark-natively — with one contract difference stated below.
 

@@ -261,3 +261,56 @@ def test_minmax_composes_with_the_real_cdf(spark, tmp_path):
         )
     assert _rows_of(mm) == _rows_of(minmax_base(cat.table("t"), ["grp"], "val"))
     assert _rows_of(mm) == [("a", 10, 10), ("b", 1, 5)]
+
+
+def test_typed_update_rows_sign_like_delete_insert(spark):
+    """Delta's typed update_preimage/update_postimage rows maintain
+    exactly like the untyped delete+insert pair — COUNT+SUM and the
+    hybrid MIN/MAX both land on the recompute (the postimage replacing a
+    stored extremum's preimage exercises the rebuild branch)."""
+    from kin_data_pipeline_spark.operators.incremental import (
+        maintain_minmax,
+        minmax_base,
+    )
+
+    keys, measures = ["grp"], {"sum_val": "val"}
+    base = [("a", "x", 10), ("a", "y", 99), ("b", "x", 5)]
+    post = [("a", "x", 10), ("a", "y", 7), ("b", "x", 5)]  # 99 -> 7
+    typed = [("a", "y", 99, "update_preimage"), ("a", "y", 7, "update_postimage")]
+    ch = spark.createDataFrame(typed, f"{DDL}, _change_type string")
+
+    agg = maintain_aggregate(
+        aggregate_base(spark.createDataFrame(base, DDL), keys, measures),
+        ch, keys, measures,
+    )
+    assert _rows_of(agg) == _rows_of(
+        aggregate_base(spark.createDataFrame(post, DDL), keys, measures)
+    )
+
+    mm = maintain_minmax(
+        minmax_base(spark.createDataFrame(base, DDL), ["grp"], "val"),
+        ch,
+        spark.createDataFrame(post, DDL),
+        ["grp"],
+        "val",
+    )
+    # the preimage 99 tied group a's stored max -> rebuild path ran
+    assert _rows_of(mm) == _rows_of(
+        minmax_base(spark.createDataFrame(post, DDL), ["grp"], "val")
+    )
+
+
+def test_identical_reupsert_nets_to_zero_typed(spark, tmp_path):
+    """Re-upserting a byte-identical row stages an EMPTY change set even
+    under the typed split (preimage and postimage cancel in EXCEPT ALL),
+    so the CDF stays silent — the idempotence the net contract promises."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    cat.upsert_by_key(
+        "t", spark.createDataFrame([(1, "a", 10)], ddl), ["id"], None
+    )  # v1: identical row
+    assert cat.table_changes("t", 0, 1).count() == 0

@@ -408,12 +408,30 @@ def test_changelog_bearing_commits_never_rediff_snapshots(spark, tmp_path):
                 str(tmp_path / "wh"), "t.__versions", f"v{e['version']}", "data"
             )
         )
-    # per-commit reads straight from the stored change files
+    # per-commit reads straight from the stored change files; the upsert
+    # knew which rows pair by key, so the matched row is TYPED
+    # update_preimage/update_postimage (Delta CDF shape) and only the
+    # brand-new key is a plain insert
     v2 = sorted(
         (r["_change_type"], r.id, r.val)
         for r in cat.table_changes("t", 1, 2).collect()
     )
-    assert v2 == [("delete", 1, 10), ("insert", 1, 99), ("insert", 4, 40)]
+    assert v2 == [
+        ("insert", 4, 40),
+        ("update_postimage", 1, 99),
+        ("update_preimage", 1, 10),
+    ]
+    # the changelog merge types the same way: U on an existing key pairs,
+    # D emits a plain delete
+    v3 = sorted(
+        (r["_change_type"], r.id, r.val)
+        for r in cat.table_changes("t", 2, 3).collect()
+    )
+    assert v3 == [
+        ("delete", 3, 30),
+        ("update_postimage", 2, 25),
+        ("update_preimage", 2, 20),
+    ]
     # compact commit: zero change rows, still readable
     assert cat.table_changes("t", 4, 5).count() == 0
     # multi-commit net: intermediate insert+delete pairs cancel
