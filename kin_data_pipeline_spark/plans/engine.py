@@ -271,10 +271,19 @@ class Catalog:
         with open(p) as f:
             return json.load(f)
 
-    def save_ivm_state(self, name: str, source: str, version: int) -> None:
+    def save_ivm_state(
+        self, name: str, source: str, version: int, signature: dict | None = None
+    ) -> None:
+        """Record the refresh state; ``signature`` captures the spec shape
+        (grouping/measures) the content was built under — the Runner
+        forces a rebuild when it no longer matches, so editing a model's
+        IvmSpec can never silently maintain a stale shape."""
+        payload = {"source": source, "version": int(version)}
+        if signature is not None:
+            payload["signature"] = signature
         tmp = self._ivm_sidecar(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"source": source, "version": int(version)}, f)
+            json.dump(payload, f)
         os.replace(tmp, self._ivm_sidecar(name))
 
     def _drop_ivm_meta(self, name: str) -> None:
@@ -759,8 +768,15 @@ class Catalog:
                 incoming_keys, key_cols, "left_semi"
             ).select(*df.columns)
             existing_keys = existing.select(*key_cols).distinct()
-            df_new = df.join(existing_keys, key_cols, "left_anti")
-            df_upd = df.join(existing_keys, key_cols, "left_semi")
+            # a USING semi/anti join moves the key columns first —
+            # re-select the original order, or the EXCEPT ALL below
+            # aligns positionally against mismatched columns
+            df_new = df.join(existing_keys, key_cols, "left_anti").select(
+                *df.columns
+            )
+            df_upd = df.join(existing_keys, key_cols, "left_semi").select(
+                *df.columns
+            )
             self._stage_commit_changes(
                 name,
                 inserts=df_new,
@@ -1141,8 +1157,14 @@ class Catalog:
                 F.broadcast(touched_d), key_cols, "left_semi"
             ).select(*data_cols)
             existing_keys = existing.select(*key_cols).distinct()
-            ups_new = ups.join(existing_keys, key_cols, "left_anti")
-            ups_upd = ups.join(existing_keys, key_cols, "left_semi")
+            # re-select after the USING joins: they move key columns
+            # first, and the EXCEPT ALL pairing below is positional
+            ups_new = ups.join(existing_keys, key_cols, "left_anti").select(
+                *data_cols
+            )
+            ups_upd = ups.join(existing_keys, key_cols, "left_semi").select(
+                *data_cols
+            )
             touched_u = touched.exceptAll(touched_d)
             replaced_u = existing.join(
                 F.broadcast(touched_u), key_cols, "left_semi"
@@ -2185,7 +2207,10 @@ class Runner:
 
         from kin_data_pipeline_spark.operators.incremental import (
             aggregate_base,
+            distinct_count_from_support,
+            distinct_support,
             maintain_aggregate,
+            maintain_distinct_support,
         )
         from kin_data_pipeline_spark.plans.guard import (
             assert_row_local,
@@ -2217,7 +2242,19 @@ class Runner:
                 f"'{state.get('source')}' but the spec names "
                 f"'{spec.source}' — drop the mart or fix the spec"
             )
-        if state is None or build_type == "full_refresh" or not cat.exists(m.name):
+        mart_sig = {
+            "group_by": list(spec.group_by),
+            "count_col": spec.count_col,
+            "measures": dict(spec.measures),
+            "distinct_counts": dict(spec.distinct_counts),
+        }
+        full = (
+            state is None
+            or build_type == "full_refresh"
+            or not cat.exists(m.name)
+            or state.get("signature") != mart_sig
+        )
+        if full:
             df = aggregate_base(
                 shape(cat.table_at_version(spec.source, tip)),
                 spec.group_by,
@@ -2250,6 +2287,64 @@ class Runner:
                 count_col=spec.count_col,
             )
             action = "ivm"
+        # exact COUNT(DISTINCT) measures — the non-distributive class —
+        # ride a PERSISTED (group, value) → multiplicity support table per
+        # measure, state-tracked independently of the mart: each support
+        # is written (staged swap) and its state recorded BEFORE the mart
+        # write, so a crash between writes recovers per table — a support
+        # already at the tip is reused as-is instead of double-applying
+        # the span, one that lost its sidecar rebuilds from the tip
+        # snapshot. Steady state maintains each support from the
+        # changelog only (the base is never rescanned).
+        for out, src in spec.distinct_counts.items():
+            sup_name = f"{m.name}__support_{out}"
+            sup_state = cat.ivm_state(sup_name)
+            sup_sig = {"group_by": list(spec.group_by), "value_col": src}
+            if (
+                full
+                or sup_state is None
+                or not cat.exists(sup_name)
+                or sup_state.get("source") != spec.source
+                or sup_state.get("signature") != sup_sig
+            ):
+                sup = distinct_support(
+                    shape(cat.table_at_version(spec.source, tip)),
+                    spec.group_by,
+                    src,
+                )
+            elif int(sup_state["version"]) == tip:
+                sup = None  # already advanced (crash recovery): reuse
+            else:
+                sup = maintain_distinct_support(
+                    cat.table(sup_name),
+                    shape(
+                        cat.table_changes(
+                            spec.source, int(sup_state["version"]), tip
+                        )
+                    ),
+                    spec.group_by,
+                    src,
+                )
+            if sup is not None:
+                if guard_plans:
+                    assert_scalable_plan(sup, sup_name, m.allow_nested_loop)
+                cat.write_full(sup_name, sup, None)
+                cat.save_ivm_state(sup_name, spec.source, tip, signature=sup_sig)
+            counts = distinct_count_from_support(
+                cat.table(sup_name), spec.group_by, out_col=out
+            )
+            # null-safe left join at group grain (GROUP BY's NULL-is-one-
+            # group semantics); a group absent from the support has only
+            # NULL values — COUNT(DISTINCT) = 0
+            a, c = df.alias("a"), counts.alias("c")
+            cond = None
+            for k in spec.group_by:
+                term = F.col(f"a.{k}").eqNullSafe(F.col(f"c.{k}"))
+                cond = term if cond is None else (cond & term)
+            df = a.join(c, cond, "left").select(
+                *[F.col(f"a.{x}") for x in df.columns],
+                F.coalesce(F.col(f"c.{out}"), F.lit(0)).alias(out),
+            )
         if guard_plans:
             assert_scalable_plan(df, m.name, m.allow_nested_loop)
         if m.order_by:
@@ -2272,7 +2367,7 @@ class Runner:
                 m.name, df, None,
                 bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
             )
-            cat.save_ivm_state(m.name, spec.source, tip)
+            cat.save_ivm_state(m.name, spec.source, tip, signature=mart_sig)
         finally:
             if m.checks:
                 df.unpersist()

@@ -41,6 +41,16 @@ class IvmSpec:
     the maintained shape is COUNT(*) AS ``count_col`` plus
     SUM(COALESCE(src, 0)) per measure — exactly
     ``operators/incremental.py::aggregate_base``.
+
+    ``distinct_counts`` maps output column → source column for exact
+    COUNT(DISTINCT src) measures — the non-distributive class. Each one
+    is maintained through a PERSISTED auxiliary support table
+    ``{mart}__support_{out}`` holding the (group, value) → multiplicity
+    multiset (``operators/incremental.py::distinct_support``), rolled
+    forward from the same change feed; the mart's distinct-count column
+    derives as a support row count. Support state is value-cardinality-
+    sized — the known cost of EXACT distinct IVM (approximate
+    alternatives live in the sketch tier).
     """
 
     source: str
@@ -48,6 +58,7 @@ class IvmSpec:
     measures: Any = field(default_factory=dict)  # Mapping[out_col, src_col]
     count_col: str = "n_rows"
     row_transform: Callable[[Any], Any] | None = None
+    distinct_counts: Any = field(default_factory=dict)  # Mapping[out, src]
 
 @dataclass(frozen=True)
 class Model:
@@ -153,6 +164,18 @@ class Model:
                 raise ValueError(
                     f"model {self.name}: ivm.group_by must name at least "
                     "one grouping column"
+                )
+            outs = [
+                self.ivm.count_col,
+                *self.ivm.measures,
+                *self.ivm.distinct_counts,
+            ]
+            dupes = sorted({o for o in outs if outs.count(o) > 1})
+            if dupes:
+                raise ValueError(
+                    f"model {self.name}: ivm output columns collide: "
+                    f"{dupes} (count_col, measures and distinct_counts "
+                    "must all be distinct)"
                 )
         if self.bucket_by and self.date_col is not None:
             raise ValueError(

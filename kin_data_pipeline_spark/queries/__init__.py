@@ -97,6 +97,7 @@ CURRENT_WINDOW_HEAD = [
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
     "cdf_incremental_minmax",  # hybrid MIN/MAX IVM, rebuild branch exercised
+    "runner_ivm_status_rollup",  # Runner IVM strategy + distinct support
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

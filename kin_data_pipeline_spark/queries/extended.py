@@ -2440,6 +2440,126 @@ def cdf_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return mm.select("o_year", "min_cents", "max_cents")
 
+# The Runner's IVM refresh strategy end-to-end (VERDICT r8 asks #3 + #7b):
+# a mart DECLARED as Model(ivm=IvmSpec(...)) — per-status COUNT + SUM
+# cents + exact COUNT(DISTINCT order dates) via the persisted support
+# table — is materialized by the Runner three times over a mutating
+# versioned source: full build at v0, then CDF-maintained refreshes
+# through an append commit and an upsert commit (typed update_preimage/
+# update_postimage rows) + a group-erasing delete. The query RAISES if
+# any post-build run is not action == 'ivm', so the driver row fails if
+# the Runner ever silently falls back to rebuilding; the oracle
+# recomputes the same aggregate from the tip's literal predicates, so
+# the hash match proves the maintained mart (distinct counts included)
+# lands exactly on the from-scratch result. plans/engine.py::_run_ivm,
+# pinned locally by tests/test_ivm_refresh.py.
+@register(
+    "runner_ivm_status_rollup",
+    """
+    WITH v2 AS (
+      SELECT * FROM orders
+      WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "Runner IVM refresh strategy: a declared rollup mart (COUNT+SUM "
+        "+ exact COUNT(DISTINCT) via a persisted support table) is "
+        "maintained from the CDF across append/delete/upsert commits and "
+        "equals the from-scratch recompute at the tip"
+    ),
+)
+def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    from kin_data_pipeline_spark.plans.model import IvmSpec, Model
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="rivm_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cat.write_full(
+        "orders_src",
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+        None,
+    )
+    cat.enable_versioning("orders_src")  # v0
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        )
+
+    mart = Model(
+        name="status_rollup",
+        ivm=IvmSpec(
+            source="orders_src",
+            group_by=["o_orderstatus"],
+            measures={"total_cents": "cents"},
+            count_col="n_orders",
+            distinct_counts={"n_order_dates": "o_orderdate"},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+    runner = Runner(spark, cat)
+    run_date = datetime.date(2024, 1, 31)
+    actions = [runner.run([mart], run_date)[0].action]
+    cat.write_append(
+        "orders_src",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        ),
+        None,
+    )  # v1: append
+    actions.append(runner.run([mart], run_date)[0].action)
+    cat.delete_by_keys("orders_src", "o_orderstatus", ["F"])  # v2: erase
+    # v3: an upsert that lands typed update rows in the feed — bumping
+    # one order's price; materialized as a literal row FIRST (a lazy
+    # frame over the table would capture a file listing the upsert's own
+    # rewrite invalidates). Bounded 1-row driver probe.
+    src = cat.table("orders_src")
+    row = src.orderBy("o_orderkey").limit(1).collect()[0]
+    price_t = dict(src.dtypes)["o_totalprice"]
+    probe = spark.createDataFrame([row], src.schema).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice") + F.lit(1000.0)).cast(price_t),
+    )
+    cat.upsert_by_key("orders_src", probe, ["o_orderkey"], None)
+    # ... and back, so the oracle's literal predicates stay exact (the
+    # round trip still exercises two maintained typed-update commits)
+    probe_back = spark.createDataFrame([row], src.schema)
+    cat.upsert_by_key("orders_src", probe_back, ["o_orderkey"], None)  # v4
+    actions.append(runner.run([mart], run_date)[0].action)
+    if actions != ["full", "ivm", "ivm"]:
+        raise AssertionError(
+            f"Runner IVM strategy degraded: actions {actions} != "
+            "['full', 'ivm', 'ivm']"
+        )
+    out = cat.table("status_rollup").select(
+        F.col("o_orderstatus"),
+        F.col("n_orders"),
+        F.col("total_cents"),
+        F.col("n_order_dates"),
+    )
+    rows = out.collect()  # bounded: one row per order status
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders long, total_cents long, "
+        "n_order_dates long",
+    )
+
 # The STREAMING form of the loop above — CDF stream → foreachBatch →
 # maintained aggregate: the complete production pattern for keeping a
 # downstream rollup continuously fresh from a mutating upstream table

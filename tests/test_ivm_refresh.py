@@ -174,7 +174,8 @@ def test_out_of_band_write_invalidates_state(spark, tmp_path):
     _seed(spark, cat, [(1, "open", 1.0, "a"), (2, "paid", 2.0, "b")])
     m = _mart()
     runner.run([m], RUN_DATE)
-    assert cat.ivm_state(m.name) == {"source": "txns", "version": 0}
+    st = cat.ivm_state(m.name)
+    assert (st["source"], st["version"]) == ("txns", 0)
     # clobber the mart directly (not via the Runner)
     cat.write_full(
         m.name,
@@ -248,3 +249,118 @@ def test_model_validation_and_topo_edge():
     mart = Model(name="mart", ivm=IvmSpec(source="src", group_by=["g"]),
                  date_col=None)
     assert [m.name for m in topo_sort([mart, src])] == ["src", "mart"]
+
+
+def _distinct_mart(name="status_rollup_d") -> Model:
+    return Model(
+        name=name,
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            distinct_counts={"n_notes": "note"},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+
+
+def _recompute_distinct(spark, cat: Catalog):
+    return (
+        _cents(cat.table("txns"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("total_cents"),
+            F.countDistinct("note").cast("long").alias("n_notes"),
+        )
+    )
+
+
+def test_distinct_count_measure_equals_recompute_across_commits(spark, tmp_path):
+    """The second Runner IVM class: exact COUNT(DISTINCT) via a persisted
+    support table, equal to the from-scratch recompute after appends
+    (duplicate values included), a value-retiring delete, and an upsert's
+    typed update pair."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [
+            (1, "open", 1.0, "a"),
+            (2, "open", 2.0, "a"),  # duplicate note: distinct must be 1
+            (3, "open", 3.0, "b"),
+            (4, "paid", 4.0, "a"),
+        ],
+    )
+    m = _distinct_mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_recompute_distinct(spark, cat))
+    assert cat.exists(f"{m.name}__support_n_notes")
+
+    # append: a new note value and another duplicate
+    cat.write_append(
+        "txns",
+        spark.createDataFrame([(5, "open", 5.0, "c"), (6, "paid", 6.0, "a")], DDL),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_recompute_distinct(spark, cat))
+
+    # delete one copy of a duplicated note (count keeps it), then the
+    # LAST copy of another (count drops it) — the support multiset is
+    # exactly what makes this decidable without the base
+    cat.delete_by_keys("txns", "k", ["2"])  # 'a' persists in open via k=1
+    cat.delete_by_keys("txns", "k", ["3"])  # retires 'b' from open
+    # upsert: typed update_preimage/postimage flow through the support
+    cat.upsert_by_key(
+        "txns", spark.createDataFrame([(1, "open", 1.0, "z")], DDL), ["k"], None
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    got = _rows_of(cat.table(m.name))
+    assert got == _rows_of(_recompute_distinct(spark, cat))
+    open_row = [r for r in got if r[0] == "open"][0]
+    assert open_row[3] == 2  # notes {c, z}
+
+
+def test_distinct_support_maintains_without_the_base(spark, tmp_path):
+    """Steady-state distinct maintenance reads the support + changelog
+    only: with the source's live files and snapshots destroyed, the
+    refresh still lands on the correct distinct counts."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(spark, cat, [(1, "open", 1.0, "a"), (2, "open", 2.0, "b")])
+    m = _distinct_mart()
+    runner.run([m], RUN_DATE)
+    cat.write_append(
+        "txns",
+        spark.createDataFrame([(3, "open", 3.0, "a"), (4, "paid", 4.0, "c")], DDL),
+        None,
+    )  # v1 carries its own change rows
+    shutil.rmtree(cat.path("txns"))
+    for v in (0, 1):
+        data = os.path.join(cat._versions_dir("txns", v), "data")
+        if os.path.isdir(data):
+            shutil.rmtree(data)
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    rows = {r["status"]: (r["n_rows"], r["n_notes"]) for r in
+            (row.asDict() for row in cat.table(m.name).collect())}
+    assert rows == {"open": (3, 2), "paid": (1, 1)}
+
+
+def test_spec_signature_change_forces_rebuild(spark, tmp_path):
+    """Editing the IvmSpec (here: adding a distinct measure) must rebuild
+    the mart instead of maintaining the stale shape."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(spark, cat, [(1, "open", 1.0, "a"), (2, "paid", 2.0, "b")])
+    assert runner.run([_mart()], RUN_DATE)[0].action == "full"
+    # same mart name, spec now carries a distinct measure
+    m2 = _distinct_mart(name="status_rollup")
+    res = runner.run([m2], RUN_DATE)
+    assert res[0].action == "full"
+    assert "n_notes" in cat.table("status_rollup").columns
+    assert _rows_of(cat.table("status_rollup")) == _rows_of(
+        _recompute_distinct(spark, cat)
+    )
