@@ -394,3 +394,41 @@ def test_cdf_snapshot_fallback_handles_nulls_and_underscore_columns(spark, tmp_p
         ("insert", 1, None, 99),
         ("insert", 1, "x", 5),
     ]
+
+
+def test_streaming_cdf_carries_typed_update_rows(spark, tmp_path):
+    """An upsert commit's typed update_preimage/update_postimage rows
+    flow through the streaming CDF source verbatim (served from the
+    stored change files), with _commit_version provenance — Delta's
+    readChangeFeed update typing on the stream surface."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full(
+        "t", spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ddl), None
+    )
+    cat.enable_versioning("t")  # v0
+    cat.upsert_by_key(
+        "t",
+        spark.createDataFrame([(1, "a", 99), (3, "c", 30)], ddl),
+        ["id"],
+        None,
+    )  # v1: one matched key (typed pair) + one new key (insert)
+
+    st = stream_table_changes(spark, cat.warehouse_dir, "t", ddl)
+    q = (
+        st.writeStream.format("memory").queryName("cdf_typed")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r.id, r.val)
+        for r in spark.table("cdf_typed").collect()
+    )
+    assert got == [
+        (1, "insert", 3, 30),
+        (1, "update_postimage", 1, 99),
+        (1, "update_preimage", 1, 10),
+    ]
