@@ -2206,11 +2206,11 @@ class Runner:
         import time
 
         from kin_data_pipeline_spark.operators.incremental import (
-            aggregate_base,
             distinct_count_from_support,
             distinct_support,
             maintain_aggregate,
             maintain_distinct_support,
+            maintain_minmax,
         )
         from kin_data_pipeline_spark.plans.guard import (
             assert_row_local,
@@ -2247,7 +2247,28 @@ class Runner:
             "count_col": spec.count_col,
             "measures": dict(spec.measures),
             "distinct_counts": dict(spec.distinct_counts),
+            "minmax": {src: list(pair) for src, pair in spec.minmax.items()},
         }
+
+        def _join_at_group_grain(df_a, df_b, added_cols, fill_zero=False):
+            """Null-safe LEFT join on the group keys (GROUP BY's NULL-is-
+            one-group semantics), appending ``added_cols`` from df_b."""
+            a, b = df_a.alias("a"), df_b.alias("b")
+            cond = None
+            for k in spec.group_by:
+                term = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+                cond = term if cond is None else (cond & term)
+            picked = [
+                (
+                    F.coalesce(F.col(f"b.{c}"), F.lit(0))
+                    if fill_zero
+                    else F.col(f"b.{c}")
+                ).alias(c)
+                for c in added_cols
+            ]
+            return a.join(b, cond, "left").select(
+                *[F.col(f"a.{x}") for x in df_a.columns], *picked
+            )
         full = (
             state is None
             or build_type == "full_refresh"
@@ -2255,11 +2276,23 @@ class Runner:
             or state.get("signature") != mart_sig
         )
         if full:
-            df = aggregate_base(
-                shape(cat.table_at_version(spec.source, tip)),
-                spec.group_by,
-                spec.measures,
-                count_col=spec.count_col,
+            # one fused aggregation pass over the tip: aggregate_base's
+            # COUNT + SUM(COALESCE) shape plus minmax_base's extrema, so
+            # the rebuild never scans the base twice
+            aggs = [F.count(F.lit(1)).cast("long").alias(spec.count_col)]
+            aggs += [
+                F.sum(F.coalesce(F.col(src), F.lit(0))).alias(out)
+                for out, src in spec.measures.items()
+            ]
+            aggs += [
+                x
+                for src, (mn, mx) in spec.minmax.items()
+                for x in (F.min(src).alias(mn), F.max(src).alias(mx))
+            ]
+            df = (
+                shape(cat.table_at_version(spec.source, tip))
+                .groupBy(*spec.group_by)
+                .agg(*aggs)
             )
             action = "full"
         elif int(state["version"]) == tip:
@@ -2286,6 +2319,24 @@ class Runner:
                 spec.measures,
                 count_col=spec.count_col,
             )
+            # exact MIN/MAX measures — the hybrid class: the mart's own
+            # extrema columns ARE the state (they ride the mart's single
+            # atomic write, so no extra crash window); inserts merge
+            # delta-only, and only groups whose stored extremum a delete
+            # reached rebuild via a semi join against the LIVE source
+            # (== the tip), partition-prunable and AQE-collapsed to
+            # nothing when no extremum was hit
+            for src, (mn, mx) in spec.minmax.items():
+                mm = maintain_minmax(
+                    cat.table(m.name).select(*spec.group_by, mn, mx),
+                    changes,
+                    shape(cat.table(spec.source)),
+                    spec.group_by,
+                    src,
+                    min_col=mn,
+                    max_col=mx,
+                )
+                df = _join_at_group_grain(df, mm, [mn, mx])
             action = "ivm"
         # exact COUNT(DISTINCT) measures — the non-distributive class —
         # ride a PERSISTED (group, value) → multiplicity support table per
@@ -2333,18 +2384,9 @@ class Runner:
             counts = distinct_count_from_support(
                 cat.table(sup_name), spec.group_by, out_col=out
             )
-            # null-safe left join at group grain (GROUP BY's NULL-is-one-
-            # group semantics); a group absent from the support has only
-            # NULL values — COUNT(DISTINCT) = 0
-            a, c = df.alias("a"), counts.alias("c")
-            cond = None
-            for k in spec.group_by:
-                term = F.col(f"a.{k}").eqNullSafe(F.col(f"c.{k}"))
-                cond = term if cond is None else (cond & term)
-            df = a.join(c, cond, "left").select(
-                *[F.col(f"a.{x}") for x in df.columns],
-                F.coalesce(F.col(f"c.{out}"), F.lit(0)).alias(out),
-            )
+            # a group absent from the support has only NULL values —
+            # COUNT(DISTINCT) = 0
+            df = _join_at_group_grain(df, counts, [out], fill_zero=True)
         if guard_plans:
             assert_scalable_plan(df, m.name, m.allow_nested_loop)
         if m.order_by:

@@ -51,6 +51,15 @@ class IvmSpec:
     derives as a support row count. Support state is value-cardinality-
     sized — the known cost of EXACT distinct IVM (approximate
     alternatives live in the sketch tier).
+
+    ``minmax`` maps source column → (min_out, max_out) for exact MIN/MAX
+    measures — the hybrid class: inserts improve extrema delta-only, but
+    a delete reaching a stored extremum rebuilds exactly the affected
+    groups via a semi-join-scoped scan of the live source
+    (``operators/incremental.py::maintain_minmax``). The extrema live in
+    the mart's own columns, so their state rides the mart's single
+    atomic write. Steady state without extremum deletes never reads the
+    base (AQE collapses the empty dirty-group semi join).
     """
 
     source: str
@@ -59,6 +68,7 @@ class IvmSpec:
     count_col: str = "n_rows"
     row_transform: Callable[[Any], Any] | None = None
     distinct_counts: Any = field(default_factory=dict)  # Mapping[out, src]
+    minmax: Any = field(default_factory=dict)  # Mapping[src, (min_out, max_out)]
 
 @dataclass(frozen=True)
 class Model:
@@ -165,18 +175,26 @@ class Model:
                     f"model {self.name}: ivm.group_by must name at least "
                     "one grouping column"
                 )
+            mm_outs = [c for pair in self.ivm.minmax.values() for c in pair]
             outs = [
                 self.ivm.count_col,
                 *self.ivm.measures,
                 *self.ivm.distinct_counts,
+                *mm_outs,
             ]
             dupes = sorted({o for o in outs if outs.count(o) > 1})
             if dupes:
                 raise ValueError(
                     f"model {self.name}: ivm output columns collide: "
-                    f"{dupes} (count_col, measures and distinct_counts "
-                    "must all be distinct)"
+                    f"{dupes} (count_col, measures, distinct_counts and "
+                    "minmax outputs must all be distinct)"
                 )
+            for src, pair in self.ivm.minmax.items():
+                if len(tuple(pair)) != 2:
+                    raise ValueError(
+                        f"model {self.name}: ivm.minmax[{src!r}] must be "
+                        "a (min_out, max_out) pair"
+                    )
         if self.bucket_by and self.date_col is not None:
             raise ValueError(
                 f"model {self.name}: bucket_by and date_col are mutually "

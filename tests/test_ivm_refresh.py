@@ -364,3 +364,121 @@ def test_spec_signature_change_forces_rebuild(spark, tmp_path):
     assert _rows_of(cat.table("status_rollup")) == _rows_of(
         _recompute_distinct(spark, cat)
     )
+
+
+def test_minmax_measure_equals_recompute_across_commits(spark, tmp_path):
+    """The third Runner IVM class: hybrid MIN/MAX columns in the mart,
+    equal to the from-scratch recompute after an append (delta-only), a
+    delete that hits stored extrema (rebuild branch), and a typed upsert
+    that replaces a group's maximum."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [
+            (1, "open", 10.0, "a"),
+            (2, "open", 99.0, "b"),   # open's max
+            (3, "paid", 5.0, "c"),
+            (4, "paid", 1.0, "d"),    # paid's min
+        ],
+    )
+    m = Model(
+        name="status_extrema",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            minmax={"cents": ("min_cents", "max_cents")},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+
+    def recompute():
+        return (
+            _cents(cat.table("txns"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("total_cents"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+            )
+        )
+
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
+
+    # append: improves open's max delta-only, adds a new group
+    cat.write_append(
+        "txns",
+        spark.createDataFrame([(5, "open", 200.0, "e"), (6, "late", 7.0, "f")], DDL),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
+
+    # delete the stored extrema: open's max (k=5) and paid's min (k=4)
+    cat.delete_by_keys("txns", "k", ["5"])
+    cat.delete_by_keys("txns", "k", ["4"])
+    # typed upsert lowering open's remaining max (k=2: 99 -> 3)
+    cat.upsert_by_key(
+        "txns", spark.createDataFrame([(2, "open", 3.0, "b")], DDL), ["k"], None
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    got = _rows_of(cat.table(m.name))
+    assert got == _rows_of(recompute())
+    open_row = [r for r in got if r[0] == "open"][0]
+    # (status, n_rows, total_cents, min_cents, max_cents)
+    assert (open_row[3], open_row[4]) == (300, 1000)  # min 3.0, max 10.0
+
+
+def test_all_three_ivm_classes_compose_in_one_mart(spark, tmp_path):
+    """COUNT+SUM, COUNT(DISTINCT) via support, and hybrid MIN/MAX in a
+    single declared mart, maintained through a group-emptying delete."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [(1, "open", 1.0, "a"), (2, "open", 2.0, "a"), (3, "paid", 3.0, "b")],
+    )
+    m = Model(
+        name="status_full",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            distinct_counts={"n_notes": "note"},
+            minmax={"cents": ("min_cents", "max_cents")},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+
+    def recompute():
+        return (
+            _cents(cat.table("txns"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("total_cents"),
+                # mart column order: minmax rides the main aggregate,
+                # distinct counts join in last (same on both paths)
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+                F.countDistinct("note").cast("long").alias("n_notes"),
+            )
+        )
+
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
+    cat.write_append(
+        "txns", spark.createDataFrame([(4, "open", 9.0, "c")], DDL), None
+    )
+    cat.delete_by_keys("txns", "status", ["paid"])  # empties 'paid'
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    got = _rows_of(cat.table(m.name))
+    assert got == _rows_of(recompute())
+    assert len(got) == 1 and got[0][0] == "open"
