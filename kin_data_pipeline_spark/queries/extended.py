@@ -2641,7 +2641,7 @@ def streaming_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFra
     def step(batch_df, _batch_id):
         holder["agg"] = maintain_aggregate(
             holder["agg"],
-            batch_df.drop("_commit_version"),
+            batch_df.drop("_commit_version", "_commit_timestamp"),
             keys,
             measures,
             count_col="n_orders",

@@ -6,7 +6,9 @@ a batch question; this source turns the SAME contract into a stream:
 offsets are VERSION NUMBERS in the table's commit log (`_log.json` is the
 single authority the batch reader also trusts), `latestOffset` re-reads
 the log each trigger, and each micro-batch emits the row-level diff of
-every newly committed version with `_commit_version` provenance —
+every newly committed version with `_commit_version` and
+`_commit_timestamp` provenance (the commit's log timestamp, Delta's
+readChangeFeed provenance pair) —
 insert/delete rows, plus Delta's typed update_preimage/update_postimage
 pairs on commits whose mutator knew the pairing (upsert / changelog
 merge), served verbatim from the stored change files. Reading the Delta-style CDF as a stream is
@@ -51,10 +53,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-TRACKING_COLS = "_change_type string, _commit_version int"
+TRACKING_COLS = (
+    "_change_type string, _commit_version int, _commit_timestamp timestamp"
+)
 # exact reserved names — a USER column that merely starts with '_' is
 # data and must flow through the diff untouched
-TRACKING_NAMES = ("_change_type", "_commit_version")
+TRACKING_NAMES = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 def _versions_dir(warehouse: str, table: str) -> str:
@@ -77,20 +81,24 @@ def _none_safe_row_key(row: tuple) -> tuple:
 class _VersionDiffPartition(InputPartition):
     """Fallback: one commit's diff computed from its two snapshots."""
 
-    def __init__(self, warehouse: str, table: str, version: int, arrow_schema):
+    def __init__(
+        self, warehouse: str, table: str, version: int, arrow_schema, ts=None
+    ):
         self.warehouse = warehouse
         self.table = table
         self.version = version
         self.arrow_schema = arrow_schema  # picklable pa.schema
+        self.ts = ts  # commit epoch seconds from the log (None pre-log)
 
 
 class _ChangeFilePartition(InputPartition):
     """Scale path: one stored change-parquet file of one commit."""
 
-    def __init__(self, path: str, version: int, arrow_schema):
+    def __init__(self, path: str, version: int, arrow_schema, ts=None):
         self.path = path
         self.version = version
         self.arrow_schema = arrow_schema
+        self.ts = ts
 
 
 def _plan_version(
@@ -101,6 +109,7 @@ def _plan_version(
     empty change set, e.g. a compact commit), else the one-task
     snapshot-diff fallback."""
     v = int(entry["version"])
+    ts = entry.get("ts")
     if entry.get("changes"):
         changes = os.path.join(_versions_dir(warehouse, table), f"v{v}", "changes")
         files = sorted(
@@ -108,8 +117,8 @@ def _plan_version(
             for f in os.listdir(changes)
             if f.endswith(".parquet")
         )
-        return [_ChangeFilePartition(p, v, arrow_schema) for p in files]
-    return [_VersionDiffPartition(warehouse, table, v, arrow_schema)]
+        return [_ChangeFilePartition(p, v, arrow_schema, ts) for p in files]
+    return [_VersionDiffPartition(warehouse, table, v, arrow_schema, ts)]
 
 
 def _read_change_file(partition: _ChangeFilePartition):
@@ -125,6 +134,17 @@ def _read_change_file(partition: _ChangeFilePartition):
     for field in partition.arrow_schema:
         if field.name == "_commit_version":
             col = pa.array([partition.version] * tbl.num_rows).cast(field.type)
+        elif field.name == "_commit_timestamp":
+            # the commit's log timestamp as a constant (Delta's
+            # readChangeFeed provenance column); epoch float → µs
+            us = (
+                None
+                if partition.ts is None
+                else int(round(float(partition.ts) * 1_000_000))
+            )
+            col = pa.array([us] * tbl.num_rows, type=pa.int64()).cast(
+                field.type
+            )
         elif field.name not in tbl.column_names:
             # additive schema evolution: a commit that predates a column
             # null-fills it, the same way the live table reads its own
@@ -179,20 +199,35 @@ def _diff_snapshots(partition: _VersionDiffPartition):
     # batch Catalog.table_changes; the None-safe sort key is only for
     # within-partition determinism (NULL cells are unorderable raw)
     out: list[tuple] = []
+    types: list[str] = []
     for row, n in sorted((new - old).items(), key=lambda kv: _none_safe_row_key(kv[0])):
-        out.extend((*row, "insert", v) for _ in range(n))
+        out.extend(row for _ in range(n))
+        types.extend("insert" for _ in range(n))
     for row, n in sorted((old - new).items(), key=lambda kv: _none_safe_row_key(kv[0])):
-        out.extend((*row, "delete", v) for _ in range(n))
+        out.extend(row for _ in range(n))
+        types.extend("delete" for _ in range(n))
     if not out:
         return iter(())
-    cols = list(zip(*out))
-    batch = pa.record_batch(
-        [
-            pa.array(col, type=field.type)
-            for col, field in zip(cols, partition.arrow_schema)
-        ],
-        schema=partition.arrow_schema,
+    us = (
+        None
+        if partition.ts is None
+        else int(round(float(partition.ts) * 1_000_000))
     )
+    data = {name: [r[i] for r in out] for i, name in enumerate(fields)}
+    # tracking columns are filled BY NAME, so the reader also serves a
+    # caller-built schema that omits some of them
+    arrays = []
+    for field in partition.arrow_schema:
+        if field.name == "_change_type":
+            arr = pa.array(types, type=field.type)
+        elif field.name == "_commit_version":
+            arr = pa.array([v] * len(out)).cast(field.type)
+        elif field.name == "_commit_timestamp":
+            arr = pa.array([us] * len(out), type=pa.int64()).cast(field.type)
+        else:
+            arr = pa.array(data[field.name], type=field.type)
+        arrays.append(arr)
+    batch = pa.record_batch(arrays, schema=partition.arrow_schema)
     return iter((batch,))
 
 
@@ -338,9 +373,9 @@ def read_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
 def stream_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
                          starting_version: int = 0):
     """Register the source (idempotent per session) and open the CDF
-    stream for ``table``: the table's columns plus ``_change_type`` and
-    ``_commit_version``, covering the exclusive range
-    ``(starting_version, tip]``."""
+    stream for ``table``: the table's columns plus ``_change_type``,
+    ``_commit_version`` and ``_commit_timestamp``, covering the
+    exclusive range ``(starting_version, tip]``."""
     spark.dataSource.register(CatalogChangesDataSource)
     return (
         spark.readStream.format("catalog_changes")

@@ -432,3 +432,35 @@ def test_streaming_cdf_carries_typed_update_rows(spark, tmp_path):
         (1, "update_postimage", 1, 99),
         (1, "update_preimage", 1, 10),
     ]
+
+
+def test_streaming_cdf_commit_timestamp_provenance(spark, tmp_path):
+    """Every emitted change row carries _commit_timestamp == its commit's
+    log timestamp (µs precision), on BOTH serving paths: stored change
+    files (append commit) and the snapshot-diff fallback (full rewrite)."""
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import stream_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    cat.write_append(
+        "t", spark.createDataFrame([(2, "b", 20)], ddl), None
+    )  # v1: change-file path
+    cat.write_full(
+        "t", spark.createDataFrame([(1, "a", 10)], ddl), None
+    )  # v2: full rewrite -> snapshot-diff fallback
+    log_ts = {e["version"]: e["ts"] for e in cat.history("t")}
+
+    st = stream_table_changes(spark, cat.warehouse_dir, "t", ddl)
+    q = (
+        st.writeStream.format("memory").queryName("cdf_ts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("cdf_ts").collect()
+    assert {r["_commit_version"] for r in got} == {1, 2}
+    for r in got:
+        assert r["_commit_timestamp"] is not None
+        assert abs(r["_commit_timestamp"].timestamp() - log_ts[r["_commit_version"]]) < 1e-3
