@@ -2475,7 +2475,10 @@ class Runner:
         ``skip`` for the same effect)."""
         out = {}
         for m in models:
-            if m.name in skip or m.clone_of is not None:
+            # models without a date axis (bucketed/z-ordered layouts,
+            # IVM group-grain marts) have nothing date-keyed to drop —
+            # their reprocessing path is a full/IVM rebuild, not a refill
+            if m.name in skip or m.clone_of is not None or m.date_col is None:
                 continue
             out[m.name] = self.catalog.delete_where_date_ge(
                 m.name, m.date_col, cutoff
