@@ -2443,29 +2443,34 @@ def cdf_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The Runner's IVM refresh strategy end-to-end (VERDICT r8 asks #3 + #7b):
 # a mart DECLARED as Model(ivm=IvmSpec(...)) — per-status COUNT + SUM
 # cents + exact COUNT(DISTINCT order dates) via the persisted support
-# table — is materialized by the Runner three times over a mutating
-# versioned source: full build at v0, then CDF-maintained refreshes
-# through an append commit and an upsert commit (typed update_preimage/
-# update_postimage rows) + a group-erasing delete. The query RAISES if
-# any post-build run is not action == 'ivm', so the driver row fails if
-# the Runner ever silently falls back to rebuilding; the oracle
-# recomputes the same aggregate from the tip's literal predicates, so
-# the hash match proves the maintained mart (distinct counts included)
-# lands exactly on the from-scratch result. plans/engine.py::_run_ivm,
-# pinned locally by tests/test_ivm_refresh.py.
+# table — is built by the Runner at v0, then maintained by ONE refresh
+# whose span covers three commit kinds at once: an append, a
+# group-erasing key delete, and an upsert landing typed
+# update_preimage/update_postimage rows (multi-commit table_changes nets
+# the span, folding the typed pair onto its sides). The query RAISES if
+# the refresh is not action == 'ivm', so the driver row fails if the
+# Runner ever silently falls back to rebuilding; the oracle recomputes
+# the same aggregate from the tip's literal predicates (mirroring the
+# deterministic MIN-orderkey price bump), so the hash match proves the
+# maintained mart (distinct counts included) lands exactly on the
+# from-scratch result. plans/engine.py::_run_ivm, pinned locally by
+# tests/test_ivm_refresh.py.
 @register(
     "runner_ivm_status_rollup",
     """
-    WITH v2 AS (
+    WITH v3 AS (
       SELECT * FROM orders
-      WHERE o_orderdate < DATE '1999-01-01' AND o_orderstatus <> 'F'
-    )
+      WHERE o_orderdate >= DATE '1994-01-01'
+        AND o_orderdate < DATE '1995-07-01' AND o_orderstatus <> 'F'
+    ), mk AS (SELECT MIN(o_orderkey) AS k FROM v3)
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    + CASE WHEN o_orderkey = (SELECT k FROM mk)
+                           THEN 100000 ELSE 0 END)
                 AS BIGINT) AS total_cents,
            CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
-    FROM v2 GROUP BY 1
+    FROM v3 GROUP BY 1
     """,
     doc=(
         "Runner IVM refresh strategy: a declared rollup mart (COUNT+SUM "
@@ -2488,7 +2493,10 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat.write_full(
         "orders_src",
-        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        ),
         None,
     )
     cat.enable_versioning("orders_src")  # v0
@@ -2517,17 +2525,18 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.write_append(
         "orders_src",
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
         ),
         None,
     )  # v1: append
-    actions.append(runner.run([mart], run_date)[0].action)
     cat.delete_by_keys("orders_src", "o_orderstatus", ["F"])  # v2: erase
-    # v3: an upsert that lands typed update rows in the feed — bumping
-    # one order's price; materialized as a literal row FIRST (a lazy
-    # frame over the table would capture a file listing the upsert's own
-    # rewrite invalidates). Bounded 1-row driver probe.
+    # v3: an upsert that lands typed update rows in the feed — a +$1000
+    # bump to the MIN-orderkey surviving order (deterministic, so the
+    # oracle mirrors it with a CASE on that key); materialized as a
+    # literal row FIRST (a lazy frame over the table would capture a
+    # file listing the upsert's own rewrite invalidates). Bounded 1-row
+    # driver probe.
     src = cat.table("orders_src")
     row = src.orderBy("o_orderkey").limit(1).collect()[0]
     price_t = dict(src.dtypes)["o_totalprice"]
@@ -2535,16 +2544,15 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.col("o_totalprice") + F.lit(1000.0)).cast(price_t),
     )
-    cat.upsert_by_key("orders_src", probe, ["o_orderkey"], None)
-    # ... and back, so the oracle's literal predicates stay exact (the
-    # round trip still exercises two maintained typed-update commits)
-    probe_back = spark.createDataFrame([row], src.schema)
-    cat.upsert_by_key("orders_src", probe_back, ["o_orderkey"], None)  # v4
+    cat.upsert_by_key("orders_src", probe, ["o_orderkey"], None)  # v3
+    # ONE maintained refresh spanning all three commits: the append, the
+    # group-erasing delete and the typed upsert net across the span
+    # (multi-commit table_changes folds the typed pair onto its sides)
     actions.append(runner.run([mart], run_date)[0].action)
-    if actions != ["full", "ivm", "ivm"]:
+    if actions != ["full", "ivm"]:
         raise AssertionError(
             f"Runner IVM strategy degraded: actions {actions} != "
-            "['full', 'ivm', 'ivm']"
+            "['full', 'ivm']"
         )
     out = cat.table("status_rollup").select(
         F.col("o_orderstatus"),
