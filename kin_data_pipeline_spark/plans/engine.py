@@ -2225,8 +2225,17 @@ class Runner:
                 "versioned — enable_versioning on it first (the change "
                 "feed IS the refresh input)"
             )
-        tip = cat.history(spec.source)[-1]["version"]
+        hist = cat.history(spec.source)
+        tip = hist[-1]["version"]
         state = cat.ivm_state(m.name)
+        # CDF retention lapse (Delta's readChangeFeed behavior when the
+        # requested range was vacuumed): a recorded version no longer in
+        # the log cannot anchor a change span — fall back to a full
+        # rebuild from the tip instead of failing the refresh
+        if state is not None and not any(
+            e["version"] == int(state["version"]) for e in hist
+        ):
+            state = None
         shape = spec.row_transform or (lambda df: df)
         if spec.row_transform is not None:
             # soundness gate on the TRANSFORM alone: probe it over an

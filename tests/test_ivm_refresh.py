@@ -482,3 +482,25 @@ def test_all_three_ivm_classes_compose_in_one_mart(spark, tmp_path):
     got = _rows_of(cat.table(m.name))
     assert got == _rows_of(recompute())
     assert len(got) == 1 and got[0][0] == "open"
+
+
+def test_vacuumed_refresh_anchor_falls_back_to_rebuild(spark, tmp_path):
+    """CDF retention lapse: when the mart's recorded refresh version has
+    been vacuumed from the source's log, the next run rebuilds from the
+    tip (Delta's readChangeFeed-after-vacuum behavior) instead of
+    failing on a missing change span."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(spark, cat, [(1, "open", 1.0, "a")])
+    m = _mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"  # state at v0
+    cat.write_append(
+        "txns", spark.createDataFrame([(2, "paid", 2.0, "b")], DDL), None
+    )  # v1
+    cat.write_append(
+        "txns", spark.createDataFrame([(3, "open", 3.0, "c")], DDL), None
+    )  # v2
+    cat.vacuum_versions("txns", keep_last=1)  # drops v0 (the anchor) + v1
+    res = runner.run([m], RUN_DATE)
+    assert res[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_recompute(spark, cat))
