@@ -2426,6 +2426,68 @@ class Runner:
             RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
         )
 
+    def stream_ivm(
+        self,
+        m: Model,
+        available_now: bool = True,
+        processing_time: str = "10 seconds",
+        checkpoint_dir: str | None = None,
+        guard_plans: bool = True,
+        results: list[RunResult] | None = None,
+    ):
+        """Continuously maintain an IVM-declared mart from its source's
+        CDF STREAM — the productionized form of Delta's readChangeFeed +
+        foreachBatch refresh loop.
+
+        The stream is used as a COMMIT SIGNAL, not as the data path: each
+        micro-batch triggers one ``_run_ivm`` incremental refresh, which
+        itself reads the stored change span (recorded sidecar version →
+        log tip). That makes the loop idempotent by construction — a
+        replayed or overlapping micro-batch finds the tip unchanged and
+        records a no-op, so no checkpoint is required for correctness
+        (pass ``checkpoint_dir`` anyway to avoid replay work after a
+        restart). The mart is built synchronously first if it has never
+        been refreshed, so the returned query only ever maintains.
+
+        Returns the started ``StreamingQuery``; per-trigger ``RunResult``
+        rows accumulate into ``results`` (pass a list to observe them).
+        """
+        import time
+
+        from kin_data_pipeline_spark.streaming.cdf_source import (
+            stream_table_changes,
+        )
+
+        spec = m.ivm
+        if spec is None:
+            raise ValueError(f"model {m.name} has no ivm declaration")
+        sink: list[RunResult] = results if results is not None else []
+        if self.catalog.ivm_state(m.name) is None or not self.catalog.exists(
+            m.name
+        ):
+            self._run_ivm(m, "incremental", guard_plans, sink, time.monotonic())
+        start = int(self.catalog.ivm_state(m.name)["version"])
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.catalog.table(spec.source).schema.fields
+        )
+
+        def step(_batch_df, _batch_id):
+            self._run_ivm(m, "incremental", guard_plans, sink, time.monotonic())
+
+        st = stream_table_changes(
+            self.spark, self.catalog.warehouse_dir, spec.source, ddl,
+            starting_version=start,
+        )
+        w = st.writeStream.foreachBatch(step)
+        if checkpoint_dir is not None:
+            w = w.option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
+
     def run_concurrent(
         self,
         models: Sequence[Model],

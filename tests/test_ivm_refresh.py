@@ -504,3 +504,65 @@ def test_vacuumed_refresh_anchor_falls_back_to_rebuild(spark, tmp_path):
     res = runner.run([m], RUN_DATE)
     assert res[0].action == "full"
     assert _rows_of(cat.table(m.name)) == _rows_of(_recompute(spark, cat))
+
+
+def test_stream_ivm_maintains_continuously(spark, tmp_path):
+    """Runner.stream_ivm: the CDF stream triggers per-micro-batch
+    incremental refreshes — after an availableNow pass over a mutated
+    history (append + delete + typed upsert across all three IVM
+    classes), the mart equals the from-scratch recompute, the refreshes
+    were 'ivm' (never a rebuild), and a second pass with no new commits
+    is a pure no-op."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [(1, "open", 1.0, "a"), (2, "open", 2.0, "b"), (3, "paid", 3.0, "a")],
+    )
+    m = Model(
+        name="status_live",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            distinct_counts={"n_notes": "note"},
+            minmax={"cents": ("min_cents", "max_cents")},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "full"  # built at v0
+    cat.write_append(
+        "txns", spark.createDataFrame([(4, "late", 4.0, "c")], DDL), None
+    )
+    cat.delete_by_keys("txns", "k", ["2"])  # hits open's max
+    cat.upsert_by_key(
+        "txns", spark.createDataFrame([(3, "paid", 9.0, "z")], DDL), ["k"], None
+    )
+    results = []
+    q = runner.stream_ivm(m, available_now=True, results=results)
+    assert q.awaitTermination(180)
+    assert all(r.action in ("ivm", "noop") for r in results)
+    assert any(r.action == "ivm" for r in results)
+
+    def recompute():
+        return (
+            _cents(cat.table("txns"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("total_cents"),
+                F.min("cents").alias("min_cents"),
+                F.max("cents").alias("max_cents"),
+                F.countDistinct("note").cast("long").alias("n_notes"),
+            )
+        )
+
+    assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
+    # no new commits: a second pass must be all no-ops
+    results2 = []
+    q2 = runner.stream_ivm(m, available_now=True, results=results2)
+    assert q2.awaitTermination(180)
+    assert all(r.action == "noop" for r in results2)
+    assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
