@@ -71,6 +71,48 @@ def _read_log(warehouse: str, table: str) -> list[dict]:
         return json.load(fh)
 
 
+def _parse_ts(v) -> float:
+    """An option timestamp as epoch seconds: a numeric string is epoch,
+    anything else ISO-8601 (naive = local time, matching
+    ``datetime.timestamp()`` and the batch ``table_as_of``)."""
+    import datetime as _dt
+
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return _dt.datetime.fromisoformat(str(v)).timestamp()
+
+
+def _anchor_version(options, which: str, entries: list[dict]) -> int | None:
+    """Resolve the ``startingTimestamp``/``endingTimestamp`` option to a
+    version anchor. ``which='starting'``: the EXCLUSIVE start = the last
+    commit strictly BEFORE the timestamp (so every commit at-or-after it
+    is emitted — Delta's inclusive startingTimestamp semantics mapped
+    onto this source's exclusive-version contract); no such commit → the
+    enable point (version 0, whose own diff doesn't exist anyway).
+    ``which='ending'``: the last commit at-or-before the timestamp
+    (Delta's endingTimestamp); none → error, nothing is in range.
+    Returns None when the option is absent."""
+    key = f"{which}timestamp"
+    if key not in options:
+        return None
+    if f"{which}version" in options:
+        raise ValueError(
+            f"pass {which}Version OR {which}Timestamp, not both"
+        )
+    ts = _parse_ts(options[key])
+    if which == "starting":
+        before = [e["version"] for e in entries if e["ts"] < ts]
+        return max(before) if before else int(entries[0]["version"]) if entries else 0
+    eligible = [e["version"] for e in entries if e["ts"] <= ts]
+    if not eligible:
+        raise ValueError(
+            f"no commit at or before endingTimestamp {options[key]!r} "
+            f"(earliest: {entries[0]['ts'] if entries else None})"
+        )
+    return max(eligible)
+
+
 def _none_safe_row_key(row: tuple) -> tuple:
     """Ordering key for rows that may hold NULLs: None is unorderable
     against int/str, so sort NULLs first per position via an (is-null,
@@ -254,7 +296,14 @@ class CatalogChangesStreamReader(DataSourceStreamReader):
 
         self._warehouse = options["warehouse"]
         self._table = options["table"]
-        self._start = int(options.get("startingversion", 0))
+        ts_anchor = _anchor_version(
+            options, "starting", _read_log(self._warehouse, self._table)
+        )
+        self._start = (
+            ts_anchor
+            if ts_anchor is not None
+            else int(options.get("startingversion", 0))
+        )
         # spark passes the parsed schema; field order defines row order,
         # and the arrow twin types the record batches read() emits
         # (vectorized transfer — never row-at-a-time tuples)
@@ -304,11 +353,19 @@ class CatalogChangesBatchReader(DataSourceReader):
 
         self._warehouse = options["warehouse"]
         self._table = options["table"]
-        self._start = int(options.get("startingversion", 0))
-        if "endingversion" in options:
+        entries = _read_log(self._warehouse, self._table)
+        start_anchor = _anchor_version(options, "starting", entries)
+        self._start = (
+            start_anchor
+            if start_anchor is not None
+            else int(options.get("startingversion", 0))
+        )
+        end_anchor = _anchor_version(options, "ending", entries)
+        if end_anchor is not None:
+            self._end = end_anchor
+        elif "endingversion" in options:
             self._end = int(options["endingversion"])
         else:
-            entries = _read_log(self._warehouse, self._table)
             self._end = entries[-1]["version"] if entries else self._start
         self._arrow_schema = to_arrow_schema(schema)
 
@@ -336,7 +393,11 @@ class CatalogChangesDataSource(DataSource):
     for a bounded version range) over a versioned catalog table. Options:
     ``warehouse``, ``table``, ``schema_ddl`` (the table's column DDL —
     workers cannot probe the catalog for it), optional
-    ``startingVersion`` / ``endingVersion`` (batch only)."""
+    ``startingVersion`` / ``endingVersion`` (batch only), or their
+    Delta-compatible timestamp twins ``startingTimestamp`` /
+    ``endingTimestamp`` (epoch seconds or ISO-8601; starting = every
+    commit AT OR AFTER the timestamp is emitted, ending = last commit
+    at-or-before it — mutually exclusive with the version form)."""
 
     @classmethod
     def name(cls) -> str:
@@ -354,18 +415,27 @@ class CatalogChangesDataSource(DataSource):
 
 def read_table_changes(spark, warehouse: str, table: str, schema_ddl: str,
                        starting_version: int = 0,
-                       ending_version: int | None = None):
+                       ending_version: int | None = None,
+                       starting_timestamp=None,
+                       ending_timestamp=None):
     """Batch CDF read through the same source: change rows for the
-    version range (starting, ending]; ending defaults to the tip."""
+    version range (starting, ending]; ending defaults to the tip.
+    Timestamp bounds (epoch seconds or ISO-8601) are the Delta-compat
+    alternative — starting emits every commit at-or-after it."""
     spark.dataSource.register(CatalogChangesDataSource)
     r = (
         spark.read.format("catalog_changes")
         .option("warehouse", warehouse)
         .option("table", table)
         .option("schema_ddl", schema_ddl)
-        .option("startingVersion", starting_version)
     )
-    if ending_version is not None:
+    if starting_timestamp is not None:
+        r = r.option("startingTimestamp", str(starting_timestamp))
+    else:
+        r = r.option("startingVersion", starting_version)
+    if ending_timestamp is not None:
+        r = r.option("endingTimestamp", str(ending_timestamp))
+    elif ending_version is not None:
         r = r.option("endingVersion", ending_version)
     return r.load()
 
