@@ -2257,6 +2257,7 @@ class Runner:
             "measures": dict(spec.measures),
             "distinct_counts": dict(spec.distinct_counts),
             "minmax": {src: list(pair) for src, pair in spec.minmax.items()},
+            "derived": dict(spec.derived),
         }
 
         def _join_at_group_grain(df_a, df_b, added_cols, fill_zero=False):
@@ -2396,6 +2397,11 @@ class Runner:
             # a group absent from the support has only NULL values —
             # COUNT(DISTINCT) = 0
             df = _join_at_group_grain(df, counts, [out], fill_zero=True)
+        # algebraic measures: pure functions of the maintained columns,
+        # recomputed per refresh (no state of their own); declaration
+        # order, so later expressions may use earlier outputs
+        for out, expr in spec.derived.items():
+            df = df.withColumn(out, F.expr(expr))
         if guard_plans:
             assert_scalable_plan(df, m.name, m.allow_nested_loop)
         if m.order_by:

@@ -60,6 +60,14 @@ class IvmSpec:
     the mart's own columns, so their state rides the mart's single
     atomic write. Steady state without extremum deletes never reads the
     base (AQE collapses the empty dirty-group semi join).
+
+    ``derived`` maps output column → SQL expression over the mart's
+    OWN columns (group keys, count_col, measures, distinct counts,
+    extrema), recomputed after every refresh — the algebraic measures
+    that need no extra state because they are pure functions of the
+    maintained ones (AVG = sum/count is the classic; ratios, spreads).
+    Evaluated in declaration order, so later expressions may reference
+    earlier derived columns.
     """
 
     source: str
@@ -69,6 +77,7 @@ class IvmSpec:
     row_transform: Callable[[Any], Any] | None = None
     distinct_counts: Any = field(default_factory=dict)  # Mapping[out, src]
     minmax: Any = field(default_factory=dict)  # Mapping[src, (min_out, max_out)]
+    derived: Any = field(default_factory=dict)  # Mapping[out_col, sql_expr]
 
 @dataclass(frozen=True)
 class Model:
@@ -181,6 +190,7 @@ class Model:
                 *self.ivm.measures,
                 *self.ivm.distinct_counts,
                 *mm_outs,
+                *self.ivm.derived,
             ]
             dupes = sorted({o for o in outs if outs.count(o) > 1})
             if dupes:

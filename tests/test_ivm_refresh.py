@@ -566,3 +566,51 @@ def test_stream_ivm_maintains_continuously(spark, tmp_path):
     assert q2.awaitTermination(180)
     assert all(r.action == "noop" for r in results2)
     assert _rows_of(cat.table(m.name)) == _rows_of(recompute())
+
+
+def test_derived_measures_recompute_per_refresh(spark, tmp_path):
+    """Algebraic measures (AVG = sum/count, a min-max spread) declared
+    as derived SQL expressions over the maintained columns track the
+    from-scratch recompute through maintenance, with later expressions
+    referencing earlier ones."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [(1, "open", 1.0, "a"), (2, "open", 3.0, "b"), (3, "paid", 5.0, "c")],
+    )
+    m = Model(
+        name="status_avg",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            minmax={"cents": ("min_cents", "max_cents")},
+            derived={
+                "avg_cents": "total_cents / n_rows",
+                "spread_ratio": "(max_cents - min_cents) / avg_cents",
+            },
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    cat.write_append(
+        "txns", spark.createDataFrame([(4, "open", 8.0, "d")], DDL), None
+    )
+    cat.delete_by_keys("txns", "k", ["1"])  # removes open's min
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    want = (
+        _cents(cat.table("txns"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).alias("total_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .withColumn("avg_cents", F.expr("total_cents / n_rows"))
+        .withColumn("spread_ratio", F.expr("(max_cents - min_cents) / avg_cents"))
+    )
+    assert _rows_of(cat.table(m.name)) == _rows_of(want)
