@@ -98,6 +98,7 @@ CURRENT_WINDOW_HEAD = [
 NEXT_WINDOW_BACKLOG: list[str] = [
     "cdf_incremental_minmax",  # hybrid MIN/MAX IVM, rebuild branch exercised
     "runner_ivm_status_rollup",  # Runner IVM strategy + distinct support
+    "runner_stream_ivm_extrema",  # stream-triggered IVM, minmax + derived
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

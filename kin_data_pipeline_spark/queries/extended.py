@@ -2568,6 +2568,118 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_order_dates long",
     )
 
+# The PRODUCTIONIZED streaming form of the Runner strategy —
+# Runner.stream_ivm: the CDF stream is a commit SIGNAL; each micro-batch
+# triggers one incremental refresh through the batch path (reading the
+# stored change span from the state sidecar to the log tip), so replays
+# are idempotent by construction. This registration covers the classes
+# the batch runner query doesn't: hybrid MIN/MAX extrema riding the
+# mart's own columns and a derived AVG recomputed per refresh. The query
+# RAISES unless the stream-triggered refreshes were 'ivm'/'noop' with at
+# least one 'ivm' (never a rebuild); the oracle recomputes per-status
+# MIN/MAX/AVG cents from the tip's literal predicates.
+# plans/engine.py::Runner.stream_ivm, pinned locally by
+# tests/test_ivm_refresh.py::test_stream_ivm_maintains_continuously.
+@register(
+    "runner_stream_ivm_extrema",
+    """
+    WITH v2 AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= DATE '1994-01-01'
+        AND o_orderdate < DATE '1994-10-01' AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents,
+           ROUND(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cents
+    FROM v2 GROUP BY 1
+    """,
+    doc=(
+        "streaming Runner IVM: the CDF stream triggers per-micro-batch "
+        "maintenance of a declared mart with hybrid MIN/MAX extrema and "
+        "a derived AVG — equals the from-scratch recompute at the tip"
+    ),
+)
+def runner_stream_ivm_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    from kin_data_pipeline_spark.plans.model import IvmSpec, Model
+
+    spark = _stream_session(spark)
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="rsivm_wh_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cat.write_full(
+        "orders_src",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1994-07-01").cast("date"))
+        ),
+        None,
+    )
+    cat.enable_versioning("orders_src")  # v0
+
+    def _cents(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        )
+
+    mart = Model(
+        name="status_extrema",
+        ivm=IvmSpec(
+            source="orders_src",
+            group_by=["o_orderstatus"],
+            count_col="n_orders",
+            minmax={"cents": ("min_cents", "max_cents")},
+            measures={"total_cents": "cents"},
+            derived={"avg_cents": "round(total_cents / n_orders, 6)"},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+    runner = Runner(spark, cat)
+    # initial build happens synchronously inside stream_ivm; the commits
+    # below land BEFORE the stream opens, so availableNow drains them
+    results = []
+    runner.run([mart], datetime.date(2024, 1, 31))  # full at v0
+    cat.write_append(
+        "orders_src",
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1994-07-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1994-10-01").cast("date"))
+        ),
+        None,
+    )  # v1
+    cat.delete_by_keys("orders_src", "o_orderstatus", ["F"])  # v2: hits extrema
+    q = runner.stream_ivm(mart, available_now=True, results=results)
+    _await_and_record(q, "runner_stream_ivm_extrema_sink")
+    actions = [r.action for r in results]
+    if "ivm" not in actions or not all(a in ("ivm", "noop") for a in actions):
+        raise AssertionError(
+            f"stream_ivm degraded: trigger actions {actions} must be "
+            "ivm/noop with at least one ivm"
+        )
+    out = cat.table("status_extrema").select(
+        "o_orderstatus", "n_orders", "min_cents", "max_cents", "avg_cents"
+    )
+    rows = out.collect()  # bounded: one row per order status
+    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_orders long, min_cents long, "
+        "max_cents long, avg_cents double",
+    )
+
 # The STREAMING form of the loop above — CDF stream → foreachBatch →
 # maintained aggregate: the complete production pattern for keeping a
 # downstream rollup continuously fresh from a mutating upstream table
