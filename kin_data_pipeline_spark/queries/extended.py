@@ -2585,8 +2585,8 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v2 AS (
       SELECT * FROM orders
-      WHERE o_orderdate >= DATE '1994-01-01'
-        AND o_orderdate < DATE '1994-10-01' AND o_orderstatus <> 'F'
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-10-01' AND o_orderstatus <> 'F'
     )
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2621,8 +2621,8 @@ def runner_stream_ivm_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.write_full(
         "orders_src",
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1994-07-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
         ),
         None,
     )
@@ -2655,8 +2655,8 @@ def runner_stream_ivm_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.write_append(
         "orders_src",
         orders.filter(
-            (F.col("o_orderdate") >= F.lit("1994-07-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1994-10-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1995-07-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-10-01").cast("date"))
         ),
         None,
     )  # v1
