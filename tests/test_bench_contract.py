@@ -78,7 +78,10 @@ def test_bench_stdout_is_one_parseable_json_line():
     # adjudicable from the committed detail file alone.
     stream_detail = detail["stream_detail"]
     streaming = {n for n in all_names if n.startswith("streaming_")}
-    assert set(stream_detail) == streaming
+    # every streaming_* query must record sink stats; queries outside the
+    # naming tier may also drive sinks (e.g. the stream-triggered Runner
+    # IVM query) and record too — they just must be real queries
+    assert streaming <= set(stream_detail) <= all_names
     for name, per_run in stream_detail.items():
         assert len(per_run) == 2  # one record per bench run
         for sinks in per_run:
