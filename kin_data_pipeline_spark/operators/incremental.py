@@ -285,6 +285,15 @@ def maintain_minmax(
     )
     clean = merged.filter(~F.col("__needs_base")).drop("__needs_base")
     dirty_keys = merged.filter(F.col("__needs_base")).select(*group_cols)
+    # bounded driver probe (state⋈delta grain, never the base): when NO
+    # extremum was hit, return the delta-only form with the base branch
+    # ELIDED from the plan entirely. Empirically AQE does NOT collapse a
+    # LeftSemi whose broadcast build side turns out empty at runtime
+    # (verified on Spark 4.1: the base scan stage still runs), so at
+    # 100 TB an insert-only refresh would otherwise pay a full base scan
+    # for nothing — one tiny driver job here buys that scan back.
+    if not dirty_keys.limit(1).collect():
+        return clean
     # affected groups only: semi join prunes the base scan, and groups
     # that emptied out simply produce no row (groupBy of zero rows)
     rebuilt = minmax_base(

@@ -2334,8 +2334,9 @@ class Runner:
             # atomic write, so no extra crash window); inserts merge
             # delta-only, and only groups whose stored extremum a delete
             # reached rebuild via a semi join against the LIVE source
-            # (== the tip), partition-prunable and AQE-collapsed to
-            # nothing when no extremum was hit
+            # (== the tip), partition-prunable — and ELIDED from the
+            # plan entirely (bounded driver probe in maintain_minmax)
+            # when no extremum was hit
             for src, (mn, mx) in spec.minmax.items():
                 mm = maintain_minmax(
                     cat.table(m.name).select(*spec.group_by, mn, mx),

@@ -59,7 +59,9 @@ class IvmSpec:
     (``operators/incremental.py::maintain_minmax``). The extrema live in
     the mart's own columns, so their state rides the mart's single
     atomic write. Steady state without extremum deletes never reads the
-    base (AQE collapses the empty dirty-group semi join).
+    base: a bounded driver probe of the (state ⋈ delta)-grain dirty set
+    elides the rebuild branch from the plan when it is empty (AQE does
+    NOT collapse an empty-build LeftSemi at runtime — verified).
 
     ``derived`` maps output column → SQL expression over the mart's
     OWN columns (group keys, count_col, measures, distinct counts,

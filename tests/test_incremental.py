@@ -314,3 +314,50 @@ def test_identical_reupsert_nets_to_zero_typed(spark, tmp_path):
         "t", spark.createDataFrame([(1, "a", 10)], ddl), ["id"], None
     )  # v1: identical row
     assert cat.table_changes("t", 0, 1).count() == 0
+
+
+def test_minmax_insert_only_refresh_never_plans_the_base(spark, tmp_path):
+    """When no delete reaches a stored extremum, maintain_minmax elides
+    the rebuild branch entirely — the returned plan reads NO base file
+    (AQE does not collapse an empty-build LeftSemi at runtime, so the
+    bounded driver probe is what buys the base scan back at 100 TB)."""
+    from kin_data_pipeline_spark.operators.incremental import (
+        maintain_minmax,
+        minmax_base,
+    )
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 5)], "grp string, val long"
+    ).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    # the state is a MATERIALIZED mart in real use — write it out so the
+    # returned plan's lineage can't reach the base through it
+    mm_path = str(tmp_path / "mart")
+    minmax_base(base, ["grp"], "val").write.parquet(mm_path)
+    mm = spark.read.parquet(mm_path)
+    ch = spark.createDataFrame(
+        [("a", 4, "insert"), ("c", 7, "insert")],
+        "grp string, val long, _change_type string",
+    )
+    out = maintain_minmax(mm, ch, base, ["grp"], "val")
+    assert not any(base_path in f for f in out.inputFiles())
+    assert sorted((r.grp, r.min_val, r.max_val) for r in out.collect()) == [
+        ("a", 1, 9), ("b", 5, 5), ("c", 7, 7),
+    ]
+    # a delete that hits an extremum DOES bring the base back in —
+    # the POST-change base, as the contract requires
+    ch2 = spark.createDataFrame(
+        [("a", 9, "delete")], "grp string, val long, _change_type string"
+    )
+    post_path = str(tmp_path / "post")
+    spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 5), ("c", 7)], "grp string, val long"
+    ).write.parquet(post_path)
+    out2 = maintain_minmax(
+        out, ch2, spark.read.parquet(post_path), ["grp"], "val"
+    )
+    assert any(post_path in f for f in out2.inputFiles())
+    assert sorted((r.grp, r.min_val, r.max_val) for r in out2.collect()) == [
+        ("a", 1, 4), ("b", 5, 5), ("c", 7, 7),
+    ]
