@@ -614,3 +614,97 @@ def test_derived_measures_recompute_per_refresh(spark, tmp_path):
         .withColumn("spread_ratio", F.expr("(max_cents - min_cents) / avg_cents"))
     )
     assert _rows_of(cat.table(m.name)) == _rows_of(want)
+
+
+def test_kin_daily_mart_ivm_twin_equals_builder(spark, sf_dir, tmp_path):
+    """A REAL kin rollup (daily_kin_transactions) materialized both ways:
+    the builder's full aggregation vs an IVM twin maintained through a
+    two-commit fact history. Every distributive/algebraic column — the
+    per-(date, app) totals, fee sum, per-type counts/amounts/averages —
+    is identical at the tip; only the 3 median columns stay
+    builder-only (holistic, not incrementally maintainable — the
+    documented IVM boundary)."""
+    from kin_data_pipeline_spark.models.kin import (
+        _daily_kin_transactions,
+        fact_kin_transaction,
+    )
+
+    fact = fact_kin_transaction(spark, sf_dir)
+    cut = fact.selectExpr("percentile_approx(date_key, 0.5) p").collect()[0][
+        "p"
+    ]
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write_full("fact_txn", fact.filter(F.col("date_key") <= cut), None)
+    cat.enable_versioning("fact_txn")  # v0: the first half of history
+
+    def shape(df):
+        out = df
+        for t, p in ((1, "earn"), (2, "spend"), (3, "peer")):
+            out = out.withColumn(
+                f"{p}_ind",
+                F.when(F.col("txn_type") == t, F.lit(1)).otherwise(0).cast("long"),
+            ).withColumn(
+                f"{p}_quark",
+                F.when(F.col("txn_type") == t, F.col("amount_quark")).otherwise(
+                    F.lit(0)
+                ),
+            )
+        return out
+
+    def seg_derived(p):
+        return {
+            f"daily_{p}_amounts": f"cast({p}_quark_sum as double) / 100000.0",
+            f"daily_{p}_average": (
+                f"case when daily_{p}_transactions = 0 then 0.0 else "
+                f"cast({p}_quark_sum as double) / "
+                f"cast(daily_{p}_transactions * 100000 as double) end"
+            ),
+        }
+
+    m = Model(
+        name="daily_txn_ivm",
+        ivm=IvmSpec(
+            source="fact_txn",
+            group_by=["date_key", "app_id"],
+            count_col="daily_total_transactions",
+            measures={
+                "total_quark_sum": "amount_quark",
+                "daily_earn_transactions": "earn_ind",
+                "earn_quark_sum": "earn_quark",
+                "daily_spend_transactions": "spend_ind",
+                "spend_quark_sum": "spend_quark",
+                "daily_peer_transactions": "peer_ind",
+                "peer_quark_sum": "peer_quark",
+            },
+            derived={
+                "daily_fee_sum": (
+                    "cast(daily_total_transactions as double) / 100000.0"
+                ),
+                "daily_total_amounts": (
+                    "cast(total_quark_sum as double) / 100000.0"
+                ),
+                **seg_derived("earn"),
+                **seg_derived("spend"),
+                **seg_derived("peer"),
+            },
+            row_transform=shape,
+        ),
+        date_col=None,
+    )
+    runner = Runner(spark, cat)
+    assert runner.run([m], RUN_DATE)[0].action == "full"  # built at v0
+    # v1: the second half of the fact history arrives; the mart is
+    # MAINTAINED through it, never rebuilt
+    cat.write_append("fact_txn", fact.filter(F.col("date_key") > cut), None)
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+
+    shared = [
+        "date_key", "app_id", "daily_total_transactions", "daily_fee_sum",
+        "daily_total_amounts",
+        "daily_earn_transactions", "daily_earn_amounts", "daily_earn_average",
+        "daily_spend_transactions", "daily_spend_amounts", "daily_spend_average",
+        "daily_peer_transactions", "daily_peer_amounts", "daily_peer_average",
+    ]
+    want = _daily_kin_transactions(spark, sf_dir).select(*shared)
+    got = cat.table("daily_txn_ivm").select(*shared)
+    assert _rows_of(got) == _rows_of(want)
