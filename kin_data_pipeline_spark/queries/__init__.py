@@ -32,73 +32,70 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 # NEXT_WINDOW_BACKLOG each round — the invariants in
 # tests/test_registry_window.py key off CORRECTNESS-file discovery, so the
 # round prep is a data change only.
-ROUND = 9
+ROUND = 10
 
-# Round-9 window (VERDICT r8 ask #1, composed by scripts/compose_window.py):
-# the 10 never-green r8 additions lead (judge-pre-verified 10/10 at sf0.01 in
-# the r8 session: 5 unadapted partsupp TPC-H shapes, progressive/multi-scan
-# 4:2:0 JPEG profiles, and the 3 CDF-driven incremental-view-maintenance
-# queries), then padding oldest-green-first (r4/r5 rows).
+# Round-10 window (VERDICT r9 ask #1, composed by scripts/compose_window.py):
+# the 3 NEXT_WINDOW_BACKLOG queries lead (judge-pre-verified 3/3 at sf0.01 in
+# the r9 session: hybrid MIN/MAX CDF IVM, the Runner IVM strategy with
+# distinct-count support tables, and stream-triggered IVM), then padding
+# oldest-green-first (r5/r6 rows).
 CURRENT_WINDOW_HEAD = [
-    "ps_min_cost_supplier_q2",
-    "ps_nation_profit_q9",
-    "ps_important_stock_q11",
-    "ps_excess_stock_suppliers_q20",
-    "progressive_ycbcr420_jpeg_pixel_stats",
-    "cdf_incremental_aggregate",
-    "streaming_incremental_aggregate",
-    "ps_part_supplier_counts_q16",
-    "cdf_incremental_distinct_count",
-    "multiscan_ycbcr420_jpeg_pixel_stats",
-    "monthly_order_revenue",
-    "multi_item_orders",
-    "per_domain_quality_profile",
-    "pricing_summary",
-    "revenue_by_region",
-    "sequence_packing_index",
-    "source_vocab_overlap",
-    "top_customers_per_nation",
-    "top_shingle_heavy_hitters",
-    "user_day_purchase_vs_activity",
-    "weekly_order_revenue",
-    "acctbal_opportunity_q22",
-    "approx_daily_active_users",
-    "approx_length_percentiles",
-    "bm25_doc_scores",
-    "bpe_pair_frequencies",
-    "cdc_chunk_dedup_stats",
-    "closing_value_per_user_day",
-    "countmin_token_estimates",
-    "customers_without_orders",
-    "daily_active_users",
-    "disjunctive_predicate_revenue_q19",
-    "doc_quality_scores",
-    "dsir_log_importance_scores",
-    "embedding_knn_top5",
-    "exact_dedup_docs",
-    "gapfill_locf_interpolate",
-    "hard_negative_candidates",
-    "hashed_bigram_logprob",
-    "hashed_token_rarity_scores",
-    "hll_user_rollup_weekly",
-    "ivf_recall_audit",
-    "lang_stopword_profile",
-    "latest_event_per_user",
-    "levenshtein_near_dup_verify",
-    "median_value_by_type",
-    "minhash_estimate_audit",
-    "minhash_lsh_candidates",
-    "monthly_revenue_volatility",
-    "nation_pair_trade_q7",
+    "cdf_incremental_minmax",
+    "runner_ivm_status_rollup",
+    "runner_stream_ivm_extrema",
+    "near_dup_pagerank_3iter",
+    "ngram_jaccard_prefix_filtered",
+    "order_value_buckets",
+    "orders_high_watermark",
+    "png_pixel_stats",
+    "pq_compression_audit",
+    "priority_status_cube",
+    "purchase_with_last_view",
+    "rolling_zscore_anomalies",
+    "scd2_point_in_time_enrichment",
+    "scd2_user_event_type_history",
+    "source_temperature_weights",
+    "streaming_approx_daily_users",
+    "streaming_purchase_view_left_join",
+    "streaming_static_enrichment_join",
+    "time_weighted_avg_per_user",
+    "trailing_7d_active_users",
+    "wav_sample_stats",
+    "weekly_retention_cohorts",
+    "weekly_top3_buyers_json",
+    "weighted_doc_sample_top50",
+    "customer_order_lifecycle_sets",
+    "customer_rolling_order_stats",
+    "embedding_lsh_ann_top5",
+    "jpeg_pixel_stats",
+    "kin_account_balance_buckets",
+    "kin_app_txn_summary_from_account_daily",
+    "kin_app_txn_summary_to_account_daily",
+    "kin_average_balance_per_day",
+    "kin_closing_balance_per_day",
+    "kin_daily_active_accounts_30d",
+    "kin_daily_active_accounts_app",
+    "kin_daily_active_accounts_ecosystem",
+    "kin_daily_aub_by_app",
+    "kin_daily_blocks",
+    "kin_daily_churn_volume",
+    "kin_daily_counts_by_amount",
+    "kin_daily_create_fee_payers",
+    "kin_daily_kre_summary",
+    "kin_daily_market_summary",
+    "kin_daily_net_inflation",
+    "kin_daily_payout",
+    "kin_daily_summary_by_app",
+    "kin_daily_summary_ecosystem",
+    "kin_daily_transactions",
+    "kin_fact_transactions",
+    "kin_gc_dust_wallets",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
-    "cdf_incremental_minmax",  # hybrid MIN/MAX IVM, rebuild branch exercised
-    "runner_ivm_status_rollup",  # Runner IVM strategy + distinct support
-    "runner_stream_ivm_extrema",  # stream-triggered IVM, minmax + derived
 ]
 
 def _ordered() -> dict[str, QuerySpec]:
