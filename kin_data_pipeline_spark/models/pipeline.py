@@ -22,12 +22,12 @@ from pyspark.sql import functions as F
 
 from kin_data_pipeline_spark.models import kin as K
 from kin_data_pipeline_spark.plans import checks as C
-from kin_data_pipeline_spark.plans.model import Model
+from kin_data_pipeline_spark.plans.model import DimJoin, IvmSpec, Model
 
 FACT_T = "fact_kin_transaction"
 FACT_C = "fact_kin_creations"
 
-def build_kin_models(sf_dir: str) -> list[Model]:
+def build_kin_models(sf_dir: str, ivm: bool = False) -> list[Model]:
     def _k(name: str, cadence: str = "daily", date_col: str = "date_key",
            deps: tuple[str, ...] = (FACT_T,), checks: tuple = (),
            bloom: tuple[str, ...] = ()) -> Model:
@@ -118,7 +118,7 @@ def build_kin_models(sf_dir: str) -> list[Model]:
          "top_app_list": "top10"},
     )
 
-    return [
+    models = [
         # --- facts (kin_main_warehouse) ---
         # fact contracts gate the write: key integrity + value sanity
         # (one fused aggregation per fact; plans/checks.py)
@@ -232,3 +232,270 @@ def build_kin_models(sf_dir: str) -> list[Model]:
               cadence="weekly", depends_on=["weekly_kre_payout_summary"],
               date_col="date"),
     ]
+    return _apply_ivm_overrides(models, sf_dir) if ivm else models
+
+
+# ---------------------------------------------------------------------------
+# IVM adoption for the production DAG (VERDICT r9 ask #2).
+#
+# ``build_kin_models(sf_dir, ivm=True)`` returns the SAME model surface,
+# with the eligible single-fact rollup marts switched from per-run rebuild
+# to DECLARED incremental view maintenance (Model.ivm): the facts opt into
+# versioned writes (Model.versioned — each watermark append commits a
+# changelog-sized version) and the rollups refresh in O(changes + agg)
+# from the facts' change feed. The reference rebuilds every one of these
+# marts per cron tick (execute_snowflake_load.py:89-91); the builders in
+# models/kin.py stay the semantic oracle — the IVM twins are pinned
+# byte-equal to them on the shared columns by tests/test_kin_ivm_dag.py.
+#
+# Eligibility = distributive/algebraic rollups of ONE fact, optionally
+# dim-enriched (ΔF ⨝ broadcast dim_kin_app — daily_kin_transactions.sql:
+# 93-99). Two documented deviations from the builder marts:
+#   - maintenance substrate columns ride in-row (exact integer sums such
+#     as total_quark_sum; an n_rows liveness count where the reference
+#     mart had no count column) — the reference columns derive from them;
+#   - the 3 median columns of daily_kin_transactions are HOLISTIC (not
+#     incrementally maintainable — the documented IVM boundary) and split
+#     into the companion builder mart daily_kin_transaction_medians,
+#     which keeps the reference's watermark-append refresh.
+# Everything else (multi-source joins, window chains, trailing-window
+# actives, holistic marts) keeps its builder unchanged.
+
+
+def _ivm_txn_shape(df):
+    """Row-local derivation for the daily_kin_transactions IVM twin:
+    per-type indicator + segmented quark columns (the A9 fused
+    conditional aggregation, daily_kin_transactions.sql:30-88, expressed
+    as maintainable SUMs)."""
+    out = df
+    for t, p in ((1, "earn"), (2, "spend"), (3, "peer")):
+        out = out.withColumn(
+            f"{p}_ind",
+            F.when(F.col("txn_type") == t, F.lit(1)).otherwise(0).cast("long"),
+        ).withColumn(
+            f"{p}_quark",
+            F.when(F.col("txn_type") == t, F.col("amount_quark")).otherwise(
+                F.lit(0)
+            ),
+        )
+    return out
+
+
+def _ivm_amount_bucket_shape(df):
+    """Row-local CASE bucketing (P8) — the same compat bucketize the
+    builder uses (daily_kin_transaction_counts_by_amount.sql:5-13)."""
+    from kin_data_pipeline_spark.functions.compat import bucketize
+    from kin_data_pipeline_spark.models.kin import (
+        AMOUNT_BUCKET_EDGES_QUARK,
+        AMOUNT_BUCKET_LABELS,
+    )
+
+    return df.withColumn(
+        "amount_range",
+        bucketize(
+            F.col("amount_quark"), AMOUNT_BUCKET_EDGES_QUARK, AMOUNT_BUCKET_LABELS
+        ),
+    )
+
+
+def _ivm_wallet_shape(wallet_col: str):
+    def shape(df):
+        return df.withColumn("wallet_id", F.col(wallet_col))
+
+    return shape
+
+
+_APP_DIM = DimJoin(
+    table="dim_kin_app", keys={"app_id": "id"}, select={"app_name": "name"}
+)
+
+
+def _seg_derived(p: str) -> dict[str, str]:
+    # quark → Kin publication and the exact-ratio average, derived per
+    # refresh from the maintained integer sums (same two IEEE ops as the
+    # builder's _kin + single division — models/kin.py:190-197)
+    return {
+        f"daily_{p}_amounts": f"cast({p}_quark_sum as double) / 100000.0",
+        f"daily_{p}_average": (
+            f"case when daily_{p}_transactions = 0 then 0.0 else "
+            f"cast({p}_quark_sum as double) / "
+            f"cast(daily_{p}_transactions * 100000 as double) end"
+        ),
+    }
+
+
+def _ivm_kin_overrides(sf_dir: str) -> tuple[dict[str, Model], list[Model]]:
+    """(by-name replacements, extra models) for the IVM DAG variant."""
+    replacements = {
+        # daily_kin_transactions.sql:1-99 minus the 3 holistic medians
+        # (companion mart below): grain (date, app) + app_name via the
+        # pre-agg broadcast dim join (:93-99), all counts/sums maintained,
+        # Kin-scaled amounts and exact-ratio averages derived per refresh.
+        "daily_kin_transactions": Model(
+            name="daily_kin_transactions",
+            ivm=IvmSpec(
+                source=FACT_T,
+                group_by=["date_key", "app_id", "app_name"],
+                count_col="daily_total_transactions",
+                measures={
+                    "total_quark_sum": "amount_quark",
+                    "daily_earn_transactions": "earn_ind",
+                    "earn_quark_sum": "earn_quark",
+                    "daily_spend_transactions": "spend_ind",
+                    "spend_quark_sum": "spend_quark",
+                    "daily_peer_transactions": "peer_ind",
+                    "peer_quark_sum": "peer_quark",
+                },
+                derived={
+                    # 0.00001 SOL per txn (reference :11) = count / 1e5
+                    "daily_fee_sum": (
+                        "cast(daily_total_transactions as double) / 100000.0"
+                    ),
+                    "daily_total_amounts": (
+                        "cast(total_quark_sum as double) / 100000.0"
+                    ),
+                    **_seg_derived("earn"),
+                    **_seg_derived("spend"),
+                    **_seg_derived("peer"),
+                },
+                row_transform=_ivm_txn_shape,
+                dims=(_APP_DIM,),
+            ),
+            depends_on=[FACT_T, "dim_kin_app"],
+            date_col=None,
+        ),
+        # daily_kin_transaction_counts_by_amount.sql:5-13 — pure bucketed
+        # count; transaction_count IS the maintained liveness count.
+        "daily_counts_by_amount": Model(
+            name="daily_counts_by_amount",
+            ivm=IvmSpec(
+                source=FACT_T,
+                group_by=["date_key", "amount_range"],
+                count_col="transaction_count",
+                row_transform=_ivm_amount_bucket_shape,
+            ),
+            depends_on=[FACT_T],
+            date_col=None,
+        ),
+        # daily_kin_blocks.sql:2-13 — exact COUNT(DISTINCT block) via a
+        # persisted support table; n_rows is maintenance substrate.
+        "daily_kin_blocks": Model(
+            name="daily_kin_blocks",
+            ivm=IvmSpec(
+                source=FACT_T,
+                group_by=["date_key"],
+                distinct_counts={"block_count": "block"},
+            ),
+            depends_on=[FACT_T],
+            date_col=None,
+        ),
+        # app_transaction_summary_{from,to}_account_by_day.sql:2-18 —
+        # finest-grain marts (date, app, wallet) + app_name (:16-17).
+        "app_txn_summary_from_account_daily": _ivm_app_txn_summary(
+            "app_txn_summary_from_account_daily", "from_wallet"
+        ),
+        "app_txn_summary_to_account_daily": _ivm_app_txn_summary(
+            "app_txn_summary_to_account_daily", "to_wallet"
+        ),
+        # …/creates/daily_kin_creations_by_app.sql:2-26 — FACT_C rollup,
+        # app-dim enriched; lamport integer sums maintained, SOL doubles
+        # derived once per refresh.
+        "daily_kin_creations_by_app": Model(
+            name="daily_kin_creations_by_app",
+            ivm=IvmSpec(
+                source=FACT_C,
+                group_by=["date_key", "app_id", "app_name"],
+                count_col="daily_transactions",
+                measures={
+                    "daily_opening_balance_quark": "balance_quark",
+                    "fee_lamports_sum": "fee_lamports",
+                    "create_fee_lamports_sum": "create_fee_lamports",
+                },
+                derived={
+                    "daily_opening_balance_kin": (
+                        "cast(daily_opening_balance_quark as double) / 100000.0"
+                    ),
+                    "daily_transaction_fee_sum": (
+                        "cast(fee_lamports_sum as double) / 1e9"
+                    ),
+                    "daily_creation_fee_sum": (
+                        "cast(create_fee_lamports_sum as double) / 1e9"
+                    ),
+                },
+                dims=(_APP_DIM,),
+            ),
+            depends_on=[FACT_C, "dim_kin_app"],
+            date_col=None,
+        ),
+    }
+
+    def dim_builder(ctx):
+        from kin_data_pipeline_spark.sources import kin_adapter as ka
+
+        return ka.dim_kin_app(ctx.spark, sf_dir)
+
+    def medians_builder(ctx):
+        f = K.fact_kin_transaction(ctx.spark, sf_dir, ctx.run_date)
+        seg = lambda t: F.col("txn_type") == t  # noqa: E731
+        meds = [
+            F.coalesce(
+                F.round(
+                    F.median(F.when(seg(t), F.col("amount_quark"))) / 100000.0,
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias(f"daily_{p}_median")
+            for t, p in ((1, "earn"), (2, "spend"), (3, "peer"))
+        ]
+        return f.groupBy("date_key", "app_id").agg(*meds)
+
+    extras = [
+        # the dim is materialized into the catalog so the IVM refresh can
+        # fingerprint exactly the content the delta joined (a content-
+        # identical rebuild does NOT trigger a mart rebuild)
+        Model("dim_kin_app", dim_builder, depends_on=[], date_col=None),
+        # the holistic boundary: the 3 median columns keep the
+        # reference's builder/watermark refresh in a companion mart
+        Model(
+            "daily_kin_transaction_medians",
+            medians_builder,
+            depends_on=[FACT_T],
+            date_col="date_key",
+        ),
+    ]
+    return replacements, extras
+
+
+def _ivm_app_txn_summary(name: str, wallet_col: str) -> Model:
+    return Model(
+        name=name,
+        ivm=IvmSpec(
+            source=FACT_T,
+            group_by=["date_key", "app_id", "wallet_id", "app_name"],
+            count_col="transaction_count",
+            measures={"volume_quark": "amount_quark"},
+            derived={"amount": "cast(volume_quark as double) / 100000.0"},
+            row_transform=_ivm_wallet_shape(wallet_col),
+            dims=(_APP_DIM,),
+        ),
+        depends_on=[FACT_T, "dim_kin_app"],
+        date_col=None,
+    )
+
+
+def _apply_ivm_overrides(models: list[Model], sf_dir: str) -> list[Model]:
+    import dataclasses
+
+    replacements, extras = _ivm_kin_overrides(sf_dir)
+    out: list[Model] = []
+    for m in models:
+        if m.name in replacements:
+            out.append(replacements[m.name])
+        elif m.name in (FACT_T, FACT_C):
+            # facts opt into versioned writes: the Runner starts their
+            # commit log on first materialization; each later watermark
+            # append is a changelog-sized commit the IVM marts consume
+            out.append(dataclasses.replace(m, versioned=True))
+        else:
+            out.append(m)
+    return out + extras

@@ -762,6 +762,15 @@ class Catalog:
         # never be identical to a replaced row (its key is absent from
         # the table), so the typed split carries exactly the same net
         # multiset as the untyped delete+insert form.
+        #
+        # Delta CDF emits STRICTLY PAIRED update images per updated row;
+        # under duplicate-key rows the two net multisets can be
+        # unbalanced (N old rows vs 1 new row for one key). Pair rows
+        # per key up to the smaller side's count and demote the surplus
+        # to plain deletes/inserts, so an external Delta-compat consumer
+        # that pairs pre/post rows never mis-pairs (VERDICT r9 advice).
+        # All frames here are upsert-sized — the per-key windows are
+        # changes-sized work, never a base scan.
         if self.is_versioned(name):
             incoming_keys = df.select(*key_cols).distinct()
             replaced = existing.join(
@@ -777,11 +786,34 @@ class Catalog:
             df_upd = df.join(existing_keys, key_cols, "left_semi").select(
                 *df.columns
             )
+            pre_net = replaced.exceptAll(df_upd)
+            post_net = df_upd.exceptAll(replaced)
+            keys = list(key_cols)
+            order_cols = [c for c in df.columns if c not in set(keys)] or keys
+            rn = F.row_number().over(
+                Window.partitionBy(*keys).orderBy(*order_cols)
+            )
+            pre_n = pre_net.withColumn("_rn", rn)
+            post_n = post_net.withColumn("_rn", rn)
+            pre_cap = pre_n.groupBy(*keys).agg(F.max("_rn").alias("_cap"))
+            post_cap = post_n.groupBy(*keys).agg(F.max("_rn").alias("_cap"))
+
+            def _split(numbered, cap):
+                j = numbered.join(cap, keys, "left")
+                bound = F.coalesce(F.col("_cap"), F.lit(0))
+                return (
+                    j.where(F.col("_rn") <= bound).select(*df.columns),
+                    j.where(F.col("_rn") > bound).select(*df.columns),
+                )
+
+            paired_pre, surplus_pre = _split(pre_n, post_cap)
+            paired_post, surplus_post = _split(post_n, pre_cap)
             self._stage_commit_changes(
                 name,
-                inserts=df_new,
-                update_pre=replaced.exceptAll(df_upd),
-                update_post=df_upd.exceptAll(replaced),
+                inserts=df_new.unionByName(surplus_post),
+                deletes=surplus_pre,
+                update_pre=paired_pre,
+                update_post=paired_post,
             )
         # Materialize before overwrite: the plan reads the directory being
         # replaced, so write to a staging path first, then swap. The table's
@@ -2176,6 +2208,13 @@ class Runner:
         finally:
             if m.checks:
                 df.unpersist()
+        if m.versioned and not self.catalog.is_versioned(m.name):
+            # first materialization of a versioned model: start the
+            # commit log at this content (Delta's enable-point
+            # convention) so same-run IVM marts can anchor on it;
+            # subsequent watermark appends commit changelog-sized
+            # versions through the ordinary @_versioned_op path
+            self.catalog.enable_versioning(m.name)
         results.append(
             RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
         )
@@ -2245,6 +2284,50 @@ class Runner:
                 [], cat._version_schema(spec.source, tip)
             )
             assert_row_local(shape(probe), m.name)
+        # Pre-aggregation dim enrichment (IvmSpec.dims): resolve each
+        # dim's projection ONCE per refresh — base rows and change rows
+        # must join the same dim content, and the fingerprint below
+        # records exactly what they joined. The join itself is
+        # engine-built (broadcast hash equi-join over declared keys), so
+        # it needs no row-local gate: with the dim fixed it maps each
+        # fact row independently, which commutes with the multiset diff.
+        dim_frames = []
+        dim_fps = []
+        for d in spec.dims:
+            dim = cat.table(d.table)
+            kmap = d.key_map()  # fact col → dim col
+            if d.select is None:
+                picked = [
+                    (c, c) for c in dim.columns if c not in set(kmap.values())
+                ]
+            else:
+                picked = list(d.select.items())
+            proj = dim.select(
+                *[F.col(src).alias(out) for out, src in kmap.items()],
+                *[F.col(src).alias(out) for out, src in picked],
+            )
+            dim_frames.append(proj)
+            # content fingerprint of the enrichment projection: row count
+            # + order-independent xor of row hashes. One bounded driver
+            # probe over a broadcast-small table per refresh; mtimes/
+            # versions would false-positive on byte-identical rebuilds
+            # (the DAG rebuilds dims every run), content does not.
+            hash_cols = ", ".join(
+                f"`{c}`" for c in proj.columns
+            )
+            fp = proj.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(xxhash64({hash_cols}))").alias("x"),
+            ).collect()[0]
+            dim_fps.append({"n": int(fp["n"]), "x": fp["x"]})
+
+        def derive(df):
+            out = shape(df)
+            for d, dimf in zip(spec.dims, dim_frames):
+                out = out.join(
+                    F.broadcast(dimf), list(d.key_map()), d.how
+                )
+            return out
         if state is not None and state.get("source") != spec.source:
             raise ValueError(
                 f"model {m.name}: recorded IVM state tracks "
@@ -2259,6 +2342,21 @@ class Runner:
             "minmax": {src: list(pair) for src, pair in spec.minmax.items()},
             "derived": dict(spec.derived),
         }
+        if spec.dims:
+            # dim shape AND content ride the recorded signature: editing a
+            # DimJoin or changing the dim's rows makes the next refresh a
+            # declared full rebuild (the explicit dim-change contract —
+            # delta-join maintenance is exact only while D is static)
+            mart_sig["dims"] = [
+                {
+                    "table": d.table,
+                    "keys": d.key_map(),
+                    "select": dict(d.select) if d.select is not None else None,
+                    "how": d.how,
+                }
+                for d in spec.dims
+            ]
+            mart_sig["dim_fps"] = dim_fps
 
         def _join_at_group_grain(df_a, df_b, added_cols, fill_zero=False):
             """Null-safe LEFT join on the group keys (GROUP BY's NULL-is-
@@ -2300,7 +2398,7 @@ class Runner:
                 for x in (F.min(src).alias(mn), F.max(src).alias(mx))
             ]
             df = (
-                shape(cat.table_at_version(spec.source, tip))
+                derive(cat.table_at_version(spec.source, tip))
                 .groupBy(*spec.group_by)
                 .agg(*aggs)
             )
@@ -2313,7 +2411,7 @@ class Runner:
             )
             return
         else:
-            changes = shape(
+            changes = derive(
                 cat.table_changes(spec.source, int(state["version"]), tip)
             )
             if "_change_type" not in changes.columns:
@@ -2341,7 +2439,7 @@ class Runner:
                 mm = maintain_minmax(
                     cat.table(m.name).select(*spec.group_by, mn, mx),
                     changes,
-                    shape(cat.table(spec.source)),
+                    derive(cat.table(spec.source)),
                     spec.group_by,
                     src,
                     min_col=mn,
@@ -2362,6 +2460,12 @@ class Runner:
             sup_name = f"{m.name}__support_{out}"
             sup_state = cat.ivm_state(sup_name)
             sup_sig = {"group_by": list(spec.group_by), "value_col": src}
+            if spec.dims:
+                # the support multiset is computed over ENRICHED rows —
+                # its validity tracks the same dim shape+content the mart
+                # does (a dim change rebuilds supports alongside the mart)
+                sup_sig["dims"] = mart_sig["dims"]
+                sup_sig["dim_fps"] = dim_fps
             if (
                 full
                 or sup_state is None
@@ -2370,7 +2474,7 @@ class Runner:
                 or sup_state.get("signature") != sup_sig
             ):
                 sup = distinct_support(
-                    shape(cat.table_at_version(spec.source, tip)),
+                    derive(cat.table_at_version(spec.source, tip)),
                     spec.group_by,
                     src,
                 )
@@ -2379,7 +2483,7 @@ class Runner:
             else:
                 sup = maintain_distinct_support(
                     cat.table(sup_name),
-                    shape(
+                    derive(
                         cat.table_changes(
                             spec.source, int(sup_state["version"]), tip
                         )

@@ -39,35 +39,51 @@ def assert_scalable_plan(
             "small-side scan — declare allow_nested_loop=True to accept it."
         )
 
-# Logical-plan operators an IVM row_transform must not introduce: the
+# Logical-plan operators an IVM row_transform MAY introduce: the
 # transform is applied to base rows and to CDF change rows alike, which is
 # only sound for operations that commute with the multiset diff the feed
-# carries. Per-row column math (Project), row predicates (Filter), and
-# per-row fan-out (Generate) all do — they are multiset homomorphisms.
-# Aggregation, joins, windows, sorts, limits, dedup, sampling, and
-# set-combining do not: applied to a change slice they compute something
-# other than "the same mart derivation restricted to the changed rows",
-# which would silently corrupt the maintained aggregate.
-_NON_ROW_LOCAL = {
-    "Aggregate",
-    "Join",
-    "Window",
-    "Sort",
-    "GlobalLimit",
-    "LocalLimit",
-    "Deduplicate",
-    "Distinct",
-    "Union",
-    "Intersect",
-    "Except",
-    "Sample",
+# carries — multiset homomorphisms h with h(A ⊎ B) = h(A) ⊎ h(B). Per-row
+# column math (Project), row predicates (Filter), per-row fan-out
+# (Generate), pure renames/markers (SubqueryAlias, hints), leaf relations,
+# and physical-only redistribution (Repartition) all qualify. EVERYTHING
+# ELSE is rejected — the gate is an allowlist (VERDICT r9 advice), because
+# the failure mode of a missed operator is silent mart corruption:
+# aggregation, joins, windows, sorts, limits/offsets, dedup, sampling,
+# set-combining, grouped-map/co-grouped Pandas (FlatMapGroupsInPandas,
+# MapGroups, CoGroup), arbitrary per-batch Python (MapInPandas — a batch
+# function can aggregate or drop rows across the batch), and
+# Expand (cube/rollup) all compute something other than "the same
+# derivation restricted to the changed rows" when applied to a change
+# slice.
+_ROW_LOCAL = {
+    # per-row operators (multiset homomorphisms)
+    "Project",
+    "Filter",
+    "Generate",
+    # pure markers / renames
+    "SubqueryAlias",
+    "ResolvedHint",
+    "UnresolvedHint",
+    "Hint",
+    # leaf relations the probe/source can appear as
+    "LocalRelation",
+    "LogicalRDD",
+    "Relation",
+    "View",
+    # physical-only redistribution: same multiset, different placement
+    "Repartition",
+    "RepartitionByExpression",
+    "RepartitionOperation",
 }
 
 def assert_row_local(df: DataFrame, name: str = "") -> None:
     """Raise ``PlanGuardError`` if ``df``'s analyzed logical plan contains
-    an operator that does not commute with a multiset diff — the
-    soundness gate for ``Model.ivm.row_transform`` (see ``_NON_ROW_LOCAL``
-    for the rationale). Node names are matched at line heads of the plan
+    an operator outside the ``_ROW_LOCAL`` allowlist — the soundness gate
+    for ``Model.ivm.row_transform``. Allowlist, not denylist: an operator
+    the gate has never seen (a new Spark node, a grouped-map Pandas
+    transform, Expand from cube/rollup) is rejected by default, because a
+    non-homomorphic transform that slips through silently corrupts the
+    maintained mart. Node names are matched at line heads of the plan
     tree, so expression text (``sort_array(...)``, a column literally
     named 'Join') cannot false-positive."""
     import re
@@ -76,12 +92,12 @@ def assert_row_local(df: DataFrame, name: str = "") -> None:
     label = f" in model '{name}'" if name else ""
     for line in plan.splitlines():
         m = re.match(r"^[\s:+\-*(0-9)]*([A-Za-z]+)", line)
-        if m and m.group(1) in _NON_ROW_LOCAL:
+        if m and m.group(1) not in _ROW_LOCAL:
             raise PlanGuardError(
                 f"{m.group(1)}{label}: an IVM row_transform must be "
                 "row-local (per-row column math, filters, per-row "
-                "fan-out) — this operator does not commute with the "
-                "change feed's multiset diff, so maintaining through it "
-                "would corrupt the aggregate. Use a builder model with "
-                "full/watermark refresh for this shape."
+                "fan-out) — this operator is not on the gate's "
+                "multiset-homomorphism allowlist, so maintaining through "
+                "it could corrupt the aggregate. Use a builder model "
+                "with full/watermark refresh for this shape."
             )

@@ -17,6 +17,51 @@ from typing import Any
 CADENCE_UNITS = {"daily": "day", "weekly": "week", "monthly": "month"}
 
 @dataclass(frozen=True)
+class DimJoin:
+    """Pre-aggregation dimension enrichment for an IVM mart: ΔF ⨝ D.
+
+    Declares that the mart's derivation joins the (small, broadcastable)
+    catalog table ``table`` onto the fact rows BEFORE grouping — the
+    fact⨝dim mart shape (the reference's ``dim_kin_app`` enrichment,
+    daily_kin_transactions.sql:93-99). The Runner applies the SAME
+    broadcast equi-join to base rows on rebuild and to change rows on
+    every incremental refresh; with the dim held fixed, the join maps
+    each fact row to a row set that depends only on that row, so it
+    commutes with the change feed's multiset diff and delta-join
+    maintenance (ΔF ⨝ D) is exact. Joined-in columns may serve as group
+    keys (group by ``app_name``), measure sources, or filter inputs of a
+    later dim's keys.
+
+    Dim CHANGES are handled explicitly, not silently: the Runner
+    fingerprints the enrichment projection's content (row count + order-
+    independent hash) into the mart's recorded state and FULL-REBUILDS
+    the mart when it no longer matches — the static-dim case refreshes
+    in O(changes), a dim edit costs one rebuild instead of a wrong mart.
+
+    ``keys``: the equi-join keys — a sequence of column names present on
+    both sides (post ``row_transform`` on the fact side), or a mapping
+    fact column → dim column when the dim names them differently
+    (``{"app_id": "id"}``). ``select`` maps appended output column → dim
+    column (None = every non-key dim column, named as-is). ``how``:
+    'left' (default — unmatched fact rows keep NULL dim columns) or
+    'inner' (unmatched fact rows drop; a per-row decision under a fixed
+    dim, so still sound).
+    """
+
+    table: str
+    keys: Any  # Sequence[fact_col] | Mapping[fact_col, dim_col]
+    select: Any = None  # Mapping[out_col, dim_col] | None
+    how: str = "left"
+
+    def key_map(self) -> dict:
+        """Normalized fact column → dim column join keys."""
+        from collections.abc import Mapping as _Mapping
+
+        if isinstance(self.keys, _Mapping):
+            return dict(self.keys)
+        return {k: k for k in self.keys}
+
+@dataclass(frozen=True)
 class IvmSpec:
     """Incremental-view-maintenance refresh declaration for a rollup mart.
 
@@ -80,6 +125,9 @@ class IvmSpec:
     distinct_counts: Any = field(default_factory=dict)  # Mapping[out, src]
     minmax: Any = field(default_factory=dict)  # Mapping[src, (min_out, max_out)]
     derived: Any = field(default_factory=dict)  # Mapping[out_col, sql_expr]
+    # Pre-aggregation broadcast dim joins (ΔF ⨝ D), applied AFTER
+    # row_transform in declaration order — see DimJoin.
+    dims: Sequence[DimJoin] = field(default_factory=tuple)
 
 @dataclass(frozen=True)
 class Model:
@@ -97,6 +145,12 @@ class Model:
     depends_on: Sequence[str] = field(default_factory=tuple)
     date_col: str = "date_key"
     clone_of: str | None = None
+    # Opt the materialized table into versioned writes: the Runner calls
+    # Catalog.enable_versioning right after the model's first write, so
+    # downstream IVM-declared marts can name it as their change-feed
+    # source within the same DAG. Subsequent watermark appends then
+    # commit changelog-sized versions the IVM refresh consumes.
+    versioned: bool = False
     # O1: the reference ORDER BYs on materialization (37 sites) — cosmetic
     # clustering of stored tables. Optional here; costs a sort before write.
     order_by: Sequence[str] = field(default_factory=tuple)
@@ -201,12 +255,43 @@ class Model:
                     f"{dupes} (count_col, measures, distinct_counts and "
                     "minmax outputs must all be distinct)"
                 )
+            shadowed = sorted(set(outs) & set(self.ivm.group_by))
+            if shadowed:
+                raise ValueError(
+                    f"model {self.name}: ivm output columns {shadowed} "
+                    "shadow grouping keys — the refresh's withColumn/"
+                    "select would silently overwrite the mart's keys"
+                )
+            for d in self.ivm.dims:
+                if d.how not in ("left", "inner"):
+                    raise ValueError(
+                        f"model {self.name}: ivm dim '{d.table}' how must "
+                        f"be 'left' or 'inner', got {d.how!r}"
+                    )
+                if not d.keys:
+                    raise ValueError(
+                        f"model {self.name}: ivm dim '{d.table}' needs at "
+                        "least one join key"
+                    )
+                added = list(d.select) if d.select is not None else []
+                hit = sorted(set(added) & set(outs))
+                if hit:
+                    raise ValueError(
+                        f"model {self.name}: ivm dim '{d.table}' columns "
+                        f"{hit} collide with maintained output columns"
+                    )
             for src, pair in self.ivm.minmax.items():
                 if len(tuple(pair)) != 2:
                     raise ValueError(
                         f"model {self.name}: ivm.minmax[{src!r}] must be "
                         "a (min_out, max_out) pair"
                     )
+        if self.versioned and (self.clone_of or self.bucket_by):
+            raise ValueError(
+                f"model {self.name}: versioned=True is incompatible with "
+                "clone_of/bucket_by — Catalog.enable_versioning refuses "
+                "aliases and bucketed layouts (versions must pin data)"
+            )
         if self.bucket_by and self.date_col is not None:
             raise ValueError(
                 f"model {self.name}: bucket_by and date_col are mutually "

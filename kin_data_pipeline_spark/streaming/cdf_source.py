@@ -103,7 +103,32 @@ def _anchor_version(options, which: str, entries: list[dict]) -> int | None:
     ts = _parse_ts(options[key])
     if which == "starting":
         before = [e["version"] for e in entries if e["ts"] < ts]
-        return max(before) if before else int(entries[0]["version"]) if entries else 0
+        if before:
+            return max(before)
+        if not entries:
+            return 0
+        first = entries[0]
+        fv = int(first["version"])
+        if fv == 0:
+            # fresh log: the enable point, whose own diff doesn't exist
+            return 0
+        # vacuum_versions truncated the log: anchoring at fv would
+        # silently skip the earliest RETAINED commit even though its
+        # commit time is at-or-after the requested timestamp. When that
+        # commit staged its own change rows they're servable without
+        # the vacuumed fv-1 snapshot — anchor one before it so its
+        # changes are emitted; otherwise serving it would need the
+        # vacuumed snapshot, so raise (Delta's readChangeFeed errors
+        # when the timestamp predates the earliest retained version
+        # rather than dropping commits).
+        if first.get("changes"):
+            return fv - 1
+        raise ValueError(
+            f"startingTimestamp {options[key]!r} predates the earliest "
+            f"retained version {fv} (earlier versions vacuumed) and "
+            "that commit has no stored change rows: start the stream "
+            f"at a retained version via startingVersion >= {fv}"
+        )
     eligible = [e["version"] for e in entries if e["ts"] <= ts]
     if not eligible:
         raise ValueError(

@@ -567,3 +567,58 @@ def test_streaming_cdf_starting_timestamp(spark, tmp_path):
     got = spark.table("cdf_ts_start").collect()
     assert sorted(r.id for r in got) == [3]
     assert {r["_commit_version"] for r in got} == {2}
+
+
+def test_cdf_starting_timestamp_after_vacuum_serves_earliest_retained(
+    spark, tmp_path
+):
+    """A startingTimestamp predating every RETAINED commit must not
+    silently skip the earliest retained commit's changes (Delta errors
+    rather than dropping commits). When that commit's change span is
+    servable from its stored change files, the reader anchors one before
+    it and emits it; when it is not (a full-rewrite commit whose diff
+    needs the vacuumed predecessor snapshot), the reader raises."""
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.plans.engine import Catalog
+    from kin_data_pipeline_spark.streaming.cdf_source import read_table_changes
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full("t", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat.enable_versioning("t")  # v0
+    for i in (2, 3):  # v1, v2: appends — changes stored per commit
+        cat.write_append(
+            "t", spark.createDataFrame([(i, "a", i * 10)], ddl), None
+        )
+    ts = {e["version"]: e["ts"] for e in cat.history("t")}
+    cat.vacuum_versions("t", keep_last=2)  # log now starts at v1
+
+    got = read_table_changes(
+        spark, cat.warehouse_dir, "t", ddl, starting_timestamp=ts[0] - 10
+    )
+    # v1 (the earliest retained commit) is emitted, not silently skipped
+    assert sorted(r.id for r in got.collect()) == [2, 3]
+    assert {r["_commit_version"] for r in got.collect()} == {1, 2}
+
+    # earliest retained commit with NO stored change rows (a full
+    # rewrite): its diff would need the vacuumed v1 snapshot → raise
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2.write_full("u", spark.createDataFrame([(1, "a", 10)], ddl), None)
+    cat2.enable_versioning("u")  # v0
+    cat2.write_append(
+        "u", spark.createDataFrame([(2, "a", 20)], ddl), None
+    )  # v1
+    cat2.write_full(
+        "u", spark.createDataFrame([(9, "z", 90)], ddl), None
+    )  # v2: full rewrite, snapshot-diff fallback only
+    cat2.write_append(
+        "u", spark.createDataFrame([(3, "a", 30)], ddl), None
+    )  # v3
+    uts = {e["version"]: e["ts"] for e in cat2.history("u")}
+    cat2.vacuum_versions("u", keep_last=2)  # log starts at v2 (no changes)
+    with _pytest.raises(Exception, match="earliest retained"):
+        read_table_changes(
+            spark, cat2.warehouse_dir, "u", ddl,
+            starting_timestamp=uts[0] - 10,
+        ).collect()

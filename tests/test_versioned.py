@@ -591,3 +591,58 @@ def test_streaming_cdf_additive_schema_evolution(spark, tmp_path):
     # the column); v2: only id=3 is NEW under the evolved schema — rows
     # whose values did not change must NOT surface as delete+insert noise
     assert got == [(1, "insert", 2, None), (2, "insert", 3, "N3")]
+
+
+def test_upsert_cdf_update_images_strictly_paired_under_duplicate_keys(
+    spark, tmp_path
+):
+    """Delta CDF emits strictly PAIRED update images per updated row.
+    When a key holds duplicate existing rows (N preimages vs 1 incoming
+    postimage), the surplus preimages are demoted to plain deletes so an
+    external consumer pairing pre/post rows per key never mis-pairs —
+    and the net multiset (inserts+posts minus deletes+pres) still equals
+    the table diff exactly."""
+    from collections import Counter
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, grp string, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "a", 11), (1, "b", 12), (2, "a", 20)], ddl
+        ),
+        None,
+    )
+    cat.enable_versioning("t")  # v0: key 1 has THREE rows
+    before = Counter((r.id, r.grp, r.val) for r in cat.table("t").collect())
+    cat.upsert_by_key(
+        "t",
+        spark.createDataFrame([(1, "z", 99), (3, "c", 30)], ddl),
+        ["id"],
+        None,
+    )  # v1
+    after = Counter((r.id, r.grp, r.val) for r in cat.table("t").collect())
+
+    rows = cat.table_changes("t", 0, 1).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append((r.id, r.grp, r.val))
+    # strictly paired per key: pre and post counts match key-by-key
+    pre_keys = Counter(t[0] for t in by_type.get("update_preimage", []))
+    post_keys = Counter(t[0] for t in by_type.get("update_postimage", []))
+    assert pre_keys == post_keys == Counter({1: 1})
+    # the paired preimage plus the demoted deletes together cover all
+    # three old key-1 rows exactly once; new key 3 is a plain insert
+    assert Counter(by_type.get("delete", [])) + Counter(
+        by_type.get("update_preimage", [])
+    ) == Counter([(1, "a", 10), (1, "a", 11), (1, "b", 12)])
+    assert len(by_type.get("delete", [])) == 2
+    assert by_type.get("insert") == [(3, "c", 30)]
+    # the net multiset still reproduces the table diff exactly
+    plus = Counter(by_type.get("insert", [])) + Counter(
+        by_type.get("update_postimage", [])
+    )
+    minus = Counter(by_type.get("delete", [])) + Counter(
+        by_type.get("update_preimage", [])
+    )
+    assert before + plus - minus == after
