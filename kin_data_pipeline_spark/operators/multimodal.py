@@ -1097,32 +1097,83 @@ def _put_block(bw: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
     return pred
 
 
-def encode_baseline_jpeg(raster, quant: int = 8) -> bytes:
+def _dri_seg(restart_interval: int) -> bytes:
+    """DRI segment (T.81 B.2.4.4) declaring the restart interval in MCUs
+    (blocks for a non-interleaved single-component scan)."""
+    return _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
+
+
+class _RestartWriter:
+    """Entropy writer that splits the scan into restart segments: at each
+    declared boundary the bit stream byte-aligns (1-fill padding), an
+    RSTn marker cycling RST0..RST7 lands between segments (T.81 E.1.4),
+    and the caller resets its DC predictors. With interval 0 it degrades
+    to one plain _BitWriter."""
+
+    def __init__(self, interval: int) -> None:
+        self.interval = interval
+        self.parts: list[bytes] = []
+        self.bw = _BitWriter()
+        self._n = 0  # units (MCUs/blocks) written so far
+
+    def boundary(self) -> bool:
+        """Advance the unit counter; True (and emit RSTn) when the NEXT
+        unit starts a new restart segment — callers then reset preds."""
+        self._n += 1
+        if not self.interval or self._n % self.interval != 0:
+            return False
+        seg = self._n // self.interval - 1
+        self.parts.append(self.bw.flush())
+        self.parts.append(bytes((0xFF, 0xD0 + seg % 8)))
+        self.bw = _BitWriter()
+        return True
+
+    def entropy(self) -> bytes:
+        tail = self.bw.flush()
+        # a boundary emitted right at the end of the scan leaves a
+        # trailing RSTn with no following segment — T.81 places restart
+        # markers BETWEEN segments only, so drop it
+        if not tail and self.parts and self.parts[-1][0:1] == b"\xff":
+            self.parts.pop()
+        return b"".join(self.parts) + tail
+
+
+def encode_baseline_jpeg(raster, quant: int = 8, restart_interval: int = 0) -> bytes:
     """Encode an (H, W) uint8 grayscale raster as a baseline JFIF JPEG.
 
     Full forward path — level shift, per-block float DCT-II, uniform
     quantization (step ``quant``; DC step 8 makes constant blocks exact),
     zigzag, DC-difference prediction, run-length + canonical-Huffman
-    entropy coding with byte stuffing.
+    entropy coding with byte stuffing. ``restart_interval`` > 0 declares
+    a DRI segment and splits the scan into independently-decodable
+    restart segments of that many blocks (RSTn between them, DC
+    predictor reset per segment) — what libjpeg emits under
+    error-resilience settings.
     """
     zzq, q, height, width = _jpeg_forward_blocks(raster, quant)
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
 
-    bw = _BitWriter()
+    rw = _RestartWriter(restart_interval)
     pred = 0
     for zz in zzq:
-        pred = _put_block(bw, zz, pred, dc_codes, ac_codes)
+        pred = _put_block(rw.bw, zz, pred, dc_codes, ac_codes)
+        if rw.boundary():
+            pred = 0
 
     dqt, sof, dht = _jpeg_segments(
         q, height, width, 0xFFC0, _JPEG_AC_BITS, _JPEG_AC_VALS
     )
+    dri = _dri_seg(restart_interval) if restart_interval else b""
     sos = _jpeg_seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + rw.entropy() + b"\xff\xd9"
+    )
 
 
 def encode_ycbcr_subsampled_jpeg(
-    y_raster, cb_sub, cr_sub, h1: int = 2, v1: int = 2, quant: int = 8
+    y_raster, cb_sub, cr_sub, h1: int = 2, v1: int = 2, quant: int = 8,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a chroma-subsampled YCbCr baseline JFIF JPEG — luma at full
     resolution with sampling factor (h1, v1), chroma planes given at the
@@ -1162,10 +1213,11 @@ def encode_ycbcr_subsampled_jpeg(
     dc_codes = _huff_codes_cached(tuple(_JPEG_DC_BITS), tuple(_JPEG_DC_VALS))
     ac_codes = _huff_codes_cached(tuple(_JPEG_AC_BITS), tuple(_JPEG_AC_VALS))
 
-    bw = _BitWriter()
+    rw = _RestartWriter(restart_interval)  # interval counts MCUs (E.1.4)
     preds = [0, 0, 0]
     for mcu in range(mch * mcw):
         my, mx = divmod(mcu, mcw)
+        bw = rw.bw
         for v in range(v1):
             for u in range(h1):
                 bidx = (my * v1 + v) * (mcw * h1) + (mx * h1 + u)
@@ -1173,6 +1225,8 @@ def encode_ycbcr_subsampled_jpeg(
         bidx = my * mcw + mx
         preds[1] = _put_block(bw, zz_cb[bidx], preds[1], dc_codes, ac_codes)
         preds[2] = _put_block(bw, zz_cr[bidx], preds[2], dc_codes, ac_codes)
+        if rw.boundary():
+            preds = [0, 0, 0]
 
     dqt = _jpeg_seg(0xFFDB, bytes([0]) + bytes(int(q[k]) for k in range(64)))
     sof = _jpeg_seg(
@@ -1193,13 +1247,22 @@ def encode_ycbcr_subsampled_jpeg(
         + bytes([1, 0x00, 2, 0x00, 3, 0x00])
         + struct.pack(">BBB", 0, 63, 0),
     )
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    dri = _dri_seg(restart_interval) if restart_interval else b""
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + rw.entropy()
+        + b"\xff\xd9"
+    )
 
 
-def encode_ycbcr420_jpeg(y_raster, cb_half, cr_half, quant: int = 8) -> bytes:
+def encode_ycbcr420_jpeg(
+    y_raster, cb_half, cr_half, quant: int = 8, restart_interval: int = 0
+) -> bytes:
     """4:2:0 wrapper over the general subsampled encoder (the synthetic
     color tier's profile): 2x2 luma, chroma at ceil-half resolution."""
-    return encode_ycbcr_subsampled_jpeg(y_raster, cb_half, cr_half, 2, 2, quant)
+    return encode_ycbcr_subsampled_jpeg(
+        y_raster, cb_half, cr_half, 2, 2, quant,
+        restart_interval=restart_interval,
+    )
 
 
 def _layout_forward(width: int, height: int, planes, factors, quant: int):
@@ -1748,18 +1811,38 @@ class _BitReader:
             return (self.acc >> (self.n - 16)) & 0xFFFF
         return (self.acc << (16 - self.n)) & 0xFFFF
 
-    def skip_restart(self) -> None:
-        """Byte-align and consume an RSTn marker at a restart boundary —
+    def skip_restart(self, expected: int | None = None) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary —
         shared by every scan loop (baseline, progressive DC, progressive
         AC); per-scan decode state (DC predictors, EOB runs) is the
-        caller's to reset."""
+        caller's to reset.
+
+        Strict (T.81 E.1.4): a declared restart interval PROMISES a
+        marker between segments, so a missing or non-RST marker here
+        means the entropy data is corrupt — raise loudly rather than
+        silently misattributing the next segment's bits. ``expected``
+        (0..7) additionally verifies the modulo-8 marker sequence, the
+        resynchronization check libjpeg performs: an out-of-order RSTn
+        indicates a dropped or duplicated segment."""
         self.n = 0
-        if (
+        if not (
             self.pos + 1 < len(self.data)
             and self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
         ):
-            self.pos += 2
+            got = self.data[self.pos : self.pos + 2].hex() or "<eof>"
+            raise ValueError(
+                f"corrupt JPEG: expected RSTn at restart boundary, got {got}"
+            )
+        if expected is not None:
+            n = self.data[self.pos + 1] - 0xD0
+            if n != expected % 8:
+                raise ValueError(
+                    f"corrupt JPEG: restart marker out of sequence — got "
+                    f"RST{n}, expected RST{expected % 8} (dropped or "
+                    "duplicated restart segment)"
+                )
+        self.pos += 2
 
 
 @lru_cache(maxsize=64)
@@ -1998,7 +2081,7 @@ def decode_baseline_jpeg(content: bytes):
                     mch, mcw = mcu_dims
                     for mcu in range(mch * mcw):
                         if restart_interval and mcu and mcu % restart_interval == 0:
-                            reader.skip_restart()
+                            reader.skip_restart(mcu // restart_interval - 1)
                             preds = [0] * len(scomps)
                         my, mx = divmod(mcu, mcw)
                         for si, (ci, (td, ta)) in enumerate(scomps):
@@ -2023,7 +2106,7 @@ def decode_baseline_jpeg(content: bytes):
                     pred = 0
                     for n, bidx in enumerate(_scan_blocks(ci)):
                         if restart_interval and n and n % restart_interval == 0:
-                            reader.skip_restart()
+                            reader.skip_restart(n // restart_interval - 1)
                             pred = 0
                         pred = _decode_block(
                             reader, htables[(0, td)], htables[(1, ta)],
@@ -2055,7 +2138,7 @@ def decode_baseline_jpeg(content: bytes):
                         preds = [0] * len(scomps)
                         for mcu in range(mch * mcw):
                             if restart_interval and mcu and mcu % restart_interval == 0:
-                                reader.skip_restart()
+                                reader.skip_restart(mcu // restart_interval - 1)
                                 preds = [0] * len(scomps)
                             my, mx = divmod(mcu, mcw)
                             for si, (ci, td) in enumerate(scomps):
@@ -2086,7 +2169,7 @@ def decode_baseline_jpeg(content: bytes):
                         pred = 0
                         for n, bidx in enumerate(_scan_blocks(ci)):
                             if restart_interval and n and n % restart_interval == 0:
-                                reader.skip_restart()
+                                reader.skip_restart(n // restart_interval - 1)
                                 pred = 0
                             if ah == 0:
                                 sz = _huff_decode(reader, htables[(0, td)])
@@ -2106,7 +2189,7 @@ def decode_baseline_jpeg(content: bytes):
                     if ah == 0:
                         for n, blk in enumerate(_scan_blocks(ci)):
                             if restart_interval and n and n % restart_interval == 0:
-                                reader.skip_restart()
+                                reader.skip_restart(n // restart_interval - 1)
                                 eobrun = 0
                             if eobrun:
                                 eobrun -= 1
@@ -2139,7 +2222,7 @@ def decode_baseline_jpeg(content: bytes):
                         p1, m1 = 1 << al, -(1 << al)
                         for n, blk in enumerate(_scan_blocks(ci)):
                             if restart_interval and n and n % restart_interval == 0:
-                                reader.skip_restart()
+                                reader.skip_restart(n // restart_interval - 1)
                                 eobrun = 0
                             zz = zzs[ci][blk]
                             k = ss
@@ -2274,6 +2357,43 @@ def synthesize_pixel_jpeg_batch(
 def synthesize_pixel_jpeg_df(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     ids = _spread_ids(df, id_col)
     return ids.mapInPandas(synthesize_pixel_jpeg_batch, schema=SYNTH_SCHEMA)
+
+
+def synthesize_pixel_restart_jpeg_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (media_id) -> (media_id, mime, content) with a
+    baseline JPEG whose scan is split into RESTART SEGMENTS (DRI +
+    cycling RSTn markers, DC predictors reset per segment — the
+    error-resilience layout libjpeg emits under cjpeg -restart). The
+    interval varies per image (1 + id % 4 blocks) so the fleet exercises
+    single-block segments, multi-segment rows, and the RST0..RST7 modulo
+    wraparound; the decoded raster is bit-identical to the restart-free
+    stream, so the tier shares the baseline oracle."""
+
+    def make(i: int) -> bytes:
+        w, h = jpeg_pixel_geometry(i)
+        return encode_baseline_jpeg(
+            _jpeg_block_raster(i, w, h), restart_interval=1 + i % 4
+        )
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime": "image/jpeg",
+                "content": pdf["media_id"].map(lambda i: make(int(i))),
+            }
+        )
+
+
+def synthesize_pixel_restart_jpeg_df(
+    df: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    ids = _spread_ids(df, id_col)
+    return ids.mapInPandas(
+        synthesize_pixel_restart_jpeg_batch, schema=SYNTH_SCHEMA
+    )
 
 
 def synthesize_pixel_progressive_jpeg_batch(

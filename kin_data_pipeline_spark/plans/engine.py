@@ -291,6 +291,71 @@ class Catalog:
         if os.path.exists(p):
             os.remove(p)
 
+    def ivm_status(self, name: str) -> dict:
+        """Operator-facing introspection of a maintained mart (the
+        observability a 100 TB deployment needs before trusting an IVM
+        table): recorded source + version, the source log's current tip
+        and the mart's LAG behind it (versions not yet folded in), dim
+        declarations riding the signature, and the size of each
+        persisted COUNT(DISTINCT) support table (file count + bytes from
+        the filesystem — support growth is the known cost of exact
+        distinct maintenance and the first thing to watch). A mart with
+        no recorded state reports ``maintained: False`` (never refreshed,
+        or invalidated by an out-of-band write)."""
+        state = self.ivm_state(name)
+        if state is None:
+            return {"name": name, "maintained": False}
+        src = state["source"]
+        out: dict = {
+            "name": name,
+            "maintained": True,
+            "source": src,
+            "version": int(state["version"]),
+        }
+        if self.is_versioned(src):
+            hist = self.history(src)
+            tip = int(hist[-1]["version"]) if hist else None
+            out["tip"] = tip
+            out["lag"] = (
+                None if tip is None else max(0, tip - out["version"])
+            )
+            # a recorded version no longer in the log cannot anchor a
+            # change span — the next refresh will rebuild from the tip
+            out["vacuum_lapsed"] = not any(
+                int(e["version"]) == out["version"] for e in hist
+            )
+        else:
+            out["tip"] = out["lag"] = None
+            out["vacuum_lapsed"] = True  # source lost its log entirely
+        sig = state.get("signature") or {}
+        if sig.get("dims"):
+            out["dims"] = sig["dims"]
+        supports = {}
+        for meas in sig.get("distinct_counts") or {}:
+            sup = f"{name}__support_{meas}"
+            entry: dict = {"table": sup}
+            d = self.path(sup)
+            if os.path.isdir(d):
+                files = [
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(d)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+                entry["files"] = len(files)
+                entry["bytes"] = sum(os.path.getsize(f) for f in files)
+                sup_state = self.ivm_state(sup)
+                entry["version"] = (
+                    None if sup_state is None else int(sup_state["version"])
+                )
+            else:
+                entry["files"] = entry["bytes"] = 0
+                entry["version"] = None
+            supports[meas] = entry
+        if supports:
+            out["supports"] = supports
+        return out
+
     # --- bloom layout sidecar -------------------------------------------
     # The bloom declaration is a property of the TABLE, not of one write
     # call: it is recorded in a sidecar (like the bucket layout) and every

