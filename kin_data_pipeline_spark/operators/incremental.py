@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -195,6 +195,53 @@ def distinct_count_from_support(
     row count — support-table-sized, never touching the base."""
     return support.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(out_col)
+    )
+
+
+def quantile_from_support(
+    support: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float,
+    out_col: str = "quantile",
+    support_col: str = "n_support",
+) -> DataFrame:
+    """Discrete quantile (SQL ``percentile_disc`` / DuckDB
+    ``quantile_disc``: the smallest actual value whose cumulative share
+    reaches ``q``; NULLs excluded) per group, derived from the SAME
+    (group, value) → multiplicity support table that serves exact
+    COUNT(DISTINCT) — the support multiset is a TURNSTILE structure, so
+    holistic quantiles become maintainable under inserts AND deletes,
+    which mergeable one-way sketches (t-digest, KLL) cannot do: they
+    have no subtract operation, so a deleted row silently stays in the
+    digest. State is value-cardinality-sized — the documented cost; the
+    APPROXIMATE form bounds it by quantizing the value in the mart's
+    row-local transform (bin the values → support over bins → quantile
+    error ≤ bin width, still exact-under-deletes at bin resolution).
+
+    Work is support-table-sized: one cumulative-sum window per group
+    over the support rows, never touching the base.
+    """
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    # target rank = ceil(q·total); the epsilon guards float boundaries
+    # (0.9 * 10 evaluating to 9.000000000000002 must still target 9)
+    ranked = (
+        support.withColumn("__cum", F.sum(support_col).over(w_cum))
+        .withColumn("__total", F.sum(support_col).over(w_all))
+        .withColumn(
+            "__target",
+            F.ceil(F.lit(float(q)) * F.col("__total") - F.lit(1e-9)),
+        )
+    )
+    return (
+        ranked.filter(F.col("__cum") >= F.col("__target"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(out_col))
     )
 
 

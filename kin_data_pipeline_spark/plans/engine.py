@@ -272,13 +272,22 @@ class Catalog:
             return json.load(f)
 
     def save_ivm_state(
-        self, name: str, source: str, version: int, signature: dict | None = None
+        self,
+        name: str,
+        source: str,
+        version: int,
+        signature: dict | None = None,
+        versions: dict | None = None,
     ) -> None:
         """Record the refresh state; ``signature`` captures the spec shape
         (grouping/measures) the content was built under — the Runner
         forces a rebuild when it no longer matches, so editing a model's
-        IvmSpec can never silently maintain a stale shape."""
+        IvmSpec can never silently maintain a stale shape. Union marts
+        (IvmSpec.sources) anchor PER SOURCE via ``versions``; ``version``
+        then records the min as a compatibility summary."""
         payload = {"source": source, "version": int(version)}
+        if versions is not None:
+            payload["versions"] = {k: int(v) for k, v in versions.items()}
         if signature is not None:
             payload["signature"] = signature
         tmp = self._ivm_sidecar(name) + ".tmp"
@@ -312,26 +321,48 @@ class Catalog:
             "source": src,
             "version": int(state["version"]),
         }
-        if self.is_versioned(src):
-            hist = self.history(src)
-            tip = int(hist[-1]["version"]) if hist else None
-            out["tip"] = tip
+
+        def _leg(src_name: str, version: int) -> dict:
+            leg = {"version": version}
+            if self.is_versioned(src_name):
+                hist = self.history(src_name)
+                tip = int(hist[-1]["version"]) if hist else None
+                leg["tip"] = tip
+                leg["lag"] = None if tip is None else max(0, tip - version)
+                # a recorded version no longer in the log cannot anchor a
+                # change span — the next refresh rebuilds from the tip
+                leg["vacuum_lapsed"] = not any(
+                    int(e["version"]) == version for e in hist
+                )
+            else:
+                leg["tip"] = leg["lag"] = None
+                leg["vacuum_lapsed"] = True  # source lost its log entirely
+            return leg
+
+        if "versions" in state:
+            # union mart: per-leg anchors; the top-level summary is the
+            # worst leg (max lag, any lapse)
+            legs = {
+                s: _leg(s, int(v)) for s, v in state["versions"].items()
+            }
+            out["sources"] = legs
+            lags = [leg["lag"] for leg in legs.values()]
+            out["tip"] = None
             out["lag"] = (
-                None if tip is None else max(0, tip - out["version"])
+                None if any(x is None for x in lags) else max(lags)
             )
-            # a recorded version no longer in the log cannot anchor a
-            # change span — the next refresh will rebuild from the tip
-            out["vacuum_lapsed"] = not any(
-                int(e["version"]) == out["version"] for e in hist
+            out["vacuum_lapsed"] = any(
+                leg["vacuum_lapsed"] for leg in legs.values()
             )
         else:
-            out["tip"] = out["lag"] = None
-            out["vacuum_lapsed"] = True  # source lost its log entirely
+            out.update(_leg(src, out["version"]))
         sig = state.get("signature") or {}
         if sig.get("dims"):
             out["dims"] = sig["dims"]
         supports = {}
-        for meas in sig.get("distinct_counts") or {}:
+        for meas in list(sig.get("distinct_counts") or {}) + list(
+            sig.get("quantiles") or {}
+        ):
             sup = f"{name}__support_{meas}"
             entry: dict = {"table": sup}
             d = self.path(sup)
@@ -2315,6 +2346,7 @@ class Runner:
             maintain_aggregate,
             maintain_distinct_support,
             maintain_minmax,
+            quantile_from_support,
         )
         from kin_data_pipeline_spark.plans.guard import (
             assert_row_local,
@@ -2323,32 +2355,63 @@ class Runner:
 
         spec = m.ivm
         cat = self.catalog
-        if not cat.is_versioned(spec.source):
-            raise ValueError(
-                f"model {m.name}: ivm source '{spec.source}' is not "
-                "versioned — enable_versioning on it first (the change "
-                "feed IS the refresh input)"
-            )
-        hist = cat.history(spec.source)
-        tip = hist[-1]["version"]
+        # Normalize to LEGS: (source, row-local transform) pairs. The
+        # single-source mart is the one-leg case; a union mart
+        # (IvmSpec.sources) is a rollup over UNION ALL of the legs'
+        # projections, which commutes with each source's multiset diff —
+        # so every leg anchors and folds its change span INDEPENDENTLY.
+        legs = (
+            list(spec.sources.items())
+            if spec.sources
+            else [(spec.source, spec.row_transform)]
+        )
+        src_id = spec.source or "union:" + "+".join(s for s, _ in legs)
+        for s, _ in legs:
+            if not cat.is_versioned(s):
+                raise ValueError(
+                    f"model {m.name}: ivm source '{s}' is not "
+                    "versioned — enable_versioning on it first (the change "
+                    "feed IS the refresh input)"
+                )
+        hists = {s: cat.history(s) for s, _ in legs}
+        tips = {s: int(h[-1]["version"]) for s, h in hists.items()}
         state = cat.ivm_state(m.name)
-        # CDF retention lapse (Delta's readChangeFeed behavior when the
-        # requested range was vacuumed): a recorded version no longer in
-        # the log cannot anchor a change span — fall back to a full
-        # rebuild from the tip instead of failing the refresh
-        if state is not None and not any(
-            e["version"] == int(state["version"]) for e in hist
-        ):
-            state = None
-        shape = spec.row_transform or (lambda df: df)
-        if spec.row_transform is not None:
-            # soundness gate on the TRANSFORM alone: probe it over an
-            # empty frame of the source's schema so the feed's own plan
-            # nodes (the changelog union / snapshot diff) aren't blamed
-            probe = self.spark.createDataFrame(
-                [], cat._version_schema(spec.source, tip)
+        if state is not None and state.get("source") != src_id:
+            raise ValueError(
+                f"model {m.name}: recorded IVM state tracks "
+                f"'{state.get('source')}' but the spec names "
+                f"'{src_id}' — drop the mart or fix the spec"
             )
-            assert_row_local(shape(probe), m.name)
+        recorded: dict | None = None
+        if state is not None:
+            recorded = (
+                {k: int(v) for k, v in state["versions"].items()}
+                if "versions" in state
+                else {state["source"]: int(state["version"])}
+            )
+            # CDF retention lapse (Delta's readChangeFeed behavior when a
+            # requested range was vacuumed): a recorded version no longer
+            # in its leg's log cannot anchor a change span — fall back to
+            # a full rebuild from the tips instead of failing the refresh.
+            # A leg missing from the record (spec gained a source) is the
+            # same rebuild path.
+            for s, _ in legs:
+                v = recorded.get(s)
+                if v is None or not any(
+                    int(e["version"]) == v for e in hists[s]
+                ):
+                    state = recorded = None
+                    break
+        for s, t in legs:
+            if t is not None:
+                # soundness gate on each leg's TRANSFORM alone: probe it
+                # over an empty frame of that source's schema so the
+                # feed's own plan nodes (the changelog union / snapshot
+                # diff) aren't blamed
+                probe = self.spark.createDataFrame(
+                    [], cat._version_schema(s, tips[s])
+                )
+                assert_row_local(t(probe), m.name)
         # Pre-aggregation dim enrichment (IvmSpec.dims): resolve each
         # dim's projection ONCE per refresh — base rows and change rows
         # must join the same dim content, and the fingerprint below
@@ -2386,19 +2449,23 @@ class Runner:
             ).collect()[0]
             dim_fps.append({"n": int(fp["n"]), "x": fp["x"]})
 
-        def derive(df):
-            out = shape(df)
+        def derive(df, t=None):
+            out = t(df) if t is not None else df
             for d, dimf in zip(spec.dims, dim_frames):
                 out = out.join(
                     F.broadcast(dimf), list(d.key_map()), d.how
                 )
             return out
-        if state is not None and state.get("source") != spec.source:
-            raise ValueError(
-                f"model {m.name}: recorded IVM state tracks "
-                f"'{state.get('source')}' but the spec names "
-                f"'{spec.source}' — drop the mart or fix the spec"
-            )
+
+        def union_legs(make):
+            """UNION ALL of ``make(source, transform)`` across the legs —
+            by name, so a leg whose projection diverges from the common
+            schema fails loudly instead of pairing columns positionally."""
+            frames = [derive(make(s, t), t) for s, t in legs]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
         mart_sig = {
             "group_by": list(spec.group_by),
             "count_col": spec.count_col,
@@ -2422,6 +2489,15 @@ class Runner:
                 for d in spec.dims
             ]
             mart_sig["dim_fps"] = dim_fps
+        if spec.sources:
+            # leg membership rides the signature: adding/removing a union
+            # source makes the next refresh a declared full rebuild
+            mart_sig["sources"] = sorted(s for s, _ in legs)
+        if spec.quantiles:
+            mart_sig["quantiles"] = {
+                out: [qsrc, float(q)]
+                for out, (qsrc, q) in dict(spec.quantiles).items()
+            }
 
         def _join_at_group_grain(df_a, df_b, added_cols, fill_zero=False):
             """Null-safe LEFT join on the group keys (GROUP BY's NULL-is-
@@ -2463,12 +2539,12 @@ class Runner:
                 for x in (F.min(src).alias(mn), F.max(src).alias(mx))
             ]
             df = (
-                derive(cat.table_at_version(spec.source, tip))
+                union_legs(lambda src, _t: cat.table_at_version(src, tips[src]))
                 .groupBy(*spec.group_by)
                 .agg(*aggs)
             )
             action = "full"
-        elif int(state["version"]) == tip:
+        elif all(recorded[src] == tips[src] for src, _ in legs):
             results.append(
                 RunResult(
                     m.name, "noop", duration_sec=round(time.monotonic() - t0, 3)
@@ -2476,9 +2552,16 @@ class Runner:
             )
             return
         else:
-            changes = derive(
-                cat.table_changes(spec.source, int(state["version"]), tip)
-            )
+            # each leg folds ITS OWN recorded→tip span; a leg already at
+            # its tip contributes nothing (never replayed)
+            pending = [(src, t) for src, t in legs if recorded[src] < tips[src]]
+            frames = [
+                derive(cat.table_changes(src, recorded[src], tips[src]), t)
+                for src, t in pending
+            ]
+            changes = frames[0]
+            for f in frames[1:]:
+                changes = changes.unionByName(f)
             if "_change_type" not in changes.columns:
                 raise ValueError(
                     f"model {m.name}: row_transform dropped the CDF's "
@@ -2504,7 +2587,7 @@ class Runner:
                 mm = maintain_minmax(
                     cat.table(m.name).select(*spec.group_by, mn, mx),
                     changes,
-                    derive(cat.table(spec.source)),
+                    union_legs(lambda ls, _t: cat.table(ls)),
                     spec.group_by,
                     src,
                     min_col=mn,
@@ -2521,7 +2604,13 @@ class Runner:
         # the span, one that lost its sidecar rebuilds from the tip
         # snapshot. Steady state maintains each support from the
         # changelog only (the base is never rescanned).
-        for out, src in spec.distinct_counts.items():
+        support_measures = [
+            (out, src, None) for out, src in spec.distinct_counts.items()
+        ] + [
+            (out, qsrc, float(q))
+            for out, (qsrc, q) in dict(spec.quantiles).items()
+        ]
+        for out, src, q in support_measures:
             sup_name = f"{m.name}__support_{out}"
             sup_state = cat.ivm_state(sup_name)
             sup_sig = {"group_by": list(spec.group_by), "value_col": src}
@@ -2531,28 +2620,52 @@ class Runner:
                 # does (a dim change rebuilds supports alongside the mart)
                 sup_sig["dims"] = mart_sig["dims"]
                 sup_sig["dim_fps"] = dim_fps
+            sup_rec: dict | None = None
             if (
-                full
-                or sup_state is None
-                or not cat.exists(sup_name)
-                or sup_state.get("source") != spec.source
-                or sup_state.get("signature") != sup_sig
+                not full
+                and sup_state is not None
+                and cat.exists(sup_name)
+                and sup_state.get("source") == src_id
+                and sup_state.get("signature") == sup_sig
             ):
+                sup_rec = (
+                    {k: int(v) for k, v in sup_state["versions"].items()}
+                    if "versions" in sup_state
+                    else {sup_state["source"]: int(sup_state["version"])}
+                )
+                # per-leg vacuum-lapse check, same contract as the mart:
+                # an unanchorable span rebuilds the support from the tips
+                for ls, _ in legs:
+                    v = sup_rec.get(ls)
+                    if v is None or not any(
+                        int(e["version"]) == v for e in hists[ls]
+                    ):
+                        sup_rec = None
+                        break
+            if sup_rec is None:
                 sup = distinct_support(
-                    derive(cat.table_at_version(spec.source, tip)),
+                    union_legs(
+                        lambda ls, _t: cat.table_at_version(ls, tips[ls])
+                    ),
                     spec.group_by,
                     src,
                 )
-            elif int(sup_state["version"]) == tip:
+            elif all(sup_rec[ls] == tips[ls] for ls, _ in legs):
                 sup = None  # already advanced (crash recovery): reuse
             else:
+                pend = [
+                    (ls, lt) for ls, lt in legs if sup_rec[ls] < tips[ls]
+                ]
+                sframes = [
+                    derive(cat.table_changes(ls, sup_rec[ls], tips[ls]), lt)
+                    for ls, lt in pend
+                ]
+                schanges = sframes[0]
+                for f in sframes[1:]:
+                    schanges = schanges.unionByName(f)
                 sup = maintain_distinct_support(
                     cat.table(sup_name),
-                    derive(
-                        cat.table_changes(
-                            spec.source, int(sup_state["version"]), tip
-                        )
-                    ),
+                    schanges,
                     spec.group_by,
                     src,
                 )
@@ -2560,13 +2673,26 @@ class Runner:
                 if guard_plans:
                     assert_scalable_plan(sup, sup_name, m.allow_nested_loop)
                 cat.write_full(sup_name, sup, None)
-                cat.save_ivm_state(sup_name, spec.source, tip, signature=sup_sig)
-            counts = distinct_count_from_support(
-                cat.table(sup_name), spec.group_by, out_col=out
-            )
-            # a group absent from the support has only NULL values —
-            # COUNT(DISTINCT) = 0
-            df = _join_at_group_grain(df, counts, [out], fill_zero=True)
+                cat.save_ivm_state(
+                    sup_name,
+                    src_id,
+                    min(tips.values()),
+                    signature=sup_sig,
+                    versions=tips if spec.sources else None,
+                )
+            if q is None:
+                counts = distinct_count_from_support(
+                    cat.table(sup_name), spec.group_by, out_col=out
+                )
+                # a group absent from the support has only NULL values —
+                # COUNT(DISTINCT) = 0
+                df = _join_at_group_grain(df, counts, [out], fill_zero=True)
+            else:
+                qcol = quantile_from_support(
+                    cat.table(sup_name), spec.group_by, src, q, out_col=out
+                )
+                # percentile_disc over no non-NULL values is NULL
+                df = _join_at_group_grain(df, qcol, [out])
         # algebraic measures: pure functions of the maintained columns,
         # recomputed per refresh (no state of their own); declaration
         # order, so later expressions may use earlier outputs
@@ -2594,7 +2720,13 @@ class Runner:
                 m.name, df, None,
                 bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
             )
-            cat.save_ivm_state(m.name, spec.source, tip, signature=mart_sig)
+            cat.save_ivm_state(
+                m.name,
+                src_id,
+                min(tips.values()),
+                signature=mart_sig,
+                versions=tips if spec.sources else None,
+            )
         finally:
             if m.checks:
                 df.unpersist()
@@ -2637,6 +2769,13 @@ class Runner:
         spec = m.ivm
         if spec is None:
             raise ValueError(f"model {m.name} has no ivm declaration")
+        if spec.sources:
+            raise ValueError(
+                f"model {m.name}: stream_ivm drives single-source marts "
+                "(the CDF stream of ONE table is the commit signal); "
+                "refresh union marts with Runner.run — commits on legs "
+                "other than the streamed one would never trigger"
+            )
         sink: list[RunResult] = results if results is not None else []
         if self.catalog.ivm_state(m.name) is None or not self.catalog.exists(
             m.name

@@ -117,8 +117,8 @@ class IvmSpec:
     earlier derived columns.
     """
 
-    source: str
-    group_by: Sequence[str]
+    source: str | None = None
+    group_by: Sequence[str] = field(default_factory=tuple)
     measures: Any = field(default_factory=dict)  # Mapping[out_col, src_col]
     count_col: str = "n_rows"
     row_transform: Callable[[Any], Any] | None = None
@@ -128,6 +128,32 @@ class IvmSpec:
     # Pre-aggregation broadcast dim joins (ΔF ⨝ D), applied AFTER
     # row_transform in declaration order — see DimJoin.
     dims: Sequence[DimJoin] = field(default_factory=tuple)
+    # MULTI-SOURCE form (exclusive with ``source``/``row_transform``):
+    # the mart is a rollup over the UNION ALL of several versioned
+    # sources' row-local projections — the reference's U1/U2
+    # observation-union shapes (closing/average balance marts unioning
+    # from/to/created streams). Maps source table → that leg's row-local
+    # transform (None = identity); every leg must project the SAME
+    # column surface (group keys, measure sources, and the CDF's
+    # _change_type passthrough — unionByName raises on mismatch). The
+    # union commutes with each source's multiset diff, so the refresh
+    # folds each leg's change span independently, ANCHORED PER SOURCE in
+    # the recorded state — one lagging source never blocks or replays
+    # another's span. Dims apply after the leg transform, to the common
+    # schema.
+    sources: Any = field(default_factory=dict)  # Mapping[src, Callable|None]
+    # Maintained HOLISTIC quantiles: output column → (source column, q).
+    # Each rides a persisted (group, value) → multiplicity support table
+    # (same turnstile structure as distinct_counts, one per output), so
+    # the quantile is exact under inserts AND deletes — the capability
+    # one-way mergeable sketches (t-digest/KLL) cannot provide, having no
+    # subtract. Semantics are SQL percentile_disc (smallest actual value
+    # whose cumulative share reaches q; NULLs excluded; NULL for empty
+    # groups). State is value-cardinality-sized: for unbounded domains,
+    # quantize the value in row_transform (bin width = error bound) —
+    # the documented APPROXIMATE alternative to the exact-median builder
+    # boundary.
+    quantiles: Any = field(default_factory=dict)  # Mapping[out, (src, q)]
 
 @dataclass(frozen=True)
 class Model:
@@ -240,14 +266,32 @@ class Model:
                     f"model {self.name}: ivm.group_by must name at least "
                     "one grouping column"
                 )
+            if bool(self.ivm.source) == bool(self.ivm.sources):
+                raise ValueError(
+                    f"model {self.name}: ivm needs exactly one of source "
+                    "(single-table rollup) or sources (union-of-legs)"
+                )
+            if self.ivm.sources and self.ivm.row_transform is not None:
+                raise ValueError(
+                    f"model {self.name}: with ivm.sources each leg "
+                    "carries its own transform — row_transform must be "
+                    "None"
+                )
             mm_outs = [c for pair in self.ivm.minmax.values() for c in pair]
             outs = [
                 self.ivm.count_col,
                 *self.ivm.measures,
                 *self.ivm.distinct_counts,
                 *mm_outs,
+                *self.ivm.quantiles,
                 *self.ivm.derived,
             ]
+            for out, (qsrc, q) in dict(self.ivm.quantiles).items():
+                if not (0.0 < float(q) <= 1.0):
+                    raise ValueError(
+                        f"model {self.name}: ivm.quantiles[{out!r}] q "
+                        f"must be in (0, 1], got {q!r}"
+                    )
             dupes = sorted({o for o in outs if outs.count(o) > 1})
             if dupes:
                 raise ValueError(

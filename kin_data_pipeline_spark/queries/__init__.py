@@ -98,6 +98,7 @@ CURRENT_WINDOW_HEAD = [
 NEXT_WINDOW_BACKLOG: list[str] = [
     "runner_kin_dag_ivm_mart",  # production kin DAG, dim-enriched IVM
     "restart_jpeg_pixel_stats",  # DRI/RSTn restart-segment baseline JPEG
+    "runner_union_ivm_net_rollup",  # multi-source union IVM, per-leg anchors
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

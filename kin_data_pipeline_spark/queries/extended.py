@@ -2500,6 +2500,11 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
                 measures={"total_cents": "cents"},
                 count_col="n_orders",
                 distinct_counts={"n_order_dates": "o_orderdate"},
+                # maintained HOLISTIC quantile (percentile_disc via the
+                # persisted turnstile support — exact under the erase and
+                # upsert commits below, where a t-digest could not
+                # subtract)
+                quantiles={"median_cents": ("cents", 0.5)},
                 row_transform=_rivm_cents,
             ),
             date_col=None,
@@ -2571,6 +2576,85 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
         )
         _await_and_record(q, "runner_stream_ivm_extrema_sink")
 
+        # --- union (multi-source) strategy: sales_src ⊎ returns_src ------
+        # two versioned sources with DIFFERENT schemas, projected to a
+        # common surface by per-leg row-local transforms (IvmSpec.sources,
+        # the reference's U1/U2 observation-union shape); each leg anchors
+        # its own change span, so the sales append and the returns erase
+        # fold in ONE refresh without touching each other's history
+        cat.write_full(
+            "sales_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            ),
+            None,
+        )
+        cat.enable_versioning("sales_src")  # v0
+        cat.write_full(
+            "returns_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+            ).select(
+                F.col("o_orderkey").alias("r_key"),
+                F.col("o_orderstatus").alias("r_status"),
+                F.col("o_orderdate").alias("r_date"),
+                F.col("o_totalprice").alias("r_price"),
+            ),
+            None,
+        )
+        cat.enable_versioning("returns_src")  # v0
+
+        def _common(df, cols):
+            # per-leg projection to the union surface; the CDF's
+            # _change_type rides through when present (change rows), so
+            # the same leg serves base rebuilds and change spans
+            if "_change_type" in df.columns:
+                cols = [*cols, F.col("_change_type")]
+            return df.select(*cols)
+
+        def _sales_leg(df):
+            return _common(df, [
+                F.col("o_orderstatus"),
+                F.col("o_orderdate"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            ])
+
+        def _returns_leg(df):
+            return _common(df, [
+                F.col("r_status").alias("o_orderstatus"),
+                F.col("r_date").alias("o_orderdate"),
+                (F.col("r_price").cast("decimal(18,2)") * -100)
+                .cast("long")
+                .alias("cents"),
+            ])
+
+        union_mart = Model(
+            name="net_by_status",
+            ivm=IvmSpec(
+                sources={"sales_src": _sales_leg, "returns_src": _returns_leg},
+                group_by=["o_orderstatus"],
+                count_col="n_rows",
+                measures={"net_cents": "cents"},
+                distinct_counts={"n_order_dates": "o_orderdate"},
+            ),
+            date_col=None,
+        )
+        union_actions = [runner.run([union_mart], run_date)[0].action]
+        cat.write_append(
+            "sales_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-07-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1995-10-01").cast("date"))
+            ),
+            None,
+        )  # sales v1
+        cat.delete_by_keys("returns_src", "r_status", ["F"])  # returns v1
+        union_actions.append(runner.run([union_mart], run_date)[0].action)
+
         if not _TT_DIRS:
             atexit.register(_tt_sweep)
         _TT_DIRS.append(cat.warehouse_dir)
@@ -2578,6 +2662,7 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             "cat": cat,
             "rollup_actions": rollup_actions,
             "stream_actions": [r.action for r in stream_results],
+            "union_actions": union_actions,
         }
         return _RIVM_CACHE[k]
 
@@ -2611,12 +2696,17 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
                     + CASE WHEN o_orderkey = (SELECT k FROM mk)
                            THEN 100000 ELSE 0 END)
                 AS BIGINT) AS total_cents,
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates,
+           CAST(quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    + CASE WHEN o_orderkey = (SELECT k FROM mk)
+                           THEN 100000 ELSE 0 END, 0.5)
+                AS BIGINT) AS median_cents
     FROM v3 GROUP BY 1
     """,
     doc=(
         "Runner IVM refresh strategy: a declared rollup mart (COUNT+SUM "
-        "+ exact COUNT(DISTINCT) via a persisted support table) is "
+        "+ exact COUNT(DISTINCT) and percentile_disc MEDIAN via "
+        "persisted turnstile support tables) is "
         "maintained from the CDF across append/delete/upsert commits and "
         "equals the from-scratch recompute at the tip"
     ),
@@ -2629,7 +2719,8 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "!= ['full', 'ivm']"
         )
     return fx["cat"].table("status_rollup").select(
-        "o_orderstatus", "n_orders", "total_cents", "n_order_dates"
+        "o_orderstatus", "n_orders", "total_cents", "n_order_dates",
+        "median_cents",
     )
 
 # The PRODUCTIONIZED streaming form of the Runner strategy —
@@ -3903,4 +3994,57 @@ def runner_kin_dag_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in ("earn", "spend", "peer")
             for c in ("transactions", "amounts", "average")
         ],
+    )
+
+
+# Multi-source (union-leg) IVM, driver-checkable (VERDICT r9 ask #7b): a
+# mart over TWO versioned sources with different schemas — sales and
+# returns, projected to a common (status, date, signed cents) surface by
+# per-leg row-local transforms — is maintained with PER-SOURCE anchors:
+# one refresh folds the sales append and the returns key-erase, each leg
+# reading only its own recorded→tip span (a lagging source never blocks
+# or replays another's). COUNT(DISTINCT order dates) rides the persisted
+# support table computed over the union. The query RAISES unless the
+# post-build refresh ran as action == 'ivm'; the oracle recomputes the
+# net rollup from the tip's literal predicates.
+# plans/engine.py::_run_ivm (legs), IvmSpec.sources; pinned locally by
+# tests/test_ivm_refresh.py::test_union_mart_maintains_per_source_spans.
+@register(
+    "runner_union_ivm_net_rollup",
+    """
+    WITH sales AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE (o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01')
+         OR (o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01')
+    ), ret AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * -100 AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+        AND o_orderstatus <> 'F'
+    ), u AS (SELECT * FROM sales UNION ALL SELECT * FROM ret)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS net_cents,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
+    FROM u GROUP BY 1
+    """,
+    doc=(
+        "multi-source union IVM: a sales ⊎ returns mart over two "
+        "versioned sources with per-leg transforms and per-source span "
+        "anchors, maintained through an append + a key-erase in one "
+        "refresh — equals the from-scratch recompute at the tip"
+    ),
+)
+def runner_union_ivm_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _rivm_fixture(spark, sf_dir)
+    if fx["union_actions"] != ["full", "ivm"]:
+        raise AssertionError(
+            f"union IVM degraded: actions {fx['union_actions']} != "
+            "['full', 'ivm']"
+        )
+    return fx["cat"].table("net_by_status").select(
+        "o_orderstatus", "n_rows", "net_cents", "n_order_dates"
     )

@@ -1092,3 +1092,327 @@ def test_ivm_status_introspection(spark, tmp_path):
         None,
     )
     assert cat.ivm_status("status_rollup")["maintained"] is False
+
+
+# --- multi-source (union-leg) IVM: IvmSpec.sources -------------------------
+# The reference's U1/U2 observation-union shapes (closing/average balance
+# marts unioning from/to/created streams): the mart is a rollup over
+# UNION ALL of per-source row-local projections, each leg anchored and
+# folded independently (VERDICT r9 ask #7b).
+
+IN_DDL = "k bigint, status string, amount double, note string"
+OUT_DDL = "k bigint, status string, out_amount double, tag string"
+
+
+def _in_leg(df):
+    return df.withColumn(
+        "cents", (F.col("amount").cast("decimal(18,2)") * 100).cast("long")
+    ).withColumn("flow", F.lit("in"))
+
+
+def _out_leg(df):
+    return (
+        df.withColumn(
+            "cents",
+            (F.col("out_amount").cast("decimal(18,2)") * -100).cast("long"),
+        )
+        .withColumn("note", F.col("tag"))
+        .withColumn("amount", F.col("out_amount"))
+        .withColumn("flow", F.lit("out"))
+        .drop("out_amount", "tag")
+    )
+
+
+def _union_mart(**over) -> Model:
+    kw = dict(
+        name="flow_rollup",
+        ivm=IvmSpec(
+            sources={"inflows": _in_leg, "outflows": _out_leg},
+            group_by=["status"],
+            measures={"net_cents": "cents"},
+            count_col="n_rows",
+            distinct_counts={"n_notes": "note"},
+        ),
+        date_col=None,
+    )
+    kw.update(over)
+    return Model(**kw)
+
+
+def _union_recompute(spark, cat: Catalog):
+    u = _in_leg(cat.table("inflows")).unionByName(
+        _out_leg(cat.table("outflows")).select(
+            *_in_leg(cat.table("inflows")).columns
+        )
+    )
+    return u.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce("cents", F.lit(0))).alias("net_cents"),
+        F.countDistinct("note").alias("n_notes"),
+    )
+
+
+def _seed_union(spark, cat: Catalog):
+    cat.write_full(
+        "inflows",
+        spark.createDataFrame(
+            [(1, "open", 10.0, "a"), (2, "paid", 4.0, "b")], IN_DDL
+        ),
+        None,
+    )
+    cat.enable_versioning("inflows")
+    cat.write_full(
+        "outflows",
+        spark.createDataFrame(
+            [(7, "open", 3.0, "x"), (8, "late", 1.0, "y")], OUT_DDL
+        ),
+        None,
+    )
+    cat.enable_versioning("outflows")
+
+
+def test_union_mart_maintains_per_source_spans(spark, tmp_path):
+    """A two-source union mart: each leg's commits fold independently —
+    a refresh after commits on only ONE source maintains (action 'ivm'),
+    the lagging leg is never replayed, and the result equals the
+    from-scratch recompute after every refresh; all-legs-at-tip no-ops."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed_union(spark, cat)
+    m = _union_mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_union_recompute(spark, cat))
+    st = cat.ivm_status(m.name)
+    assert st["source"].startswith("union:")
+    assert st["sources"]["inflows"]["lag"] == 0
+    assert st["sources"]["outflows"]["lag"] == 0
+
+    # commits on ONE leg only
+    cat.write_append(
+        "inflows",
+        spark.createDataFrame([(3, "open", 2.0, "c")], IN_DDL),
+        None,
+    )
+    cat.delete_by_keys("inflows", "k", [2])  # empties 'paid' inflow
+    st = cat.ivm_status(m.name)
+    assert st["sources"]["inflows"]["lag"] == 2
+    assert st["sources"]["outflows"]["lag"] == 0
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_union_recompute(spark, cat))
+
+    # now both legs move
+    cat.write_append(
+        "outflows",
+        spark.createDataFrame([(9, "open", 5.0, "z")], OUT_DDL),
+        None,
+    )
+    cat.write_append(
+        "inflows",
+        spark.createDataFrame([(4, "late", 7.0, "d")], IN_DDL),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_union_recompute(spark, cat))
+    # unchanged tips → recorded no-op
+    assert runner.run([m], RUN_DATE)[0].action == "noop"
+
+
+def test_union_mart_vacuum_lapse_on_one_leg_rebuilds(spark, tmp_path):
+    """Vacuuming past ONE leg's recorded anchor degrades that refresh to
+    a declared full rebuild (never a wrong span), after which
+    maintenance resumes."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed_union(spark, cat)
+    m = _union_mart()
+    runner.run([m], RUN_DATE)
+    for i in range(3):
+        cat.write_append(
+            "outflows",
+            spark.createDataFrame([(20 + i, "open", 1.0, f"t{i}")], OUT_DDL),
+            None,
+        )
+    cat.vacuum_versions("outflows", keep_last=1)
+    assert cat.ivm_status(m.name)["vacuum_lapsed"]
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_union_recompute(spark, cat))
+    cat.write_append(
+        "inflows",
+        spark.createDataFrame([(5, "open", 1.0, "e")], IN_DDL),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _rows_of(cat.table(m.name)) == _rows_of(_union_recompute(spark, cat))
+
+
+def test_union_mart_declaration_contracts(spark, tmp_path):
+    """Declaration errors: source+sources together, row_transform with
+    sources, stream_ivm on a union mart, schema-diverging legs."""
+    with pytest.raises(ValueError, match="exactly one of source"):
+        Model(name="bad", date_col=None,
+              ivm=IvmSpec(source="a", sources={"b": None},
+                          group_by=["status"]))
+    with pytest.raises(ValueError, match="exactly one of source"):
+        Model(name="bad", date_col=None, ivm=IvmSpec(group_by=["status"]))
+    with pytest.raises(ValueError, match="row_transform must be"):
+        Model(name="bad", date_col=None,
+              ivm=IvmSpec(sources={"b": None}, group_by=["status"],
+                          row_transform=lambda df: df))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed_union(spark, cat)
+    with pytest.raises(ValueError, match="single-source marts"):
+        runner.stream_ivm(_union_mart(), available_now=True)
+    # a leg that fails to project the common schema raises loudly
+    # (unionByName), never pairs columns positionally
+    broken = _union_mart(
+        ivm=IvmSpec(
+            sources={"inflows": _in_leg, "outflows": None},
+            group_by=["status"],
+            measures={"net_cents": "cents"},
+        )
+    )
+    with pytest.raises(Exception):
+        runner.run([broken], RUN_DATE)
+
+
+# --- maintained holistic quantiles (IvmSpec.quantiles) ---------------------
+# The documented alternative to the exact-median builder boundary
+# (VERDICT r9 ask #7c): percentile_disc per group rides the SAME
+# turnstile (group, value) → multiplicity support tables as exact
+# COUNT(DISTINCT) — maintainable under inserts AND deletes, which
+# one-way mergeable sketches (t-digest/KLL) cannot be (no subtract).
+
+
+def _disc(spark, cat, q, value_expr="cents"):
+    """percentile_disc recomputed from scratch over the live source."""
+    rows = (
+        _cents(cat.table("txns"))
+        .selectExpr("status", f"{value_expr} AS v")
+        .filter("v IS NOT NULL")
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, []).append(r.v)
+    import math
+
+    out = {}
+    for k, vs in by.items():
+        vs.sort()
+        out[k] = vs[max(0, math.ceil(q * len(vs)) - 1)]
+    return out
+
+
+def test_maintained_quantiles_exact_across_commits(spark, tmp_path):
+    """Maintained median + p90 equal the from-scratch percentile_disc
+    after appends, deletes (including one emptying a group), and an
+    upsert — and the supports show up in ivm_status."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [
+            (1, "open", 10.5, "a"),
+            (2, "open", 2.25, "b"),
+            (3, "open", 7.0, "c"),
+            (4, "paid", 5.0, "d"),
+            (5, "late", 1.0, "e"),
+        ],
+    )
+    m = Model(
+        name="status_quants",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            measures={"total_cents": "cents"},
+            quantiles={
+                "median_cents": ("cents", 0.5),
+                "p90_cents": ("cents", 0.9),
+            },
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+    runner.run([m], RUN_DATE)
+
+    def check():
+        got = {
+            r.status: (r.median_cents, r.p90_cents)
+            for r in cat.table("status_quants").collect()
+        }
+        med, p90 = _disc(spark, cat, 0.5), _disc(spark, cat, 0.9)
+        assert got == {k: (med[k], p90[k]) for k in med}
+
+    check()
+    cat.write_append(
+        "txns",
+        spark.createDataFrame(
+            [(6, "open", 3.0, "f"), (7, "paid", 9.0, "g")], DDL
+        ),
+        None,
+    )
+    cat.delete_by_keys("txns", "status", ["late"])  # empties the group
+    cat.upsert_by_key(
+        "txns",
+        spark.createDataFrame([(1, "open", 0.5, "a2")], DDL),
+        ["k"],
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    check()
+    assert not any(
+        r.status == "late" for r in cat.table("status_quants").collect()
+    )
+    st = cat.ivm_status("status_quants")
+    assert set(st["supports"]) == {"median_cents", "p90_cents"}
+    assert runner.run([m], RUN_DATE)[0].action == "noop"
+
+
+def test_quantized_quantile_error_bound(spark, tmp_path):
+    """The APPROXIMATE form: quantizing the value in the row_transform
+    (bin width W) bounds support cardinality by the domain/W and the
+    maintained quantile's error by W — pinned against the exact
+    percentile_disc across a maintained refresh."""
+    import math
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    W = 100  # cents per bin
+
+    def binned(df):
+        return _cents(df).withColumn(
+            "cents_bin",
+            (F.floor(F.col("cents") / W) * W).cast("long"),
+        )
+
+    rows = [
+        (i, "open" if i % 3 else "paid", float(i) * 0.37 + 1, f"n{i}")
+        for i in range(1, 121)
+    ]
+    _seed(spark, cat, rows[:80])
+    m = Model(
+        name="binned_quants",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            quantiles={"median_bin": ("cents_bin", 0.5)},
+            row_transform=binned,
+        ),
+        date_col=None,
+    )
+    runner.run([m], RUN_DATE)
+    cat.write_append("txns", spark.createDataFrame(rows[80:], DDL), None)
+    cat.delete_by_keys("txns", "k", [7, 13, 99])
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    exact = _disc(spark, cat, 0.5)  # exact median of the raw cents
+    got = {
+        r.status: r.median_bin for r in cat.table("binned_quants").collect()
+    }
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= W, (k, got[k], v)
+    # support cardinality is bin-bounded, not row-bounded
+    sup = cat.table("binned_quants__support_median_bin")
+    n_rows_src = cat.table("txns").count()
+    assert sup.count() < n_rows_src
