@@ -2575,6 +2575,16 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             extrema, available_now=True, results=stream_results
         )
         _await_and_record(q, "runner_stream_ivm_extrema_sink")
+        # the stream runs ONCE, at fixture build — snapshot its sink
+        # stats out of the per-run register (a bench run that didn't
+        # start a stream must not report a half-recorded one) and let
+        # the query REPLAY them verbatim on every call, keeping the
+        # trigger counts adjudicable from the committed detail file
+        stream_sink_stats = {
+            "runner_stream_ivm_extrema_sink (fixture build)": dict(
+                STREAM_RUN_STATS.pop("runner_stream_ivm_extrema_sink")
+            )
+        }
 
         # --- union (multi-source) strategy: sales_src ⊎ returns_src ------
         # two versioned sources with DIFFERENT schemas, projected to a
@@ -2662,6 +2672,7 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             "cat": cat,
             "rollup_actions": rollup_actions,
             "stream_actions": [r.action for r in stream_results],
+            "stream_sink_stats": stream_sink_stats,
             "union_actions": union_actions,
         }
         return _RIVM_CACHE[k]
@@ -2762,6 +2773,12 @@ def runner_ivm_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def runner_stream_ivm_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _rivm_fixture(spark, sf_dir)
+    # replay the build-time stream's sink stats (see _rivm_fixture): the
+    # per-run numbers are identical BY CONSTRUCTION — the stream executed
+    # once, when the shared fixture was built
+    STREAM_RUN_STATS.update(
+        {k: dict(v) for k, v in fx["stream_sink_stats"].items()}
+    )
     actions = fx["stream_actions"]
     if "ivm" not in actions or not all(a in ("ivm", "noop") for a in actions):
         raise AssertionError(
@@ -3918,6 +3935,14 @@ def _kin_ivm_dag_fixture(spark: SparkSession, sf_dir: str) -> dict:
         ]
         cat.delete_by_keys(FACT_T, "app_id", [3])  # right-to-be-forgotten
         acts.append({r.model: r.action for r in runner.run(models, RUN_DATE)})
+        # the kin builders registered substrate frames during the build;
+        # drop them so the query's plan fingerprint is the same whether
+        # this call BUILT the fixture or found it cached (substrates are
+        # a build-time dependency here, not part of the served plan —
+        # without this, PLAN_MANIFEST hashes are first-toucher-bimodal)
+        from kin_data_pipeline_spark.sources.catalog import frame_cache_clear
+
+        frame_cache_clear(spark)
         if not _TT_DIRS:
             atexit.register(_tt_sweep)
         _TT_DIRS.append(cat.warehouse_dir)
