@@ -2144,7 +2144,7 @@ class BuildContext:
 @dataclass
 class RunResult:
     model: str
-    action: str  # full | incremental | ivm | noop | clone | failed
+    action: str  # full | incremental | ivm | ivm_dim | noop | clone | failed
     rows_written: int | None = None
     duration_sec: float | None = None
     error: str | None = None
@@ -2518,32 +2518,205 @@ class Runner:
             return a.join(b, cond, "left").select(
                 *[F.col(f"a.{x}") for x in df_a.columns], *picked
             )
+        # --- dim-delta SCOPED refresh triage -----------------------------
+        # A dim edit invalidates only the groups whose JOIN KEYS changed.
+        # When every dim's fact-side key columns sit in the mart grain
+        # (group_by ⊇ keys — true for the production app_id-grain marts),
+        # the rebuild can be scoped: keep every unaffected mart row
+        # verbatim (its keys' dim rows are IDENTICAL old vs new, so every
+        # dim-derived value of its fact rows is unchanged), recompute only
+        # the affected keys' groups from base ⋉ changed-keys under the new
+        # dim, and fold the ordinary fact-change span for the unaffected
+        # side. Cost: O(affected-keys' base rows + changes + agg) instead
+        # of a full base scan per dim edit — at 100 TB the difference
+        # between a table-wide rebuild and a partition-prunable semi join.
+        #
+        # The OLD dim content needed for the key diff is persisted per dim
+        # as `{mart}__dimstate_{i}` at every refresh; crash-safety comes
+        # from CONTENT, not ordering — the scoped path requires the stored
+        # projection's fingerprint to equal the fps the mart's state
+        # recorded, so a half-updated dimstate (crash between writes)
+        # fails the check and degrades to the full rebuild, never a wrong
+        # diff.
+        def _sig_no_fps(sig):
+            return (
+                {k: v for k, v in sig.items() if k != "dim_fps"}
+                if isinstance(sig, dict)
+                else sig
+            )
+
+        def _dimstate_name(i: int) -> str:
+            return f"{m.name}__dimstate_{i}"
+
+        scoped_ctx = None
+        if (
+            spec.dims
+            and state is not None
+            and build_type != "full_refresh"
+            and cat.exists(m.name)
+            and state.get("signature") != mart_sig
+            and _sig_no_fps(state.get("signature")) == _sig_no_fps(mart_sig)
+            and all(
+                set(d.key_map()) <= set(spec.group_by) for d in spec.dims
+            )
+        ):
+            recorded_fps = state["signature"].get("dim_fps") or []
+            affected = []  # (fact key cols, distinct changed-key frame)
+            ok = len(recorded_fps) == len(spec.dims)
+            for i, d in enumerate(spec.dims):
+                if not ok:
+                    break
+                if recorded_fps[i] == dim_fps[i]:
+                    continue  # this dim's content is unchanged
+                ds = _dimstate_name(i)
+                if not cat.exists(ds):
+                    ok = False  # pre-upgrade mart: no stored projection
+                    break
+                old_proj = cat.table(ds)
+                if sorted(old_proj.columns) != sorted(dim_frames[i].columns):
+                    ok = False
+                    break
+                hc = ", ".join(f"`{c}`" for c in dim_frames[i].columns)
+                ofp = old_proj.selectExpr(
+                    "count(1) as n", f"bit_xor(xxhash64({hc})) as x"
+                ).collect()[0]
+                if {"n": int(ofp["n"]), "x": ofp["x"]} != recorded_fps[i]:
+                    ok = False  # stale dimstate (crash window) → rebuild
+                    break
+                kcols = list(d.key_map())
+                changed = (
+                    old_proj.exceptAll(dim_frames[i].select(*old_proj.columns))
+                    .select(*kcols)
+                    .unionByName(
+                        dim_frames[i]
+                        .select(*old_proj.columns)
+                        .exceptAll(old_proj)
+                        .select(*kcols)
+                    )
+                    .distinct()
+                )
+                affected.append((kcols, changed))
+            if ok and affected:
+                def _mark(df_, _affected=affected):
+                    """Append one broadcast left-join flag per changed dim;
+                    returns (marked frame, any-affected predicate). Callers
+                    re-select their original columns after filtering (the
+                    USING joins move key columns first)."""
+                    out = df_
+                    pred = F.lit(False)
+                    for j, (kcols, kdf) in enumerate(_affected):
+                        flag = f"__aff{j}"
+                        out = out.join(
+                            F.broadcast(kdf.withColumn(flag, F.lit(1))),
+                            kcols,
+                            "left",
+                        )
+                        pred = pred | (F.col(flag) == 1)
+                    return out, pred
+
+                scoped_ctx = {"mark": _mark}
+
         full = (
-            state is None
-            or build_type == "full_refresh"
-            or not cat.exists(m.name)
-            or state.get("signature") != mart_sig
+            scoped_ctx is None
+            and (
+                state is None
+                or build_type == "full_refresh"
+                or not cat.exists(m.name)
+                or state.get("signature") != mart_sig
+            )
         )
+        # one fused aggregation pass shape shared by the full rebuild and
+        # the dim-delta scoped recompute: aggregate_base's COUNT +
+        # SUM(COALESCE) plus minmax_base's extrema, so neither path scans
+        # its input twice
+        fused_aggs = [F.count(F.lit(1)).cast("long").alias(spec.count_col)]
+        fused_aggs += [
+            F.sum(F.coalesce(F.col(src), F.lit(0))).alias(out)
+            for out, src in spec.measures.items()
+        ]
+        fused_aggs += [
+            x
+            for src, (mn, mx) in spec.minmax.items()
+            for x in (F.min(src).alias(mn), F.max(src).alias(mx))
+        ]
+        scoped_changes = None  # unaffected-rows change span (scoped path)
+        scoped_base_aff = None  # affected-keys live-base slice (scoped path)
         if full:
-            # one fused aggregation pass over the tip: aggregate_base's
-            # COUNT + SUM(COALESCE) shape plus minmax_base's extrema, so
-            # the rebuild never scans the base twice
-            aggs = [F.count(F.lit(1)).cast("long").alias(spec.count_col)]
-            aggs += [
-                F.sum(F.coalesce(F.col(src), F.lit(0))).alias(out)
-                for out, src in spec.measures.items()
-            ]
-            aggs += [
-                x
-                for src, (mn, mx) in spec.minmax.items()
-                for x in (F.min(src).alias(mn), F.max(src).alias(mx))
-            ]
             df = (
                 union_legs(lambda src, _t: cat.table_at_version(src, tips[src]))
                 .groupBy(*spec.group_by)
-                .agg(*aggs)
+                .agg(*fused_aggs)
             )
             action = "full"
+        elif scoped_ctx is not None:
+            # dim-delta scoped refresh (see triage above): unaffected mart
+            # rows survive verbatim and fold the ordinary fact span;
+            # affected keys' groups recompute from base ⋉ changed-keys
+            # under the NEW dims — the live base IS the tips
+            mark = scoped_ctx["mark"]
+            mart_now = cat.table(m.name)
+            marked, pred = mark(mart_now)
+            keep = marked.where(~F.coalesce(pred, F.lit(False))).select(
+                *mart_now.columns
+            )
+            base_live = union_legs(lambda ls, _t: cat.table(ls))
+            bmarked, bpred = mark(base_live)
+            scoped_base_aff = bmarked.where(
+                F.coalesce(bpred, F.lit(False))
+            ).select(*base_live.columns)
+            pending = [
+                (ls, lt) for ls, lt in legs if recorded[ls] < tips[ls]
+            ]
+            if pending:
+                cframes = [
+                    derive(cat.table_changes(ls, recorded[ls], tips[ls]), lt)
+                    for ls, lt in pending
+                ]
+                call = cframes[0]
+                for f in cframes[1:]:
+                    call = call.unionByName(f)
+                if "_change_type" not in call.columns:
+                    raise ValueError(
+                        f"model {m.name}: row_transform dropped the CDF's "
+                        "'_change_type' column — derive columns additively "
+                        "(withColumn/filter), never with a narrowing select"
+                    )
+                cmarked, cpred = mark(call)
+                scoped_changes = cmarked.where(
+                    ~F.coalesce(cpred, F.lit(False))
+                ).select(*call.columns)
+                df = maintain_aggregate(
+                    keep,
+                    scoped_changes,
+                    spec.group_by,
+                    spec.measures,
+                    count_col=spec.count_col,
+                )
+                for src, (mn, mx) in spec.minmax.items():
+                    mm = maintain_minmax(
+                        keep.select(*spec.group_by, mn, mx),
+                        scoped_changes,
+                        union_legs(lambda ls, _t: cat.table(ls)),
+                        spec.group_by,
+                        src,
+                        min_col=mn,
+                        max_col=mx,
+                    )
+                    df = _join_at_group_grain(df, mm, [mn, mx])
+            else:
+                # no fact commits since the record — the dim edit is the
+                # whole delta; unaffected rows carry over untouched
+                df = keep.select(
+                    *spec.group_by,
+                    spec.count_col,
+                    *spec.measures,
+                    *[c for pair in spec.minmax.values() for c in pair],
+                )
+            scoped_agg = scoped_base_aff.groupBy(*spec.group_by).agg(
+                *fused_aggs
+            )
+            df = df.unionByName(scoped_agg)
+            action = "ivm_dim"
         elif all(recorded[src] == tips[src] for src, _ in legs):
             results.append(
                 RunResult(
@@ -2620,29 +2793,60 @@ class Runner:
                 # does (a dim change rebuilds supports alongside the mart)
                 sup_sig["dims"] = mart_sig["dims"]
                 sup_sig["dim_fps"] = dim_fps
-            sup_rec: dict | None = None
-            if (
-                not full
-                and sup_state is not None
-                and cat.exists(sup_name)
-                and sup_state.get("source") == src_id
-                and sup_state.get("signature") == sup_sig
-            ):
-                sup_rec = (
-                    {k: int(v) for k, v in sup_state["versions"].items()}
-                    if "versions" in sup_state
-                    else {sup_state["source"]: int(sup_state["version"])}
+            def _sup_versions(st_):
+                rec_ = (
+                    {k: int(v) for k, v in st_["versions"].items()}
+                    if "versions" in st_
+                    else {st_["source"]: int(st_["version"])}
                 )
                 # per-leg vacuum-lapse check, same contract as the mart:
                 # an unanchorable span rebuilds the support from the tips
                 for ls, _ in legs:
-                    v = sup_rec.get(ls)
+                    v = rec_.get(ls)
                     if v is None or not any(
                         int(e["version"]) == v for e in hists[ls]
                     ):
-                        sup_rec = None
-                        break
-            if sup_rec is None:
+                        return None
+                return rec_
+
+            sup_rec: dict | None = None
+            sup_exists_ok = (
+                not full
+                and sup_state is not None
+                and cat.exists(sup_name)
+                and sup_state.get("source") == src_id
+            )
+            if sup_exists_ok and sup_state.get("signature") == sup_sig:
+                sup_rec = _sup_versions(sup_state)
+            scoped_sup = None
+            if (
+                sup_rec is None
+                and scoped_ctx is not None
+                and sup_exists_ok
+                and _sig_no_fps(sup_state.get("signature"))
+                == _sig_no_fps(sup_sig)
+                and _sup_versions(sup_state) == recorded
+            ):
+                # dim-delta scoped support update, mirroring the mart:
+                # unaffected (group, value) rows survive verbatim (their
+                # keys' dim rows are unchanged) and fold the unaffected
+                # change span; affected keys' rows recompute from the
+                # same base ⋉ changed-keys slice the mart aggregated
+                st_tbl = cat.table(sup_name)
+                smarked, spred = scoped_ctx["mark"](st_tbl)
+                s_keep = smarked.where(
+                    ~F.coalesce(spred, F.lit(False))
+                ).select(*st_tbl.columns)
+                if scoped_changes is not None:
+                    s_keep = maintain_distinct_support(
+                        s_keep, scoped_changes, spec.group_by, src
+                    )
+                scoped_sup = s_keep.unionByName(
+                    distinct_support(scoped_base_aff, spec.group_by, src)
+                )
+            if scoped_sup is not None:
+                sup = scoped_sup
+            elif sup_rec is None:
                 sup = distinct_support(
                     union_legs(
                         lambda ls, _t: cat.table_at_version(ls, tips[ls])
@@ -2720,6 +2924,24 @@ class Runner:
                 m.name, df, None,
                 bloom_cols=m.bloom_filter_on, bloom_ndv=m.bloom_ndv,
             )
+            # persist each dim's ENRICHMENT PROJECTION (broadcast-small)
+            # beside the mart so the next dim edit can be key-diffed and
+            # scoped; skipped when the recorded content already matches
+            # (the fps check on read degrades a stale copy to a full
+            # rebuild, so write order carries no crash hazard)
+            if spec.dims:
+                prior_fps = ((state or {}).get("signature") or {}).get(
+                    "dim_fps"
+                )
+                for i, proj in enumerate(dim_frames):
+                    ds = _dimstate_name(i)
+                    if (
+                        prior_fps is None
+                        or i >= len(prior_fps)
+                        or prior_fps[i] != dim_fps[i]
+                        or not cat.exists(ds)
+                    ):
+                        cat.write_full(ds, proj, None)
             cat.save_ivm_state(
                 m.name,
                 src_id,

@@ -34,9 +34,19 @@ class DimJoin:
 
     Dim CHANGES are handled explicitly, not silently: the Runner
     fingerprints the enrichment projection's content (row count + order-
-    independent hash) into the mart's recorded state and FULL-REBUILDS
-    the mart when it no longer matches — the static-dim case refreshes
-    in O(changes), a dim edit costs one rebuild instead of a wrong mart.
+    independent hash) into the mart's recorded state. When it no longer
+    matches and every dim's fact-side KEYS sit in the mart grain
+    (``group_by ⊇ keys``), the refresh is a dim-delta SCOPED rebuild
+    (action 'ivm_dim'): the persisted old projection
+    (``{mart}__dimstate_{i}``, content-verified against the recorded
+    fingerprint so a crash-stale copy degrades safely) is key-diffed
+    against the new one, unaffected groups survive verbatim — their
+    keys' dim rows are identical, so every dim-derived value of their
+    fact rows is unchanged — and only the changed keys' groups recompute
+    from base ⋉ changed-keys: O(affected rows + changes + agg), not a
+    full base scan per dim edit. When the grain omits a join key, the
+    mart FULL-REBUILDS instead — still one declared rebuild, never a
+    wrong mart.
 
     ``keys``: the equi-join keys — a sequence of column names present on
     both sides (post ``row_transform`` on the fact side), or a mapping

@@ -3894,14 +3894,17 @@ def important_part_values_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (daily_kin_transactions' IvmSpec: pre-agg dim_kin_app broadcast join,
 # per-type indicator measures, derived Kin amounts/averages — medians live
 # in the companion builder mart per the documented holistic boundary)
-# through a 3-run lifecycle on a scratch versioned warehouse: day-1 build
+# through a 4-run lifecycle on a scratch versioned warehouse: day-1 build
 # at a mid-month cut, day-2 watermark append of the remaining fact days,
-# then a key-erase of app 3 followed by a maintained refresh. The query
-# RAISES unless both post-build refreshes ran as action == 'ivm' (the
-# driver row fails if the production DAG ever silently rebuilds), and the
-# oracle recomputes the mart from the raw feed with the erased app
-# excluded — the hash match proves the maintained mart equals the
-# from-scratch derivation at the tip. models/pipeline.py::_ivm_kin_overrides,
+# a key-erase of app 3 followed by a maintained refresh, then an
+# out-of-band dim rename of app 5 followed by a dim-delta SCOPED refresh
+# (only the renamed key's groups recompute — action 'ivm_dim'). The query
+# RAISES unless the three post-build refreshes ran as
+# ['ivm', 'ivm', 'ivm_dim'] (the driver row fails if the production DAG
+# ever silently rebuilds), and the oracle recomputes the mart from the
+# raw feed with the erased app excluded and the rename applied — the hash
+# match proves the maintained mart equals the from-scratch derivation at
+# the tip. models/pipeline.py::_ivm_kin_overrides,
 # pinned locally by tests/test_kin_ivm_dag.py.
 _KIN_IVM_CACHE: dict[tuple, dict] = {}
 
@@ -3935,6 +3938,25 @@ def _kin_ivm_dag_fixture(spark: SparkSession, sf_dir: str) -> dict:
         ]
         cat.delete_by_keys(FACT_T, "app_id", [3])  # right-to-be-forgotten
         acts.append({r.model: r.action for r in runner.run(models, RUN_DATE)})
+        # out-of-band dim edit (an operator renames app 5 directly in the
+        # catalog dim), then a DAG-subset refresh WITHOUT the dim model
+        # (which would rebuild the dim from source and revert the edit):
+        # the mart's dim fingerprint mismatch triggers the dim-delta
+        # SCOPED refresh — only app 5's groups recompute (action
+        # 'ivm_dim'), every other group survives verbatim
+        dim_now = cat.table("dim_kin_app")
+        cat.write_full(
+            "dim_kin_app",
+            dim_now.withColumn(
+                "name",
+                F.when(F.col("id") == 5, F.lit("RENAMED5")).otherwise(
+                    F.col("name")
+                ),
+            ),
+            None,
+        )
+        subset = [x for x in models if x.name != "dim_kin_app"]
+        acts.append({r.model: r.action for r in runner.run(subset, RUN_DATE)})
         # the kin builders registered substrate frames during the build;
         # drop them so the query's plan fingerprint is the same whether
         # this call BUILT the fixture or found it cached (substrates are
@@ -3984,7 +4006,8 @@ m AS (
     return (
         _with(*_BASE, FACT_TXN_SQL, mart)
         + """
-SELECT m.*, dka.name AS app_name
+SELECT m.*,
+       CASE WHEN m.app_id = 5 THEN 'RENAMED5' ELSE dka.name END AS app_name
 FROM m LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
 """
     )
@@ -3995,17 +4018,18 @@ FROM m LEFT JOIN dim_kin_app dka ON m.app_id = dka.id
     _kin_ivm_oracle_sql(),
     doc=(
         "the production kin DAG's flagship mart refreshed by declared IVM "
-        "(dim-enriched delta-join maintenance) across watermark appends "
-        "and a key-erase — equals the from-scratch derivation at the tip"
+        "(dim-enriched delta-join maintenance) across watermark appends, "
+        "a key-erase, and a dim-delta SCOPED refresh after an out-of-band "
+        "dim rename — equals the from-scratch derivation at the tip"
     ),
 )
 def runner_kin_dag_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _kin_ivm_dag_fixture(spark, sf_dir)
     mart_acts = [a["daily_kin_transactions"] for a in fx["acts"]]
-    if mart_acts != ["full", "ivm", "ivm"]:
+    if mart_acts != ["full", "ivm", "ivm", "ivm_dim"]:
         raise AssertionError(
             f"production kin DAG IVM degraded: mart actions {mart_acts} "
-            "!= ['full', 'ivm', 'ivm']"
+            "!= ['full', 'ivm', 'ivm', 'ivm_dim']"
         )
     return fx["cat"].table("daily_kin_transactions").select(
         "date_key",

@@ -1416,3 +1416,279 @@ def test_quantized_quantile_error_bound(spark, tmp_path):
     sup = cat.table("binned_quants__support_median_bin")
     n_rows_src = cat.table("txns").count()
     assert sup.count() < n_rows_src
+
+
+# --- dim-delta SCOPED refresh (round-10 extension of IvmSpec.dims) ---------
+# When every dim's fact-side join keys sit in the mart grain, a dim edit
+# no longer rebuilds the whole mart: unaffected groups survive verbatim,
+# only the changed keys' groups recompute from base ⋉ changed-keys under
+# the new dim (action 'ivm_dim') — O(affected base rows + changes + agg)
+# instead of a full base scan per dim edit.
+
+DIMD_DIM = [(1, "gold"), (2, "silver"), (3, "bronze")]
+
+
+def _dimd_mart(**over) -> Model:
+    from kin_data_pipeline_spark.plans.model import DimJoin
+
+    kw = dict(
+        name="keyed_rollup",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status", "k", "label"],
+            count_col="n_rows",
+            measures={"total_cents": "cents"},
+            distinct_counts={"n_notes": "note"},
+            quantiles={"med_cents": ("cents", 0.5)},
+            minmax={"cents": ("min_cents", "max_cents")},
+            derived={"avg_cents": "cast(total_cents as double) / n_rows"},
+            row_transform=_cents,
+            dims=(DimJoin(table="dim_k", keys={"k": "id"},
+                          select={"label": "label_src"}),),
+        ),
+        date_col=None,
+    )
+    kw.update(over)
+    return Model(**kw)
+
+
+def _dimd_seed(spark, cat):
+    _seed(
+        spark,
+        cat,
+        [
+            (1, "open", 10.5, "a"),
+            (1, "open", 2.0, "b"),
+            (2, "open", 7.0, "c"),
+            (2, "paid", 5.5, "d"),
+            (3, "paid", 1.0, "e"),
+        ],
+    )
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(DIMD_DIM, "id bigint, label_src string"),
+        None,
+    )
+
+
+def _dimd_recompute(spark, cat):
+    d = cat.table("dim_k").select(
+        F.col("id").alias("k"), F.col("label_src").alias("label")
+    )
+    return (
+        _cents(cat.table("txns"))
+        .join(F.broadcast(d), ["k"], "left")
+        .groupBy("status", "k", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce("cents", F.lit(0))).alias("total_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.countDistinct("note").alias("n_notes"),
+            F.expr(
+                "percentile_disc(0.5) within group (order by cents)"
+            ).alias("med_cents"),
+        )
+        .withColumn("avg_cents", F.expr("cast(total_cents as double) / n_rows"))
+    )
+
+
+def _dimd_rows(cat, df=None):
+    t = cat.table("keyed_rollup") if df is None else df
+    cols = sorted(cat.table("keyed_rollup").columns)
+    return sorted(tuple(r) for r in t.select(*cols).collect())
+
+
+def test_dim_delta_scoped_refresh_all_classes(spark, tmp_path):
+    """A dim relabel of ONE key refreshes as action 'ivm_dim' and lands
+    exactly on the from-scratch recompute across every maintained class
+    (count/sum/minmax/distinct/quantile/derived) — alone, combined with
+    fact commits in the same refresh, and back to plain 'ivm'/'noop'
+    afterwards."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _dimd_mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+
+    # dim edit only
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+
+    # combined: fact append (both affected + unaffected keys), a delete,
+    # and another dim edit folded by ONE refresh
+    cat.write_append(
+        "txns",
+        spark.createDataFrame(
+            [(1, "open", 100.0, "f"), (3, "paid", 9.0, "g")], DDL
+        ),
+        None,
+    )
+    cat.delete_by_keys("txns", "note", ["c"])  # key 2: unaffected by dim
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "BRONZE+")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+
+    # steady state and ordinary fact-only maintenance afterwards
+    assert runner.run([m], RUN_DATE)[0].action == "noop"
+    cat.write_append(
+        "txns", spark.createDataFrame([(2, "open", 4.0, "h")], DDL), None
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+
+
+def test_dim_delta_never_recomputes_unaffected_groups(spark, tmp_path):
+    """THE scoping pin: a sentinel written RAW into an unaffected group's
+    stored mart row (bypassing the catalog, so the IVM sidecar survives)
+    is still there after a dim-edit refresh — the scoped path carried the
+    row verbatim instead of recomputing it — while the affected key's
+    groups land on the recompute. A full_refresh then repairs the
+    sentinel."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _dimd_mart()
+    runner.run([m], RUN_DATE)
+
+    # poison total_cents of key 2's 'open' row, raw on disk
+    target = None
+    for fpath in _glob.glob(str(tmp_path / "wh" / "keyed_rollup" / "*.parquet")):
+        t = _pq.read_table(fpath)
+        d = t.to_pydict()
+        for i in range(t.num_rows):
+            if d["k"][i] == 2 and d["status"][i] == "open":
+                d["total_cents"][i] = 424242
+                target = fpath
+                break
+        if target:
+            _pq.write_table(
+                _pa.table(d, schema=t.schema), fpath
+            )
+            # the raw rewrite invalidates Hadoop LocalFS's checksum
+            # sidecar — remove it so the poisoned file reads back
+            crc = os.path.join(
+                os.path.dirname(fpath), "." + os.path.basename(fpath) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            break
+    assert target is not None
+
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    rows = {
+        (r.k, r.status): r.total_cents
+        for r in cat.table("keyed_rollup").collect()
+    }
+    assert rows[(2, "open")] == 424242  # unaffected: carried, not rebuilt
+    want = {
+        (r.k, r.status): r.total_cents
+        for r in _dimd_recompute(spark, cat).collect()
+    }
+    assert rows[(1, "open")] == want[(1, "open")]  # affected: recomputed
+    # full_refresh repairs the sentinel
+    assert runner.run([m], RUN_DATE, "full_refresh")[0].action == "full"
+    rows = {
+        (r.k, r.status): r.total_cents
+        for r in cat.table("keyed_rollup").collect()
+    }
+    assert rows == want
+
+
+def test_dim_delta_requires_keys_in_grain_and_fresh_dimstate(spark, tmp_path):
+    """Fallback contracts: a mart whose grain omits the join key still
+    FULL-rebuilds on dim change; a stale persisted dim projection (the
+    crash window between mart write and dimstate write) fails its
+    fingerprint check and also degrades to the full rebuild — never a
+    wrong key diff."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+
+    # grain omits 'k' -> not scoped-eligible
+    from kin_data_pipeline_spark.plans.model import DimJoin
+
+    m0 = Model(
+        name="label_only",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["label"],
+            count_col="n_rows",
+            row_transform=_cents,
+            dims=(DimJoin(table="dim_k", keys={"k": "id"},
+                          select={"label": "label_src"}),),
+        ),
+        date_col=None,
+    )
+    runner.run([m0], RUN_DATE)
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m0], RUN_DATE)[0].action == "full"
+
+    # scoped-eligible mart, but the persisted dim projection is made
+    # stale out-of-band -> fingerprint mismatch -> full rebuild
+    m = _dimd_mart()
+    runner.run([m], RUN_DATE)
+    cat.write_full(
+        "keyed_rollup__dimstate_0",
+        spark.createDataFrame(
+            [(9, "nope")], "k bigint, label string"
+        ),
+        None,
+    )
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "gold"), (2, "SILVER+"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    res = runner.run([m], RUN_DATE)
+    assert res[0].action == "full"
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+    # and the refreshed dimstate makes the NEXT dim edit scoped again
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "gold"), (2, "SILVER+"), (3, "BRONZE+")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
