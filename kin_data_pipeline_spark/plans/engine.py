@@ -359,6 +359,42 @@ class Catalog:
         sig = state.get("signature") or {}
         if sig.get("dims"):
             out["dims"] = sig["dims"]
+            # dim drift: recompute each declared dim's enrichment
+            # projection fingerprint from the catalog and compare with
+            # what the mart's content was built under — True means the
+            # next refresh performs the dim-delta scoped rebuild (or the
+            # declared full rebuild when the grain omits a join key).
+            # One bounded probe per broadcast-small dim.
+            recorded_fps = sig.get("dim_fps") or []
+            drift = []
+            for i, d in enumerate(sig["dims"]):
+                try:
+                    dim = self.table(d["table"])
+                    kmap = d["keys"]
+                    picked = (
+                        list(d["select"].items())
+                        if d.get("select") is not None
+                        else [
+                            (c, c)
+                            for c in dim.columns
+                            if c not in set(kmap.values())
+                        ]
+                    )
+                    proj = dim.select(
+                        *[F.col(sc).alias(oc) for oc, sc in kmap.items()],
+                        *[F.col(sc).alias(oc) for oc, sc in picked],
+                    )
+                    hc = ", ".join(f"`{c}`" for c in proj.columns)
+                    fp = proj.selectExpr(
+                        "count(1) as n", f"bit_xor(xxhash64({hc})) as x"
+                    ).collect()[0]
+                    cur = {"n": int(fp["n"]), "x": fp["x"]}
+                    drift.append(
+                        i >= len(recorded_fps) or cur != recorded_fps[i]
+                    )
+                except Exception:
+                    drift.append(True)  # unreadable dim: treat as drifted
+            out["dim_drift"] = drift
         supports = {}
         for meas in list(sig.get("distinct_counts") or {}) + list(
             sig.get("quantiles") or {}
@@ -3050,13 +3086,18 @@ class Runner:
         names = {m.name for m in ordered}
         depth: dict[str, int] = {}
         for m in ordered:  # topo order ⇒ deps already assigned
+            ivm_inputs = (
+                (
+                    ([m.ivm.source] if m.ivm.source else [])
+                    + list(m.ivm.sources)
+                    + [d.table for d in m.ivm.dims]
+                )
+                if m.ivm
+                else []
+            )
             edges = [
                 d
-                for d in (
-                    *m.depends_on,
-                    m.clone_of or "",
-                    m.ivm.source if m.ivm else "",
-                )
+                for d in (*m.depends_on, m.clone_of or "", *ivm_inputs)
                 if d in names
             ]
             depth[m.name] = 1 + max((depth[d] for d in edges), default=-1)

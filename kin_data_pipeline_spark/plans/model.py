@@ -391,11 +391,17 @@ def topo_sort(models: Sequence[Model]) -> list[Model]:
     by_name = {m.name: m for m in models}
     deps: dict[str, set[str]] = {}
     for m in models:
-        edges = (
-            set(m.depends_on)
-            | ({m.clone_of} if m.clone_of else set())
-            | ({m.ivm.source} if m.ivm else set())
+        edges = set(m.depends_on) | (
+            {m.clone_of} if m.clone_of else set()
         )
+        if m.ivm:
+            # implicit IVM inputs: the change-feed source(s) and every
+            # enrichment dim — a maintained mart must build after them
+            # even when the author forgot the explicit depends_on
+            if m.ivm.source:
+                edges.add(m.ivm.source)
+            edges |= set(m.ivm.sources)
+            edges |= {d.table for d in m.ivm.dims}
         unknown = edges - by_name.keys()
         # External sources (raw tables) are legal dependencies — only edges
         # naming another registered model constrain ordering.

@@ -1692,3 +1692,92 @@ def test_dim_delta_requires_keys_in_grain_and_fresh_dimstate(spark, tmp_path):
     )
     assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
     assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+
+
+def test_ivm_status_reports_dim_drift(spark, tmp_path):
+    """ivm_status recomputes each declared dim's content fingerprint:
+    False right after a refresh, True once the dim is edited (the next
+    refresh will be 'ivm_dim' / 'full'), back to False after it runs."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _dimd_mart()
+    runner.run([m], RUN_DATE)
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [False]
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [True]
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [False]
+
+
+def test_run_concurrent_orders_ivm_inputs_without_explicit_deps(
+    spark, tmp_path
+):
+    """Wave-parallel materialization sequences a maintained mart AFTER
+    its implicit IVM inputs — the versioned source model, every union
+    leg, and every enrichment dim — even when depends_on omits them
+    (topo_sort carries the same implicit edges for Runner.run)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    from kin_data_pipeline_spark.plans.model import DimJoin, topo_sort
+
+    def fact_builder(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, "open", 1.0, "a"), (2, "paid", 2.0, "b")], DDL
+        )
+
+    def dim_builder(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, "gold"), (2, "silver")], "id bigint, label_src string"
+        )
+
+    models = [
+        # mart FIRST in the list, with NO explicit depends_on — ordering
+        # must come from the implicit ivm edges alone
+        Model(
+            name="mart",
+            ivm=IvmSpec(
+                source="fact",
+                group_by=["status", "label"],
+                count_col="n_rows",
+                row_transform=_cents,
+                dims=(DimJoin(table="dim_k", keys={"k": "id"},
+                              select={"label": "label_src"}),),
+            ),
+            date_col=None,
+        ),
+        Model("fact", fact_builder, date_col=None, versioned=True),
+        Model("dim_k", dim_builder, date_col=None),
+    ]
+    order = [m.name for m in topo_sort(models)]
+    assert order.index("mart") > order.index("fact")
+    assert order.index("mart") > order.index("dim_k")
+    res = runner.run_concurrent(models, RUN_DATE, max_workers=3)
+    acts = {r.model: r.action for r in res}
+    assert acts["mart"] == "full" and cat.exists("mart")
+    # a union mart's legs are implicit edges too
+    models2 = [
+        Model(
+            name="umart",
+            ivm=IvmSpec(
+                sources={"fact": _cents, "fact2": _cents},
+                group_by=["status"],
+                count_col="n_rows",
+            ),
+            date_col=None,
+        ),
+        Model("fact2", fact_builder, date_col=None, versioned=True),
+    ]
+    order2 = [m.name for m in topo_sort(models2 + models)]
+    assert order2.index("umart") > order2.index("fact2")
+    assert order2.index("umart") > order2.index("fact")
+    res2 = runner.run_concurrent(models2 + models, RUN_DATE, max_workers=3)
+    acts2 = {r.model: r.action for r in res2}
+    assert acts2["umart"] == "full" and cat.exists("umart")
