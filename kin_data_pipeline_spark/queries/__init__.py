@@ -32,73 +32,70 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 # NEXT_WINDOW_BACKLOG each round — the invariants in
 # tests/test_registry_window.py key off CORRECTNESS-file discovery, so the
 # round prep is a data change only.
-ROUND = 10
+ROUND = 11
 
-# Round-10 window (VERDICT r9 ask #1, composed by scripts/compose_window.py):
+# Round-11 window (VERDICT r10 ask #1, composed by scripts/compose_window.py):
 # the 3 NEXT_WINDOW_BACKLOG queries lead (judge-pre-verified 3/3 at sf0.01 in
-# the r9 session: hybrid MIN/MAX CDF IVM, the Runner IVM strategy with
-# distinct-count support tables, and stream-triggered IVM), then padding
-# oldest-green-first (r5/r6 rows).
+# the r10 session: the production kin DAG on dim-enriched IVM, DRI/RSTn
+# restart-segment JPEG, and multi-source union IVM), then padding
+# oldest-green-first.
 CURRENT_WINDOW_HEAD = [
-    "cdf_incremental_minmax",
-    "runner_ivm_status_rollup",
-    "runner_stream_ivm_extrema",
-    "near_dup_pagerank_3iter",
-    "ngram_jaccard_prefix_filtered",
-    "order_value_buckets",
-    "orders_high_watermark",
-    "png_pixel_stats",
-    "pq_compression_audit",
-    "priority_status_cube",
-    "purchase_with_last_view",
-    "rolling_zscore_anomalies",
-    "scd2_point_in_time_enrichment",
-    "scd2_user_event_type_history",
-    "source_temperature_weights",
-    "streaming_approx_daily_users",
-    "streaming_purchase_view_left_join",
-    "streaming_static_enrichment_join",
-    "time_weighted_avg_per_user",
-    "trailing_7d_active_users",
-    "wav_sample_stats",
-    "weekly_retention_cohorts",
-    "weekly_top3_buyers_json",
-    "weighted_doc_sample_top50",
-    "customer_order_lifecycle_sets",
-    "customer_rolling_order_stats",
-    "embedding_lsh_ann_top5",
-    "jpeg_pixel_stats",
-    "kin_account_balance_buckets",
-    "kin_app_txn_summary_from_account_daily",
-    "kin_app_txn_summary_to_account_daily",
-    "kin_average_balance_per_day",
-    "kin_closing_balance_per_day",
-    "kin_daily_active_accounts_30d",
-    "kin_daily_active_accounts_app",
-    "kin_daily_active_accounts_ecosystem",
-    "kin_daily_aub_by_app",
-    "kin_daily_blocks",
-    "kin_daily_churn_volume",
-    "kin_daily_counts_by_amount",
-    "kin_daily_create_fee_payers",
-    "kin_daily_kre_summary",
-    "kin_daily_market_summary",
-    "kin_daily_net_inflation",
-    "kin_daily_payout",
-    "kin_daily_summary_by_app",
-    "kin_daily_summary_ecosystem",
-    "kin_daily_transactions",
-    "kin_fact_transactions",
-    "kin_gc_dust_wallets",
+    "runner_kin_dag_ivm_mart",
+    "restart_jpeg_pixel_stats",
+    "runner_union_ivm_net_rollup",
+    "kin_kre_weekly_payout",
+    "kin_monthly_active_accounts_app",
+    "kin_monthly_active_accounts_ecosystem",
+    "kin_monthly_inactive_wallets",
+    "kin_monthly_transactions",
+    "kin_multi_create_impacted",
+    "kin_transactions_curated",
+    "kin_weekly_active_accounts_app",
+    "kin_weekly_active_accounts_ecosystem",
+    "kin_weekly_payout_summary",
+    "kin_weekly_transactions",
+    "language_id_confusion",
+    "minhash_signatures",
+    "part_shipment_churn_90d",
+    "props_json_stats",
+    "purchase_or_click_users",
+    "purchase_view_full_outer_daily",
+    "returnflag_normalized",
+    "signup_purchase_funnel",
+    "simhash_signatures",
+    "small_quantity_revenue_q17",
+    "term_document_frequency",
+    "token_counts_by_source",
+    "video_frame_stats",
+    "api_dim_seed",
+    "api_timeseries_seed",
+    "benchmark_decontamination",
+    "bpe_apply_token_counts",
+    "curated_corpus_stats",
+    "dedup_keep_best_survivors",
+    "dedup_survivor_stats",
+    "doc_length_percentiles",
+    "doc_repetition_profile",
+    "embedding_cosine_near_dups",
+    "embedding_ivf_ann_top5",
+    "events_column_profile",
+    "frame_sample_plan_stats",
+    "gopher_quality_flags",
+    "incremental_dedup_check",
+    "kin_app_txn_summary_from_account_monthly",
+    "kin_app_txn_summary_from_account_weekly",
+    "kin_app_txn_summary_to_account_monthly",
+    "kin_app_txn_summary_to_account_weekly",
+    "kin_daily_account_creates_by_close_authority",
+    "kin_daily_account_creates_by_program",
+    "kin_daily_account_creates_by_type",
+    "kin_daily_account_summary_by_app",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
-    "runner_kin_dag_ivm_mart",  # production kin DAG, dim-enriched IVM
-    "restart_jpeg_pixel_stats",  # DRI/RSTn restart-segment baseline JPEG
-    "runner_union_ivm_net_rollup",  # multi-source union IVM, per-leg anchors
 ]
 
 def _ordered() -> dict[str, QuerySpec]:
