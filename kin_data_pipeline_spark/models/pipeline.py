@@ -462,6 +462,14 @@ def _ivm_kin_overrides(sf_dir: str) -> tuple[dict[str, Model], list[Model]]:
             depends_on=[FACT_T],
             date_col="date_key",
         ),
+        # clone-surface parity (r10 ADVICE): daily_kin_transactions_clone
+        # now clones the IVM twin (medians gone, substrate sums added), so
+        # the companion mart gets its own clone — a clone consumer of the
+        # pair sees every reference column across the two tables
+        Model(
+            "daily_kin_transaction_medians_clone",
+            clone_of="daily_kin_transaction_medians",
+        ),
     ]
     return replacements, extras
 

@@ -43,6 +43,48 @@ from kin_data_pipeline_spark.plans.model import CADENCE_UNITS, Model, topo_sort
 _BUCKET_DDL_LOCK = threading.Lock()
 
 
+def _dim_fingerprint(proj: DataFrame) -> dict:
+    """Content fingerprint of a dim enrichment projection: total row count
+    + order-independent xor over the DEDUPED (row, multiplicity) pairs.
+
+    Hashing the multiplicity WITH the row closes the even-parity blind
+    spot of a plain xor over raw rows (swapping one duplicated row pair
+    for another cancels in the xor — every hash appears an even number of
+    times — but the (row, count) tuples differ, so this fingerprint
+    moves). Columns are hashed in sorted-name order so the fingerprint is
+    invariant to select order (the persisted dimstate and the live
+    projection may not list columns identically). One bounded driver
+    probe over a broadcast-small table; the groupBy is
+    dim-cardinality-sized.
+    """
+    cols = ", ".join(f"`{c}`" for c in sorted(proj.columns))
+    fp = (
+        proj.groupBy(*proj.columns)
+        .agg(F.count(F.lit(1)).alias("__kdp_mult"))
+        .selectExpr(
+            "sum(__kdp_mult) as n",
+            f"bit_xor(xxhash64({cols}, __kdp_mult)) as x",
+        )
+        .collect()[0]
+    )
+    return {"n": int(fp["n"] or 0), "x": fp["x"]}
+
+
+def _orderable_type(dt) -> bool:
+    """Whether Spark can sort / set-op / hash the type: maps (and
+    variant) cannot appear in ORDER BY, EXCEPT ALL, or xxhash64; arrays
+    and structs are orderable iff their element/field types are."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _versioned_op(op: str):
     """Wrap a Catalog mutator so a successful TOP-LEVEL call commits one
     version on an opt-in versioned table (Delta-style time travel).
@@ -384,11 +426,7 @@ class Catalog:
                         *[F.col(sc).alias(oc) for oc, sc in kmap.items()],
                         *[F.col(sc).alias(oc) for oc, sc in picked],
                     )
-                    hc = ", ".join(f"`{c}`" for c in proj.columns)
-                    fp = proj.selectExpr(
-                        "count(1) as n", f"bit_xor(xxhash64({hc})) as x"
-                    ).collect()[0]
-                    cur = {"n": int(fp["n"]), "x": fp["x"]}
+                    cur = _dim_fingerprint(proj)
                     drift.append(
                         i >= len(recorded_fps) or cur != recorded_fps[i]
                     )
@@ -873,6 +911,16 @@ class Catalog:
         scoped per date partition (replaceWhere-style) — pass a pre-filtered
         frame and the affected partitions only.
         """
+        bad_keys = [
+            c
+            for c in key_cols
+            if not _orderable_type(df.schema[c].dataType)
+        ]
+        if bad_keys:
+            raise ValueError(
+                f"upsert_by_key({name}): key columns {bad_keys} have "
+                "map/variant types, which Spark cannot compare"
+            )
         df = self._apply_write_constraints(name, df)
         if not self.exists(name):
             self.write_full(name, df, date_col)
@@ -904,10 +952,45 @@ class Catalog:
         # All frames here are upsert-sized — the per-key windows are
         # changes-sized work, never a base scan.
         if self.is_versioned(name):
+            keys = list(key_cols)
+            # Spark cannot sort, set-op, or hash map/variant columns, so
+            # the net-diff + pairing below runs on a CANONICALIZED frame:
+            # each unorderable column rides as its to_json image (a
+            # deterministic string per stored row) and the typed value is
+            # restored via from_json before staging. Two logically-equal
+            # maps with different entry order serialize differently, so
+            # such a re-upsert stages a (preimage, postimage) pair
+            # instead of netting to nothing — chatty, never wrong.
+            # (Unorderable KEY columns were rejected at entry.)
+            unord = [
+                c
+                for c in df.columns
+                if not _orderable_type(df.schema[c].dataType)
+            ]
+
+            def _canon(frame: DataFrame) -> DataFrame:
+                out = frame
+                for c in unord:
+                    out = out.withColumn(c, F.to_json(F.struct(F.col(c))))
+                return out.select(*df.columns)
+
+            def _uncanon(frame: DataFrame) -> DataFrame:
+                from pyspark.sql import types as T
+
+                out = frame
+                for c in unord:
+                    sch = T.StructType(
+                        [T.StructField(c, df.schema[c].dataType)]
+                    )
+                    out = out.withColumn(
+                        c, F.from_json(F.col(c), sch)[c]
+                    )
+                return out.select(*df.columns)
+
             incoming_keys = df.select(*key_cols).distinct()
-            replaced = existing.join(
-                incoming_keys, key_cols, "left_semi"
-            ).select(*df.columns)
+            replaced = _canon(
+                existing.join(incoming_keys, key_cols, "left_semi")
+            )
             existing_keys = existing.select(*key_cols).distinct()
             # a USING semi/anti join moves the key columns first —
             # re-select the original order, or the EXCEPT ALL below
@@ -915,12 +998,9 @@ class Catalog:
             df_new = df.join(existing_keys, key_cols, "left_anti").select(
                 *df.columns
             )
-            df_upd = df.join(existing_keys, key_cols, "left_semi").select(
-                *df.columns
-            )
+            df_upd = _canon(df.join(existing_keys, key_cols, "left_semi"))
             pre_net = replaced.exceptAll(df_upd)
             post_net = df_upd.exceptAll(replaced)
-            keys = list(key_cols)
             order_cols = [c for c in df.columns if c not in set(keys)] or keys
             rn = F.row_number().over(
                 Window.partitionBy(*keys).orderBy(*order_cols)
@@ -942,10 +1022,10 @@ class Catalog:
             paired_post, surplus_post = _split(post_n, pre_cap)
             self._stage_commit_changes(
                 name,
-                inserts=df_new.unionByName(surplus_post),
-                deletes=surplus_pre,
-                update_pre=paired_pre,
-                update_post=paired_post,
+                inserts=df_new.unionByName(_uncanon(surplus_post)),
+                deletes=_uncanon(surplus_pre),
+                update_pre=_uncanon(paired_pre),
+                update_post=_uncanon(paired_post),
             )
         # Materialize before overwrite: the plan reads the directory being
         # replaced, so write to a staging path first, then swap. The table's
@@ -2471,19 +2551,13 @@ class Runner:
                 *[F.col(src).alias(out) for out, src in picked],
             )
             dim_frames.append(proj)
-            # content fingerprint of the enrichment projection: row count
-            # + order-independent xor of row hashes. One bounded driver
-            # probe over a broadcast-small table per refresh; mtimes/
-            # versions would false-positive on byte-identical rebuilds
-            # (the DAG rebuilds dims every run), content does not.
-            hash_cols = ", ".join(
-                f"`{c}`" for c in proj.columns
-            )
-            fp = proj.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr(f"bit_xor(xxhash64({hash_cols}))").alias("x"),
-            ).collect()[0]
-            dim_fps.append({"n": int(fp["n"]), "x": fp["x"]})
+            # content fingerprint of the enrichment projection (count +
+            # multiplicity-aware order-independent hash — _dim_fingerprint).
+            # One bounded driver probe over a broadcast-small table per
+            # refresh; mtimes/versions would false-positive on
+            # byte-identical rebuilds (the DAG rebuilds dims every run),
+            # content does not.
+            dim_fps.append(_dim_fingerprint(proj))
 
         def derive(df, t=None):
             out = t(df) if t is not None else df
@@ -2612,11 +2686,7 @@ class Runner:
                 if sorted(old_proj.columns) != sorted(dim_frames[i].columns):
                     ok = False
                     break
-                hc = ", ".join(f"`{c}`" for c in dim_frames[i].columns)
-                ofp = old_proj.selectExpr(
-                    "count(1) as n", f"bit_xor(xxhash64({hc})) as x"
-                ).collect()[0]
-                if {"n": int(ofp["n"]), "x": ofp["x"]} != recorded_fps[i]:
+                if _dim_fingerprint(old_proj) != recorded_fps[i]:
                     ok = False  # stale dimstate (crash window) → rebuild
                     break
                 kcols = list(d.key_map())

@@ -1717,6 +1717,46 @@ def test_ivm_status_reports_dim_drift(spark, tmp_path):
     assert cat.ivm_status("keyed_rollup")["dim_drift"] == [False]
 
 
+def test_dim_drift_sees_even_parity_multiplicity_swap(spark, tmp_path):
+    """The fingerprint hashes DEDUPED (row, multiplicity) pairs, so a dim
+    edit whose every changed row hash appears an even number of times —
+    one duplicated pair swapped for another duplicated pair, invisible to
+    a plain xor over raw rows — still moves the fingerprint: drift is
+    reported and the next refresh is a declared rebuild, not a silent
+    skip (r10 ADVICE)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [(1, "open", 10.5, "a"), (2, "open", 7.0, "c"), (2, "paid", 5.5, "d")],
+    )
+    dup_dim = [(1, "gold"), (1, "gold"), (2, "silver")]
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(dup_dim, "id bigint, label_src string"),
+        None,
+    )
+    m = _dimd_mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [False]
+    # swap the duplicated (1, gold) pair for a duplicated (1, GOLD+)
+    # pair: same row count, every changed row hash occurs twice
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (1, "GOLD+"), (2, "silver")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [True]
+    res = runner.run([m], RUN_DATE)[0]
+    assert res.action in ("ivm_dim", "full")
+    assert _dimd_rows(cat) == _dimd_rows(cat, _dimd_recompute(spark, cat))
+    assert cat.ivm_status("keyed_rollup")["dim_drift"] == [False]
+
+
 def test_run_concurrent_orders_ivm_inputs_without_explicit_deps(
     spark, tmp_path
 ):

@@ -50,6 +50,7 @@ SUBSET = IVM_MARTS + (
     FACT_C,
     "dim_kin_app",
     "daily_kin_transaction_medians",
+    "daily_kin_transaction_medians_clone",
 )
 
 
@@ -129,7 +130,11 @@ def test_variant_preserves_surface(spark, sf_dir):
     ivm = build_kin_models(sf_dir, ivm=True)
     names = {m.name for m in ivm}
     assert base <= names
-    assert names - base == {"dim_kin_app", "daily_kin_transaction_medians"}
+    assert names - base == {
+        "dim_kin_app",
+        "daily_kin_transaction_medians",
+        "daily_kin_transaction_medians_clone",
+    }
     strategies = {m.name: m.ivm is not None for m in ivm}
     assert all(strategies[n] for n in IVM_MARTS)
     versioned = {m.name for m in ivm if m.versioned}
@@ -137,7 +142,9 @@ def test_variant_preserves_surface(spark, sf_dir):
 
 
 def test_actions_full_then_maintained(dag):
-    assert all(a in ("full", "incremental") for a in dag["acts1"].values())
+    assert all(
+        a in ("full", "incremental", "clone") for a in dag["acts1"].values()
+    )
     # day 2: facts watermark-append; every IVM mart MAINTAINS
     assert dag["acts2"][FACT_T] == "incremental"
     for n in IVM_MARTS:
@@ -309,3 +316,8 @@ def test_medians_companion_matches_builder(dag, spark, sf_dir):
         "daily_peer_median",
     )
     assert _rows_of(got.select(*twin.columns)) == _rows_of(twin)
+    # clone-surface parity (r10 ADVICE): the companion ships a clone, so
+    # consumers of the clone PAIR also see every reference column
+    clone = dag["cat"].table("daily_kin_transaction_medians_clone")
+    assert sorted(clone.columns) == sorted(got.columns)
+    assert _rows_of(clone.select(*twin.columns)) == _rows_of(twin)

@@ -646,3 +646,52 @@ def test_upsert_cdf_update_images_strictly_paired_under_duplicate_keys(
         by_type.get("update_preimage", [])
     )
     assert before + plus - minus == after
+
+
+def test_upsert_cdf_handles_map_typed_columns(spark, tmp_path):
+    """A versioned table with an unorderable (map) payload column still
+    upserts: the net diff + update-image pairing run on a JSON
+    canonicalization (Spark cannot sort / set-op / hash maps) and the
+    staged change rows restore the TYPED map values; map-typed KEY
+    columns are rejected with a clear error (r10 ADVICE)."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, tags map<string,long>, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame([(1, {"a": 1}, 10), (2, {"b": 2}, 20)], ddl),
+        None,
+    )
+    cat.enable_versioning("t")
+    cat.upsert_by_key(
+        "t",
+        spark.createDataFrame([(1, {"a": 9}, 11), (3, {"c": 3}, 30)], ddl),
+        ["id"],
+        None,
+    )  # v1
+    got = sorted(
+        (r.id, dict(r.tags or {}), r.val) for r in cat.table("t").collect()
+    )
+    assert got == [(1, {"a": 9}, 11), (2, {"b": 2}, 20), (3, {"c": 3}, 30)]
+    by = {}
+    for r in cat.table_changes("t", 0, 1).collect():
+        by.setdefault(r["_change_type"], []).append(
+            (r.id, dict(r.tags or {}), r.val)
+        )
+    assert by["insert"] == [(3, {"c": 3}, 30)]
+    assert by["update_preimage"] == [(1, {"a": 1}, 10)]
+    assert by["update_postimage"] == [(1, {"a": 9}, 11)]
+    # an identical re-upsert nets to nothing (same stored row → same
+    # JSON image → the diff cancels)
+    cat.upsert_by_key(
+        "t", spark.createDataFrame([(2, {"b": 2}, 20)], ddl), ["id"], None
+    )  # v2
+    assert cat.table_changes("t", 1, 2).count() == 0
+    with pytest.raises(ValueError, match="map/variant"):
+        cat.upsert_by_key(
+            "t",
+            spark.createDataFrame([(1, {"a": 1}, 10)], ddl),
+            ["tags"],
+            None,
+        )
