@@ -2630,16 +2630,21 @@ class Runner:
             )
         # --- dim-delta SCOPED refresh triage -----------------------------
         # A dim edit invalidates only the groups whose JOIN KEYS changed.
-        # When every dim's fact-side key columns sit in the mart grain
-        # (group_by ⊇ keys — true for the production app_id-grain marts),
-        # the rebuild can be scoped: keep every unaffected mart row
-        # verbatim (its keys' dim rows are IDENTICAL old vs new, so every
+        # The rebuild is scoped: keep every unaffected mart row verbatim
+        # (its keys' dim rows are IDENTICAL old vs new, so every
         # dim-derived value of its fact rows is unchanged), recompute only
-        # the affected keys' groups from base ⋉ changed-keys under the new
-        # dim, and fold the ordinary fact-change span for the unaffected
-        # side. Cost: O(affected-keys' base rows + changes + agg) instead
-        # of a full base scan per dim edit — at 100 TB the difference
-        # between a table-wide rebuild and a partition-prunable semi join.
+        # the affected groups from base ⋉ affected under the new dim, and
+        # fold the ordinary fact-change span for the unaffected side.
+        # When a dim's fact-side key columns sit in the mart grain
+        # (group_by ⊇ keys — true for the production app_id-grain marts)
+        # the affected set is marked at KEY grain with no base pass; a
+        # grain-omits-key dim instead derives its affected GROUPS through
+        # one base ⋉ changed-keys pass at fact grain (old + new dim
+        # worlds — see the triage body). Cost: O(affected base rows +
+        # changes + agg) (+ one key-pruned base scan in the omits-key
+        # case) instead of a full rebuild per dim edit — at 100 TB the
+        # difference between a table-wide shuffle+agg and a
+        # partition-prunable semi join.
         #
         # The OLD dim content needed for the key diff is persisted per dim
         # as `{mart}__dimstate_{i}` at every refresh; crash-safety comes
@@ -2659,6 +2664,7 @@ class Runner:
             return f"{m.name}__dimstate_{i}"
 
         scoped_ctx = None
+        scoped_persisted: list = []
         if (
             spec.dims
             and state is not None
@@ -2666,12 +2672,10 @@ class Runner:
             and cat.exists(m.name)
             and state.get("signature") != mart_sig
             and _sig_no_fps(state.get("signature")) == _sig_no_fps(mart_sig)
-            and all(
-                set(d.key_map()) <= set(spec.group_by) for d in spec.dims
-            )
         ):
             recorded_fps = state["signature"].get("dim_fps") or []
-            affected = []  # (fact key cols, distinct changed-key frame)
+            # (i, DimJoin, fact key cols, changed-keys frame, old proj)
+            changed_dims = []
             ok = len(recorded_fps) == len(spec.dims)
             for i, d in enumerate(spec.dims):
                 if not ok:
@@ -2701,22 +2705,110 @@ class Runner:
                     )
                     .distinct()
                 )
-                affected.append((kcols, changed))
-            if ok and affected:
+                changed_dims.append((i, d, kcols, changed, old_proj))
+            if ok and changed_dims:
+                # two flag kinds: a dim whose join keys sit in the grain
+                # marks at KEY grain (no base pass — key determines group
+                # membership); a grain-omits-key dim marks at GROUP grain
+                # via one extra base ⋉ changed-keys pass at fact grain
+                # (r10 VERDICT ask #5): the affected groups are those
+                # holding a changed-key fact row in the OLD world (live
+                # base ∪ span changes under the RECORDED dims — a span
+                # delete of a changed-key row still dirties its old
+                # group) or the NEW world (same rows under the current
+                # dims — a relabel moves rows into fresh groups). Extra
+                # groups from span-only rows recompute to their correct
+                # (possibly absent) state — never wrong, only wider.
+                affected = []  # (kind, join cols, distinct flag frame)
+                grain = set(spec.group_by)
+                out_of_grain = [
+                    t for t in changed_dims if not set(t[2]) <= grain
+                ]
+                for _i, _d, kcols, changed, _op in changed_dims:
+                    if set(kcols) <= grain:
+                        affected.append(("key", kcols, changed))
+                if out_of_grain:
+                    old_frames = list(dim_frames)
+                    for i, _d, _k, _c, old_proj in changed_dims:
+                        old_frames[i] = old_proj
+                    parts = []  # (raw frame, leg transform)
+                    for ls, lt in legs:
+                        parts.append((cat.table(ls), lt))
+                        if recorded[ls] < tips[ls]:
+                            parts.append(
+                                (
+                                    cat.table_changes(
+                                        ls, recorded[ls], tips[ls]
+                                    ),
+                                    lt,
+                                )
+                            )
+
+                    def _derive_with(df_, t_, frames_):
+                        out = t_(df_) if t_ is not None else df_
+                        for dd, dimf in zip(spec.dims, frames_):
+                            out = out.join(
+                                F.broadcast(dimf), list(dd.key_map()), dd.how
+                            )
+                        return out
+
+                    gparts = []
+                    for _i, _d, kcols, changed, _op in out_of_grain:
+                        for fr, t_ in parts:
+                            for frames_ in (old_frames, dim_frames):
+                                gparts.append(
+                                    _derive_with(fr, t_, frames_)
+                                    .join(
+                                        F.broadcast(changed),
+                                        kcols,
+                                        "left_semi",
+                                    )
+                                    .select(*spec.group_by)
+                                )
+                    gall = gparts[0]
+                    for g in gparts[1:]:
+                        gall = gall.unionByName(g)
+                    # persisted: the flag frame is joined into the keep/
+                    # recompute/fold/support plans — without caching each
+                    # consumer would redo the base pass
+                    gframe = gall.distinct().persist()
+                    scoped_persisted.append(gframe)
+                    affected.append(("group", list(spec.group_by), gframe))
+
                 def _mark(df_, _affected=affected):
-                    """Append one broadcast left-join flag per changed dim;
-                    returns (marked frame, any-affected predicate). Callers
-                    re-select their original columns after filtering (the
-                    USING joins move key columns first)."""
+                    """Append one left-join flag per changed dim; returns
+                    (marked frame, any-affected predicate). Key flags
+                    broadcast (changed-key frames are diff-sized); group
+                    flags join null-safely (GROUP BY's NULL-is-one-group
+                    semantics) without a forced broadcast — the affected
+                    group set is mart-cardinality-bounded, AQE broadcasts
+                    it when small. Callers re-select their original
+                    columns after filtering (the USING joins move key
+                    columns first)."""
                     out = df_
                     pred = F.lit(False)
-                    for j, (kcols, kdf) in enumerate(_affected):
+                    for j, (kind, jcols, kdf) in enumerate(_affected):
                         flag = f"__aff{j}"
-                        out = out.join(
-                            F.broadcast(kdf.withColumn(flag, F.lit(1))),
-                            kcols,
-                            "left",
-                        )
+                        if kind == "key":
+                            out = out.join(
+                                F.broadcast(kdf.withColumn(flag, F.lit(1))),
+                                jcols,
+                                "left",
+                            )
+                        else:
+                            lcols = out.columns
+                            left = out.alias("l")
+                            right = kdf.withColumn(flag, F.lit(1)).alias("r")
+                            cond = None
+                            for c in jcols:
+                                term = F.col(f"l.{c}").eqNullSafe(
+                                    F.col(f"r.{c}")
+                                )
+                                cond = term if cond is None else (cond & term)
+                            out = left.join(right, cond, "left").select(
+                                *[F.col(f"l.{x}") for x in lcols],
+                                F.col(f"r.{flag}"),
+                            )
                         pred = pred | (F.col(flag) == 1)
                     return out, pred
 
@@ -3058,6 +3150,8 @@ class Runner:
         finally:
             if m.checks:
                 df.unpersist()
+            for p in scoped_persisted:
+                p.unpersist()
         results.append(
             RunResult(m.name, action, duration_sec=round(time.monotonic() - t0, 3))
         )

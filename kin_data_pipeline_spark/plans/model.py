@@ -33,20 +33,25 @@ class DimJoin:
     later dim's keys.
 
     Dim CHANGES are handled explicitly, not silently: the Runner
-    fingerprints the enrichment projection's content (row count + order-
-    independent hash) into the mart's recorded state. When it no longer
-    matches and every dim's fact-side KEYS sit in the mart grain
-    (``group_by ⊇ keys``), the refresh is a dim-delta SCOPED rebuild
-    (action 'ivm_dim'): the persisted old projection
+    fingerprints the enrichment projection's content (row count +
+    multiplicity-aware order-independent hash) into the mart's recorded
+    state. When it no longer matches, the refresh is a dim-delta SCOPED
+    rebuild (action 'ivm_dim'): the persisted old projection
     (``{mart}__dimstate_{i}``, content-verified against the recorded
     fingerprint so a crash-stale copy degrades safely) is key-diffed
     against the new one, unaffected groups survive verbatim — their
     keys' dim rows are identical, so every dim-derived value of their
-    fact rows is unchanged — and only the changed keys' groups recompute
-    from base ⋉ changed-keys: O(affected rows + changes + agg), not a
-    full base scan per dim edit. When the grain omits a join key, the
-    mart FULL-REBUILDS instead — still one declared rebuild, never a
-    wrong mart.
+    fact rows is unchanged — and only the affected groups recompute
+    from the live base. When the dim's fact-side KEYS sit in the mart
+    grain (``group_by ⊇ keys``) the affected set is marked at key grain
+    with no base pass: O(affected rows + changes + agg). When the grain
+    OMITS a join key (e.g. group by the dim's label only), the affected
+    groups are found through one extra base ⋉ changed-keys pass at fact
+    grain, under both the old and the new dim content (a relabel moves
+    rows into fresh groups; a span delete still dirties its old group)
+    — one key-pruned base scan instead of a full shuffle+agg rebuild.
+    Only an unreadable or crash-stale dimstate degrades to the declared
+    FULL rebuild — still never a wrong mart.
 
     ``keys``: the equi-join keys — a sequence of column names present on
     both sides (post ``row_transform`` on the fact side), or a mapping

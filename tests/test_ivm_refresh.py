@@ -806,9 +806,10 @@ def test_dim_enriched_ivm_matches_rebuild_across_commits(spark, tmp_path):
 def test_dim_change_forces_declared_rebuild(spark, tmp_path):
     """Editing the dim's rows (same shape) is detected by the content
     fingerprint in the recorded state: the next refresh is an explicit
-    full rebuild against the NEW dim — delta-join maintenance is exact
-    only while D is static. Byte-identical dim rewrites do NOT trigger
-    a rebuild (content fingerprint, not mtimes)."""
+    declared rebuild against the NEW dim ('ivm_dim' scoped since r10/r11;
+    never a silent skip) — delta-join maintenance is exact only while D
+    is static. Byte-identical dim rewrites do NOT trigger a rebuild
+    (content fingerprint, not mtimes)."""
     cat = Catalog(spark, str(tmp_path / "wh"))
     runner = Runner(spark, cat)
     _seed(spark, cat, [(1, "open", 10.5, "a"), (2, "paid", 2.0, "b")])
@@ -832,7 +833,7 @@ def test_dim_change_forces_declared_rebuild(spark, tmp_path):
         None,
     )
     res = runner.run([m], RUN_DATE)
-    assert res[0].action == "full"
+    assert res[0].action == "ivm_dim"  # scoped declared rebuild
     got = _rows_of(cat.table(m.name))
     assert got == _rows_of(_recompute_dim(spark, cat))
     labels = {r[1] for r in got}
@@ -1623,32 +1624,77 @@ def test_dim_delta_never_recomputes_unaffected_groups(spark, tmp_path):
     assert rows == want
 
 
-def test_dim_delta_requires_keys_in_grain_and_fresh_dimstate(spark, tmp_path):
-    """Fallback contracts: a mart whose grain omits the join key still
-    FULL-rebuilds on dim change; a stale persisted dim projection (the
-    crash window between mart write and dimstate write) fails its
-    fingerprint check and also degrades to the full rebuild — never a
-    wrong key diff."""
-    cat = Catalog(spark, str(tmp_path / "wh"))
-    runner = Runner(spark, cat)
-    _dimd_seed(spark, cat)
-
-    # grain omits 'k' -> not scoped-eligible
+def _label_mart(**over) -> Model:
+    """Grain-OMITS-key mart: group by the dim's label only (the join key
+    'k' is not in the grain), every maintained class declared."""
     from kin_data_pipeline_spark.plans.model import DimJoin
 
-    m0 = Model(
+    kw = dict(
         name="label_only",
         ivm=IvmSpec(
             source="txns",
             group_by=["label"],
             count_col="n_rows",
+            measures={"total_cents": "cents"},
+            distinct_counts={"n_notes": "note"},
+            quantiles={"med_cents": ("cents", 0.5)},
+            minmax={"cents": ("min_cents", "max_cents")},
+            derived={"avg_cents": "cast(total_cents as double) / n_rows"},
             row_transform=_cents,
             dims=(DimJoin(table="dim_k", keys={"k": "id"},
                           select={"label": "label_src"}),),
         ),
         date_col=None,
     )
-    runner.run([m0], RUN_DATE)
+    kw.update(over)
+    return Model(**kw)
+
+
+def _label_recompute(spark, cat):
+    d = cat.table("dim_k").select(
+        F.col("id").alias("k"), F.col("label_src").alias("label")
+    )
+    return (
+        _cents(cat.table("txns"))
+        .join(F.broadcast(d), ["k"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce("cents", F.lit(0))).alias("total_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.countDistinct("note").alias("n_notes"),
+            F.expr(
+                "percentile_disc(0.5) within group (order by cents)"
+            ).alias("med_cents"),
+        )
+        .withColumn("avg_cents", F.expr("cast(total_cents as double) / n_rows"))
+    )
+
+
+def _label_rows(cat, df=None):
+    t = cat.table("label_only") if df is None else df
+    cols = sorted(cat.table("label_only").columns)
+    return sorted(
+        (tuple(r) for r in t.select(*cols).collect()),
+        key=lambda t_: tuple((v is None, str(v)) for v in t_),
+    )
+
+
+def test_dim_delta_scopes_grain_omits_key_mart(spark, tmp_path):
+    """r10 VERDICT ask #5: a mart whose grain OMITS the join key (group
+    by the dim's label only) now scopes a dim edit too — action
+    'ivm_dim', every maintained class landing on the from-scratch
+    recompute — alone, combined with fact commits (append + delete)
+    folded by the same refresh, and back to 'ivm'/'noop' afterwards."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _label_mart()
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+
+    # dim edit only: relabel key 1 (gold → GOLD+ moves its rows into a
+    # fresh group; the old 'gold' group must disappear)
     cat.write_full(
         "dim_k",
         spark.createDataFrame(
@@ -1657,7 +1703,109 @@ def test_dim_delta_requires_keys_in_grain_and_fresh_dimstate(spark, tmp_path):
         ),
         None,
     )
-    assert runner.run([m0], RUN_DATE)[0].action == "full"
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert _label_rows(cat) == _label_rows(cat, _label_recompute(spark, cat))
+    labels = {r.label for r in cat.table("label_only").collect()}
+    assert "GOLD+" in labels and "gold" not in labels
+
+    # combined: fact append (affected + unaffected labels), a delete of
+    # a changed-key row (its OLD group must still shed it), and another
+    # dim edit folded by ONE refresh
+    cat.write_append(
+        "txns",
+        spark.createDataFrame(
+            [(1, "open", 100.0, "f"), (2, "paid", 9.0, "g")], DDL
+        ),
+        None,
+    )
+    cat.delete_by_keys("txns", "note", ["e"])  # key 3's only row
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+", ), (2, "silver"), (3, "BRONZE+")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    assert _label_rows(cat) == _label_rows(cat, _label_recompute(spark, cat))
+
+    # steady state and ordinary fact-only maintenance afterwards
+    assert runner.run([m], RUN_DATE)[0].action == "noop"
+    cat.write_append(
+        "txns", spark.createDataFrame([(2, "open", 4.0, "h")], DDL), None
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    assert _label_rows(cat) == _label_rows(cat, _label_recompute(spark, cat))
+
+
+def test_grain_omits_key_never_recomputes_unaffected_groups(spark, tmp_path):
+    """The never-recompute sentinel extended to the grain-omits-key path
+    (r10 VERDICT ask #5): a sentinel poisoned RAW into an unaffected
+    label's stored mart row survives the dim-edit refresh verbatim,
+    while the changed key's old and new label groups land on the
+    recompute."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _label_mart()
+    runner.run([m], RUN_DATE)
+
+    # poison total_cents of the 'silver' (key 2) row, raw on disk
+    target = None
+    for fpath in _glob.glob(str(tmp_path / "wh" / "label_only" / "*.parquet")):
+        t = _pq.read_table(fpath)
+        d = t.to_pydict()
+        for i in range(t.num_rows):
+            if d["label"][i] == "silver":
+                d["total_cents"][i] = 424242
+                target = fpath
+                break
+        if target:
+            _pq.write_table(_pa.table(d, schema=t.schema), fpath)
+            crc = os.path.join(
+                os.path.dirname(fpath), "." + os.path.basename(fpath) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            break
+    assert target is not None
+
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    rows = {r.label: r.total_cents for r in cat.table("label_only").collect()}
+    assert rows["silver"] == 424242  # unaffected: carried, not rebuilt
+    want = {
+        r.label: r.total_cents
+        for r in _label_recompute(spark, cat).collect()
+    }
+    assert rows["GOLD+"] == want["GOLD+"]  # affected: recomputed
+    assert "gold" not in rows
+    # full_refresh repairs the sentinel
+    assert runner.run([m], RUN_DATE, "full_refresh")[0].action == "full"
+    rows = {r.label: r.total_cents for r in cat.table("label_only").collect()}
+    assert rows == want
+
+
+def test_dim_delta_stale_dimstate_degrades_to_rebuild(spark, tmp_path):
+    """Fallback contract: a stale persisted dim projection (the crash
+    window between mart write and dimstate write) fails its fingerprint
+    check and degrades to the full rebuild — never a wrong key diff."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
 
     # scoped-eligible mart, but the persisted dim projection is made
     # stale out-of-band -> fingerprint mismatch -> full rebuild
