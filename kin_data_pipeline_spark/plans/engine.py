@@ -3179,8 +3179,21 @@ class Runner:
         restart). The mart is built synchronously first if it has never
         been refreshed, so the returned query only ever maintains.
 
-        Returns the started ``StreamingQuery``; per-trigger ``RunResult``
-        rows accumulate into ``results`` (pass a list to observe them).
+        A UNION mart (``IvmSpec.sources``) is driven by one commit-signal
+        listener PER LEG (r10 VERDICT ask #2) — a commit on any source
+        triggers a refresh, so no leg's changes wait on another leg's
+        traffic. The triggered refresh is the same batch ``_run_ivm``
+        path with its per-source anchors: it folds exactly the spans
+        that moved, the lagging legs neither block nor replay. Triggers
+        from different legs are serialized through one in-process lock
+        (the refresh read-modify-writes the mart + recorded state); a
+        trigger that arrives after another leg's refresh already folded
+        its span finds every tip unchanged and records a no-op.
+
+        Returns the started ``StreamingQuery`` (single-source mart) or
+        the list of per-leg queries (union mart); per-trigger
+        ``RunResult`` rows accumulate into ``results`` (pass a list to
+        observe them).
         """
         import time
 
@@ -3191,39 +3204,55 @@ class Runner:
         spec = m.ivm
         if spec is None:
             raise ValueError(f"model {m.name} has no ivm declaration")
-        if spec.sources:
-            raise ValueError(
-                f"model {m.name}: stream_ivm drives single-source marts "
-                "(the CDF stream of ONE table is the commit signal); "
-                "refresh union marts with Runner.run — commits on legs "
-                "other than the streamed one would never trigger"
-            )
+        legs = (
+            list(spec.sources.items())
+            if spec.sources
+            else [(spec.source, spec.row_transform)]
+        )
         sink: list[RunResult] = results if results is not None else []
         if self.catalog.ivm_state(m.name) is None or not self.catalog.exists(
             m.name
         ):
             self._run_ivm(m, "incremental", guard_plans, sink, time.monotonic())
-        start = int(self.catalog.ivm_state(m.name)["version"])
-        ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in self.catalog.table(spec.source).schema.fields
+        state = self.catalog.ivm_state(m.name)
+        starts = (
+            {k: int(v) for k, v in state["versions"].items()}
+            if "versions" in state
+            else {state["source"]: int(state["version"])}
         )
+        refresh_lock = threading.Lock()
 
         def step(_batch_df, _batch_id):
-            self._run_ivm(m, "incremental", guard_plans, sink, time.monotonic())
+            with refresh_lock:
+                self._run_ivm(
+                    m, "incremental", guard_plans, sink, time.monotonic()
+                )
 
-        st = stream_table_changes(
-            self.spark, self.catalog.warehouse_dir, spec.source, ddl,
-            starting_version=start,
-        )
-        w = st.writeStream.foreachBatch(step)
-        if checkpoint_dir is not None:
-            w = w.option("checkpointLocation", checkpoint_dir)
-        if available_now:
-            w = w.trigger(availableNow=True)
-        else:
-            w = w.trigger(processingTime=processing_time)
-        return w.start()
+        queries = []
+        for i, (src, _t) in enumerate(legs):
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.catalog.table(src).schema.fields
+            )
+            st = stream_table_changes(
+                self.spark, self.catalog.warehouse_dir, src, ddl,
+                starting_version=starts[src],
+            )
+            w = st.writeStream.foreachBatch(step)
+            if checkpoint_dir is not None:
+                # streams cannot share a checkpoint — suffix per leg
+                ckpt = (
+                    checkpoint_dir
+                    if len(legs) == 1
+                    else os.path.join(checkpoint_dir, f"leg_{i}_{src}")
+                )
+                w = w.option("checkpointLocation", ckpt)
+            if available_now:
+                w = w.trigger(availableNow=True)
+            else:
+                w = w.trigger(processingTime=processing_time)
+            queries.append(w.start())
+        return queries if spec.sources else queries[0]
 
     def run_concurrent(
         self,

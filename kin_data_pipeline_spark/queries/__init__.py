@@ -96,6 +96,7 @@ CURRENT_WINDOW_HEAD = [
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
+    "runner_stream_union_ivm_rollup",  # per-leg stream-maintained union
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2665,6 +2665,52 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
         cat.delete_by_keys("returns_src", "r_status", ["F"])  # returns v1
         union_actions.append(runner.run([union_mart], run_date)[0].action)
 
+        # --- STREAM-driven union maintenance (r10 VERDICT ask #2) --------
+        # a second union mart over the SAME two versioned sources, kept
+        # fresh by stream_ivm's one-commit-signal-listener-PER-LEG form:
+        # after its batch build, the sales leg takes a key-erase and the
+        # returns leg an append, and draining the two availableNow signal
+        # streams folds both spans through the per-source anchors —
+        # raising on any rebuild is asserted by the registered query
+        live_mart = Model(
+            name="net_by_status_live",
+            ivm=IvmSpec(
+                sources={"sales_src": _sales_leg, "returns_src": _returns_leg},
+                group_by=["o_orderstatus"],
+                count_col="n_rows",
+                measures={"net_cents": "cents"},
+                distinct_counts={"n_order_dates": "o_orderdate"},
+            ),
+            date_col=None,
+        )
+        live_actions = [runner.run([live_mart], run_date)[0].action]
+        cat.delete_by_keys("sales_src", "o_orderstatus", ["P"])  # sales v2
+        cat.write_append(
+            "returns_src",
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            ).select(
+                F.col("o_orderkey").alias("r_key"),
+                F.col("o_orderstatus").alias("r_status"),
+                F.col("o_orderdate").alias("r_date"),
+                F.col("o_totalprice").alias("r_price"),
+            ),
+            None,
+        )  # returns v2
+        stream_union_results: list = []
+        qs = runner.stream_ivm(
+            live_mart, available_now=True, results=stream_union_results
+        )
+        for i, q in enumerate(qs):
+            _await_and_record(q, f"runner_stream_union_ivm_leg{i}_sink")
+        stream_union_sink_stats = {
+            f"runner_stream_union_ivm_leg{i}_sink (fixture build)": dict(
+                STREAM_RUN_STATS.pop(f"runner_stream_union_ivm_leg{i}_sink")
+            )
+            for i in range(len(qs))
+        }
+
         if not _TT_DIRS:
             atexit.register(_tt_sweep)
         _TT_DIRS.append(cat.warehouse_dir)
@@ -2674,6 +2720,9 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             "stream_actions": [r.action for r in stream_results],
             "stream_sink_stats": stream_sink_stats,
             "union_actions": union_actions,
+            "stream_union_actions": live_actions
+            + [r.action for r in stream_union_results],
+            "stream_union_sink_stats": stream_union_sink_stats,
         }
         return _RIVM_CACHE[k]
 
@@ -4095,5 +4144,74 @@ def runner_union_ivm_net_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "['full', 'ivm']"
         )
     return fx["cat"].table("net_by_status").select(
+        "o_orderstatus", "n_rows", "net_cents", "n_order_dates"
+    )
+
+
+# STREAM-maintained union mart, driver-checkable (r10 VERDICT ask #2):
+# stream_ivm on an IvmSpec.sources mart starts one CDF commit-signal
+# listener PER LEG, each triggering the same batch refresh path with
+# per-source anchors (serialized through an in-process lock). The
+# fixture builds the mart, then commits a key-erase on the sales leg
+# and an append on the returns leg; draining the two availableNow
+# signal streams folds both spans. The query RAISES unless the build
+# was the one 'full' and every stream-triggered refresh was 'ivm'/'noop'
+# with at least one 'ivm' (a rebuild or a silent skip both fail); the
+# oracle recomputes the net rollup from the tip's literal predicates.
+# plans/engine.py::Runner.stream_ivm (per-leg listeners), pinned locally
+# by tests/test_ivm_refresh.py::test_stream_ivm_maintains_union_mart_per_leg.
+@register(
+    "runner_stream_union_ivm_rollup",
+    """
+    WITH sales AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE ((o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01')
+         OR (o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'))
+        AND o_orderstatus <> 'P'
+    ), ret AS (
+      SELECT o_orderstatus, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * -100 AS BIGINT) AS cents
+      FROM orders
+      WHERE (o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+             AND o_orderstatus <> 'F')
+         OR (o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01')
+    ), u AS (SELECT * FROM sales UNION ALL SELECT * FROM ret)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS net_cents,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_order_dates
+    FROM u GROUP BY 1
+    """,
+    doc=(
+        "stream-maintained union IVM: one CDF commit-signal listener per "
+        "leg drives per-source-anchored maintenance of a sales ⊎ returns "
+        "mart through a key-erase and an append — equals the from-scratch "
+        "recompute at the tips, raising on any rebuild"
+    ),
+)
+def runner_stream_union_ivm_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fx = _rivm_fixture(spark, sf_dir)
+    # replay the build-time streams' sink stats (bench stream_detail
+    # contract): the numbers are identical by construction — the two leg
+    # streams executed once, when the shared fixture was built
+    STREAM_RUN_STATS.update(
+        {k: dict(v) for k, v in fx["stream_union_sink_stats"].items()}
+    )
+    actions = fx["stream_union_actions"]
+    if (
+        actions[:1] != ["full"]
+        or "ivm" not in actions[1:]
+        or not all(a in ("ivm", "noop") for a in actions[1:])
+    ):
+        raise AssertionError(
+            f"stream-union IVM degraded: actions {actions} must be one "
+            "build 'full' then stream-triggered 'ivm'/'noop' with at "
+            "least one 'ivm'"
+        )
+    return fx["cat"].table("net_by_status_live").select(
         "o_orderstatus", "n_rows", "net_cents", "n_order_dates"
     )
