@@ -324,6 +324,94 @@ def _seg_derived(p: str) -> dict[str, str]:
     }
 
 
+def _actives_30d_shape(df):
+    """Row-local derivation for the trailing-30d actives IVM twin
+    (r10 VERDICT ask #3): each fact row emits its spender (types 2,3 →
+    from_wallet) and/or earner (types 1,3 → to_wallet) observation via an
+    array concat + explode, then each observation fans out to the 30
+    spine days it stays visible for — the exploded-date-spine rewrite of
+    the trailing COUNT(DISTINCT) (operators/rangejoin.py:68), expressed
+    entirely in row-local Generates so it commutes with the change
+    feed's multiset diff. The builder's pre-explode DISTINCT is
+    deliberately omitted: COUNT(DISTINCT wallet_id) rides the turnstile
+    support's (group, value) grain, so duplicate observations only
+    inflate support multiplicities, never the count."""
+    return df.withColumn(
+        "wallet_id",
+        F.explode(
+            F.concat(
+                F.when(
+                    F.col("txn_type").isin(2, 3),
+                    F.array(F.col("from_wallet")),
+                ).otherwise(F.array().cast("array<string>")),
+                F.when(
+                    F.col("txn_type").isin(1, 3),
+                    F.array(F.col("to_wallet")),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ),
+    ).withColumn(
+        "spine_day",
+        F.explode(
+            F.sequence(
+                F.col("date_key"),
+                F.date_add(F.col("date_key"), 29),
+                F.expr("interval 1 day"),
+            )
+        ),
+    )
+
+
+def actives_30d_ivm_model(name: str = "daily_active_accounts_30d_ivm") -> Model:
+    """The trailing-window actives family's IVM twin: the most expensive
+    rebuild-per-tick mart in the reference workload
+    (daily_active_user_balance_by_app.sql:26-27 and the 13 range-join
+    sites) becomes a maintained rollup at (spine_day, app_id) grain with
+    an exact COUNT(DISTINCT wallet) support. State cost (documented like
+    the quantile supports): the support table holds (spine_day, app_id,
+    wallet) multiplicities — ~30× the distinct daily observation count —
+    which is exactly the working set the builder's explode shuffles per
+    rebuild; here it is paid once and rolled forward in O(changes × 30).
+    The mart is a SUPERSET of the builder (spine days with no real
+    activity day, up to +29 beyond the data's edge); serve it through
+    ``serve_actives_30d`` (mart ⋈ live-fact day spine) for builder
+    equality."""
+    return Model(
+        name,
+        ivm=IvmSpec(
+            source=FACT_T,
+            group_by=["spine_day", "app_id"],
+            count_col="n_obs",
+            distinct_counts={"active_accounts_30d": "wallet_id"},
+            row_transform=_actives_30d_shape,
+        ),
+        depends_on=[FACT_T],
+        date_col=None,
+    )
+
+
+def serve_actives_30d(cat, mart_name: str = "daily_active_accounts_30d_ivm",
+                      fact_name: str = FACT_T):
+    """Builder-surface view of the actives IVM twin: restrict the
+    maintained superset mart to the live fact's REAL reporting days
+    (the builder's spine semi-join, models/kin.py:343) and rename to the
+    reference columns. The spine is a broadcast-small distinct-dates
+    frame."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spine = cat.table(fact_name).select("date_key").distinct()
+    return (
+        cat.table(mart_name)
+        .select(
+            F.col("spine_day").alias("date_key"),
+            "app_id",
+            "active_accounts_30d",
+        )
+        .join(F.broadcast(spine), "date_key", "inner")
+        .select("date_key", "app_id", "active_accounts_30d")
+    )
+
+
 def _ivm_kin_overrides(sf_dir: str) -> tuple[dict[str, Model], list[Model]]:
     """(by-name replacements, extra models) for the IVM DAG variant."""
     replacements = {
@@ -470,6 +558,12 @@ def _ivm_kin_overrides(sf_dir: str) -> tuple[dict[str, Model], list[Model]]:
             "daily_kin_transaction_medians_clone",
             clone_of="daily_kin_transaction_medians",
         ),
+        # the trailing-30d actives IVM TWIN (r10 VERDICT ask #3): the
+        # builder mart daily_active_accounts_30d stays the reference
+        # surface; this maintained superset (spine_day grain, exact
+        # wallet distinct support) serves the same numbers through
+        # serve_actives_30d without the per-tick 30x explode rebuild
+        actives_30d_ivm_model(),
     ]
     return replacements, extras
 

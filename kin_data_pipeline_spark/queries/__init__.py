@@ -97,6 +97,7 @@ CURRENT_WINDOW_HEAD = [
 # and must lead the next round's window.
 NEXT_WINDOW_BACKLOG: list[str] = [
     "runner_stream_union_ivm_rollup",  # per-leg stream-maintained union
+    "runner_kin_actives_ivm_30d",  # trailing-30d actives family on IVM
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

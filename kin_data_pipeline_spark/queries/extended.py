@@ -3975,7 +3975,12 @@ def _kin_ivm_dag_fixture(spark: SparkSession, sf_dir: str) -> dict:
         if k in _KIN_IVM_CACHE:
             return _KIN_IVM_CACHE[k]
         cat = Catalog(spark, tempfile.mkdtemp(prefix="kindag_wh_"))
-        keep = {FACT_T, "dim_kin_app", "daily_kin_transactions"}
+        keep = {
+            FACT_T,
+            "dim_kin_app",
+            "daily_kin_transactions",
+            "daily_active_accounts_30d_ivm",
+        }
         models = [
             m for m in build_kin_models(sf_dir, ivm=True) if m.name in keep
         ]
@@ -4215,3 +4220,72 @@ def runner_stream_union_ivm_rollup(
     return fx["cat"].table("net_by_status_live").select(
         "o_orderstatus", "n_rows", "net_cents", "n_order_dates"
     )
+
+
+def _kin_actives_oracle_sql() -> str:
+    from kin_data_pipeline_spark.queries.kin_models import (
+        _BASE,
+        _with,
+        FACT_TXN_SQL,
+    )
+
+    return _with(*_BASE, FACT_TXN_SQL) + """
+, live AS (SELECT * FROM fact_kin_transaction WHERE app_id <> 3),
+activity AS (
+  SELECT date_key, app_id, from_wallet AS wallet_id FROM live WHERE txn_type IN (2, 3)
+  UNION
+  SELECT date_key, app_id, to_wallet FROM live WHERE txn_type IN (1, 3)
+), act_spine AS (SELECT DISTINCT date_key FROM live)
+SELECT s.date_key, a.app_id,
+       CAST(COUNT(DISTINCT a.wallet_id) AS BIGINT) AS active_accounts_30d
+FROM act_spine s JOIN activity a
+  ON a.date_key BETWEEN s.date_key - 29 AND s.date_key
+GROUP BY 1, 2
+"""
+
+
+# The trailing-window actives family on IVM (r10 VERDICT ask #3): the
+# engine's hardest remaining rebuild-per-tick shape — trailing-30d
+# COUNT(DISTINCT wallet) per (day, app), the reference's most expensive
+# daily rebuild (daily_active_user_balance_by_app.sql:26-27; 13
+# range-join sites) — declared as a maintained rollup. The row transform
+# is the exploded-date-spine rewrite expressed in row-local Generates
+# (role stack via array concat + explode, then a 30-day F.sequence
+# explode), so it commutes with the fact CDF's multiset diff; the exact
+# distinct count rides a persisted (spine_day, app_id, wallet) turnstile
+# support (~30x the distinct daily observations — the builder shuffles
+# that same working set on EVERY rebuild; IVM pays it once and rolls
+# forward in O(changes x 30)). Shares the kin-DAG fixture: the mart is
+# built at the mid-month cut, then the watermark append and the app-3
+# key-erase are folded by maintenance. The query RAISES unless those
+# refreshes ran as ['full', 'ivm', 'ivm', 'ivm'] (run 4 folds only the
+# fact model's zero-row watermark commit — the dim rename never touches
+# the dimless twin), and serves the builder surface (mart
+# semi-joined to the live fact's real reporting days); the oracle
+# recomputes the trailing window from the raw feed minus the erased app.
+# models/pipeline.py::actives_30d_ivm_model / serve_actives_30d, pinned
+# locally by tests/test_kin_ivm_dag.py::test_actives_30d_ivm_twin_equals_builder.
+@register(
+    "runner_kin_actives_ivm_30d",
+    _kin_actives_oracle_sql(),
+    doc=(
+        "trailing-30d actives on IVM: the exploded-spine distinct rollup "
+        "maintained from the fact CDF through an append and a key-erase, "
+        "served at the builder surface — equals the from-scratch "
+        "trailing window at the tip, raising on any rebuild"
+    ),
+)
+def runner_kin_actives_ivm_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kin_data_pipeline_spark.models.pipeline import serve_actives_30d
+
+    fx = _kin_ivm_dag_fixture(spark, sf_dir)
+    acts = [a.get("daily_active_accounts_30d_ivm") for a in fx["acts"]]
+    # run 4 folds the zero-row watermark append the fact model commits
+    # when re-run at an unchanged watermark — a changelog-sized 'ivm',
+    # still never a rebuild
+    if acts != ["full", "ivm", "ivm", "ivm"]:
+        raise AssertionError(
+            f"actives IVM degraded: actions {acts} != "
+            "['full', 'ivm', 'ivm', 'ivm']"
+        )
+    return serve_actives_30d(fx["cat"])
