@@ -351,3 +351,104 @@ def maintain_minmax(
         max_col,
     )
     return clean.unionByName(rebuilt)
+
+
+def hll_input(value_col: str):
+    """The canonical HLL input: the value's string form (NULL-preserving,
+    so the agg's NULL exclusion still applies)."""
+    return F.col(value_col).cast("string")
+
+
+def hll_base(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Per-group HLL sketch in the shape ``maintain_hll_distinct``
+    preserves: ``hll_sketch_agg`` skips NULL values (an all-NULL group
+    carries an EMPTY sketch whose estimate is 0, matching
+    COUNT(DISTINCT)'s NULL exclusion). Values are sketched by their
+    CANONICAL STRING form (``hll_sketch_agg`` accepts only
+    int/bigint/string/binary; casting uniformly keeps dates, decimals
+    and doubles sketchable, and every maintenance path hashes
+    identically)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(hll_input(value_col)).alias(sketch_col)
+    )
+
+
+def maintain_hll_distinct(
+    state: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sketch_col: str = "hll_sketch",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT) under deletes — the HYBRID form for
+    the ONE-WAY-mergeable sketch class (the declared alternative to the
+    exact turnstile supports where exactness is waived, VERDICT r10
+    stretch 7b): inserted values MERGE into the stored group sketch
+    (``hll_union_agg`` — pure delta math, no state beyond the
+    mart-resident binary column), but HLL has no subtract, so exactly
+    the groups that saw ANY removal (delete or update preimage — even a
+    NULL-valued one: membership may have emptied) are re-sketched from
+    ``base`` via a broadcast semi join, while every other group stays
+    delta-only. Same scale shape as ``maintain_minmax``: the affected
+    set is changes-bounded, the base rescan is group-pruned, and a
+    bounded driver probe elides the base branch from the plan entirely
+    for insert-only spans (AQE does not collapse an empty-build
+    LeftSemi at runtime). Sketch state is groups x ~KB — constant per
+    group where the exact support is value-cardinality-sized; the price
+    is the standard HLL relative error (~2% at the default lgConfigK),
+    pinned by test."""
+    is_add = F.col(change_type_col).isin("insert", "update_postimage")
+    is_del = F.col(change_type_col).isin("delete", "update_preimage")
+    dsum = changes.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.when(is_add, hll_input(value_col))).alias(
+            "__ins_hll"
+        ),
+        F.max(F.when(is_del, F.lit(1))).alias("__saw_del"),
+    )
+    a, d = state.alias("a"), dsum.alias("d")
+    cond = None
+    for c in group_cols:
+        term = F.col(f"a.{c}").eqNullSafe(F.col(f"d.{c}"))
+        cond = term if cond is None else (cond & term)
+    joined = a.join(d, cond, "full_outer")
+    keys = [
+        F.coalesce(F.col(f"a.{c}"), F.col(f"d.{c}")).alias(c)
+        for c in group_cols
+    ]
+    merged = joined.select(
+        *keys,
+        F.coalesce(F.col("__saw_del").isNotNull(), F.lit(False)).alias(
+            "__needs_base"
+        ),
+        F.col(f"a.{sketch_col}").alias("__state_hll"),
+        F.col("__ins_hll"),
+    )
+    clean = (
+        merged.filter(~F.col("__needs_base"))
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(F.col("__state_hll"), F.col("__ins_hll"))
+            ).alias("__part")
+        )
+        .filter(F.col("__part").isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("__part").alias(sketch_col))
+    )
+    dirty_keys = merged.filter(F.col("__needs_base")).select(*group_cols)
+    if not dirty_keys.limit(1).collect():
+        return clean
+    rebuilt = hll_base(
+        base.join(F.broadcast(dirty_keys), list(group_cols), "left_semi"),
+        group_cols,
+        value_col,
+        sketch_col,
+    )
+    return clean.unionByName(rebuilt)

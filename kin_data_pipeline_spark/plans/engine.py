@@ -2459,8 +2459,10 @@ class Runner:
         from kin_data_pipeline_spark.operators.incremental import (
             distinct_count_from_support,
             distinct_support,
+            hll_input,
             maintain_aggregate,
             maintain_distinct_support,
+            maintain_hll_distinct,
             maintain_minmax,
             quantile_from_support,
         )
@@ -2608,6 +2610,8 @@ class Runner:
                 out: [qsrc, float(q)]
                 for out, (qsrc, q) in dict(spec.quantiles).items()
             }
+        if spec.approx_distinct:
+            mart_sig["approx_distinct"] = dict(spec.approx_distinct)
 
         def _join_at_group_grain(df_a, df_b, added_cols, fill_zero=False):
             """Null-safe LEFT join on the group keys (GROUP BY's NULL-is-
@@ -2837,6 +2841,10 @@ class Runner:
             for src, (mn, mx) in spec.minmax.items()
             for x in (F.min(src).alias(mn), F.max(src).alias(mx))
         ]
+        fused_aggs += [
+            F.hll_sketch_agg(hll_input(src)).alias(f"__hll_{out}")
+            for out, src in spec.approx_distinct.items()
+        ]
         scoped_changes = None  # unaffected-rows change span (scoped path)
         scoped_base_aff = None  # affected-keys live-base slice (scoped path)
         if full:
@@ -2901,6 +2909,17 @@ class Runner:
                         max_col=mx,
                     )
                     df = _join_at_group_grain(df, mm, [mn, mx])
+                for out, src in spec.approx_distinct.items():
+                    sk = f"__hll_{out}"
+                    ad = maintain_hll_distinct(
+                        keep.select(*spec.group_by, sk),
+                        scoped_changes,
+                        union_legs(lambda ls, _t: cat.table(ls)),
+                        spec.group_by,
+                        src,
+                        sketch_col=sk,
+                    )
+                    df = _join_at_group_grain(df, ad, [sk])
             else:
                 # no fact commits since the record — the dim edit is the
                 # whole delta; unaffected rows carry over untouched
@@ -2909,6 +2928,7 @@ class Runner:
                     spec.count_col,
                     *spec.measures,
                     *[c for pair in spec.minmax.values() for c in pair],
+                    *[f"__hll_{out}" for out in spec.approx_distinct],
                 )
             scoped_agg = scoped_base_aff.groupBy(*spec.group_by).agg(
                 *fused_aggs
@@ -2965,6 +2985,23 @@ class Runner:
                     max_col=mx,
                 )
                 df = _join_at_group_grain(df, mm, [mn, mx])
+            # approximate distinct (HLL) — the one-way-mergeable sketch
+            # class: the mart-resident binary sketch column IS the state
+            # (like minmax, it rides the single atomic write); inserts
+            # merge delta-only, any removal re-sketches exactly the
+            # affected groups from the live source, probe-elided on
+            # insert-only spans
+            for out, src in spec.approx_distinct.items():
+                sk = f"__hll_{out}"
+                ad = maintain_hll_distinct(
+                    cat.table(m.name).select(*spec.group_by, sk),
+                    changes,
+                    union_legs(lambda ls, _t: cat.table(ls)),
+                    spec.group_by,
+                    src,
+                    sketch_col=sk,
+                )
+                df = _join_at_group_grain(df, ad, [sk])
             action = "ivm"
         # exact COUNT(DISTINCT) measures — the non-distributive class —
         # ride a PERSISTED (group, value) → multiplicity support table per
@@ -3098,6 +3135,17 @@ class Runner:
         # algebraic measures: pure functions of the maintained columns,
         # recomputed per refresh (no state of their own); declaration
         # order, so later expressions may use earlier outputs
+        # approximate distinct ESTIMATES: recomputed per refresh from the
+        # mart-resident sketches (before `derived`, so derived SQL may
+        # reference the estimate columns); an absent/NULL sketch is an
+        # empty group — COUNT(DISTINCT) = 0
+        for out in spec.approx_distinct:
+            df = df.withColumn(
+                out,
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"__hll_{out}")), F.lit(0)
+                ).cast("long"),
+            )
         for out, expr in spec.derived.items():
             df = df.withColumn(out, F.expr(expr))
         if guard_plans:

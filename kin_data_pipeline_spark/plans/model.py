@@ -169,6 +169,18 @@ class IvmSpec:
     # the documented APPROXIMATE alternative to the exact-median builder
     # boundary.
     quantiles: Any = field(default_factory=dict)  # Mapping[out, (src, q)]
+    # APPROXIMATE distinct counts (HLL sketch) — the declared alternative
+    # to the exact turnstile supports where exactness is waived (r10
+    # VERDICT stretch 7b): output column → source column. State is a
+    # mart-resident binary sketch column (``__hll_{out}``, ~KB per group
+    # — CONSTANT where the exact support is value-cardinality-sized, and
+    # it rides the mart's single atomic write). Inserts merge into the
+    # sketch delta-only; deletes re-sketch exactly the affected groups
+    # from the live base (HLL has no subtract — the hybrid treatment,
+    # same as minmax), with the base branch probe-elided on insert-only
+    # spans. The estimate column is recomputed per refresh; standard HLL
+    # relative error (~2% at the default lgConfigK), pinned by test.
+    approx_distinct: Any = field(default_factory=dict)  # Mapping[out, src]
 
 @dataclass(frozen=True)
 class Model:
@@ -299,6 +311,7 @@ class Model:
                 *self.ivm.distinct_counts,
                 *mm_outs,
                 *self.ivm.quantiles,
+                *self.ivm.approx_distinct,
                 *self.ivm.derived,
             ]
             for out, (qsrc, q) in dict(self.ivm.quantiles).items():

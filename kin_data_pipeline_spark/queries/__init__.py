@@ -98,6 +98,7 @@ CURRENT_WINDOW_HEAD = [
 NEXT_WINDOW_BACKLOG: list[str] = [
     "runner_stream_union_ivm_rollup",  # per-leg stream-maintained union
     "runner_kin_actives_ivm_30d",  # trailing-30d actives family on IVM
+    "runner_ivm_hll_distinct_rollup",  # HLL approx distinct IVM class
 ]
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -2560,8 +2560,25 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             ),
             date_col=None,
         )
+        # approximate-distinct mart over the same source (IvmSpec.
+        # approx_distinct, r10 VERDICT stretch 7b): the HLL sketch column
+        # rides in-mart beside an EXACT distinct twin; the v1 append
+        # exercises the insert-merge path and the v2 status erase the
+        # affected-group re-sketch (HLL has no subtract)
+        approx = Model(
+            name="status_approx_dates",
+            ivm=IvmSpec(
+                source="extrema_src",
+                group_by=["o_orderstatus"],
+                count_col="n_orders",
+                distinct_counts={"n_dates": "o_orderdate"},
+                approx_distinct={"n_dates_approx": "o_orderdate"},
+            ),
+            date_col=None,
+        )
         stream_results = []
         runner.run([extrema], run_date)  # full at v0
+        approx_actions = [runner.run([approx], run_date)[0].action]
         cat.write_append(
             "extrema_src",
             orders.filter(
@@ -2571,6 +2588,7 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             None,
         )  # v1
         cat.delete_by_keys("extrema_src", "o_orderstatus", ["F"])  # v2: hits extrema
+        approx_actions.append(runner.run([approx], run_date)[0].action)
         q = runner.stream_ivm(
             extrema, available_now=True, results=stream_results
         )
@@ -2723,6 +2741,7 @@ def _rivm_fixture(spark: SparkSession, sf_dir: str) -> dict:
             "stream_union_actions": live_actions
             + [r.action for r in stream_union_results],
             "stream_union_sink_stats": stream_union_sink_stats,
+            "approx_actions": approx_actions,
         }
         return _RIVM_CACHE[k]
 
@@ -4289,3 +4308,57 @@ def runner_kin_actives_ivm_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "['full', 'ivm', 'ivm', 'ivm']"
         )
     return serve_actives_30d(fx["cat"])
+
+
+# Approximate distinct as a declared IVM alternative (r10 VERDICT stretch
+# 7b): IvmSpec.approx_distinct maintains an HLL sketch IN the mart (one
+# ~KB binary column per group — constant state where the exact turnstile
+# support is value-cardinality-sized). Inserts merge into the sketch
+# delta-only; the status erase re-sketches exactly the affected groups
+# from the live source (HLL has no subtract — the hybrid treatment,
+# probe-elided on insert-only spans). The estimate itself is
+# engine-specific and NOT SQL-reproducible, so the oracle pins the
+# deterministic surface (count + the EXACT distinct twin riding the same
+# mart) while the query RAISES unless (a) both refreshes maintained
+# (['full', 'ivm']) and (b) every group's estimate is within 5% of the
+# exact count (at these cardinalities the sketch is sparse-exact, so the
+# bound is loose). operators/incremental.py::maintain_hll_distinct,
+# pinned locally by tests/test_ivm_refresh.py (exact-tracking, scoped-dim
+# composition, dense error bound).
+@register(
+    "runner_ivm_hll_distinct_rollup",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_dates
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1995-10-01' AND o_orderstatus <> 'F'
+    GROUP BY 1
+    """,
+    doc=(
+        "HLL approximate distinct as a maintained IVM class: in-mart "
+        "sketch merged on inserts, affected groups re-sketched on the "
+        "erase — estimate pinned within 5% of the exact twin, "
+        "deterministic surface oracle-checked"
+    ),
+)
+def runner_ivm_hll_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    fx = _rivm_fixture(spark, sf_dir)
+    if fx["approx_actions"] != ["full", "ivm"]:
+        raise AssertionError(
+            f"approx-distinct IVM degraded: actions {fx['approx_actions']} "
+            "!= ['full', 'ivm']"
+        )
+    mart = fx["cat"].table("status_approx_dates")
+    bad = mart.filter(
+        F.abs(F.col("n_dates_approx") - F.col("n_dates"))
+        > F.greatest(F.lit(1), F.col("n_dates") * 0.05)
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"HLL estimate out of bound on {bad} group(s)"
+        )
+    return mart.select("o_orderstatus", "n_orders", "n_dates")

@@ -2028,3 +2028,161 @@ def test_run_concurrent_orders_ivm_inputs_without_explicit_deps(
     res2 = runner.run_concurrent(models2 + models, RUN_DATE, max_workers=3)
     acts2 = {r.model: r.action for r in res2}
     assert acts2["umart"] == "full" and cat.exists("umart")
+
+
+# --- approximate distinct (IvmSpec.approx_distinct, HLL) -------------------
+# The declared alternative to the exact turnstile supports where
+# exactness is waived (r10 VERDICT stretch 7b): state is a mart-resident
+# binary sketch (~KB per group, constant where the exact support is
+# value-cardinality-sized); inserts merge, removals re-sketch exactly
+# the affected groups from the live base (HLL has no subtract).
+
+
+def test_approx_distinct_tracks_exact_across_commits(spark, tmp_path):
+    """The HLL estimate column rides beside an EXACT distinct count over
+    the same source column through a full build, an insert-only span, a
+    delete hitting a group, an upsert with typed images, and a group
+    emptied entirely — at test cardinalities the sketch is in sparse
+    (exact) mode, so the two columns must be EQUAL at every step and the
+    actions must stay full → ivm (never a rebuild)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _seed(
+        spark,
+        cat,
+        [(1, "open", 1.0, "a"), (2, "open", 2.0, "b"), (3, "paid", 3.0, "a")],
+    )
+    m = Model(
+        name="status_approx",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status"],
+            count_col="n_rows",
+            distinct_counts={"n_notes": "note"},
+            approx_distinct={"n_notes_approx": "note"},
+            row_transform=_cents,
+        ),
+        date_col=None,
+    )
+
+    def check():
+        rows = cat.table("status_approx").collect()
+        assert rows, "mart is empty"
+        for r in rows:
+            assert r["n_notes_approx"] == r["n_notes"], (
+                r["status"], r["n_notes_approx"], r["n_notes"],
+            )
+        assert "__hll_n_notes_approx" in cat.table("status_approx").columns
+
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    check()
+    # insert-only span (merge path; the base-rebuild branch is
+    # probe-elided — same contract as minmax)
+    cat.write_append(
+        "txns",
+        spark.createDataFrame(
+            [(4, "open", 4.0, "c"), (5, "late", 5.0, "d")], DDL
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    check()
+    # delete the LAST row carrying note 'b' in 'open' (estimate must
+    # shrink: re-sketch of the affected group from the live base)
+    cat.delete_by_keys("txns", "k", [2])
+    # typed upsert: replace note of k=3 ('paid': a → z)
+    cat.upsert_by_key(
+        "txns",
+        spark.createDataFrame([(3, "paid", 3.0, "z")], DDL),
+        ["k"],
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    check()
+    # empty the 'late' group entirely: its row must vanish
+    cat.delete_by_keys("txns", "k", [5])
+    assert runner.run([m], RUN_DATE)[0].action == "ivm"
+    check()
+    assert "late" not in {
+        r.status for r in cat.table("status_approx").collect()
+    }
+
+
+def test_approx_distinct_composes_with_scoped_dim_refresh(spark, tmp_path):
+    """approx_distinct under a dim-delta SCOPED refresh: unaffected
+    groups carry their sketches verbatim, affected groups re-sketch via
+    the fused recompute, and the estimate still equals the exact count
+    afterwards (sparse-mode cardinalities)."""
+    from kin_data_pipeline_spark.plans.model import DimJoin
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = Model(
+        name="approx_by_label",
+        ivm=IvmSpec(
+            source="txns",
+            group_by=["status", "k", "label"],
+            count_col="n_rows",
+            distinct_counts={"n_notes": "note"},
+            approx_distinct={"n_notes_approx": "note"},
+            row_transform=_cents,
+            dims=(DimJoin(table="dim_k", keys={"k": "id"},
+                          select={"label": "label_src"}),),
+        ),
+        date_col=None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "full"
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    for r in cat.table("approx_by_label").collect():
+        assert r["n_notes_approx"] == r["n_notes"], r
+    # and a combined dim edit + fact span in one refresh
+    cat.write_append(
+        "txns", spark.createDataFrame([(1, "open", 7.0, "q")], DDL), None
+    )
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "SILVER+"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    assert runner.run([m], RUN_DATE)[0].action == "ivm_dim"
+    for r in cat.table("approx_by_label").collect():
+        assert r["n_notes_approx"] == r["n_notes"], r
+
+
+def test_hll_estimate_error_bound_at_dense_cardinality(spark):
+    """Above sparse mode the sketch is approximate: pin the documented
+    ~2% relative error (generous 5% assert) at 50k distinct values,
+    through a maintained insert-merge — the accuracy contract of the
+    declared approximate alternative."""
+    from kin_data_pipeline_spark.operators.incremental import (
+        hll_base,
+        maintain_hll_distinct,
+    )
+
+    base0 = spark.range(0, 40_000).selectExpr(
+        "CAST(1 AS INT) AS g", "CONCAT('v', id) AS v"
+    )
+    st = hll_base(base0, ["g"], "v")
+    ch = spark.range(40_000, 50_000).selectExpr(
+        "CAST(1 AS INT) AS g",
+        "CONCAT('v', id) AS v",
+        "'insert' AS _change_type",
+    )
+    live = base0.unionByName(ch.drop("_change_type"))
+    out = maintain_hll_distinct(st, ch, live, ["g"], "v")
+    est = out.selectExpr("hll_sketch_estimate(hll_sketch) AS e").collect()[0][
+        "e"
+    ]
+    assert abs(est - 50_000) / 50_000 < 0.05, est
