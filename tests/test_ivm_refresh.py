@@ -2186,3 +2186,65 @@ def test_hll_estimate_error_bound_at_dense_cardinality(spark):
         "e"
     ]
     assert abs(est - 50_000) / 50_000 < 0.05, est
+
+
+def test_plan_refresh_predicts_executed_actions(spark, tmp_path):
+    """Runner.plan_refresh (dry-run, r10 VERDICT stretch 7c) answers
+    "what will this refresh cost" without writing: across the lifecycle
+    — first build, noop, fact span, dim edit (scoped), forced
+    full_refresh — the planned action always equals the action run()
+    then takes, spans carry per-leg lag + stored-change bytes, and
+    builder/clone models report their watermark decision."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    runner = Runner(spark, cat)
+    _dimd_seed(spark, cat)
+    m = _dimd_mart()
+
+    def check(bt="incremental"):
+        plan = runner.plan_refresh([m], RUN_DATE, bt)
+        acts = runner.run([m], RUN_DATE, bt)
+        assert [p["action"] for p in plan] == [r.action for r in acts], (
+            plan, acts,
+        )
+        return plan[0]
+
+    p = check()
+    assert p["reason"] == "never refreshed"
+    p = check()
+    assert p["action"] == "noop" and p["spans"]["txns"]["lag"] == 0
+
+    cat.write_append(
+        "txns", spark.createDataFrame([(1, "open", 3.0, "x")], DDL), None
+    )
+    p = check()
+    assert p["action"] == "ivm"
+    assert p["spans"]["txns"]["lag"] == 1
+    assert p["spans"]["txns"]["change_bytes"] > 0
+
+    cat.write_full(
+        "dim_k",
+        spark.createDataFrame(
+            [(1, "GOLD+"), (2, "silver"), (3, "bronze")],
+            "id bigint, label_src string",
+        ),
+        None,
+    )
+    p = check()
+    assert p["action"] == "ivm_dim" and p["changed_dims"] == ["dim_k"]
+
+    p = check("full_refresh")
+    assert p["action"] == "full" and "full_refresh" in p["reason"]
+
+    # builder + clone models report their decision without executing
+    built = Model(
+        "plain",
+        lambda ctx: spark.createDataFrame([(1, "open", 1.0, "a")], DDL),
+        date_col=None,
+    )
+    plan = runner.plan_refresh(
+        [built, Model("plain_clone", clone_of="plain")], RUN_DATE
+    )
+    by = {p["model"]: p for p in plan}
+    assert by["plain"]["action"] == "full"  # dateless → full rewrite
+    assert by["plain_clone"]["action"] == "clone"
+    assert not cat.exists("plain")  # dry-run wrote nothing
