@@ -560,23 +560,39 @@ def _simhash_bitsum_sql() -> list[str]:
     doc=f"SimHash ({SIMHASH_BITS}-bit) document signatures",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _with_words(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode("words").alias("w")
-    )
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    bits = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+    return _simhash_sigs_cached(spark, sf_dir)
+
+
+def _simhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, simhash) signatures — the tokenize + md5 +
+    per-bit vote chain is the dominant cost of the simhash family, and
+    ``simhash_near_dups`` previously recomputed it wholesale on every
+    call (the r10 bench showed the family's cost moving with registry
+    order purely from which query warmed it first). One substrate, two
+    consumers — same discipline as ``doc_tokens``/``shingles``."""
+
+    def build():
+        tok = _with_words(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.explode("words").alias("w")
+        )
+        h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        bits = tok.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"b{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
+        simhash = None
+        for j in range(SIMHASH_BITS):
+            term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            simhash = term if simhash is None else simhash + term
+        return bits.select("doc_id", simhash.cast("long").alias("simhash"))
+
+    return _cached_substrate(spark, sf_dir, "simhash_sigs", build)
 
 # Brute-force cosine top-k: the ANN baseline. Query set broadcasts (it is
 # tiny); candidates stream — no corpus×corpus cross join. Dot products use
