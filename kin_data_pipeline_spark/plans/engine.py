@@ -85,6 +85,38 @@ def _orderable_type(dt) -> bool:
     return True
 
 
+def _unorderable_cols(df: DataFrame) -> list[str]:
+    return [
+        c for c in df.columns if not _orderable_type(df.schema[c].dataType)
+    ]
+
+
+def _canon_cols(df: DataFrame, unord: Sequence[str]) -> DataFrame:
+    """Replace each unorderable (map/variant) column with its to_json
+    image — a deterministic string per stored row — so Spark's set
+    operations and sorts apply. Pair with ``_uncanon_cols`` to restore
+    the typed values. Two logically-equal maps with different entry
+    order serialize differently, so a rewrite that only reorders map
+    entries diffs as a delete+insert pair of equal-keyed rows — chatty,
+    never wrong."""
+    out = df
+    for c in unord:
+        out = out.withColumn(c, F.to_json(F.struct(F.col(c))))
+    return out
+
+
+def _uncanon_cols(df: DataFrame, types: dict, unord: Sequence[str]) -> DataFrame:
+    """Inverse of ``_canon_cols``: ``types`` maps column → original Spark
+    DataType (captured before canonicalization)."""
+    from pyspark.sql import types as T
+
+    out = df
+    for c in unord:
+        sch = T.StructType([T.StructField(c, types[c])])
+        out = out.withColumn(c, F.from_json(F.col(c), sch)[c])
+    return out
+
+
 def _versioned_op(op: str):
     """Wrap a Catalog mutator so a successful TOP-LEVEL call commits one
     version on an opt-in versioned table (Delta-style time travel).
@@ -962,30 +994,14 @@ class Catalog:
             # such a re-upsert stages a (preimage, postimage) pair
             # instead of netting to nothing — chatty, never wrong.
             # (Unorderable KEY columns were rejected at entry.)
-            unord = [
-                c
-                for c in df.columns
-                if not _orderable_type(df.schema[c].dataType)
-            ]
+            unord = _unorderable_cols(df)
+            utypes = {c: df.schema[c].dataType for c in unord}
 
             def _canon(frame: DataFrame) -> DataFrame:
-                out = frame
-                for c in unord:
-                    out = out.withColumn(c, F.to_json(F.struct(F.col(c))))
-                return out.select(*df.columns)
+                return _canon_cols(frame, unord).select(*df.columns)
 
             def _uncanon(frame: DataFrame) -> DataFrame:
-                from pyspark.sql import types as T
-
-                out = frame
-                for c in unord:
-                    sch = T.StructType(
-                        [T.StructField(c, df.schema[c].dataType)]
-                    )
-                    out = out.withColumn(
-                        c, F.from_json(F.col(c), sch)[c]
-                    )
-                return out.select(*df.columns)
+                return _uncanon_cols(frame, utypes, unord).select(*df.columns)
 
             incoming_keys = df.select(*key_cols).distinct()
             replaced = _canon(
@@ -1320,6 +1336,16 @@ class Catalog:
         for c in (op_col, seq_col):
             if c not in changes.columns:
                 raise ValueError(f"changelog is missing column {c!r}")
+        bad_keys = [
+            c
+            for c in key_cols
+            if not _orderable_type(changes.schema[c].dataType)
+        ]
+        if bad_keys:
+            raise ValueError(
+                f"apply_changelog({name}): key columns {bad_keys} have "
+                "map/variant types, which Spark cannot compare"
+            )
         if os.path.exists(
             self._bucket_sidecar(os.path.basename(self.resolve(name)))
         ):
@@ -1413,12 +1439,23 @@ class Catalog:
             replaced_u = existing.join(
                 F.broadcast(touched_u), key_cols, "left_semi"
             ).select(*data_cols)
+            # map/variant payload columns: net the update images on their
+            # to_json canonicalization (Spark cannot set-op those types),
+            # restoring typed values before staging
+            unord = _unorderable_cols(ups_upd)
+            utypes = {c: ups_upd.schema[c].dataType for c in unord}
+            upd_j = _canon_cols(ups_upd, unord).select(*data_cols)
+            rep_j = _canon_cols(replaced_u, unord).select(*data_cols)
             self._stage_commit_changes(
                 name,
                 inserts=ups_new,
                 deletes=deleted_rows,
-                update_pre=replaced_u.exceptAll(ups_upd),
-                update_post=ups_upd.exceptAll(replaced_u),
+                update_pre=_uncanon_cols(
+                    rep_j.exceptAll(upd_j), utypes, unord
+                ).select(*data_cols),
+                update_post=_uncanon_cols(
+                    upd_j.exceptAll(rep_j), utypes, unord
+                ).select(*data_cols),
             )
         if scope_partitions:
             return self._apply_changelog_scoped(
@@ -1827,6 +1864,17 @@ class Catalog:
             )
         cols = sorted(live.columns)
         live_c, old_c = live.select(*cols), old.select(*cols)
+        # map/variant columns cannot enter EXCEPT ALL — diff on their
+        # to_json canonicalization and restore the typed values after
+        unord = _unorderable_cols(live_c)
+        if unord:
+            types = {c: live_c.schema[c].dataType for c in unord}
+            live_j = _canon_cols(live_c, unord)
+            old_j = _canon_cols(old_c, unord)
+            return (
+                _uncanon_cols(live_j.exceptAll(old_j), types, unord),
+                _uncanon_cols(old_j.exceptAll(live_j), types, unord),
+            )
         return live_c.exceptAll(old_c), old_c.exceptAll(live_c)
 
     # --- versioned tables (Delta-style time travel) ---------------------
@@ -2149,10 +2197,17 @@ class Catalog:
             dels = ch.filter(
                 F.col("_change_type").isin("delete", "update_preimage")
             ).select(*cols)
-            return ins.exceptAll(dels).withColumn(
-                "_change_type", F.lit("insert")
-            ).unionByName(
-                dels.exceptAll(ins).withColumn("_change_type", F.lit("delete"))
+            # map/variant columns: net on the to_json canonicalization,
+            # restore typed values after (same contract as upsert_by_key)
+            unord = _unorderable_cols(ins)
+            types = {c: ins.schema[c].dataType for c in unord}
+            ins_j, dels_j = _canon_cols(ins, unord), _canon_cols(dels, unord)
+            return _uncanon_cols(
+                ins_j.exceptAll(dels_j), types, unord
+            ).withColumn("_change_type", F.lit("insert")).unionByName(
+                _uncanon_cols(
+                    dels_j.exceptAll(ins_j), types, unord
+                ).withColumn("_change_type", F.lit("delete"))
             )
         old = self.table_at_version(name, v_from)
         new = self.table_at_version(name, v_to)
@@ -2175,10 +2230,15 @@ class Catalog:
             ]
         )
         new_c = new.select(*cols)
-        return new_c.exceptAll(old_c).withColumn(
-            "_change_type", F.lit("insert")
-        ).unionByName(
-            old_c.exceptAll(new_c).withColumn("_change_type", F.lit("delete"))
+        unord = _unorderable_cols(new_c)
+        types = {c: new_c.schema[c].dataType for c in unord}
+        new_j, old_j = _canon_cols(new_c, unord), _canon_cols(old_c, unord)
+        return _uncanon_cols(
+            new_j.exceptAll(old_j), types, unord
+        ).withColumn("_change_type", F.lit("insert")).unionByName(
+            _uncanon_cols(
+                old_j.exceptAll(new_j), types, unord
+            ).withColumn("_change_type", F.lit("delete"))
         )
 
     def restore_version(self, name: str, version: int) -> int:

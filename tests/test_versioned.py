@@ -695,3 +695,75 @@ def test_upsert_cdf_handles_map_typed_columns(spark, tmp_path):
             ["tags"],
             None,
         )
+
+
+def test_map_typed_columns_across_all_versioned_diff_paths(spark, tmp_path):
+    """The to_json canonicalization covers every versioned diff surface,
+    not just upsert: a write_full rewrite (snapshot-diff CDF fallback),
+    a multi-commit netted span, diff_snapshot, and apply_changelog all
+    work on a table with a map payload column and restore TYPED map
+    values; map-typed changelog keys are rejected."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ddl = "id long, tags map<string,long>, val long"
+    cat.write_full(
+        "t",
+        spark.createDataFrame([(1, {"a": 1}, 10), (2, {"b": 2}, 20)], ddl),
+        None,
+    )
+    cat.snapshot("t", "rel1")
+    cat.enable_versioning("t")  # v0
+    # write_full rewrite: no staged changes → snapshot-diff fallback
+    cat.write_full(
+        "t",
+        spark.createDataFrame([(1, {"a": 9}, 10), (3, {"c": 3}, 30)], ddl),
+        None,
+    )  # v1
+    got = sorted(
+        (r["_change_type"], r.id, dict(r.tags or {}), r.val)
+        for r in cat.table_changes("t", 0, 1).collect()
+    )
+    assert got == [
+        ("delete", 1, {"a": 1}, 10),
+        ("delete", 2, {"b": 2}, 20),
+        ("insert", 1, {"a": 9}, 10),
+        ("insert", 3, {"c": 3}, 30),
+    ]
+    # multi-commit netted span (insert in v2 cancels its delete in v3)
+    cat.write_append(
+        "t", spark.createDataFrame([(4, {"d": 4}, 40)], ddl), None
+    )  # v2
+    cat.delete_by_keys("t", "id", [4])  # v3
+    assert cat.table_changes("t", 1, 3).count() == 0
+    # diff_snapshot returns typed maps
+    added, removed = cat.diff_snapshot("t", "rel1")
+    a = sorted((r.id, dict(r.tags or {}), r.val) for r in added.collect())
+    assert a == [(1, {"a": 9}, 10), (3, {"c": 3}, 30)]
+    # apply_changelog on the map table: U replaces, D removes
+    cl = spark.createDataFrame(
+        [(3, {"c": 30}, 33, "U", 1), (1, None, 0, "D", 2)],
+        "id long, tags map<string,long>, val long, op string, seq long",
+    )
+    cat.apply_changelog("t", cl, ["id"])  # v4
+    live = sorted(
+        (r.id, dict(r.tags or {}), r.val) for r in cat.table("t").collect()
+    )
+    assert live == [(3, {"c": 30}, 33)]
+    by = {}
+    for r in cat.table_changes("t", 3, 4).collect():
+        by.setdefault(r["_change_type"], []).append(
+            (r.id, dict(r.tags or {}), r.val)
+        )
+    assert by["delete"] == [(1, {"a": 9}, 10)]
+    assert by["update_preimage"] == [(3, {"c": 3}, 30)]
+    assert by["update_postimage"] == [(3, {"c": 30}, 33)]
+    with pytest.raises(ValueError, match="map/variant"):
+        cat.apply_changelog(
+            "t",
+            spark.createDataFrame(
+                [({"x": 1}, 1, 1, "U", 1)],
+                "tags map<string,long>, id long, val long, op string, seq long",
+            ),
+            ["tags"],
+        )
