@@ -117,6 +117,44 @@ def _uncanon_cols(df: DataFrame, types: dict, unord: Sequence[str]) -> DataFrame
     return out
 
 
+#: Driver-side footer counting is O(#files) metadata work; past this many
+#: files the listing itself becomes the driver bottleneck (guide §5/§7.3)
+#: and the distributed count is the right tool again.
+_FOOTER_COUNT_MAX_FILES = 4096
+
+
+def _walk_parquet_files(path: str) -> set[str]:
+    """All data-parquet files under ``path`` (recursive — partitioned
+    layouts keep their ``col=value`` subdirs)."""
+    out: set[str] = set()
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.add(os.path.join(root, n))
+    return out
+
+
+def _dir_parquet_rows(path: str) -> int | None:
+    """Exact row count of a parquet directory from file footers — a
+    driver-side metadata probe (microseconds per file) replacing a whole
+    Spark count job on the bounded-file-count layouts this engine writes.
+    Returns None when the directory holds more than
+    ``_FOOTER_COUNT_MAX_FILES`` parquet files (caller falls back to a
+    distributed count) or does not exist."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    files: list[str] = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                files.append(os.path.join(root, n))
+                if len(files) > _FOOTER_COUNT_MAX_FILES:
+                    return None
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def _versioned_op(op: str):
     """Wrap a Catalog mutator so a successful TOP-LEVEL call commits one
     version on an opt-in versioned table (Delta-style time travel).
@@ -741,14 +779,27 @@ class Catalog:
                     f"{sorted(missing)}; appends may add columns, never drop"
                 )
         # CDF: an append's net diff is exactly the appended rows (new =
-        # old ⊎ df, so new EXCEPT ALL old = df) — stage them so the commit
-        # carries its own change rows instead of forcing a snapshot re-diff
-        self._stage_commit_changes(name, inserts=df)
+        # old ⊎ df, so new EXCEPT ALL old = df). Instead of materializing
+        # ``df`` a SECOND time into staged change files (a full extra
+        # evaluation + write of the delta), the commit HARDLINKS the data
+        # files this append adds and the version-log entry is marked
+        # insert-only — readers (table_changes / the CDF stream source)
+        # synthesize ``_change_type='insert'``. One evaluation, one write,
+        # O(1) extra I/O per commit — at 100 TB this halves the cost of
+        # every append to a versioned fact.
+        link_cdf = (
+            self.is_versioned(name)
+            and getattr(self._mutation_state, "depth", 0) == 1
+        )
+        pre_files = _walk_parquet_files(self.path(name)) if link_cdf else None
         cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
         w = self._bloom_options(df.write.mode("append"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
         w.parquet(self.path(name))
+        if link_cdf:
+            new_files = _walk_parquet_files(self.path(name)) - pre_files
+            self._stage_linked_insert_commit(name, sorted(new_files))
         self._save_schema(name, df)
 
     # --- bucketed tables (co-located joins) ----------------------------
@@ -1268,12 +1319,12 @@ class Catalog:
                 inserts=None,
                 deletes=live.join(F.broadcast(key_cast), key_col, "left_semi"),
             )
-        # the rewrite reads the files it is about to overwrite —
-        # localCheckpoint materializes the survivors first so the
-        # overwrite never races its own input
+        # the rewrite writes to write_full's staging dir and swaps only
+        # after the job completes, so reading the live files during the
+        # write never races its own input — no materialization pass needed
+        # (the former eager localCheckpoint was a full extra pass, and at
+        # 100 TB an impossible one)
         survivors = live.join(F.broadcast(key_cast), key_col, "left_anti")
-        survivors = survivors.localCheckpoint(eager=True)
-        before = live.count()
         # preserve the table's partition-directory layout if it has one
         part_col = None
         root = self.resolve(name)
@@ -1281,8 +1332,18 @@ class Catalog:
             if "=" in entry and os.path.isdir(os.path.join(root, entry)):
                 part_col = entry.split("=", 1)[0]
                 break
+        # removed-row accounting from parquet footers (exact, driver-side
+        # metadata) instead of two full count jobs; counts must bracket the
+        # swap, so `before` is probed pre-write. Falls back to distributed
+        # counts past the file-count bound.
+        before = _dir_parquet_rows(root)
+        if before is None:
+            before = live.count()
         self.write_full(name, survivors, date_col=part_col)
-        return before - survivors.count()
+        after = _dir_parquet_rows(self.resolve(name))
+        if after is None:
+            after = self.table(name).count()
+        return before - after
 
     @_versioned_op("apply_changelog")
     def apply_changelog(
@@ -2002,10 +2063,41 @@ class Catalog:
         shutil.rmtree(staging, ignore_errors=True)
         frame.write.mode("overwrite").parquet(staging)
         self._mutation_state.pending_changes = staging
+        self._mutation_state.pending_insert_only = False
+
+    def _stage_linked_insert_commit(self, name: str, files: Sequence[str]) -> None:
+        """Stage an insert-only commit's change rows as HARDLINKS to the
+        data files the mutation just appended (relative paths preserved, so
+        partitioned layouts keep their ``col=value`` dirs). The files carry
+        no ``_change_type`` column; ``_commit_version`` marks the log entry
+        ``changes_insert_only`` and every changes reader synthesizes the
+        constant. Zero extra evaluation of the appended frame, O(#files)
+        driver work."""
+        if not self.is_versioned(name):
+            return
+        if getattr(self._mutation_state, "depth", 0) != 1:
+            return
+        root = self.path(name)
+        staging = os.path.join(
+            self._versions_dir(name),
+            f"__changes.staging.{threading.get_ident()}",
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+        for f in files:
+            dst = os.path.join(staging, os.path.relpath(f, root))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(f, dst)
+            except OSError:  # cross-device or FS without hardlinks
+                shutil.copy2(f, dst)
+        self._mutation_state.pending_changes = staging
+        self._mutation_state.pending_insert_only = True
 
     def _discard_pending_changes(self) -> None:
         staging = getattr(self._mutation_state, "pending_changes", None)
         self._mutation_state.pending_changes = None
+        self._mutation_state.pending_insert_only = False
         if staging:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -2039,7 +2131,11 @@ class Catalog:
         # staging dir, so the rename below publishes data + changes
         # atomically together
         pending = getattr(self._mutation_state, "pending_changes", None)
+        insert_only = bool(
+            getattr(self._mutation_state, "pending_insert_only", False)
+        )
         self._mutation_state.pending_changes = None
+        self._mutation_state.pending_insert_only = False
         has_changes = False
         if pending and os.path.isdir(pending):
             os.rename(pending, os.path.join(staging, "changes"))
@@ -2053,14 +2149,17 @@ class Catalog:
         ts = time.time()
         if entries:
             ts = max(ts, entries[-1]["ts"] + 1e-6)
-        entries.append(
-            {
-                "version": version,
-                "ts": ts,
-                "operation": operation,
-                "changes": has_changes,
-            }
-        )
+        entry = {
+            "version": version,
+            "ts": ts,
+            "operation": operation,
+            "changes": has_changes,
+        }
+        if has_changes and insert_only:
+            # the change files are hardlinked DATA files with no
+            # _change_type column: readers synthesize 'insert'
+            entry["changes_insert_only"] = True
+        entries.append(entry)
         self._write_version_log(name, entries)
 
     def table_at_version(self, name: str, version: int) -> DataFrame:
@@ -2176,13 +2275,36 @@ class Catalog:
                 list(new_schema.fields)
                 + [StructField("_change_type", StringType())]
             )
-            dirs = [
+            typed_dirs = [
                 os.path.join(self._versions_dir(name, e["version"]), "changes")
                 for e in span
+                if not e.get("changes_insert_only")
             ]
-            # explicit schema: aligns stored files by column NAME and keeps
-            # empty change dirs (e.g. a compact commit) readable
-            ch = self.spark.read.schema(ch_schema).parquet(*dirs)
+            # insert-only commits (appends) store hardlinked DATA files
+            # with no _change_type column — read them under the data
+            # schema (partition dirs discover under each root) and
+            # synthesize the constant
+            ins_dirs = [
+                os.path.join(self._versions_dir(name, e["version"]), "changes")
+                for e in span
+                if e.get("changes_insert_only")
+            ]
+            parts = []
+            if typed_dirs:
+                # explicit schema: aligns stored files by column NAME and
+                # keeps empty change dirs (e.g. a compact commit) readable
+                parts.append(
+                    self.spark.read.schema(ch_schema).parquet(*typed_dirs)
+                )
+            if ins_dirs:
+                parts.append(
+                    self.spark.read.schema(StructType(list(new_schema.fields)))
+                    .parquet(*ins_dirs)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            ch = parts[0]
+            for p in parts[1:]:
+                ch = ch.unionByName(p)
             if len(span) == 1:
                 # single commit: stored insert/delete sides are already
                 # net-disjoint, so no combination pass is needed

@@ -34,15 +34,22 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 # round prep is a data change only.
 ROUND = 11
 
-# Round-11 window (VERDICT r10 ask #1, composed by scripts/compose_window.py):
-# the 3 NEXT_WINDOW_BACKLOG queries lead (judge-pre-verified 3/3 at sf0.01 in
-# the r10 session: the production kin DAG on dim-enriched IVM, DRI/RSTn
-# restart-segment JPEG, and multi-source union IVM), then padding
-# oldest-green-first.
+# Round-11 window (recomposed after the optimization-round engine work
+# re-planned 4 CDF/time-travel queries — PLAN_MANIFEST since=11 discounts
+# their old green rows): all 10 never-green queries lead (the 3 r10-backlog
+# entries, the 3 r11 IVM additions, and the 4 re-planned), then padding
+# oldest-green-first per scripts/compose_window.py.
 CURRENT_WINDOW_HEAD = [
-    "runner_kin_dag_ivm_mart",
+    "runner_stream_union_ivm_rollup",
+    "runner_kin_actives_ivm_30d",
+    "runner_ivm_hll_distinct_rollup",
+    "cdf_incremental_aggregate",
+    "cdf_incremental_distinct_count",
+    "cdf_incremental_minmax",
     "restart_jpeg_pixel_stats",
+    "runner_kin_dag_ivm_mart",
     "runner_union_ivm_net_rollup",
+    "time_travel_changes",
     "kin_kre_weekly_payout",
     "kin_monthly_active_accounts_app",
     "kin_monthly_active_accounts_ecosystem",
@@ -83,23 +90,13 @@ CURRENT_WINDOW_HEAD = [
     "gopher_quality_flags",
     "incremental_dedup_check",
     "kin_app_txn_summary_from_account_monthly",
-    "kin_app_txn_summary_from_account_weekly",
-    "kin_app_txn_summary_to_account_monthly",
-    "kin_app_txn_summary_to_account_weekly",
-    "kin_daily_account_creates_by_close_authority",
-    "kin_daily_account_creates_by_program",
-    "kin_daily_account_creates_by_type",
-    "kin_daily_account_summary_by_app",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window.
-NEXT_WINDOW_BACKLOG: list[str] = [
-    "runner_stream_union_ivm_rollup",  # per-leg stream-maintained union
-    "runner_kin_actives_ivm_30d",  # trailing-30d actives family on IVM
-    "runner_ivm_hll_distinct_rollup",  # HLL approx distinct IVM class
-]
+# and must lead the next round's window. Empty: the recomposed r11 window
+# absorbed the 3 r11 additions alongside the 4 re-planned queries.
+NEXT_WINDOW_BACKLOG: list[str] = []
 
 def _ordered() -> dict[str, QuerySpec]:
     out = {n: QUERIES[n] for n in CURRENT_WINDOW_HEAD if n in QUERIES}

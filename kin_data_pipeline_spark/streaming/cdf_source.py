@@ -45,6 +45,7 @@ import json
 import os
 from collections import Counter
 from collections.abc import Sequence
+from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -159,13 +160,30 @@ class _VersionDiffPartition(InputPartition):
 
 
 class _ChangeFilePartition(InputPartition):
-    """Scale path: one stored change-parquet file of one commit."""
+    """Scale path: one stored change-parquet file of one commit.
 
-    def __init__(self, path: str, version: int, arrow_schema, ts=None):
+    ``insert_only`` marks a commit whose change files are hardlinked DATA
+    files (an append's own output — engine._stage_linked_insert_commit):
+    they carry no ``_change_type`` column, so the reader synthesizes the
+    constant 'insert'; ``part_vals`` holds ``col=value`` partition-path
+    values (string or None) the file's rows inherit, since a partitioned
+    data file does not store its partition column."""
+
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        arrow_schema,
+        ts=None,
+        insert_only: bool = False,
+        part_vals: dict | None = None,
+    ):
         self.path = path
         self.version = version
         self.arrow_schema = arrow_schema
         self.ts = ts
+        self.insert_only = insert_only
+        self.part_vals = part_vals or {}
 
 
 def _plan_version(
@@ -179,6 +197,31 @@ def _plan_version(
     ts = entry.get("ts")
     if entry.get("changes"):
         changes = os.path.join(_versions_dir(warehouse, table), f"v{v}", "changes")
+        if entry.get("changes_insert_only"):
+            # hardlinked data files, possibly under col=value partition
+            # dirs: walk recursively and carry the partition-path values
+            parts = []
+            for root, _dirs, names in os.walk(changes):
+                for n in sorted(names):
+                    if not n.endswith(".parquet") or n.startswith((".", "_")):
+                        continue
+                    p = os.path.join(root, n)
+                    vals: dict = {}
+                    for seg in os.path.relpath(p, changes).split(os.sep)[:-1]:
+                        if "=" in seg:
+                            k, raw = seg.split("=", 1)
+                            vals[k] = (
+                                None
+                                if raw == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(raw)
+                            )
+                    parts.append(
+                        _ChangeFilePartition(
+                            p, v, arrow_schema, ts,
+                            insert_only=True, part_vals=vals,
+                        )
+                    )
+            return sorted(parts, key=lambda x: x.path)
         files = sorted(
             os.path.join(changes, f)
             for f in os.listdir(changes)
@@ -197,9 +240,26 @@ def _read_change_file(partition: _ChangeFilePartition):
     tbl = pq.read_table(partition.path)
     if tbl.num_rows == 0:
         return iter(())
+    insert_only = getattr(partition, "insert_only", False)
+    part_vals = getattr(partition, "part_vals", None) or {}
     arrays = []
     for field in partition.arrow_schema:
-        if field.name == "_commit_version":
+        if field.name == "_change_type" and insert_only:
+            # hardlinked data file of an insert-only (append) commit:
+            # the column does not exist physically
+            col = pa.array(["insert"] * tbl.num_rows, type=pa.string()).cast(
+                field.type
+            )
+        elif field.name in part_vals and field.name not in tbl.column_names:
+            sval = part_vals[field.name]
+            col = (
+                pa.nulls(tbl.num_rows, type=field.type)
+                if sval is None
+                else pa.array([sval] * tbl.num_rows, type=pa.string()).cast(
+                    field.type
+                )
+            )
+        elif field.name == "_commit_version":
             col = pa.array([partition.version] * tbl.num_rows).cast(field.type)
         elif field.name == "_commit_timestamp":
             # the commit's log timestamp as a constant (Delta's
