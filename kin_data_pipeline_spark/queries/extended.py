@@ -6,6 +6,8 @@ engine-specific by construction).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -833,10 +835,16 @@ def approx_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Stateful streaming creates one state store per shuffle partition, and each
 # store pays per-batch init/commit I/O regardless of how few keys it holds —
 # at the test corpus (150 window×type groups, ~10³ users) 32 stores are ~6×
-# pure overhead (measured 8.5s → 1.4s at 8 partitions). State partition
-# count is a deployment knob sized to key cardinality, not inherited
-# parallelism; production sizes it up with the keyspace.
-_STREAM_STATE_PARTITIONS = 8
+# pure overhead (r10: measured 8.5s → 1.4s at 8 partitions; r11 swept
+# 1/2/4/8/16/32 — stream-stream join trigger time scales LINEARLY with
+# store count: 8.3s at 32, 3.1s at 8, 2.0s at 4, while 1–2 lose the
+# remaining parallelism for the Python-stateful and window forms, so 4 is
+# the floor for this corpus). State partition count is a deployment knob
+# sized to key cardinality, not inherited parallelism; production sizes it
+# up with the keyspace via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+_STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+)
 
 def _stream_session(spark: SparkSession) -> SparkSession:
     """Per-stream cloned session (shared SparkContext, isolated SQL conf).
