@@ -560,22 +560,28 @@ def kmeans_lloyd(
     cents = {kk: init[kk] for kk in sorted(init)}
 
     def _assign(centroids: dict[int, list[int]]) -> DataFrame:
-        candidates = [
-            F.struct(
+        # One nested-array LITERAL + transform-with-index instead of K
+        # expanded struct candidates of dim literal nodes each: the old
+        # form re-built (and re-codegen-compiled) a K×dim expression tree
+        # every iteration — at k=8/dim=64 that compile dominated the
+        # iteration (measured ~1s/round at sf0.1); the literal form keeps
+        # the plan tiny and data-driven. Same arithmetic, same (dist, k)
+        # total-order tie-break, byte-identical assignments.
+        keys = list(centroids)
+        cent_lit = F.lit([[int(m) for m in centroids[kk]] for kk in keys])
+        key_lit = F.lit([int(kk) for kk in keys])
+        cand = F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
                 F.aggregate(
-                    F.zip_with(
-                        "__q",
-                        F.array(*[F.lit(int(m)) for m in vec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
+                    F.zip_with("__q", c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).alias("dist"),
-                F.lit(kk).cast("int").alias("k"),
-            )
-            for kk, vec in centroids.items()
-        ]
-        best = F.sort_array(F.array(*candidates)).getItem(0)
+                F.get(key_lit, i).cast("int").alias("k"),
+            ),
+        )
+        best = F.sort_array(cand).getItem(0)
         return q.select(
             "__id", "__q", best["k"].alias("cluster"), best["dist"].alias("dist")
         )

@@ -35,19 +35,21 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 ROUND = 11
 
 # Round-11 window (recomposed after the optimization-round engine work
-# re-planned 4 CDF/time-travel queries — PLAN_MANIFEST since=11 discounts
-# their old green rows): all 10 never-green queries lead (the 3 r10-backlog
-# entries, the 3 r11 IVM additions, and the 4 re-planned), then padding
+# re-planned 5 queries — 4 CDF/time-travel read shapes plus the kmeans
+# literal-centroid assignment — PLAN_MANIFEST since=11 discounts their old
+# green rows): all 11 never-green queries lead (the 3 r10-backlog entries,
+# the 3 r11 IVM additions, and the 5 re-planned), then padding
 # oldest-green-first per scripts/compose_window.py.
 CURRENT_WINDOW_HEAD = [
-    "runner_stream_union_ivm_rollup",
-    "runner_kin_actives_ivm_30d",
-    "runner_ivm_hll_distinct_rollup",
     "cdf_incremental_aggregate",
     "cdf_incremental_distinct_count",
     "cdf_incremental_minmax",
+    "kmeans_cluster_profile",
     "restart_jpeg_pixel_stats",
+    "runner_ivm_hll_distinct_rollup",
+    "runner_kin_actives_ivm_30d",
     "runner_kin_dag_ivm_mart",
+    "runner_stream_union_ivm_rollup",
     "runner_union_ivm_net_rollup",
     "time_travel_changes",
     "kin_kre_weekly_payout",
@@ -89,13 +91,12 @@ CURRENT_WINDOW_HEAD = [
     "frame_sample_plan_stats",
     "gopher_quality_flags",
     "incremental_dedup_check",
-    "kin_app_txn_summary_from_account_monthly",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
 # and must lead the next round's window. Empty: the recomposed r11 window
-# absorbed the 3 r11 additions alongside the 4 re-planned queries.
+# absorbed the 3 r11 additions alongside the 5 re-planned queries.
 NEXT_WINDOW_BACKLOG: list[str] = []
 
 def _ordered() -> dict[str, QuerySpec]:
