@@ -125,9 +125,12 @@ _FOOTER_COUNT_MAX_FILES = 4096
 
 def _walk_parquet_files(path: str) -> set[str]:
     """All data-parquet files under ``path`` (recursive — partitioned
-    layouts keep their ``col=value`` subdirs)."""
+    layouts keep their ``col=value`` subdirs). Hidden DIRECTORIES are
+    pruned, matching Spark's file index: a crash-leftover ``_temporary``
+    tree from an aborted write must not count as table data."""
     out: set[str] = set()
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for n in names:
             if n.endswith(".parquet") and not n.startswith((".", "_")):
                 out.add(os.path.join(root, n))
@@ -138,15 +141,17 @@ def _dir_parquet_rows(path: str) -> int | None:
     """Exact row count of a parquet directory from file footers — a
     driver-side metadata probe (microseconds per file) replacing a whole
     Spark count job on the bounded-file-count layouts this engine writes.
-    Returns None when the directory holds more than
-    ``_FOOTER_COUNT_MAX_FILES`` parquet files (caller falls back to a
-    distributed count) or does not exist."""
+    Hidden directories are pruned like Spark's file index (stale
+    ``_temporary`` residue must not inflate the count). Returns None when
+    the directory holds more than ``_FOOTER_COUNT_MAX_FILES`` parquet
+    files (caller falls back to a distributed count) or does not exist."""
     import pyarrow.parquet as pq
 
     if not os.path.isdir(path):
         return None
     files: list[str] = []
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for n in names:
             if n.endswith(".parquet") and not n.startswith((".", "_")):
                 files.append(os.path.join(root, n))
@@ -800,25 +805,51 @@ class Catalog:
         # CDF: an append's net diff is exactly the appended rows (new =
         # old ⊎ df, so new EXCEPT ALL old = df). Instead of materializing
         # ``df`` a SECOND time into staged change files (a full extra
-        # evaluation + write of the delta), the commit HARDLINKS the data
-        # files this append adds and the version-log entry is marked
-        # insert-only — readers (table_changes / the CDF stream source)
-        # synthesize ``_change_type='insert'``. One evaluation, one write,
-        # O(1) extra I/O per commit — at 100 TB this halves the cost of
-        # every append to a versioned fact.
+        # evaluation + write of the delta), a versioned append writes its
+        # files to a STAGING dir, hardlinks them into the table, and
+        # adopts the staging tree verbatim as the commit's change files
+        # (version-log entry marked insert-only — readers synthesize
+        # ``_change_type='insert'``). One evaluation, one write, O(#new
+        # files) driver metadata work: the appended files are known
+        # exactly (no full-table directory diff, which also mis-attributed
+        # a concurrent writer's files), and the change set shares inodes
+        # with the table instead of copying bytes.
         link_cdf = (
             self.is_versioned(name)
             and getattr(self._mutation_state, "depth", 0) == 1
         )
-        pre_files = _walk_parquet_files(self.path(name)) if link_cdf else None
         cols, ndv = self._resolve_bloom(name, df, bloom_cols, bloom_ndv, store=True)
         w = self._bloom_options(df.write.mode("append"), cols, ndv)
         if date_col is not None:
             w = w.partitionBy(date_col)
-        w.parquet(self.path(name))
         if link_cdf:
-            new_files = _walk_parquet_files(self.path(name)) - pre_files
-            self._stage_linked_insert_commit(name, sorted(new_files))
+            staging = self.path(f"{name}.__appending")
+            shutil.rmtree(staging, ignore_errors=True)
+            w.parquet(staging)
+            root = self.path(name)
+            # part-file names carry the write job's UUID, so linking them
+            # into the table cannot collide with existing files; a crash
+            # mid-link is a partial append with NO committed version —
+            # the same exposure as a crashed direct append, with a much
+            # shorter window (renames, not data writes)
+            for f in sorted(_walk_parquet_files(staging)):
+                dst = os.path.join(root, os.path.relpath(f, staging))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:  # cross-device or FS without hardlinks
+                    shutil.copy2(f, dst)
+            ch_staging = os.path.join(
+                self._versions_dir(name),
+                f"__changes.staging.{threading.get_ident()}",
+            )
+            shutil.rmtree(ch_staging, ignore_errors=True)
+            os.rename(staging, ch_staging)
+            self._mutation_state.pending_changes = ch_staging
+            self._mutation_state.pending_insert_only = True
+            self._mutation_state.pending_delete_only = False
+        else:
+            w.parquet(self.path(name))
         self._save_schema(name, df)
 
     # --- bucketed tables (co-located joins) ----------------------------
@@ -1272,18 +1303,39 @@ class Catalog:
             if datetime.date.fromisoformat(val) >= cutoff:
                 doomed.append(entry)
         # CDF: the net diff is exactly the rows of the partitions about to
-        # be removed — staged from the partition-value list actually being
-        # dropped (not the predicate re-applied: an unpartitioned table
-        # drops nothing here and must record nothing), BEFORE the rmtree
-        if doomed and self.is_versioned(name):
-            vals = [
-                datetime.date.fromisoformat(e.split("=", 1)[1]) for e in doomed
-            ]
-            self._stage_commit_changes(
-                name,
-                inserts=None,
-                deletes=self.table(name).filter(F.col(date_col).isin(vals)),
+        # be removed — the doomed ``date=value`` dirs ARE the change set,
+        # so stage them as HARDLINKS (relative paths preserved; readers
+        # synthesize ``_change_type='delete'`` and fill the partition
+        # column from the path — the delete twin of the linked insert
+        # commit). Zero Spark jobs instead of a full-table filter scan,
+        # and nothing is staged for an unpartitioned table (which drops
+        # nothing here and must record nothing).
+        if (
+            doomed
+            and self.is_versioned(name)
+            and getattr(self._mutation_state, "depth", 0) == 1
+        ):
+            files = sorted(
+                f
+                for entry in doomed
+                for f in _walk_parquet_files(os.path.join(root, entry))
             )
+            staging = os.path.join(
+                self._versions_dir(name),
+                f"__changes.staging.{threading.get_ident()}",
+            )
+            shutil.rmtree(staging, ignore_errors=True)
+            os.makedirs(staging, exist_ok=True)
+            for f in files:
+                dst = os.path.join(staging, os.path.relpath(f, root))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:  # cross-device or FS without hardlinks
+                    shutil.copy2(f, dst)
+            self._mutation_state.pending_changes = staging
+            self._mutation_state.pending_insert_only = False
+            self._mutation_state.pending_delete_only = True
         for entry in doomed:
             shutil.rmtree(os.path.join(root, entry))
         return len(doomed)
@@ -1329,21 +1381,27 @@ class Catalog:
         key_cast = df_keys.select(
             F.col(key_col).cast(dict(live.dtypes)[key_col]).alias(key_col)
         )
-        # CDF: the net diff of a key erasure is exactly the erased rows
-        # (old = survivors ⊎ erased) — staged BEFORE the rewrite below
-        # replaces the files the semi join reads
-        if self.is_versioned(name):
-            self._stage_commit_changes(
-                name,
-                inserts=None,
-                deletes=live.join(F.broadcast(key_cast), key_col, "left_semi"),
-            )
-        # the rewrite writes to write_full's staging dir and swaps only
-        # after the job completes, so reading the live files during the
-        # write never races its own input — no materialization pass needed
-        # (the former eager localCheckpoint was a full extra pass, and at
-        # 100 TB an impossible one)
-        survivors = live.join(F.broadcast(key_cast), key_col, "left_anti")
+        # SINGLE-PASS rewrite (guide §2.4 — remove passes outright): ONE
+        # broadcast join + ONE write job materializes BOTH outputs — the
+        # survivors (the rewritten table) and the erased rows (the
+        # commit's CDF change set) — as sibling partition directories
+        # keyed by a synthetic flag, replacing the former two full-table
+        # scans (staged-deletes semi join, then the anti-join rewrite).
+        # Join semantics match the semi/anti pair exactly: keys are
+        # de-duplicated so the left join cannot fan rows out, and a NULL
+        # key never matches (NULL-keyed rows survive, NULL delete
+        # requests erase nothing). The flag is directory-encoded (never
+        # stored in the files), the flag dir is OUTERMOST so each side
+        # publishes as one subtree rename, and the erased side becomes
+        # the version commit's change files verbatim (marked
+        # ``changes_delete_only``; readers synthesize
+        # ``_change_type='delete'`` — the delete twin of the
+        # insert-only append commit).
+        flag = "__cdf_deleted"
+        marked = key_cast.distinct().withColumn(flag, F.lit(True))
+        flagged = live.join(F.broadcast(marked), key_col, "left").withColumn(
+            flag, F.coalesce(F.col(flag), F.lit(False))
+        )
         # preserve the table's partition-directory layout if it has one
         part_col = None
         root = self.resolve(name)
@@ -1351,18 +1409,55 @@ class Catalog:
             if "=" in entry and os.path.isdir(os.path.join(root, entry)):
                 part_col = entry.split("=", 1)[0]
                 break
-        # removed-row accounting from parquet footers (exact, driver-side
-        # metadata) instead of two full count jobs; counts must bracket the
-        # swap, so `before` is probed pre-write. Falls back to distributed
-        # counts past the file-count bound.
-        before = _dir_parquet_rows(root)
-        if before is None:
-            before = live.count()
-        self.write_full(name, survivors, date_col=part_col)
-        after = _dir_parquet_rows(self.resolve(name))
-        if after is None:
-            after = self.table(name).count()
-        return before - after
+        self._heal_compaction(name)
+        self._drop_ivm_meta(name)
+        staging = self.path(f"{name}.__staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        cols, ndv = self._resolve_bloom(name, live, None, None, store=True)
+        w = self._bloom_options(flagged.write.mode("overwrite"), cols, ndv)
+        part_spec = [flag] + ([part_col] if part_col is not None else [])
+        w.partitionBy(*part_spec).parquet(staging)
+        false_dir = os.path.join(staging, f"{flag}=false")
+        true_dir = os.path.join(staging, f"{flag}=true")
+        # a side with no rows writes no directory: an erase-everything
+        # call still needs an (empty) table to publish, and a no-match
+        # call still needs an (empty) change set to commit
+        os.makedirs(false_dir, exist_ok=True)
+        # removed-row accounting straight from the erased side's parquet
+        # footers (exact, driver-side metadata — no count job); the
+        # erased side is deletion-request-sized, but keep the distributed
+        # fallback for pathological file counts
+        removed = _dir_parquet_rows(true_dir)
+        if removed is None:
+            removed = (
+                self.spark.read.parquet(true_dir).count()
+                if os.path.isdir(true_dir)
+                else 0
+            )
+        if (
+            self.is_versioned(name)
+            and getattr(self._mutation_state, "depth", 0) == 1
+        ):
+            ch_staging = os.path.join(
+                self._versions_dir(name),
+                f"__changes.staging.{threading.get_ident()}",
+            )
+            shutil.rmtree(ch_staging, ignore_errors=True)
+            if os.path.isdir(true_dir):
+                os.rename(true_dir, ch_staging)
+            else:
+                os.makedirs(ch_staging)
+            self._mutation_state.pending_changes = ch_staging
+            self._mutation_state.pending_insert_only = False
+            self._mutation_state.pending_delete_only = True
+        else:
+            shutil.rmtree(true_dir, ignore_errors=True)
+        self._publish_staging(name, false_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+        # the published files hold the live schema minus directory-encoded
+        # partition columns; the sidecar stays the table's declared schema
+        self._save_schema(name, live)
+        return removed
 
     @_versioned_op("apply_changelog")
     def apply_changelog(
@@ -2083,40 +2178,13 @@ class Catalog:
         frame.write.mode("overwrite").parquet(staging)
         self._mutation_state.pending_changes = staging
         self._mutation_state.pending_insert_only = False
-
-    def _stage_linked_insert_commit(self, name: str, files: Sequence[str]) -> None:
-        """Stage an insert-only commit's change rows as HARDLINKS to the
-        data files the mutation just appended (relative paths preserved, so
-        partitioned layouts keep their ``col=value`` dirs). The files carry
-        no ``_change_type`` column; ``_commit_version`` marks the log entry
-        ``changes_insert_only`` and every changes reader synthesizes the
-        constant. Zero extra evaluation of the appended frame, O(#files)
-        driver work."""
-        if not self.is_versioned(name):
-            return
-        if getattr(self._mutation_state, "depth", 0) != 1:
-            return
-        root = self.path(name)
-        staging = os.path.join(
-            self._versions_dir(name),
-            f"__changes.staging.{threading.get_ident()}",
-        )
-        shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(staging, exist_ok=True)
-        for f in files:
-            dst = os.path.join(staging, os.path.relpath(f, root))
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            try:
-                os.link(f, dst)
-            except OSError:  # cross-device or FS without hardlinks
-                shutil.copy2(f, dst)
-        self._mutation_state.pending_changes = staging
-        self._mutation_state.pending_insert_only = True
+        self._mutation_state.pending_delete_only = False
 
     def _discard_pending_changes(self) -> None:
         staging = getattr(self._mutation_state, "pending_changes", None)
         self._mutation_state.pending_changes = None
         self._mutation_state.pending_insert_only = False
+        self._mutation_state.pending_delete_only = False
         if staging:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -2153,8 +2221,12 @@ class Catalog:
         insert_only = bool(
             getattr(self._mutation_state, "pending_insert_only", False)
         )
+        delete_only = bool(
+            getattr(self._mutation_state, "pending_delete_only", False)
+        )
         self._mutation_state.pending_changes = None
         self._mutation_state.pending_insert_only = False
+        self._mutation_state.pending_delete_only = False
         has_changes = False
         if pending and os.path.isdir(pending):
             os.rename(pending, os.path.join(staging, "changes"))
@@ -2178,6 +2250,12 @@ class Catalog:
             # the change files are hardlinked DATA files with no
             # _change_type column: readers synthesize 'insert'
             entry["changes_insert_only"] = True
+        if has_changes and delete_only:
+            # the change files are the erase rewrite's flagged-off DATA
+            # files (delete_by_keys' single-pass write, or a date
+            # cleanup's dropped partition dirs) with no _change_type
+            # column: readers synthesize 'delete'
+            entry["changes_delete_only"] = True
         entries.append(entry)
         self._write_version_log(name, entries)
 
@@ -2298,28 +2376,45 @@ class Catalog:
                 os.path.join(self._versions_dir(name, e["version"]), "changes")
                 for e in span
                 if not e.get("changes_insert_only")
-            ]
-            # insert-only commits (appends) store hardlinked DATA files
-            # with no _change_type column — read them under the data
-            # schema (partition dirs discover under each root) and
-            # synthesize the constant
-            ins_dirs = [
-                os.path.join(self._versions_dir(name, e["version"]), "changes")
-                for e in span
-                if e.get("changes_insert_only")
+                and not e.get("changes_delete_only")
             ]
             parts = []
             if typed_dirs:
                 # explicit schema: aligns stored files by column NAME and
-                # keeps empty change dirs (e.g. a compact commit) readable
+                # keeps empty change dirs (e.g. a compact commit) readable.
+                # Typed change dirs are always FLAT (staged by an
+                # unpartitioned write), so one multi-root read is safe.
                 parts.append(
                     self.spark.read.schema(ch_schema).parquet(*typed_dirs)
                 )
-            if ins_dirs:
+            # insert-only (append) and delete-only (key-erase / date
+            # cleanup) commits store DATA files with no _change_type
+            # column — read them under the data schema and synthesize the
+            # constant. Read each commit's dir SEPARATELY: one commit may
+            # be date-partitioned (col=value subdirs) and another flat,
+            # and a single multi-root read would fail partition discovery
+            # with 'conflicting directory structures'; per-dir reads let
+            # each root discover (or not) its own partition columns, with
+            # columns a flat commit lacks null-filled by the explicit
+            # schema.
+            data_schema = StructType(list(new_schema.fields))
+            for e in span:
+                synth = (
+                    "insert"
+                    if e.get("changes_insert_only")
+                    else "delete"
+                    if e.get("changes_delete_only")
+                    else None
+                )
+                if synth is None:
+                    continue
+                d = os.path.join(
+                    self._versions_dir(name, e["version"]), "changes"
+                )
                 parts.append(
-                    self.spark.read.schema(StructType(list(new_schema.fields)))
-                    .parquet(*ins_dirs)
-                    .withColumn("_change_type", F.lit("insert"))
+                    self.spark.read.schema(data_schema)
+                    .parquet(d)
+                    .withColumn("_change_type", F.lit(synth))
                 )
             ch = parts[0]
             for p in parts[1:]:

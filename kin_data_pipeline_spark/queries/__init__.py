@@ -32,71 +32,71 @@ import kin_data_pipeline_spark.queries.tpch_partsupp  # noqa: F401,E402
 # NEXT_WINDOW_BACKLOG each round — the invariants in
 # tests/test_registry_window.py key off CORRECTNESS-file discovery, so the
 # round prep is a data change only.
-ROUND = 11
+ROUND = 12
 
-# Round-11 window (recomposed after the optimization-round engine work
-# re-planned 5 queries — 4 CDF/time-travel read shapes plus the kmeans
-# literal-centroid assignment — PLAN_MANIFEST since=11 discounts their old
-# green rows): all 11 never-green queries lead (the 3 r10-backlog entries,
-# the 3 r11 IVM additions, and the 5 re-planned), then padding
+# Round-12 window (recomposed after the optimization-round lifecycle work
+# re-planned 6 queries — the 3 cdf_* reads and the 3 time_travel_* reads,
+# whose change-file / snapshot layouts moved to the single-pass
+# delete_by_keys + staged-append commits; PLAN_MANIFEST since=12 discounts
+# their old green rows): all 6 never-green queries lead, then padding
 # oldest-green-first per scripts/compose_window.py.
 CURRENT_WINDOW_HEAD = [
     "cdf_incremental_aggregate",
     "cdf_incremental_distinct_count",
     "cdf_incremental_minmax",
-    "kmeans_cluster_profile",
-    "restart_jpeg_pixel_stats",
-    "runner_ivm_hll_distinct_rollup",
-    "runner_kin_actives_ivm_30d",
-    "runner_kin_dag_ivm_mart",
-    "runner_stream_union_ivm_rollup",
-    "runner_union_ivm_net_rollup",
+    "time_travel_as_of_timestamps",
     "time_travel_changes",
-    "kin_kre_weekly_payout",
-    "kin_monthly_active_accounts_app",
-    "kin_monthly_active_accounts_ecosystem",
-    "kin_monthly_inactive_wallets",
-    "kin_monthly_transactions",
-    "kin_multi_create_impacted",
-    "kin_transactions_curated",
-    "kin_weekly_active_accounts_app",
-    "kin_weekly_active_accounts_ecosystem",
-    "kin_weekly_payout_summary",
-    "kin_weekly_transactions",
-    "language_id_confusion",
-    "minhash_signatures",
-    "part_shipment_churn_90d",
-    "props_json_stats",
-    "purchase_or_click_users",
-    "purchase_view_full_outer_daily",
-    "returnflag_normalized",
-    "signup_purchase_funnel",
-    "simhash_signatures",
-    "small_quantity_revenue_q17",
-    "term_document_frequency",
-    "token_counts_by_source",
-    "video_frame_stats",
-    "api_dim_seed",
-    "api_timeseries_seed",
-    "benchmark_decontamination",
-    "bpe_apply_token_counts",
-    "curated_corpus_stats",
-    "dedup_keep_best_survivors",
-    "dedup_survivor_stats",
-    "doc_length_percentiles",
-    "doc_repetition_profile",
-    "embedding_cosine_near_dups",
-    "embedding_ivf_ann_top5",
-    "events_column_profile",
-    "frame_sample_plan_stats",
-    "gopher_quality_flags",
-    "incremental_dedup_check",
+    "time_travel_orders_versions",
+    "kin_app_txn_summary_from_account_monthly",
+    "kin_app_txn_summary_from_account_weekly",
+    "kin_app_txn_summary_to_account_monthly",
+    "kin_app_txn_summary_to_account_weekly",
+    "kin_daily_account_creates_by_close_authority",
+    "kin_daily_account_creates_by_program",
+    "kin_daily_account_creates_by_type",
+    "kin_daily_account_summary_by_app",
+    "kin_daily_account_summary_ecosystem",
+    "knn_label_agreement",
+    "local_supplier_revenue_q5",
+    "media_decoded_stats",
+    "media_metadata_stats",
+    "monthly_priority_pivot",
+    "near_dup_clusters",
+    "near_dup_clusters_deep",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_near_dups",
+    "order_value_deciles",
+    "progressive_jpeg_pixel_stats",
+    "redaction_stats_props",
+    "regex_token_stats",
+    "region_segment_grouping_sets",
+    "repeated_chunk_stats",
+    "revenue_rollup_region_nation",
+    "rolling_hash_fingerprints",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivor_stats",
+    "shingle_containment_pairs",
+    "shipping_priority_q3",
+    "simhash_near_dups",
+    "skew_distinct_users_by_event_type",
+    "skew_salted_value_sum_by_type",
+    "streaming_daily_rollup",
+    "trailing_7d_revenue",
+    "bpe_train_merges",
+    "cross_source_dup_matrix",
+    "customer_order_distribution_q13",
+    "daily_event_segments",
+    "daily_order_revenue",
+    "day_over_day_revenue",
+    "dominant_part_suppliers_q20",
+    "dsir_importance_scores",
+    "embedding_cell_outliers",
 ]
 
 # Queries registered after the current window filled go here at registration
 # time (test-enforced, round-agnostic rule in tests/test_registry_window.py)
-# and must lead the next round's window. Empty: the recomposed r11 window
-# absorbed the 3 r11 additions alongside the 5 re-planned queries.
+# and must lead the next round's window. Empty: round 12 adds no queries
+# (optimization round) and the 6 re-planned ones all fit in the window.
 NEXT_WINDOW_BACKLOG: list[str] = []
 
 def _ordered() -> dict[str, QuerySpec]:

@@ -162,12 +162,14 @@ class _VersionDiffPartition(InputPartition):
 class _ChangeFilePartition(InputPartition):
     """Scale path: one stored change-parquet file of one commit.
 
-    ``insert_only`` marks a commit whose change files are hardlinked DATA
-    files (an append's own output — engine._stage_linked_insert_commit):
-    they carry no ``_change_type`` column, so the reader synthesizes the
-    constant 'insert'; ``part_vals`` holds ``col=value`` partition-path
-    values (string or None) the file's rows inherit, since a partitioned
-    data file does not store its partition column."""
+    ``synth_type`` marks a commit whose change files are DATA files with
+    no ``_change_type`` column — an append's own hardlinked output
+    ('insert'; engine write_append's staged-append commit) or a
+    key-erase/date cleanup's flagged-off files ('delete'; the single-pass
+    delete_by_keys / delete_where_date_ge staging) — so the reader
+    synthesizes the constant; ``part_vals`` holds ``col=value``
+    partition-path values (string or None) the file's rows inherit,
+    since a partitioned data file does not store its partition column."""
 
     def __init__(
         self,
@@ -175,14 +177,14 @@ class _ChangeFilePartition(InputPartition):
         version: int,
         arrow_schema,
         ts=None,
-        insert_only: bool = False,
+        synth_type: str | None = None,
         part_vals: dict | None = None,
     ):
         self.path = path
         self.version = version
         self.arrow_schema = arrow_schema
         self.ts = ts
-        self.insert_only = insert_only
+        self.synth_type = synth_type
         self.part_vals = part_vals or {}
 
 
@@ -197,11 +199,20 @@ def _plan_version(
     ts = entry.get("ts")
     if entry.get("changes"):
         changes = os.path.join(_versions_dir(warehouse, table), f"v{v}", "changes")
-        if entry.get("changes_insert_only"):
-            # hardlinked data files, possibly under col=value partition
-            # dirs: walk recursively and carry the partition-path values
+        synth = (
+            "insert"
+            if entry.get("changes_insert_only")
+            else "delete"
+            if entry.get("changes_delete_only")
+            else None
+        )
+        if synth is not None:
+            # data files with no _change_type column, possibly under
+            # col=value partition dirs: walk recursively and carry the
+            # partition-path values
             parts = []
-            for root, _dirs, names in os.walk(changes):
+            for root, dirs, names in os.walk(changes):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
                 for n in sorted(names):
                     if not n.endswith(".parquet") or n.startswith((".", "_")):
                         continue
@@ -218,7 +229,7 @@ def _plan_version(
                     parts.append(
                         _ChangeFilePartition(
                             p, v, arrow_schema, ts,
-                            insert_only=True, part_vals=vals,
+                            synth_type=synth, part_vals=vals,
                         )
                     )
             return sorted(parts, key=lambda x: x.path)
@@ -240,16 +251,17 @@ def _read_change_file(partition: _ChangeFilePartition):
     tbl = pq.read_table(partition.path)
     if tbl.num_rows == 0:
         return iter(())
-    insert_only = getattr(partition, "insert_only", False)
+    synth_type = getattr(partition, "synth_type", None)
     part_vals = getattr(partition, "part_vals", None) or {}
     arrays = []
     for field in partition.arrow_schema:
-        if field.name == "_change_type" and insert_only:
-            # hardlinked data file of an insert-only (append) commit:
-            # the column does not exist physically
-            col = pa.array(["insert"] * tbl.num_rows, type=pa.string()).cast(
-                field.type
-            )
+        if field.name == "_change_type" and synth_type is not None:
+            # data file of an insert-only (append) or delete-only
+            # (key-erase / date cleanup) commit: the column does not
+            # exist physically
+            col = pa.array(
+                [synth_type] * tbl.num_rows, type=pa.string()
+            ).cast(field.type)
         elif field.name in part_vals and field.name not in tbl.column_names:
             sval = part_vals[field.name]
             col = (
