@@ -208,6 +208,24 @@ def grouped_posting_lists(postings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
     )
 
+def _pin_expansion_parallelism(df: DataFrame, *cols) -> DataFrame:
+    """Pin cluster parallelism for a CPU-DENSE expansion stage (guide
+    §2.5: size partitions to the work, not the bytes).
+
+    Posting-list pair expansion and intersection verification produce and
+    chew orders of magnitude more than their input bytes, so any
+    byte-proportional partitioning — AQE coalescing with
+    ``parallelismFirst=false`` (the session default since round 12), or a
+    small static shuffle-partition count — would serialize them onto one
+    core. An explicit NUMBERED repartition is exempt from AQE coalescing;
+    the count derives from cores (the unit of CPU work) because these
+    stages are compute-bound at every scale. Downstream same-key
+    aggregations reuse the hash partitioning, so this replaces (not adds)
+    the exchange that would exist anyway."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def pair_counts_from_lists(
     lists: DataFrame, df_cap: int | None = 50
 ) -> DataFrame:
@@ -217,6 +235,7 @@ def pair_counts_from_lists(
     column expression."""
     if df_cap is not None:
         lists = lists.filter(F.col("df") <= df_cap)
+    lists = _pin_expansion_parallelism(lists, "s")
     pair = within_list_pairs(
         "docs",
         lambda x, y: F.struct(
@@ -226,8 +245,16 @@ def pair_counts_from_lists(
             y["n_sh"].alias("nb"),
         ),
     ).alias("p")
+    # the pair aggregation is pinned too: pairs are mostly unique, so
+    # map-side partial aggregation cannot shrink the stream and the
+    # REDUCE side does the real hashing work — the explicit repartition
+    # replaces (same keys, so the groupBy reuses it) the exchange AQE
+    # would otherwise coalesce by its modest byte size
+    expanded = _pin_expansion_parallelism(
+        lists.select(pair), F.col("p.doc_a"), F.col("p.doc_b")
+    )
     return (
-        lists.select(pair)
+        expanded
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -368,7 +395,10 @@ def _prefix_filter_from_ranked(
         ),
     ).alias("e")
     events = (
-        pre.groupBy("s")
+        # pinned parallelism: the grouped expansion's OUTPUT (pair events)
+        # dwarfs its input bytes — see _pin_expansion_parallelism
+        _pin_expansion_parallelism(pre, "s")
+        .groupBy("s")
         .agg(
             F.first("dfreq").alias("dfreq"),
             F.array_sort(
@@ -423,7 +453,10 @@ def _prefix_filter_from_ranked(
         .select("doc_a", "doc_b", "na", "nb")
     )
     full = shingled.select("doc_id", "shingles")
-    v = cand.join(
+    # pinned parallelism for the verification stage: each candidate row
+    # pays an array_intersect over two full shingle sets (CPU-dense, tiny
+    # input bytes) — see _pin_expansion_parallelism
+    v = _pin_expansion_parallelism(cand, "doc_a").join(
         full.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
         "doc_a",
     ).join(

@@ -42,6 +42,25 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Coalesce to the ADVISORY SIZE, not the core count: with the
+        # default parallelismFirst=true AQE refuses to merge a shuffle
+        # below defaultParallelism, so every small exchange runs one
+        # sliver-task per core — measured 1.2-2.4x overhead per
+        # aggregation/join query on this corpus, and the reason the r11
+        # fleet ran FASTER at 8 cores than 32 (VERDICT r11 #2). With
+        # byte-proportional coalescing the partitioning is data-derived at
+        # every scale (a 100 TB shuffle still gets its thousands of
+        # advisory-sized partitions). CPU-dense stages whose work dwarfs
+        # their bytes (posting-list pair expansion, intersection verify)
+        # pin their parallelism explicitly instead
+        # (operators/dedup.py::_pin_expansion_parallelism).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Scan split count follows input BYTES (maxPartitionBytes), not
+        # the core count: the Spark default floors split count at
+        # defaultParallelism, shredding small inputs into per-core
+        # slivers (pure task overhead at local scale, irrelevant at
+        # 100 TB where bytes/maxPartitionBytes >> cores either way).
+        .config("spark.sql.files.minPartitionNum", "1")
         # Dims are small; broadcast them rather than shuffling the fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas_udf / applyInPandas / toPandas paths.
@@ -60,6 +79,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Deployment-side conf injection (semicolon-separated k=v pairs):
+    # lets a cluster profile add or override settings without code
+    # changes — also how A/B conf experiments run against the unmodified
+    # bench harness.
+    for pair in os.environ.get("SPARK_GRAFT_SPARK_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
